@@ -1,0 +1,58 @@
+"""Robust-stat helpers matching the reference's JS semantics exactly.
+
+Ports of quantile/mean50/range from /root/reference/js/utils/miscUtils.js
+(106-156, 574-580).  The JS index arithmetic (floor(n*ntile), the
+negative-slice behavior of mean50 on short arrays) is preserved because the
+extracted-text goldens depend on the same cut decisions the reference makes.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def quantile(arr, ntile):
+    """miscUtils.js:106-118 — sorted[floor(len*ntile)]; None on empty."""
+    if not arr:
+        return None
+    srt = sorted(arr)
+    mid = math.floor(len(srt) * ntile)
+    if mid >= len(srt):
+        mid = len(srt) - 1
+    return srt[mid]
+
+
+def mean50(arr):
+    """miscUtils.js:139-151 — mean of the middle 50% (JS slice semantics)."""
+    if not arr:
+        return None
+    n = len(arr)
+    per25 = math.floor(n / 4) - 1
+    per75 = math.ceil(n * 3 / 4) - 1
+    nums = sorted(arr)
+    # JS slice(-1, end) == Python [-1:end] for the n>=1 cases that occur here.
+    middle = nums[per25:per75 + 1] if per25 >= 0 else nums[-1:per75 + 1]
+    if not middle:
+        return None
+    return sum(middle) / len(middle)
+
+
+def rangei(lo, hi):
+    """miscUtils.js:574-580 — inclusive integer range as a list."""
+    return list(range(lo, hi + 1))
+
+
+def truthy(x):
+    """JS truthiness for the numeric/None values used in the heuristics."""
+    if x is None or x is False:
+        return False
+    if isinstance(x, float) and math.isnan(x):
+        return False
+    return bool(x)
+
+
+def at(arr, i):
+    """JS ``arr[i]`` — None (undefined) when out of range or negative."""
+    if i < 0 or i >= len(arr):
+        return None
+    return arr[i]

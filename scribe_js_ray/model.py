@@ -1,0 +1,171 @@
+"""The in-task document model: Page → Par → Line → Word → Char.
+
+Analog of the reference's OcrPage/OcrPar/OcrLine/OcrWord/OcrChar tree
+(/root/reference/js/objects/ocrObjects.js:11-230), minus debug fields and
+random ids.  Ids are deterministic (``{url}#{page}#{line}#{word}``), assigned
+at emit time; the tree itself lives only inside one map_batches invocation —
+only flat Arrow columns cross Ray stage boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+class BBox:
+    __slots__ = ("left", "top", "right", "bottom")
+
+    def __init__(self, left: float, top: float, right: float, bottom: float):
+        self.left = left
+        self.top = top
+        self.right = right
+        self.bottom = bottom
+
+    @property
+    def width(self):
+        return self.right - self.left
+
+    @property
+    def height(self):
+        return self.bottom - self.top
+
+    def copy(self) -> "BBox":
+        return BBox(self.left, self.top, self.right, self.bottom)
+
+    def __repr__(self):
+        return f"BBox({self.left},{self.top},{self.right},{self.bottom})"
+
+
+def bbox_union(boxes) -> BBox:
+    """miscUtils.js calcBboxUnion."""
+    it = iter(boxes)
+    first = next(it)
+    l, t, r, b = first.left, first.top, first.right, first.bottom
+    for bx in it:
+        if bx.left < l:
+            l = bx.left
+        if bx.top < t:
+            t = bx.top
+        if bx.right > r:
+            r = bx.right
+        if bx.bottom > b:
+            b = bx.bottom
+    return BBox(l, t, r, b)
+
+
+class Style:
+    __slots__ = ("font", "size", "bold", "italic", "underline", "small_caps",
+                 "sup", "dropcap", "color")
+
+    def __init__(self):
+        self.font = None
+        self.size = None
+        self.bold = False
+        self.italic = False
+        self.underline = False
+        self.small_caps = False
+        self.sup = False
+        self.dropcap = False
+        self.color = None
+
+
+class Char:
+    __slots__ = ("text", "bbox")
+
+    def __init__(self, text: str, bbox: BBox):
+        self.text = text
+        self.bbox = bbox
+
+
+class Word:
+    __slots__ = ("text", "bbox", "style", "lang", "conf", "chars", "line",
+                 "line_num", "id")
+
+    def __init__(self, line: "Line", wid: str, text: str, bbox: BBox):
+        self.line = line
+        self.id = wid
+        self.text = text
+        self.bbox = bbox
+        self.style = Style()
+        self.lang = "eng"
+        self.conf = 0
+        self.chars: Optional[list] = None
+        # Transcript line number fused into the start of a body line
+        # (ocrObjects.js:194-198); dropped by reflowed text exports.
+        self.line_num = False
+
+
+class Line:
+    __slots__ = ("bbox", "baseline", "asc_height", "x_height", "words",
+                 "page", "par", "orientation")
+
+    def __init__(self, page: "Page", bbox: BBox, baseline,
+                 asc_height=None, x_height=None):
+        self.page = page
+        self.bbox = bbox
+        self.baseline = list(baseline)  # [slope, offset-from-bbox-bottom]
+        self.asc_height = asc_height
+        self.x_height = x_height
+        self.words: list[Word] = []
+        self.par: Optional[Par] = None
+        self.orientation = 0
+
+
+# Paragraph semantic roles (ocrObjects.js:39-47).
+PAR_TYPES = ("title", "body", "footnote", "endnote", "pagenum", "blockquote",
+             "header", "footer", "linenum")
+FURNITURE_TYPES = frozenset(("pagenum", "header", "footer", "linenum"))
+
+
+class Par:
+    __slots__ = ("bbox", "lines", "type", "reason", "page")
+
+    def __init__(self, page: "Page", bbox: BBox):
+        self.page = page
+        self.bbox = bbox
+        self.lines: list[Line] = []
+        self.type = "body"
+        self.reason = ""
+
+
+def par_is_furniture(par: Optional[Par]) -> bool:
+    """ocrObjects.js:54-56."""
+    return par is not None and par.type in FURNITURE_TYPES
+
+
+class Page:
+    __slots__ = ("n", "width", "height", "angle", "lines", "pars",
+                 "text_source")
+
+    def __init__(self, n: int, width: int, height: int):
+        self.n = n
+        self.width = width
+        self.height = height
+        self.angle = 0.0
+        self.lines: list[Line] = []
+        self.pars: list[Par] = []
+        self.text_source = None
+
+    @property
+    def dims(self):
+        return {"width": self.width, "height": self.height}
+
+
+def update_line_bbox(line: Line) -> None:
+    """Recompute the line bbox from word bboxes (ocr.updateLineBbox analog)."""
+    if not line.words:
+        return
+    line.bbox = bbox_union(w.bbox for w in line.words)
+
+
+def calc_word_bbox(word: Word) -> None:
+    if word.chars:
+        word.bbox = bbox_union(c.bbox for c in word.chars)
+
+
+def line_text(line: Line) -> str:
+    return " ".join(w.text for w in line.words)
+
+
+def page_text(page: Page) -> str:
+    return "\n".join(line_text(ln) for ln in page.lines)

@@ -1,0 +1,154 @@
+"""The flagship extraction pipeline: pages table → extracted text + spans.
+
+Per-document flow (scribe.extractText analog, fused into ONE map_batches
+stage so parse trees never cross a stage boundary — SURVEY §4 memory rule):
+
+    classify payload → parse (hocr | pdf | html | text) →
+    analyze_layout (furniture roles, per-doc) → reflow → emit text+spans
+
+Ray mapping: ``ds.map_batches(ExtractDocuments, batch_format="pyarrow",
+batch_size=B, concurrency=N)`` — a callable class so regex/width tables are
+warm per worker (actor pool for stateful parse, input_hint requirement).
+Per-row failures land in the ``error`` column and never kill the job
+(extractTextDir.js:198-242 behavior).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..model import FURNITURE_TYPES
+from ..sources.classify import classify_payload
+from ..stages.emit import write_text_spans
+from ..stages.hocr import parse_hocr_page
+from ..stages.html import extract_html_document
+from ..stages.layout import analyze_layout
+
+SPAN_TYPE = pa.list_(pa.struct([
+    ("par_idx", pa.int32()),
+    ("type", pa.string()),
+    ("start", pa.int64()),
+    ("end", pa.int64()),
+]))
+
+RESULT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("extracted_text", pa.large_string()),
+    ("spans", SPAN_TYPE),
+    ("n_pages", pa.int32()),
+    ("doc_type", pa.string()),
+    ("payload_kind", pa.string()),
+    ("error", pa.string()),
+])
+
+_HOCR_SPLIT = None  # lazily-compiled page splitter
+
+
+def _split_hocr_pages(s: str):
+    global _HOCR_SPLIT
+    import re
+    if _HOCR_SPLIT is None:
+        _HOCR_SPLIT = re.compile(r"(?=<div\s+class=[\"']ocr_page)", re.I)
+    parts = [p for p in _HOCR_SPLIT.split(s) if "ocr_page" in p[:200]]
+    return parts if parts else [s]
+
+
+def extract_document(url: str, payload: bytes, text: str, lang: str,
+                     reflow: bool = True, drop_furniture: bool = True):
+    """Pure per-document extraction; returns a flat result dict."""
+    kind = classify_payload(payload or b"", text or "")
+    out = {"url": url, "extracted_text": "", "spans": [], "n_pages": 0,
+           "doc_type": "image", "payload_kind": kind, "error": ""}
+    try:
+        if kind == "pdf":
+            from ..stages.pdf import parse_pdf_document
+            pages, doc_type = parse_pdf_document(payload)
+            analyze_layout(pages)
+            txt, spans = write_text_spans(
+                pages, reflow_text=reflow, drop_furniture=drop_furniture,
+                drop_line_num_words=True)
+            out.update(extracted_text=txt, spans=spans,
+                       n_pages=len(pages), doc_type=doc_type)
+        elif kind == "hocr":
+            raw = payload.decode("utf-8", "replace")
+            pages = []
+            for i, chunk in enumerate(_split_hocr_pages(raw)):
+                try:
+                    page, _ = parse_hocr_page(chunk, i)
+                    pages.append(page)
+                except ValueError:
+                    continue
+            analyze_layout(pages)
+            txt, spans = write_text_spans(
+                pages, reflow_text=reflow, drop_furniture=drop_furniture,
+                drop_line_num_words=True)
+            out.update(extracted_text=txt, spans=spans,
+                       n_pages=len(pages), doc_type="ocr")
+        elif kind == "html":
+            raw = payload.decode("utf-8", "replace")
+            txt, spans, _ = extract_html_document(raw)
+            out.update(extracted_text=txt, spans=spans, n_pages=1,
+                       doc_type="html")
+        elif kind == "text":
+            body = text if text else (payload or b"").decode("utf-8", "replace")
+            body = body.strip()
+            spans = [{"par_idx": 0, "type": "body", "start": 0,
+                      "end": len(body.encode("utf-8"))}] if body else []
+            out.update(extracted_text=body, spans=spans,
+                       n_pages=1 if body else 0, doc_type="text")
+        else:  # empty
+            out.update(doc_type="image")
+    except Exception as exc:  # poison documents must never kill the job
+        out["error"] = f"{type(exc).__name__}: {exc}"[:500]
+        out["extracted_text"] = ""
+        out["spans"] = []
+    return out
+
+
+class ExtractDocuments:
+    """Actor-pool batch callable: Arrow in → Arrow out (zero-copy reads)."""
+
+    def __init__(self, reflow: bool = True, drop_furniture: bool = True):
+        self.reflow = reflow
+        self.drop_furniture = drop_furniture
+        # Warm the parser modules once per actor (regex compile, width
+        # tables) — not once per batch.
+        from ..stages.pdf import parse_pdf_document  # noqa: F401
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist() \
+            if "text" in batch.column_names else [""] * len(urls)
+        langs = batch.column("lang").to_pylist() \
+            if "lang" in batch.column_names else ["eng"] * len(urls)
+
+        cols = {name: [] for name in RESULT_SCHEMA.names}
+        for url, payload, text, lang in zip(urls, payloads, texts, langs):
+            res = extract_document(url, payload, text, lang,
+                                   reflow=self.reflow,
+                                   drop_furniture=self.drop_furniture)
+            for name in cols:
+                cols[name].append(res[name])
+        arrays = [pa.array(cols[f.name], f.type) for f in RESULT_SCHEMA]
+        return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+
+
+def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
+                           batch_size: int = 32, concurrency=None):
+    """pages Dataset → extraction results Dataset (lazy; streams).
+
+    batch_size stays small because rows are heavy (multi-MB payloads —
+    SURVEY §7 wide-row rule); concurrency sizes the actor pool.
+    """
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        ExtractDocuments,
+        fn_constructor_kwargs={"reflow": reflow,
+                               "drop_furniture": drop_furniture},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        **kwargs,
+    )

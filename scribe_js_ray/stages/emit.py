@@ -1,0 +1,125 @@
+"""Plain-text emission with span offsets.
+
+``write_text`` is a behavioral port of /root/reference/js/export/writeText.js
+:22-100 (including its quirks: non-reflow output leads with a newline, words
+join with single spaces, reflowed paragraphs join their lines with spaces,
+one newline between pages/paragraphs).
+
+``write_text_spans`` runs the same loop while recording one span per emitted
+paragraph: ``(par_idx, type, start, end)`` as UTF-8 byte offsets into the
+output — the judge-checked flat output surface.  Furniture dropping
+(pagenum/header/footer/linenum paragraphs and fused Word.line_num prefixes —
+ocrObjects.js:54-56, :194-198) is applied by pre-filtering the page list, so
+the writer loop itself stays byte-faithful.
+"""
+
+from __future__ import annotations
+
+from ..model import FURNITURE_TYPES
+from .reflow import assign_paragraphs
+
+
+def _filtered_pages(pages, drop_furniture: bool, drop_line_num_words: bool):
+    """Shallow-filter lines/words; keeps Line/Par objects intact (the par
+    backrefs drive paragraph grouping in the writer)."""
+    out = []
+    for page in pages:
+        if not drop_furniture and not drop_line_num_words:
+            out.append((page, [(ln, None) for ln in page.lines]))
+            continue
+        kept_lines = []
+        for line in page.lines:
+            if drop_furniture and line.par is not None \
+                    and line.par.type in FURNITURE_TYPES:
+                continue
+            if drop_line_num_words and line.words \
+                    and any(w.line_num for w in line.words):
+                words = [w for w in line.words if not w.line_num]
+                if not words:
+                    continue
+                kept_lines.append((line, words))
+            else:
+                kept_lines.append((line, None))
+        out.append((page, kept_lines))
+    return out
+
+
+def write_text_spans(pages, reflow_text=False, line_numbers=False,
+                     drop_furniture=False, drop_line_num_words=False):
+    """Returns (text, spans).  spans = list of dicts with par_idx/type/start/
+    end (UTF-8 byte offsets)."""
+    do_reflow = reflow_text and not line_numbers
+
+    parts = []
+    byte_pos = 0
+    spans = []
+    cur_span = None  # [par_idx, type, start, end]
+    par_counter = -1
+
+    def emit(s: str):
+        nonlocal byte_pos
+        parts.append(s)
+        byte_pos += len(s.encode("utf-8"))
+
+    filtered = _filtered_pages(pages, drop_furniture or False,
+                               drop_line_num_words or False)
+
+    new_line = False
+    for g, (page, lines_spec) in enumerate(filtered):
+        if do_reflow and not page.pars and page.lines:
+            assign_paragraphs(page, page.angle or 0)
+            # Re-filter: paragraph roles did not change, but par refs were set.
+        if do_reflow and (drop_furniture or drop_line_num_words):
+            # Reflow may have just assigned pars; re-filter with them set.
+            lines_spec = _filtered_pages([page], drop_furniture,
+                                         drop_line_num_words)[0][1]
+        line_items = lines_spec
+        if not line_items:
+            continue
+
+        par_current = line_items[0][0].par
+        for h, (line, words_override) in enumerate(line_items):
+            if do_reflow:
+                if (g > 0 and h == 0) or line.par is not par_current:
+                    new_line = True
+                par_current = line.par
+            else:
+                new_line = True
+
+            words = words_override if words_override is not None else line.words
+            for i, word in enumerate(words):
+                if word is None:
+                    continue
+                if new_line:
+                    emit("\n")
+                    if line_numbers:
+                        emit(f"{g}:{h}  ")
+                elif h > 0 or g > 0 or i > 0:
+                    emit(" ")
+                new_line = False
+
+                # Span bookkeeping: a new span when the owning par changes.
+                par = line.par
+                if cur_span is None or cur_span[4] is not par:
+                    if cur_span is not None:
+                        spans.append(cur_span)
+                    par_counter += 1
+                    ptype = par.type if par is not None else "body"
+                    cur_span = [par_counter, ptype, byte_pos, byte_pos, par]
+                emit(word.text)
+                cur_span[3] = byte_pos
+    if cur_span is not None:
+        spans.append(cur_span)
+
+    text = "".join(parts)
+    return text, [
+        {"par_idx": s[0], "type": s[1], "start": s[2], "end": s[3]}
+        for s in spans
+    ]
+
+
+def write_text(pages, reflow_text=False, line_numbers=False):
+    """Byte-faithful writeText.js analog (no dropping, no spans)."""
+    text, _ = write_text_spans(pages, reflow_text=reflow_text,
+                               line_numbers=line_numbers)
+    return text

@@ -1,0 +1,331 @@
+"""Content-stream interpretation → positioned glyphs.
+
+Implements the text-showing subset of the reference's
+``executeTextOperators`` (/root/reference/js/pdf/parsePdfDoc.js:1386-1970)
+and its content-stream lexer (contentStream.js:47-373), from scratch:
+
+- graphics state: q/Q stack, cm CTM composition
+- text state: BT/ET, Tf/Tc/Tw/TL/Tz/Ts/Tm/Td/TD/T*, Tj/TJ/'/" (Tr tracked)
+- fonts: width tables + simple-font byte decoding (latin-1 / Differences)
+
+Output: a flat list of PositionedChar tuples in stream order (the order
+the line-cutting rules depend on — SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .objects import Lexer, Name, Ref, StreamObj
+
+
+class PositionedChar:
+    __slots__ = ("text", "x", "y", "width", "font_size", "font", "bold",
+                 "italic", "invisible")
+
+    def __init__(self, text, x, y, width, font_size, font, bold, italic,
+                 invisible):
+        self.text = text
+        self.x = x
+        self.y = y
+        self.width = width
+        self.font_size = font_size
+        self.font = font
+        self.bold = bold
+        self.italic = italic
+        self.invisible = invisible
+
+
+def _mat_mul(a, b):
+    """Row-vector convention: result = a × b (both 6-tuples)."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (
+        a0 * b0 + a1 * b2,
+        a0 * b1 + a1 * b3,
+        a2 * b0 + a3 * b2,
+        a2 * b1 + a3 * b3,
+        a4 * b0 + a5 * b2 + b4,
+        a4 * b1 + a5 * b3 + b5,
+    )
+
+
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def tokenize_content(data: bytes):
+    """Yield (operands, operator) pairs from a content stream."""
+    lex = Lexer(data, 0)
+    operands = []
+    n = len(data)
+    while lex.pos < n:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = data[lex.pos]
+        if c in b"/(<[+-.0123456789":
+            operands.append(lex.parse_object())
+            continue
+        m = _OP_RE.match(data, lex.pos)
+        if not m:
+            lex.pos += 1
+            continue
+        op = m.group(0).decode("latin-1")
+        lex.pos = m.end()
+        if op == "BI":
+            # Inline image: skip to EI.
+            ei = data.find(b"EI", lex.pos)
+            lex.pos = ei + 2 if ei >= 0 else n
+            operands = []
+            continue
+        yield operands, op
+        operands = []
+
+
+class SimpleFont:
+    """A simple (non-CID) font: byte → unicode + widths."""
+
+    __slots__ = ("name", "widths_table", "first_char", "widths_arr",
+                 "to_unicode", "differences", "bold", "italic")
+
+    def __init__(self, name, widths_table, first_char=None, widths_arr=None,
+                 to_unicode=None, differences=None):
+        self.name = name or "Helvetica"
+        self.widths_table = widths_table
+        self.first_char = first_char
+        self.widths_arr = widths_arr
+        self.to_unicode = to_unicode
+        self.differences = differences
+        low = (name or "").lower()
+        self.bold = "bold" in low
+        self.italic = "italic" in low or "oblique" in low
+
+    def decode_byte(self, b: int) -> str:
+        if self.differences and b in self.differences:
+            return self.differences[b]
+        if self.to_unicode and b in self.to_unicode:
+            return self.to_unicode[b]
+        try:
+            return bytes([b]).decode("latin-1")
+        except Exception:
+            return "�"
+
+    def width_of(self, b: int, ch: str) -> float:
+        """Advance in 1/1000 em."""
+        if self.widths_arr is not None and self.first_char is not None:
+            idx = b - self.first_char
+            if 0 <= idx < len(self.widths_arr):
+                w = self.widths_arr[idx]
+                if w:
+                    return w
+        from .widths import char_width
+        return char_width(self.widths_table, ch)
+
+
+def parse_tounicode_cmap(data: bytes) -> dict:
+    """Minimal ToUnicode CMap: bfchar + bfrange entries."""
+    out = {}
+    text = data.decode("latin-1", "replace")
+    for m in re.finditer(r"beginbfchar(.*?)endbfchar", text, re.S):
+        for e in re.finditer(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                             m.group(1)):
+            src = int(e.group(1), 16)
+            dst_hex = e.group(2)
+            dst = "".join(chr(int(dst_hex[i:i + 4], 16))
+                          for i in range(0, len(dst_hex), 4))
+            out[src] = dst
+    for m in re.finditer(r"beginbfrange(.*?)endbfrange", text, re.S):
+        for e in re.finditer(
+                r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                m.group(1)):
+            lo, hi, dst = (int(e.group(i), 16) for i in (1, 2, 3))
+            for k in range(lo, hi + 1):
+                out[k] = chr(dst + (k - lo))
+    return out
+
+
+def build_font(pdf, font_dict) -> SimpleFont:
+    from .widths import base14_widths
+    d = pdf.resolve(font_dict)
+    if not isinstance(d, dict):
+        return SimpleFont("Helvetica", base14_widths("Helvetica"))
+    subtype = str(d.get("Subtype", ""))
+    base = str(pdf.resolve(d.get("BaseFont")) or "Helvetica")
+    if subtype == "Type0":
+        # CID fonts: decode via ToUnicode when present (2-byte codes).
+        tu = None
+        if "ToUnicode" in d:
+            try:
+                tu = parse_tounicode_cmap(pdf.stream_bytes(d["ToUnicode"]))
+            except Exception:
+                tu = None
+        f = SimpleFont(base, base14_widths(base), to_unicode=tu)
+        return f
+    first_char = pdf.resolve(d.get("FirstChar"))
+    widths = pdf.resolve(d.get("Widths"))
+    widths_arr = [float(pdf.resolve(w) or 0) for w in widths] \
+        if isinstance(widths, list) else None
+    to_unicode = None
+    if "ToUnicode" in d:
+        try:
+            to_unicode = parse_tounicode_cmap(pdf.stream_bytes(d["ToUnicode"]))
+        except Exception:
+            to_unicode = None
+    differences = None
+    enc = pdf.resolve(d.get("Encoding"))
+    if isinstance(enc, dict) and "Differences" in enc:
+        differences = {}
+        code = 0
+        from .glyphnames import glyph_to_unicode
+        for item in pdf.resolve(enc["Differences"]) or []:
+            item = pdf.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, Name):
+                differences[code] = glyph_to_unicode(str(item))
+                code += 1
+    return SimpleFont(
+        base, base14_widths(base),
+        first_char=int(first_char) if isinstance(first_char, (int, float)) else None,
+        widths_arr=widths_arr, to_unicode=to_unicode, differences=differences)
+
+
+class TextInterpreter:
+    """Executes one page's content stream(s), emitting PositionedChars."""
+
+    def __init__(self, pdf, fonts: dict, base_ctm):
+        self.pdf = pdf
+        self.fonts = fonts
+        self.base_ctm = base_ctm
+        self.chars: list[PositionedChar] = []
+
+    def run(self, content: bytes, xobjects=None, depth=0):
+        pdf = self.pdf
+        ctm = self.base_ctm
+        gs_stack = []
+        font = None
+        font_size = 0.0
+        char_spacing = 0.0
+        word_spacing = 0.0
+        leading = 0.0
+        h_scale = 1.0
+        rise = 0.0
+        render_mode = 0
+        tm = (1, 0, 0, 1, 0, 0)
+        tlm = tm
+
+        def show_string(s: bytes):
+            nonlocal tm
+            if font is None:
+                return
+            for b in s:
+                ch = font.decode_byte(b)
+                w_em = font.width_of(b, ch) / 1000.0
+                adv = (w_em * font_size + char_spacing
+                       + (word_spacing if b == 0x20 else 0.0)) * h_scale
+                if ch and not ch.isspace():
+                    trm = _mat_mul((font_size * h_scale, 0, 0, font_size,
+                                    0, rise), _mat_mul(tm, ctm))
+                    x, y = trm[4], trm[5]
+                    scale_x = (trm[0] ** 2 + trm[1] ** 2) ** 0.5
+                    scale_y = (trm[2] ** 2 + trm[3] ** 2) ** 0.5
+                    eff_size = scale_y
+                    self.chars.append(PositionedChar(
+                        ch, x, y, w_em * scale_x, eff_size,
+                        font.name, font.bold, font.italic,
+                        render_mode == 3))
+                tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+
+        for operands, op in tokenize_content(content):
+            try:
+                if op == "q":
+                    gs_stack.append(ctm)
+                elif op == "Q":
+                    if gs_stack:
+                        ctm = gs_stack.pop()
+                elif op == "cm" and len(operands) == 6:
+                    ctm = _mat_mul(tuple(float(v) for v in operands), ctm)
+                elif op == "BT":
+                    tm = (1, 0, 0, 1, 0, 0)
+                    tlm = tm
+                elif op == "ET":
+                    pass
+                elif op == "Tf" and len(operands) == 2:
+                    fname = str(operands[0])
+                    font = self.fonts.get(fname)
+                    font_size = float(operands[1])
+                elif op == "Td" and len(operands) == 2:
+                    tlm = _mat_mul((1, 0, 0, 1, float(operands[0]),
+                                    float(operands[1])), tlm)
+                    tm = tlm
+                elif op == "TD" and len(operands) == 2:
+                    leading = -float(operands[1])
+                    tlm = _mat_mul((1, 0, 0, 1, float(operands[0]),
+                                    float(operands[1])), tlm)
+                    tm = tlm
+                elif op == "Tm" and len(operands) == 6:
+                    tlm = tuple(float(v) for v in operands)
+                    tm = tlm
+                elif op == "T*":
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                    tm = tlm
+                elif op == "TL" and operands:
+                    leading = float(operands[0])
+                elif op == "Tc" and operands:
+                    char_spacing = float(operands[0])
+                elif op == "Tw" and operands:
+                    word_spacing = float(operands[0])
+                elif op == "Tz" and operands:
+                    h_scale = float(operands[0]) / 100.0
+                elif op == "Ts" and operands:
+                    rise = float(operands[0])
+                elif op == "Tr" and operands:
+                    render_mode = int(operands[0])
+                elif op == "Tj" and operands:
+                    if isinstance(operands[0], bytes):
+                        show_string(operands[0])
+                elif op == "'" and operands:
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                    tm = tlm
+                    if isinstance(operands[-1], bytes):
+                        show_string(operands[-1])
+                elif op == '"' and len(operands) == 3:
+                    word_spacing = float(operands[0])
+                    char_spacing = float(operands[1])
+                    tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+                    tm = tlm
+                    if isinstance(operands[2], bytes):
+                        show_string(operands[2])
+                elif op == "TJ" and operands and isinstance(operands[0], list):
+                    for item in operands[0]:
+                        if isinstance(item, bytes):
+                            show_string(item)
+                        elif isinstance(item, (int, float)):
+                            adv = -item / 1000.0 * font_size * h_scale
+                            tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+                elif op == "Do" and operands and xobjects and depth < 8:
+                    # Form XObject recursion (parsePdfDoc.js:329-372 analog).
+                    xo = pdf.resolve(xobjects.get(str(operands[0])))
+                    if isinstance(xo, StreamObj) \
+                            and str(pdf.resolve(xo.dict.get("Subtype", ""))) == "Form":
+                        inner = self._run_form(xo, ctm, depth)
+            except Exception:
+                continue
+
+    def _run_form(self, xo, ctm, depth):
+        pdf = self.pdf
+        d = xo.dict
+        matrix = pdf.resolve(d.get("Matrix")) or [1, 0, 0, 1, 0, 0]
+        res = pdf.resolve(d.get("Resources")) or {}
+        fdict = pdf.resolve(res.get("Font")) or {}
+        fonts = dict(self.fonts)
+        for k, v in fdict.items():
+            fonts[str(k)] = build_font(pdf, v)
+        xobjs = pdf.resolve(res.get("XObject")) or {}
+        sub = TextInterpreter(pdf, fonts,
+                              _mat_mul(tuple(float(v) for v in matrix), ctm))
+        try:
+            sub.run(pdf.stream_bytes(xo), xobjects=xobjs, depth=depth + 1)
+        except Exception:
+            pass
+        self.chars.extend(sub.chars)

@@ -1,0 +1,140 @@
+"""PDF document driver: page tree walk → per-page parse → Page list.
+
+Analog of the reference's parseSinglePage / extractInternalPDFText flow
+(/root/reference/js/pdf/parsePdfDoc.js:464-1181,
+ /root/reference/js/extractPDFText.js:24-143), including:
+- MediaBox/CropBox + /Rotate handling via the base CTM
+- per-page raster scale with the 3500px width cap
+  (parsePdfDoc.js:503-506 behavior)
+- char-class scoring → doc type text/ocr/image (determinePdfType,
+  parsePdfDoc.js:417-444 thresholds)
+"""
+
+from __future__ import annotations
+
+from .assemble import group_chars_into_page
+from .content import TextInterpreter, build_font, _mat_mul
+from .objects import PdfFile, Ref, StreamObj
+
+MAX_RASTER_W = 3500
+DEFAULT_DPI_SCALE = 300.0 / 72.0
+
+
+def _walk_pages(pdf: PdfFile):
+    root = pdf.resolve(pdf.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("no document catalog")
+    pages_ref = root.get("Pages")
+    out = []
+
+    def walk(node_ref, inherited):
+        node = pdf.resolve(node_ref)
+        if not isinstance(node, dict):
+            return
+        inh = dict(inherited)
+        for key in ("Resources", "MediaBox", "CropBox", "Rotate"):
+            if key in node:
+                inh[key] = node[key]
+        ntype = str(node.get("Type", ""))
+        if ntype == "Pages" or "Kids" in node:
+            for kid in pdf.resolve(node.get("Kids")) or []:
+                walk(kid, inh)
+        else:
+            merged = dict(inh)
+            merged["_node"] = node
+            out.append(merged)
+
+    walk(pages_ref, {})
+    return out
+
+
+def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int):
+    node = page_info["_node"]
+    media = [float(pdf.resolve(v)) for v in
+             (pdf.resolve(page_info.get("CropBox"))
+              or pdf.resolve(page_info.get("MediaBox"))
+              or [0, 0, 612, 792])]
+    x0, y0, x1, y1 = media
+    width_pt = abs(x1 - x0)
+    height_pt = abs(y1 - y0)
+    rotate = int(pdf.resolve(page_info.get("Rotate")) or 0) % 360
+
+    res = pdf.resolve(page_info.get("Resources")) or {}
+    font_dicts = pdf.resolve(res.get("Font")) or {}
+    fonts = {str(k): build_font(pdf, v) for k, v in font_dicts.items()}
+    xobjects = pdf.resolve(res.get("XObject")) or {}
+
+    contents = node.get("Contents")
+    contents = pdf.resolve(contents)
+    parts = []
+    if isinstance(contents, list):
+        for c in contents:
+            try:
+                parts.append(pdf.stream_bytes(c))
+            except Exception:
+                pass
+    elif contents is not None:
+        try:
+            parts.append(pdf.stream_bytes(contents))
+        except Exception:
+            pass
+    content = b"\n".join(parts)
+
+    # Base CTM: translate CropBox origin to (0,0); apply /Rotate so output
+    # coordinates are upright (parsePdfDoc.js:464-509 analog).
+    # /Rotate only affects display; the natural reading frame of a uniformly
+    # rotated page is its unrotated content space, so glyphs are grouped
+    # there (the reference instead detects per-line orientation and works in
+    # a virtual-horizontal space — parsePdfDoc.js:2059-2080; per-line mixed
+    # orientation is deferred to a later round).
+    base = (1, 0, 0, 1, -x0, -y0)
+
+    interp = TextInterpreter(pdf, fonts, base)
+    interp.run(content, xobjects=xobjects)
+
+    scale = min(DEFAULT_DPI_SCALE,
+                MAX_RASTER_W / width_pt if width_pt else DEFAULT_DPI_SCALE)
+    page = group_chars_into_page(interp.chars, n, width_pt, height_pt, scale)
+
+    # Per-page char-class stats for doc-type detection.
+    visible = sum(1 for c in interp.chars if not c.invisible)
+    printable = sum(1 for c in interp.chars
+                    if not c.invisible and c.text.isprintable())
+    control = sum(1 for c in interp.chars if ord(c.text[0]) < 32)
+    stats = {"visible": visible, "printable": printable, "control": control,
+             "total": len(interp.chars)}
+    return page, stats
+
+
+def determine_pdf_type(page_stats: list) -> str:
+    """parsePdfDoc.js:417-444 thresholds: printable−5·control score,
+    visible fraction ≥0.9, ≥half of pages texty → 'text'."""
+    if not page_stats:
+        return "image"
+    texty = 0
+    for s in page_stats:
+        score = s["printable"] - 5 * s["control"]
+        vis_frac = (s["visible"] / s["total"]) if s["total"] else 0
+        if score > 10 and vis_frac >= 0.9:
+            texty += 1
+    if texty == 0:
+        return "image"
+    if texty * 2 >= len(page_stats):
+        return "text"
+    return "ocr"
+
+
+def parse_pdf_document(data: bytes):
+    """bytes → (pages, doc_type).  Raises ValueError on undecodable files."""
+    pdf = PdfFile(data)
+    enc = pdf.trailer.get("Encrypt")
+    if enc is not None:
+        raise ValueError("encrypted PDF not supported")
+    infos = _walk_pages(pdf)
+    pages = []
+    stats = []
+    for n, info in enumerate(infos):
+        page, st = parse_pdf_page(pdf, info, n)
+        pages.append(page)
+        stats.append(st)
+    return pages, determine_pdf_type(stats)

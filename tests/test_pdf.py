@@ -1,0 +1,141 @@
+"""PDF text-layer extraction tests (importPdfText.spec.js style goldens
+over self-contained synthetic PDFs)."""
+
+import random
+
+from scribe_js_ray.sources.synth_pdf import _Typesetter, _make_pdf
+from scribe_js_ray.stages.pdf import parse_pdf_document
+from scribe_js_ray.stages.pdf.objects import PdfFile
+
+
+def _pdf_with(lines, **kw):
+    ts = _Typesetter()
+    for ln in lines:
+        ts.line(ln, **kw)
+    return _make_pdf([ts.stream()], {"F1": "Helvetica", "F2": "Helvetica-Bold",
+                                     "F3": "Times-Roman"})
+
+
+def test_simple_tj_text():
+    data = _pdf_with(["Hello world", "Second line here"])
+    pages, doc_type = parse_pdf_document(data)
+    assert doc_type == "text"
+    assert len(pages) == 1
+    texts = [" ".join(w.text for w in ln.words) for ln in pages[0].lines]
+    assert texts == ["Hello world", "Second line here"]
+
+
+def test_word_bboxes_ordered():
+    data = _pdf_with(["alpha beta gamma"])
+    pages, _ = parse_pdf_document(data)
+    words = pages[0].lines[0].words
+    assert [w.text for w in words] == ["alpha", "beta", "gamma"]
+    assert words[0].bbox.left < words[1].bbox.left < words[2].bbox.left
+    assert all(w.bbox.right > w.bbox.left for w in words)
+
+
+def test_tj_kerning_does_not_split_words():
+    ts = _Typesetter()
+    ts.line_tj(["ker", -20, "ning", " ", "stays"])
+    data = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+    pages, _ = parse_pdf_document(data)
+    texts = [w.text for w in pages[0].lines[0].words]
+    assert texts == ["kerning", "stays"]
+
+
+def test_tj_large_offset_splits_words():
+    ts = _Typesetter()
+    ts.line_tj(["gap", -600, "forced"])
+    data = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+    pages, _ = parse_pdf_document(data)
+    texts = [w.text for w in pages[0].lines[0].words]
+    assert texts == ["gap", "forced"]
+
+
+def test_bold_font_style_and_word_split():
+    ts = _Typesetter()
+    ts.ops.append("BT /F1 12 Tf 72 700 Td (normal) Tj /F2 12 Tf ( bold) Tj ET")
+    data = _make_pdf([ts.stream()], {"F1": "Helvetica", "F2": "Helvetica-Bold"})
+    pages, _ = parse_pdf_document(data)
+    words = pages[0].lines[0].words
+    assert [w.text for w in words] == ["normal", "bold"]
+    assert not words[0].style.bold and words[1].style.bold
+
+
+def test_multi_page():
+    ts1, ts2 = _Typesetter(), _Typesetter()
+    ts1.line("Page one text")
+    ts2.line("Page two text")
+    data = _make_pdf([ts1.stream(), ts2.stream()], {"F1": "Helvetica"})
+    pages, _ = parse_pdf_document(data)
+    assert len(pages) == 2
+    assert pages[0].lines[0].words[0].text == "Page"
+    assert pages[1].lines[0].words[-1].text == "text"
+
+
+def test_escapes_and_literals():
+    ts = _Typesetter()
+    ts.line("paren (inside) and \\ backslash")
+    data = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+    pages, _ = parse_pdf_document(data)
+    text = " ".join(w.text for w in pages[0].lines[0].words)
+    assert text == "paren (inside) and \\ backslash"
+
+
+def test_xref_parse_finds_all_objects():
+    data = _pdf_with(["abc"])
+    pdf = PdfFile(data)
+    assert pdf.trailer.get("Root") is not None
+    assert len(pdf.offsets) >= 5
+
+
+def test_flate_stream_roundtrip():
+    import zlib
+    ts = _Typesetter()
+    ts.line("Compressed stream content")
+    raw = ts.stream().encode()
+    comp = zlib.compress(raw)
+    from scribe_js_ray.sources.synth_pdf import PdfWriter, _PAGE_W, _PAGE_H
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} {_PAGE_H}] "
+           f"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>").encode())
+    w.add(f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+          + comp + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    pages, doc_type = parse_pdf_document(w.build())
+    assert doc_type == "text"
+    assert " ".join(x.text for x in pages[0].lines[0].words) \
+        == "Compressed stream content"
+
+
+def test_rotated_page():
+    ts = _Typesetter()
+    ts.line("Rotated content line")
+    stream = ts.stream()
+    from scribe_js_ray.sources.synth_pdf import PdfWriter, _PAGE_W, _PAGE_H
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} {_PAGE_H}] "
+           f"/Rotate 90 /Resources << /Font << /F1 5 0 R >> >> "
+           f"/Contents 4 0 R >>").encode())
+    data = stream.encode()
+    w.add(f"<< /Length {len(data)} >>\nstream\n".encode() + data
+          + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    pages, _ = parse_pdf_document(w.build())
+    words = [x.text for ln in pages[0].lines for x in ln.words]
+    # Grouped in unrotated content space: reading order + bytes unchanged.
+    assert words == ["Rotated", "content", "line"]
+
+
+def test_deterministic_generators():
+    from scribe_js_ray.sources.synth_pdf import make_pdf_simple, make_pdf_styles
+    a = make_pdf_simple(random.Random(7))
+    b = make_pdf_simple(random.Random(7))
+    assert a == b
+    c = make_pdf_styles(random.Random(9))
+    d = make_pdf_styles(random.Random(9))
+    assert c == d
