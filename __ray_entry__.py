@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` carries the DuckDB-checkable subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +13,227 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _pages_ds(sf_dir: str):
+    """documents table → pages-shaped Dataset (deterministic hOCR payloads),
+    transformed distributed via map_batches."""
+    import ray.data as rd
+
+    from scribe_js_ray.sources.synth import documents_to_pages_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return docs.map_batches(documents_to_pages_batch, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents → synthetic pages → classify → parse → layout →
+    reflow → extracted text + spans."""
+    from scribe_js_ray.pipelines.extract import build_extract_pipeline
+
+    return build_extract_pipeline(_pages_ds(SF_DEFAULT), batch_size=32)
+
+
+def _extract_corpus(sf_dir: str):
+    from scribe_js_ray.pipelines.extract import build_extract_pipeline
+
+    out = build_extract_pipeline(_pages_ds(sf_dir), batch_size=32)
+    return out.select_columns(["url", "extracted_text", "n_pages",
+                               "doc_type", "payload_kind"]).sort("url")
+
+
+def _doc_stats_by_lang(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+    ).sort("lang")
+
+
+def _doc_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_token_counts, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"]).sort("doc_id")
+
+
+def _doc_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_fingerprint, batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"]).sort("doc_id")
+
+
+def _doc_quality(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_quality_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_quality_features, batch_format="pyarrow") \
+        .select_columns(["doc_id", "q_chars", "q_words", "q_punct",
+                         "q_upper"]).sort("doc_id")
+
+
+def _doc_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import exact_dedup_survivors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return exact_dedup_survivors(ds).sort("doc_id")
+
+
+def _doc_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_lang_pred
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_lang_pred, batch_format="pyarrow") \
+        .select_columns(["doc_id", "lang_pred"]).sort("doc_id")
+
+
+def _doc_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import minhash_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return minhash_duplicate_pairs(ds).sort(["doc_a", "doc_b"])
+
+
+def _doc_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import simhash_signatures
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_signatures(ds).sort("doc_id")
+
+
+def _emb_label_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+    return ds.groupby("label").aggregate(Count(alias_name="n")).sort("label")
+
+
+def _emb_knn_top10(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import knn_top_k
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qvec = tbl.filter(
+        __import__("pyarrow").compute.equal(tbl["vec_id"], 0)
+    )["embedding"][0].as_py()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_top_k(ds, qvec, k=10).select_columns(["vec_id"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from scribe_js_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (rows-only check: not SQL-expressible)
+        "extract_corpus": _extract_corpus,
+        # relational operators
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "top_revenue_orders": rel.top_revenue_orders,
+        "orders_by_nation": rel.orders_by_nation,
+        "events_daily": rel.events_daily,
+        "high_value_orders": rel.high_value_orders,
+        "part_size_stats": rel.part_size_stats,
+        # documents corpus ops
+        "doc_stats_by_lang": _doc_stats_by_lang,
+        "doc_token_counts": _doc_token_counts,
+        "doc_fingerprints": _doc_fingerprints,
+        "doc_quality": _doc_quality,
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_lang_id": _doc_lang_id,
+        "doc_minhash_pairs": _doc_minhash_pairs,
+        "doc_simhash": _doc_simhash,
+        # embeddings / similarity search
+        "emb_label_counts": _emb_label_counts,
+        "emb_knn_top10": _emb_knn_top10,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from scribe_js_ray.pipelines import relational as rel
+
+    return {
+        "q1_pricing_summary": rel.Q1_SQL,
+        "top_revenue_orders": rel.TOP_REVENUE_SQL,
+        "orders_by_nation": rel.ORDERS_BY_NATION_SQL,
+        "events_daily": rel.EVENTS_DAILY_SQL,
+        "high_value_orders": rel.HIGH_VALUE_SQL,
+        "part_size_stats": rel.PART_SIZE_SQL,
+        "doc_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   avg(n_chars) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))
+                       AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   length(text) AS q_chars,
+                   array_length(regexp_split_to_array(trim(text), '\\s+'))
+                       AS q_words,
+                   length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                       AS q_punct,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS q_upper
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(text) ORDER BY doc_id
+        """,
+        "emb_label_counts": """
+            SELECT label, count(*) AS n FROM embeddings
+            GROUP BY label ORDER BY label
+        """,
+        "emb_knn_top10": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+            ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

@@ -141,9 +141,16 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
     batch_size stays small because rows are heavy (multi-MB payloads —
     SURVEY §7 wide-row rule); concurrency sizes the actor pool.
     """
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    if concurrency is None:
+        # Autoscaling actor pool sized to the session CPUs (callable-class
+        # transforms require an explicit pool in Ray Data 2.49).
+        import ray
+        try:
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            n_cpus = 8
+        concurrency = (1, max(2, n_cpus))
+    kwargs = {"concurrency": concurrency}
     return ds.map_batches(
         ExtractDocuments,
         fn_constructor_kwargs={"reflow": reflow,

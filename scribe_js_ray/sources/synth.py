@@ -316,6 +316,36 @@ def make_payload(seed: int, doc_id: int) -> tuple[str, bytes, str, str]:
     return stratum, payload, text, lang
 
 
+def hocr_from_text(text: str, doc_id: int) -> bytes:
+    """Deterministically typeset plain text as a single-page hOCR payload
+    (used to derive a pages corpus from the driver's documents table)."""
+    b = HocrBuilder()
+    b.new_page()
+    words = text.split()
+    if words:
+        _flow_paragraph(b, words, indent=60 if doc_id % 2 else 0)
+    return b.build().encode()
+
+
+def documents_to_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text,
+    lang) batch transform; runs distributed inside map_batches."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist() if "lang" in batch.column_names \
+        else ["eng"] * len(doc_ids)
+    payloads = [hocr_from_text(t or "", d) for d, t in zip(doc_ids, texts)]
+    return pa.table({
+        "url": pa.array([f"https://docs.test/{d:08d}" for d in doc_ids],
+                        pa.string()),
+        "warc_ts": pa.array([1_600_000_000_000_000 + d for d in doc_ids],
+                            pa.timestamp("us")),
+        "html": pa.array(payloads, pa.large_binary()),
+        "text": pa.array(["" for _ in doc_ids], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
 def generate_pages_table(n_docs: int, seed: int = 42) -> pa.Table:
     urls, ts, payloads, texts, langs = [], [], [], [], []
     for doc_id in range(n_docs):
