@@ -1,0 +1,75 @@
+"""CLI entry point (the ``ray job submit`` surface of the north rule).
+
+    python -m scribe_js_ray.cli extract \
+        --input '/data/pages/*.parquet' --output /data/extracted \
+        --files-per-shard 4 --batch-size 32
+
+    python -m scribe_js_ray.cli gen-pages --output /tmp/pages.parquet -n 200
+
+Owns its Ray session (scripts only — the driver/`__ray_entry__` never
+init Ray).  Resumable: re-running `extract` with the same output dir
+skips finished shards via their lineage manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_extract(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    try:
+        from .pipelines.runner import run_extract_job
+
+        summary = run_extract_job(
+            args.input, args.output,
+            files_per_shard=args.files_per_shard,
+            large_doc_bytes=args.large_doc_bytes,
+            batch_size=args.batch_size,
+            force=args.force)
+        print(json.dumps(summary))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def _cmd_gen_pages(args) -> int:
+    from .sources.synth import write_pages_parquet
+
+    write_pages_parquet(args.output, args.n, seed=args.seed)
+    print(json.dumps({"output": args.output, "n_docs": args.n}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="scribe_js_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="sharded resumable corpus extraction")
+    ex.add_argument("--input", required=True,
+                    help="input parquet path or glob (pages table)")
+    ex.add_argument("--output", required=True, help="output directory")
+    ex.add_argument("--files-per-shard", type=int, default=1)
+    ex.add_argument("--large-doc-bytes", type=int, default=1 << 20)
+    ex.add_argument("--batch-size", type=int, default=32)
+    ex.add_argument("--force", action="store_true",
+                    help="reprocess shards even if their manifest is ok")
+    ex.set_defaults(fn=_cmd_extract)
+
+    gp = sub.add_parser("gen-pages", help="write a synthetic pages table")
+    gp.add_argument("--output", required=True)
+    gp.add_argument("-n", type=int, default=100)
+    gp.add_argument("--seed", type=int, default=42)
+    gp.set_defaults(fn=_cmd_gen_pages)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
