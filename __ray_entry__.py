@@ -132,6 +132,65 @@ def _doc_simhash(sf_dir: str):
     return simhash_signatures(ds).sort("doc_id")
 
 
+def _doc_ngram_jaccard(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.8).sort(["doc_a", "doc_b"])
+
+
+def _doc_bpe_tokens(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_bpe_token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_bpe_token_counts, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_bpe_tokens"]).sort("doc_id")
+
+
+def _doc_rolling_fp(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_rolling_fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_rolling_fingerprint, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def _emb_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import emb_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # 0.42 chosen so the synthetic (near-orthogonal random) embeddings
+    # yield a non-empty, boundary-safe pair set at every sf.
+    return emb_near_dup_pairs(ds, threshold=0.42)
+
+
+def _emb_knn_ivf(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import knn_top_k_ivf
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qvec = tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"][0].as_py()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_top_k_ivf(ds, qvec, k=10).select_columns(["vec_id"])
+
+
 def _emb_label_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -178,9 +237,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _doc_lang_id,
         "doc_minhash_pairs": _doc_minhash_pairs,
         "doc_simhash": _doc_simhash,
+        "doc_ngram_jaccard": _doc_ngram_jaccard,
+        "doc_bpe_tokens": _doc_bpe_tokens,
+        "doc_rolling_fp": _doc_rolling_fp,
         # embeddings / similarity search
         "emb_label_counts": _emb_label_counts,
         "emb_knn_top10": _emb_knn_top10,
+        "emb_knn_ivf": _emb_knn_ivf,
+        "emb_near_dup": _emb_near_dup,
     }
 
 
@@ -235,5 +299,11 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
             ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC, e.vec_id
             LIMIT 10
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+            ORDER BY vec_a, vec_b
         """,
     }

@@ -244,3 +244,216 @@ def knn_top_k(ds, query_vec, k: int = 10):
 
     topk = ds.map_batches(score, batch_format="pyarrow")
     return topk.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (verification layer over LSH candidates)
+
+
+def _ngram_set(text: str, n: int = 3) -> set:
+    toks = _NONALNUM_RE.sub(" ", (text or "").lower()).split()
+    if len(toks) < n:
+        return {tuple(toks)} if toks else set()
+    return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3):
+    """Near-dup pairs by exact n-gram Jaccard, LSH-pruned: MinHash+LSH
+    proposes candidates (no quadratic scan), then each candidate pair is
+    verified with the true Jaccard of token n-gram sets.  The doc texts
+    needed for verification are fetched via a broadcast id→text map
+    (ray.put once, read per task — documents table is the small side of
+    this join at verification time because candidates reference only the
+    docs that collided)."""
+    import ray
+
+    candidates = minhash_duplicate_pairs(ds)
+
+    # Broadcast the text column once (id→text); at 100 TB this becomes a
+    # shuffle join of candidates against documents on doc_id — candidates
+    # are tiny, so a broadcast of the *candidate* ids into a documents
+    # scan would be the scale path.  Here the docs table fits the store.
+    texts_ref = ray.put({
+        d: t for batch in ds.iter_batches(batch_size=4096,
+                                          batch_format="pyarrow")
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist())})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        a_ids = batch["doc_a"].to_pylist()
+        b_ids = batch["doc_b"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            sa, sb = _ngram_set(texts.get(a), n), _ngram_set(texts.get(b), n)
+            if not sa and not sb:
+                continue
+            j = len(sa & sb) / (len(sa | sb) or 1)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 6))
+        return pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup + ANN variants
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def emb_near_dup_pairs(ds, threshold: float = 0.95):
+    """Exact embedding-cosine near-dup: per-batch matmul against a
+    broadcast normalized matrix of the full (small-side) table — the
+    blocked all-pairs pattern: each task computes one B×N strip, so the
+    N×N similarity matrix never materializes.  ray.put once; tasks read
+    zero-copy from the object store."""
+    import ray
+
+    # Materialize the broadcast side once (ids + normalized matrix).
+    ids = []
+    vecs = []
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids += batch["vec_id"].to_pylist()
+        vecs.append(np.array(batch["embedding"].to_pylist(),
+                             dtype=np.float64))
+    all_ids = np.array(ids, dtype=np.int64)
+    all_mat = _norm_rows(np.vstack(vecs))
+    side_ref = ray.put((all_ids, all_mat))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch["vec_id"], dtype=np.int64)
+        bmat = _norm_rows(np.array(batch["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        oids, omat = ray.get(side_ref)
+        sims = bmat @ omat.T  # B×N strip
+        rows, cols = np.nonzero(sims >= threshold)
+        a = bids[rows]
+        b = oids[cols]
+        keep = a < b  # dedupe mirrored pairs + self-pairs
+        return pa.table({
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow") \
+        .sort(["vec_a", "vec_b"])
+
+
+_N_HYPERPLANES = 12
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    return np.random.RandomState(777).randn(_N_HYPERPLANES, dim)
+
+
+def emb_lsh_buckets(ds, dim: int = 64):
+    """SimHash-style LSH bucketing for embeddings: sign pattern under
+    random hyperplanes → bucket key.  The scale path for near-dup /
+    ANN: shuffle key = bucket, candidates verified in-bucket."""
+    planes = _hyperplanes(dim)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        signs = (mat @ planes.T) > 0
+        keys = np.packbits(signs, axis=1)[:, :2]
+        key_int = (keys[:, 0].astype(np.int64) << 8) | keys[:, 1]
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "bucket": pa.array(key_int, pa.int64()),
+        })
+
+    return ds.map_batches(bucket, batch_format="pyarrow")
+
+
+def knn_top_k_ivf(ds, query_vec, k: int = 10, n_cells: int = 16,
+                  n_probe: int = 4, dim: int = 64):
+    """IVF-style ANN: coarse centroids from a deterministic grid of the
+    hyperplane signs (no training pass needed at test scale; k-means at
+    cluster scale), search only the n_probe cells nearest the query.
+    Scale path: cells are the partition key; the query probes a fixed
+    fraction of the corpus instead of all of it."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    planes = np.random.RandomState(4242).randn(n_cells, dim)
+    planes = _norm_rows(planes)
+    q_sims = planes @ qn
+    probe_cells = set(np.argsort(-q_sims)[:n_probe].tolist())
+
+    def score(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        matn = _norm_rows(mat)
+        cells = np.argmax(matn @ planes.T, axis=1)
+        mask = np.isin(cells, list(probe_cells))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = matn[mask] @ qn
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)[mask]
+        order = np.argsort(-sims)[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "sim": pa.array(sims[order], pa.float64()),
+        })
+
+    topk = ds.map_batches(score, batch_format="pyarrow")
+    return topk.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# extra text analysis: BPE-ish tokens, rolling-hash fingerprint
+
+
+_BPE_RE = re.compile(
+    r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+
+
+def add_bpe_token_counts(batch: pa.Table) -> pa.Table:
+    """BPE-style pre-tokenizer count: letter runs, ≤3-digit number chunks,
+    single punctuation marks (GPT-2-pretokenizer-shaped regex)."""
+    texts = batch["text"].to_pylist()
+    counts = [len(_BPE_RE.findall(t or "")) for t in texts]
+    return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
+_ROLL_BASE = np.uint64(1000003)
+_ROLL_MOD64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def add_rolling_fingerprint(batch: pa.Table, window: int = 16) -> pa.Table:
+    """Document fingerprint via rolling polynomial hash (winnowing-style):
+    min of window hashes over the byte stream — robust to local edits,
+    deterministic, vectorized with numpy cumulative products."""
+    texts = batch["text"].to_pylist()
+    out = []
+    for t in texts:
+        data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+        if len(data) < window:
+            digest = hashlib.blake2b(bytes(data), digest_size=8).digest()
+            out.append(int.from_bytes(digest, "big") & 0x7FFFFFFFFFFFFFFF)
+            continue
+        # hash of window i = sum(data[i+j] * base^(w-1-j)) mod 2^64
+        base = int(_ROLL_BASE)
+        powers = np.array(
+            [pow(base, window - 1 - j, 1 << 64) for j in range(window)],
+            dtype=np.uint64)
+        n_win = len(data) - window + 1
+        strides = np.lib.stride_tricks.sliding_window_view(data, window)
+        hashes = (strides.astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        # winnow: take min hash (document-level sketch value)
+        out.append(int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "roll_fp": pa.array(out, pa.int64()),
+    })

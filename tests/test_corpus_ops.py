@@ -1,0 +1,136 @@
+"""Unit tests for the extended corpus operators: n-gram Jaccard dedup,
+embedding near-dup, IVF ANN, BPE-ish tokens, rolling fingerprint."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from scribe_js_ray.pipelines import corpus
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the morning light appears slowly")
+
+
+def test_ngram_jaccard_finds_near_dups(ray_session):
+    texts = [
+        BASE,
+        BASE.replace("morning", "evening"),  # near-dup of 0
+        "completely different content about ray data pipelines and arrow "
+        "batches flowing through the streaming executor with backpressure",
+        BASE,  # exact dup of 0
+    ]
+    pairs = corpus.ngram_jaccard_pairs(_docs_ds(texts), threshold=0.5) \
+        .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 3) in got          # exact dup
+    assert (0, 1) in got or (1, 3) in got  # near-dup collides
+    assert all(2 not in p for p in got)    # distinct doc never pairs
+    exact = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 3)]
+    assert float(exact["jaccard"].iloc[0]) == 1.0
+
+
+def test_emb_near_dup_exact_pairs(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8)
+    vecs[5] = vecs[3] + 0.01 * rng.randn(8)  # planted near-dup
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    pairs = corpus.emb_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert (3, 5) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+    # symmetric/self pairs are excluded
+    assert (pairs["vec_a"] < pairs["vec_b"]).all()
+
+
+def test_ivf_matches_brute_force_top1(ray_session):
+    """IVF with enough probes must find the true nearest neighbor."""
+    import ray.data as rd
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 64)
+    q = vecs[17] + 0.001 * rng.randn(64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    brute = corpus.knn_top_k(ds, list(q), k=5).to_pandas()
+    ivf = corpus.knn_top_k_ivf(ds, list(q), k=5, n_cells=8,
+                               n_probe=8).to_pandas()
+    assert brute["vec_id"].iloc[0] == 17
+    # full-probe IVF == brute force
+    assert list(ivf["vec_id"]) == list(brute["vec_id"])
+
+
+def test_ivf_partial_probe_recall(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(500, 64)
+    q = vecs[42] + 0.001 * rng.randn(64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(500), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    ivf = corpus.knn_top_k_ivf(ds, list(q), k=10, n_cells=16,
+                               n_probe=4).to_pandas()
+    assert ivf["vec_id"].iloc[0] == 42  # planted NN lands in a probed cell
+
+
+def test_bpe_token_counts():
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["Hello, world! 12345", ""], pa.string()),
+    })
+    out = corpus.add_bpe_token_counts(batch)
+    # Hello , world ! 123 45  → 6
+    assert out["n_bpe_tokens"].to_pylist() == [6, 0]
+
+
+def test_rolling_fingerprint_properties():
+    texts = [BASE, BASE, BASE + " extra tail", "short", ""]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = corpus.add_rolling_fingerprint(batch)
+    fps = out["roll_fp"].to_pylist()
+    assert fps[0] == fps[1]              # deterministic
+    assert fps[0] == fps[2] or fps[2] is not None  # winnow min usually stable
+    # repeated call gives identical values (no process-seed dependence)
+    out2 = corpus.add_rolling_fingerprint(batch)
+    assert fps == out2["roll_fp"].to_pylist()
+
+
+def test_emb_lsh_buckets_deterministic(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    b1 = corpus.emb_lsh_buckets(ds).to_pandas().sort_values("vec_id")
+    b2 = corpus.emb_lsh_buckets(ds).to_pandas().sort_values("vec_id")
+    assert list(b1["bucket"]) == list(b2["bucket"])
+    # near-identical vectors share a bucket
+    vecs2 = np.vstack([vecs[0], vecs[0] + 1e-9])
+    ds2 = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs2],
+                              pa.list_(pa.float32())),
+    }))
+    b3 = corpus.emb_lsh_buckets(ds2).to_pandas()
+    assert b3["bucket"].iloc[0] == b3["bucket"].iloc[1]
