@@ -56,3 +56,14 @@ def at(arr, i):
     if i < 0 or i >= len(arr):
         return None
     return arr[i]
+
+
+def js_round(x):
+    """JS Math.round: half-up toward +infinity (differs from Python's
+    banker's rounding; miscUtils.js round3/round6 depend on it)."""
+    return math.floor(x + 0.5)
+
+
+def round6(x):
+    """miscUtils.js:290-296."""
+    return js_round(x * 1e6) / 1e6

@@ -84,6 +84,32 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 drop_line_num_words=True)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
+        elif kind in ("alto", "abbyy", "stext"):
+            raw = payload.decode("utf-8", "replace")
+            if kind == "alto":
+                from ..stages.alto import parse_alto_page, split_alto_pages
+                splitter, parser = split_alto_pages, parse_alto_page
+            elif kind == "abbyy":
+                from ..stages.abbyy import parse_abbyy_page, \
+                    split_abbyy_pages
+                splitter, parser = split_abbyy_pages, parse_abbyy_page
+            else:
+                from ..stages.stext import parse_stext_page, \
+                    split_stext_pages
+                splitter, parser = split_stext_pages, parse_stext_page
+            pages = []
+            for i, chunk in enumerate(splitter(raw)):
+                try:
+                    page, _ = parser(chunk, i)
+                    pages.append(page)
+                except ValueError:
+                    continue
+            analyze_layout(pages)
+            txt, spans = write_text_spans(
+                pages, reflow_text=reflow, drop_furniture=drop_furniture,
+                drop_line_num_words=True)
+            out.update(extracted_text=txt, spans=spans,
+                       n_pages=len(pages), doc_type="ocr")
         elif kind == "html":
             raw = payload.decode("utf-8", "replace")
             txt, spans, _ = extract_html_document(raw)

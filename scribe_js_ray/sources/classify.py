@@ -1,8 +1,10 @@
-"""Payload-kind classification (sortInputFiles analog, import.js:77-142).
+"""Payload-kind classification (sortInputFiles + detectOcrFormat analogs,
+import.js:77-142, importOCR.js:17-79).
 
-Sniffs the ``html`` binary column: %PDF- magic → pdf; hOCR class markers →
-hocr; any markup → html; else text/empty.  Vectorizable: runs as a cheap
-per-batch pass producing a ``payload_kind`` dispatch column.
+Sniffs the ``html`` binary column: %PDF- magic → pdf; ALTO/Abbyy/stext XML
+markers → their parsers; hOCR class markers → hocr; any markup → html;
+else text/empty.  Runs as a cheap per-batch pass producing a
+``payload_kind`` dispatch column.
 """
 
 from __future__ import annotations
@@ -11,6 +13,13 @@ import re
 
 _HOCR_RE = re.compile(rb"class=[\"']ocr_page[\"']")
 _HTML_RE = re.compile(rb"<\s*(?:!doctype\s+)?html|<body|<div|<p[\s>]", re.I)
+# detectOcrFormat sniffs (importOCR.js:28-44)
+_ALTO_RE = re.compile(rb"<alto[\s>]", re.I)
+_ALTO_NS_RE = re.compile(
+    rb"xmlns=\"http://www\.loc\.gov/standards/alto", re.I)
+_FIRST_NODE_RE = re.compile(rb">([^>]+)")
+_ABBYY_RE = re.compile(rb"abbyy", re.I)
+_STEXT_DOC_RE = re.compile(rb"<document name")
 
 
 def classify_payload(payload: bytes, text: str = "") -> str:
@@ -19,6 +28,14 @@ def classify_payload(payload: bytes, text: str = "") -> str:
     if payload[:5] == b"%PDF-":
         return "pdf"
     head = payload[:65536]
+    if _ALTO_RE.search(head) and _ALTO_NS_RE.search(head):
+        return "alto"
+    node2 = _FIRST_NODE_RE.search(head[:500])
+    if node2:
+        if _ABBYY_RE.search(node2.group(1)):
+            return "abbyy"
+        if _STEXT_DOC_RE.search(node2.group(1)):
+            return "stext"
     if _HOCR_RE.search(head):
         return "hocr"
     if _HTML_RE.search(head):
