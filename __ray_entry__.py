@@ -191,6 +191,31 @@ def _emb_knn_ivf(sf_dir: str):
     return knn_top_k_ivf(ds, qvec, k=10).select_columns(["vec_id"])
 
 
+def _mm_image_features(sf_dir: str):
+    """Multimodal plumbing: deterministic synthetic image binaries (keyed
+    off doc_id) → decode-stub → feature extraction (rows-only check)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.stages.multimodal import decode_image_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).limit(64)
+
+    def synth_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "image_id": pa.array(ids, pa.int64()),
+            "image": pa.array(
+                [d.to_bytes(8, "big") * 16 for d in ids], pa.binary()),
+        })
+
+    images = docs.map_batches(synth_images, batch_format="pyarrow")
+    out = decode_image_pipeline(images, batch_size=8)
+    return out.select_columns(["image_id", "thumb_h", "thumb_w"]) \
+        .sort("image_id")
+
+
 def _emb_label_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -240,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_bpe_tokens": _doc_bpe_tokens,
         "doc_rolling_fp": _doc_rolling_fp,
+        # multimodal plumbing (decode stub + features)
+        "mm_image_features": _mm_image_features,
         # embeddings / similarity search
         "emb_label_counts": _emb_label_counts,
         "emb_knn_top10": _emb_knn_top10,
