@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": rel.events_daily,
         "high_value_orders": rel.high_value_orders,
         "part_size_stats": rel.part_size_stats,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "events_sessionize": rel.events_sessionize,
+        "events_asof_purchase": rel.events_asof_purchase,
+        "nation_top_customers": rel.nation_top_customers,
         # documents corpus ops
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
@@ -285,6 +289,10 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": rel.EVENTS_DAILY_SQL,
         "high_value_orders": rel.HIGH_VALUE_SQL,
         "part_size_stats": rel.PART_SIZE_SQL,
+        "q3_shipping_priority": rel.Q3_SQL,
+        "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
+        "events_asof_purchase": rel.EVENTS_ASOF_SQL,
+        "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
                    avg(n_chars) AS avg_chars

@@ -223,3 +223,220 @@ FROM part
 GROUP BY p_size
 ORDER BY p_size
 """
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 analog: 3-way join via ONE shuffle join (orders ⋈ lineitem
+    on orderkey) plus a broadcast semi-join for the small filtered customer
+    side (segment filter first → the broadcast set is tiny), then a
+    pre-projected groupby and a small top-k sort."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    seg_cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+    keep_cust = set(
+        seg_cust.filter(
+            pc.equal(seg_cust["c_mktsegment"], pa.scalar("BUILDING"))
+        )["c_custkey"].to_pylist())
+
+    cutoff = pa.scalar(np.datetime64("1997-06-15", "us"))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        mask_date = pc.less(t["o_orderdate"], cutoff)
+        mask_cust = pa.array(
+            [c in keep_cust for c in t["o_custkey"].to_pylist()])
+        return t.filter(pc.and_(mask_date, mask_cust)) \
+            .select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(filter_orders, batch_format="pyarrow")
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    line_f = lineitem.map_batches(prep_lineitem, batch_format="pyarrow")
+
+    joined = line_f.join(orders_f, join_type="inner", num_partitions=16,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]) \
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    return agg.sort(["revenue", "l_orderkey"],
+                    descending=[True, False]).limit(k) \
+        .select_columns(["l_orderkey", "o_orderdate", "revenue"])
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-15'
+  AND l_shipdate > TIMESTAMP '1997-06-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (streaming-window analog): per-user event streams
+    split on >30-min inactivity gaps.  Shuffle key = user_id; each group
+    sorts its own events (tiny) — the global sort is avoided."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def sessions_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(float("inf"))
+        session_ids = (gaps > gap_minutes * 60).cumsum()
+        out = g.groupby(session_ids).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"))
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(
+        sessions_of_user, batch_format="pandas") \
+        .sort(["user_id", "session_start"])
+
+
+EVENTS_SESSIONIZE_SQL = """
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events)
+) GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def events_asof_purchase(sf_dir: str):
+    """As-of join WITHIN the events stream: for every click, the same
+    user's most recent purchase at-or-before it.  Custom operator (Ray
+    Data has no asof join): co-partition both sides by user via ONE
+    groupby shuffle, then a per-group sorted merge (searchsorted) — the
+    documented partitioning assumption is user_id co-location."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def relevant(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        return t.filter(mask)
+
+    both = ds.map_batches(relevant, batch_format="pyarrow")
+
+    def asof_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        purchases = g[g["event_type"] == "purchase"].sort_values("ts")
+        if clicks.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "last_purchase_ts": pd.Series([], dtype="datetime64[us]"),
+            })
+        idx = purchases["ts"].searchsorted(clicks["ts"], side="right") - 1
+        last_ts = [
+            purchases["ts"].iloc[i] if i >= 0 else pd.NaT for i in idx]
+        return pd.DataFrame({
+            "event_id": clicks["event_id"].to_numpy(),
+            "user_id": clicks["user_id"].to_numpy(),
+            "last_purchase_ts": pd.Series(last_ts,
+                                          dtype="datetime64[us]"),
+        })
+
+    return both.groupby("user_id").map_groups(
+        asof_of_user, batch_format="pandas").sort("event_id")
+
+
+EVENTS_ASOF_SQL = """
+SELECT c.event_id, c.user_id, p.ts AS last_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+def nation_top_customers(sf_dir: str, k: int = 3):
+    """Top-k per group (window-function analog): total order value per
+    customer, then the top 3 customers per nation.  Per-group top-k via
+    map_groups after ONE groupby shuffle; no global sort of customers."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust_nation = dict(zip(cust["c_custkey"].to_pylist(),
+                           cust["c_nationkey"].to_pylist()))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"))
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        nk = [cust_nation.get(c, -1) for c in t["o_custkey"].to_pylist()]
+        return t.append_column("n_nationkey", pa.array(nk, pa.int64()))
+
+    with_nation = per_cust.map_batches(attach_nation, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["total_spent", "o_custkey"],
+                             ascending=[False, True]).head(k)
+
+    return with_nation.groupby("n_nationkey").map_groups(
+        topk, batch_format="pandas") \
+        .sort(["n_nationkey", "total_spent", "o_custkey"],
+              descending=[False, True, False])
+
+
+NATION_TOP_CUSTOMERS_SQL = """
+SELECT o_custkey, total_spent, n_nationkey
+FROM (
+    SELECT o_custkey, sum(o_totalprice) AS total_spent,
+           c_nationkey AS n_nationkey,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY sum(o_totalprice) DESC,
+                                       o_custkey) AS rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey, c_nationkey
+)
+WHERE rn <= 3
+ORDER BY n_nationkey, total_spent DESC, o_custkey
+"""
