@@ -165,25 +165,41 @@ def _minhash_bands_batch(batch: pa.Table) -> pa.Table:
 def minhash_duplicate_pairs(ds):
     """MinHash+LSH near-dup candidates: shingle → 64-perm signature →
     16-band bucketing → per-bucket pair emission → distinct pairs.
-    Shuffle key = (band, band_key); the text never crosses the exchange."""
-    import pandas as pd
+    Shuffle key = (band, band_key); the text never crosses the exchange.
+
+    Bucket membership is collected with a combinable list aggregate (one
+    groupby shuffle, map-side combined) instead of per-group pandas calls
+    — thousands of tiny ``map_groups`` invocations were the bottleneck."""
+    from ray.data.aggregate import AggregateFn
 
     bands = ds.map_batches(_minhash_bands_batch, batch_format="pyarrow")
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    collect_ids = AggregateFn(
+        init=lambda k: [],
+        accumulate_row=lambda acc, row: acc + [row["doc_id"]],
+        merge=lambda a, b: a + b,
+        name="doc_ids",
+    )
+    buckets = bands.groupby(["band", "band_key"]).aggregate(collect_ids)
 
-    pairs = bands.groupby(["band", "band_key"]).map_groups(
-        pairs_of_group, batch_format="pandas")
+    def pairs_of_buckets(t: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        seen = set()
+        for ids in t["doc_ids"].to_pylist():
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    p = (ids[i], ids[j])
+                    if p not in seen:  # in-block dedup before the shuffle
+                        seen.add(p)
+                        out_a.append(p[0])
+                        out_b.append(p[1])
+        return pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+        })
+
+    pairs = buckets.map_batches(pairs_of_buckets, batch_format="pyarrow")
     # Distinct across bands (a true pair collides in many bands).
     from ray.data.aggregate import Count
     return pairs.groupby(["doc_a", "doc_b"]) \
