@@ -33,13 +33,13 @@ def entry() -> Any:
     reflow → extracted text + spans."""
     from scribe_js_ray.pipelines.extract import build_extract_pipeline
 
-    return build_extract_pipeline(_pages_ds(SF_DEFAULT), batch_size=32)
+    return build_extract_pipeline(_pages_ds(SF_DEFAULT))
 
 
 def _extract_corpus(sf_dir: str):
     from scribe_js_ray.pipelines.extract import build_extract_pipeline
 
-    out = build_extract_pipeline(_pages_ds(sf_dir), batch_size=32)
+    out = build_extract_pipeline(_pages_ds(sf_dir))
     return out.select_columns(["url", "extracted_text", "n_pages",
                                "doc_type", "payload_kind"]).sort("url")
 

@@ -131,8 +131,34 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
     return out
 
 
+def _extract_batch(batch: pa.Table, reflow: bool = True,
+                   drop_furniture: bool = True) -> pa.Table:
+    """Arrow in → Arrow out (zero-copy reads).  Parser state (compiled
+    regexes, encoding/width tables) lives in module globals, warmed once
+    per worker PROCESS on first import — Ray task workers are long-lived,
+    so tasks get the same warm-cache behavior as actors without the pool
+    ramp-up cost."""
+    urls = batch.column("url").to_pylist()
+    payloads = batch.column("html").to_pylist()
+    texts = batch.column("text").to_pylist() \
+        if "text" in batch.column_names else [""] * len(urls)
+    langs = batch.column("lang").to_pylist() \
+        if "lang" in batch.column_names else ["eng"] * len(urls)
+
+    cols = {name: [] for name in RESULT_SCHEMA.names}
+    for url, payload, text, lang in zip(urls, payloads, texts, langs):
+        res = extract_document(url, payload, text, lang,
+                               reflow=reflow, drop_furniture=drop_furniture)
+        for name in cols:
+            cols[name].append(res[name])
+    arrays = [pa.array(cols[f.name], f.type) for f in RESULT_SCHEMA]
+    return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+
+
 class ExtractDocuments:
-    """Actor-pool batch callable: Arrow in → Arrow out (zero-copy reads)."""
+    """Actor-pool batch callable for deployments whose per-worker state is
+    too heavy for module-level warm-up (e.g. large learned font models):
+    ``__init__`` runs once per actor, ``__call__`` per batch."""
 
     def __init__(self, reflow: bool = True, drop_furniture: bool = True):
         self.reflow = reflow
@@ -142,31 +168,31 @@ class ExtractDocuments:
         from ..stages.pdf import parse_pdf_document  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        payloads = batch.column("html").to_pylist()
-        texts = batch.column("text").to_pylist() \
-            if "text" in batch.column_names else [""] * len(urls)
-        langs = batch.column("lang").to_pylist() \
-            if "lang" in batch.column_names else ["eng"] * len(urls)
-
-        cols = {name: [] for name in RESULT_SCHEMA.names}
-        for url, payload, text, lang in zip(urls, payloads, texts, langs):
-            res = extract_document(url, payload, text, lang,
-                                   reflow=self.reflow,
-                                   drop_furniture=self.drop_furniture)
-            for name in cols:
-                cols[name].append(res[name])
-        arrays = [pa.array(cols[f.name], f.type) for f in RESULT_SCHEMA]
-        return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+        return _extract_batch(batch, self.reflow, self.drop_furniture)
 
 
 def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
-                           batch_size: int = 32, concurrency=None):
+                           batch_size: int | None = None, concurrency=None,
+                           compute: str = "tasks"):
     """pages Dataset → extraction results Dataset (lazy; streams).
 
-    batch_size stays small because rows are heavy (multi-MB payloads —
-    SURVEY §7 wide-row rule); concurrency sizes the actor pool.
+    ``batch_size=None`` processes whole blocks per UDF call — Ray Data's
+    sub-block re-batching measurably halves throughput at 32 CPUs for
+    this workload; granularity is controlled by BLOCK size instead
+    (``override_num_blocks`` at the read / ``DataContext.
+    target_max_block_size`` at 100 TB, where multi-MB rows cap a block at
+    ~128 MB anyway).  ``compute="tasks"`` (default) runs stateless tasks
+    on Ray's prewarmed worker pool; ``compute="actors"`` uses the
+    ExtractDocuments actor pool (measured ~35% slower here due to pool
+    ramp-up, but the right shape for heavyweight per-actor state).
     """
+    if compute == "tasks":
+        return ds.map_batches(
+            _extract_batch,
+            fn_kwargs={"reflow": reflow, "drop_furniture": drop_furniture},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if concurrency is None:
         # Autoscaling actor pool sized to the session CPUs (callable-class
         # transforms require an explicit pool in Ray Data 2.49).
@@ -176,12 +202,11 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
         except Exception:
             n_cpus = 8
         concurrency = (1, max(2, n_cpus))
-    kwargs = {"concurrency": concurrency}
     return ds.map_batches(
         ExtractDocuments,
         fn_constructor_kwargs={"reflow": reflow,
                                "drop_furniture": drop_furniture},
         batch_format="pyarrow",
         batch_size=batch_size,
-        **kwargs,
+        concurrency=concurrency,
     )
