@@ -44,6 +44,14 @@ def _extract_corpus(sf_dir: str):
                                "doc_type", "payload_kind"]).sort("url")
 
 
+def _extract_corpus_markdown(sf_dir: str):
+    """Structural export variant: same parse, markdown emit (S7-S9)."""
+    from scribe_js_ray.pipelines.extract import build_extract_pipeline
+
+    out = build_extract_pipeline(_pages_ds(sf_dir), emit_format="markdown")
+    return out.select_columns(["url", "extracted_text"]).sort("url")
+
+
 def _doc_stats_by_lang(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
@@ -246,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction (rows-only check: not SQL-expressible)
         "extract_corpus": _extract_corpus,
+        "extract_corpus_markdown": _extract_corpus_markdown,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,

@@ -53,9 +53,50 @@ def _split_hocr_pages(s: str):
     return parts if parts else [s]
 
 
+def _parse_paged_payload(kind: str, payload: bytes):
+    """hocr/alto/abbyy/stext payload → list of Page trees."""
+    raw = payload.decode("utf-8", "replace")
+    if kind == "hocr":
+        splitter, parser = _split_hocr_pages, parse_hocr_page
+    elif kind == "alto":
+        from ..stages.alto import parse_alto_page, split_alto_pages
+        splitter, parser = split_alto_pages, parse_alto_page
+    elif kind == "abbyy":
+        from ..stages.abbyy import parse_abbyy_page, split_abbyy_pages
+        splitter, parser = split_abbyy_pages, parse_abbyy_page
+    else:
+        from ..stages.stext import parse_stext_page, split_stext_pages
+        splitter, parser = split_stext_pages, parse_stext_page
+    pages = []
+    for i, chunk in enumerate(splitter(raw)):
+        try:
+            page, _ = parser(chunk, i)
+            pages.append(page)
+        except ValueError:
+            continue
+    return pages
+
+
+def _emit(pages, emit_format, reflow, drop_furniture):
+    """Page trees → (text, spans) in the requested output format."""
+    if emit_format == "markdown":
+        from ..stages.exports import write_markdown
+        return write_markdown(pages, reflow_text=reflow), []
+    if emit_format == "hocr":
+        from ..stages.exports import write_hocr
+        return write_hocr(pages), []
+    return write_text_spans(
+        pages, reflow_text=reflow, drop_furniture=drop_furniture,
+        drop_line_num_words=True)
+
+
 def extract_document(url: str, payload: bytes, text: str, lang: str,
-                     reflow: bool = True, drop_furniture: bool = True):
-    """Pure per-document extraction; returns a flat result dict."""
+                     reflow: bool = True, drop_furniture: bool = True,
+                     emit_format: str = "text"):
+    """Pure per-document extraction; returns a flat result dict.
+
+    ``emit_format``: "text" (byte-identical golden surface, default),
+    "markdown" or "hocr" (structural exports, S7-S9)."""
     kind = classify_payload(payload or b"", text or "")
     out = {"url": url, "extracted_text": "", "spans": [], "n_pages": 0,
            "doc_type": "image", "payload_kind": kind, "error": ""}
@@ -64,50 +105,13 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             from ..stages.pdf import parse_pdf_document
             pages, doc_type = parse_pdf_document(payload)
             analyze_layout(pages)
-            txt, spans = write_text_spans(
-                pages, reflow_text=reflow, drop_furniture=drop_furniture,
-                drop_line_num_words=True)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type=doc_type)
-        elif kind == "hocr":
-            raw = payload.decode("utf-8", "replace")
-            pages = []
-            for i, chunk in enumerate(_split_hocr_pages(raw)):
-                try:
-                    page, _ = parse_hocr_page(chunk, i)
-                    pages.append(page)
-                except ValueError:
-                    continue
+        elif kind in ("hocr", "alto", "abbyy", "stext"):
+            pages = _parse_paged_payload(kind, payload)
             analyze_layout(pages)
-            txt, spans = write_text_spans(
-                pages, reflow_text=reflow, drop_furniture=drop_furniture,
-                drop_line_num_words=True)
-            out.update(extracted_text=txt, spans=spans,
-                       n_pages=len(pages), doc_type="ocr")
-        elif kind in ("alto", "abbyy", "stext"):
-            raw = payload.decode("utf-8", "replace")
-            if kind == "alto":
-                from ..stages.alto import parse_alto_page, split_alto_pages
-                splitter, parser = split_alto_pages, parse_alto_page
-            elif kind == "abbyy":
-                from ..stages.abbyy import parse_abbyy_page, \
-                    split_abbyy_pages
-                splitter, parser = split_abbyy_pages, parse_abbyy_page
-            else:
-                from ..stages.stext import parse_stext_page, \
-                    split_stext_pages
-                splitter, parser = split_stext_pages, parse_stext_page
-            pages = []
-            for i, chunk in enumerate(splitter(raw)):
-                try:
-                    page, _ = parser(chunk, i)
-                    pages.append(page)
-                except ValueError:
-                    continue
-            analyze_layout(pages)
-            txt, spans = write_text_spans(
-                pages, reflow_text=reflow, drop_furniture=drop_furniture,
-                drop_line_num_words=True)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind == "html":
@@ -132,7 +136,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
 
 
 def _extract_batch(batch: pa.Table, reflow: bool = True,
-                   drop_furniture: bool = True) -> pa.Table:
+                   drop_furniture: bool = True,
+                   emit_format: str = "text") -> pa.Table:
     """Arrow in → Arrow out (zero-copy reads).  Parser state (compiled
     regexes, encoding/width tables) lives in module globals, warmed once
     per worker PROCESS on first import — Ray task workers are long-lived,
@@ -148,7 +153,8 @@ def _extract_batch(batch: pa.Table, reflow: bool = True,
     cols = {name: [] for name in RESULT_SCHEMA.names}
     for url, payload, text, lang in zip(urls, payloads, texts, langs):
         res = extract_document(url, payload, text, lang,
-                               reflow=reflow, drop_furniture=drop_furniture)
+                               reflow=reflow, drop_furniture=drop_furniture,
+                               emit_format=emit_format)
         for name in cols:
             cols[name].append(res[name])
     arrays = [pa.array(cols[f.name], f.type) for f in RESULT_SCHEMA]
@@ -173,7 +179,8 @@ class ExtractDocuments:
 
 def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
                            batch_size: int | None = None, concurrency=None,
-                           compute: str = "tasks"):
+                           compute: str = "tasks",
+                           emit_format: str = "text"):
     """pages Dataset → extraction results Dataset (lazy; streams).
 
     ``batch_size=None`` processes whole blocks per UDF call — Ray Data's
@@ -189,7 +196,8 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
     if compute == "tasks":
         return ds.map_batches(
             _extract_batch,
-            fn_kwargs={"reflow": reflow, "drop_furniture": drop_furniture},
+            fn_kwargs={"reflow": reflow, "drop_furniture": drop_furniture,
+                       "emit_format": emit_format},
             batch_format="pyarrow",
             batch_size=batch_size,
         )

@@ -1,0 +1,185 @@
+"""Structural exporters: page trees → hOCR and Markdown strings.
+
+References:
+* ``write_hocr`` — /root/reference/js/export/writeHocr.js:17-152 (line/word
+  spans with bbox+baseline+x_wconf titles, x_font/x_fsize extensions,
+  style attr for bold/italic/small-caps, <sup>/ocr_dropcap nesting).
+  Document-level font metadata and layout tables are omitted (we carry no
+  learned font state).
+* ``write_markdown`` — /root/reference/js/export/writeMarkdown.js:12-257
+  (markdown escaping, consecutive same-style word grouping with
+  **bold**/*italic* wrappers, <sup> for superscripts, ``---`` page
+  breaks, paragraph-aware reflow).  Table rendering is omitted (layout
+  tables are out of scope this round).
+
+Both run per document inside the final ``map_batches`` stage — pure
+functions over the in-task page tree.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..functions.stats import round6
+from ..functions.textnorm import escape_xml
+
+_MD_ESCAPE_RE = re.compile(r"([\\`*_\[\]])")
+
+
+def write_hocr(pages) -> str:
+    """Page trees → one hOCR document string (writeHocr.js:42-151)."""
+    out = []
+    out.append('<?xml version="1.0" encoding="UTF-8"?>\n'
+               '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 '
+               'Transitional//EN"\n'
+               '    "http://www.w3.org/TR/xhtml1/DTD/'
+               'xhtml1-transitional.dtd">\n'
+               '<html xmlns="http://www.w3.org/1999/xhtml" '
+               'xml:lang="en" lang="en">')
+    out.append("<head>")
+    out.append("\n\t<title></title>")
+    out.append('\n\t<meta http-equiv="Content-Type" '
+               'content="text/html;charset=utf-8"/>')
+    out.append("\n\t<meta name='ocr-system' content='scribe_js_ray' />")
+    out.append("\n\t<meta name='ocr-capabilities' content='ocr_page "
+               "ocr_carea ocr_par ocr_line ocrx_word ocrp_wconf ocrp_lang "
+               "ocrp_dir ocrp_font ocrp_fsize'/>")
+    out.append("\n</head>")
+    out.append("\n<body>")
+
+    for page in pages:
+        out.append(f"\n\t<div class='ocr_page' title='bbox 0 0 "
+                   f"{page.width} {page.height}'>")
+        for line in page.lines:
+            out.append(
+                f"\n\t\t<span class='ocr_line' title=\"bbox "
+                f"{line.bbox.left} {line.bbox.top} {line.bbox.right} "
+                f"{line.bbox.bottom}")
+            out.append(f"; baseline {round6(line.baseline[0])} "
+                       f"{round(line.baseline[1])}")
+            if line.x_height:
+                out.append(f"; x_x_height {line.x_height}")
+            if line.asc_height:
+                out.append(f"; x_asc_height {line.asc_height}")
+            out.append('">')
+            for word in line.words:
+                out.append(f"\n\t\t\t<span class='ocrx_word' "
+                           f"id='{word.id}' title='")
+                out.append(f"bbox {round(word.bbox.left)} "
+                           f"{round(word.bbox.top)} "
+                           f"{round(word.bbox.right)} "
+                           f"{round(word.bbox.bottom)}")
+                out.append(f";x_wconf {word.conf}")
+                if word.style.font and word.style.font != "Default":
+                    out.append(f";x_font {word.style.font}")
+                if word.style.size:
+                    out.append(f";x_fsize {word.style.size}")
+                out.append("'")
+                if word.lang:
+                    out.append(f" lang='{word.lang}'")
+                style = word.style
+                if style.bold or style.italic or style.small_caps or \
+                        (style.font and style.font != "Default"):
+                    parts = [" style='"]
+                    if style.italic:
+                        parts.append("font-style:italic;")
+                    if style.bold:
+                        parts.append("font-weight:bold;")
+                    if style.small_caps:
+                        parts.append("font-variant:small-caps;")
+                    if style.font and style.font != "Default":
+                        parts.append(f"font-family:{style.font}")
+                    parts.append("'>")
+                    out.append("".join(parts))
+                else:
+                    out.append(">")
+                if style.sup:
+                    out.append(f"<sup>{escape_xml(word.text)}</sup>")
+                elif style.dropcap:
+                    out.append(f"<span class='ocr_dropcap'>"
+                               f"{escape_xml(word.text)}</span>")
+                else:
+                    out.append(escape_xml(word.text))
+                out.append("</span>")
+            out.append("\n\t\t</span>")
+        out.append("\n\t</div>")
+
+    out.append("\n</body>\n</html>")
+    return "".join(out)
+
+
+def _escape_markdown(text: str) -> str:
+    return _MD_ESCAPE_RE.sub(r"\\\1", text)
+
+
+def _style_wrapper(text: str, style_key: str) -> str:
+    if style_key == "bi":
+        return f"***{text}***"
+    if style_key == "b":
+        return f"**{text}**"
+    if style_key == "i":
+        return f"*{text}*"
+    return text
+
+
+def write_markdown(pages, reflow_text: bool = False,
+                   apply_formatting: bool = True) -> str:
+    """Page trees → markdown (writeMarkdown.js:115-256, tables omitted)."""
+    md = []
+    new_line = False
+    is_first_content = True
+
+    for g, page in enumerate(pages):
+        if not page.lines:
+            continue
+        if not is_first_content and g > 0:
+            md.append("\n\n---\n\n")
+
+        par_current = page.lines[0].par
+        current_style_key = None
+        styled_words: list[str] = []
+
+        def flush():
+            nonlocal styled_words
+            if not styled_words:
+                return
+            text = " ".join(styled_words)
+            md.append(_style_wrapper(text, current_style_key)
+                      if apply_formatting else text)
+            styled_words = []
+
+        for h, line in enumerate(page.lines):
+            if reflow_text:
+                if (h == 0 and not is_first_content) or \
+                        line.par is not par_current:
+                    new_line = True
+                par_current = line.par
+            else:
+                new_line = True
+
+            for word in line.words:
+                style = word.style
+                style_key = ((("b" if style.bold else "") +
+                              ("i" if style.italic else ""))
+                             if apply_formatting else "")
+                word_text = _escape_markdown(word.text)
+                if apply_formatting and style.sup:
+                    word_text = f"<sup>{word_text}</sup>"
+
+                if style_key != current_style_key and styled_words:
+                    flush()
+
+                if new_line and not is_first_content:
+                    flush()
+                    md.append("\n")
+                elif not is_first_content and not styled_words:
+                    md.append(" ")
+                new_line = False
+                is_first_content = False
+
+                current_style_key = style_key
+                styled_words.append(word_text)
+
+            flush()
+
+    return "".join(md)

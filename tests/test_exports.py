@@ -1,0 +1,64 @@
+"""Structural export tests: hOCR round-trip, markdown formatting."""
+
+from scribe_js_ray.model import page_text
+from scribe_js_ray.stages.exports import write_hocr, write_markdown
+from scribe_js_ray.stages.hocr import parse_hocr_page
+
+from tests.test_formats import make_alto
+from scribe_js_ray.stages.alto import parse_alto_page
+
+
+def _pages_from_alto():
+    xml = make_alto([
+        [("Hello", {"WC": "0.96"}), ("world", {})],
+        [("Bold", {"STYLE": "bold"}), ("words", {})],
+    ])
+    page, _ = parse_alto_page(xml, 0)
+    return [page]
+
+
+def test_hocr_roundtrip_preserves_text():
+    pages = _pages_from_alto()
+    hocr = write_hocr(pages)
+    assert "class='ocr_page'" in hocr
+    assert "x_wconf 96" in hocr
+    # re-parse our own hOCR with our own hOCR parser → identical text
+    reparsed, _ = parse_hocr_page(hocr, 0)
+    assert page_text(reparsed) == page_text(pages[0])
+    # bold style survives the round trip
+    bold_words = [w for ln in reparsed.lines for w in ln.words
+                  if w.style.bold]
+    assert [w.text for w in bold_words] == ["Bold"]
+
+
+def test_hocr_escapes_xml():
+    xml = make_alto([[("a&lt;b", {})]])
+    page, _ = parse_alto_page(xml, 0)
+    # ALTO parse unescapes to 'a<b'; hOCR writer must re-escape
+    assert page.lines[0].words[0].text == "a<b"
+    hocr = write_hocr([page])
+    assert "a&lt;b</span>" in hocr
+    reparsed, _ = parse_hocr_page(hocr, 0)
+    assert reparsed.lines[0].words[0].text == "a<b"
+
+
+def test_markdown_styles_and_page_breaks():
+    pages = _pages_from_alto() + _pages_from_alto()
+    md = write_markdown(pages)
+    assert "**Bold**" in md
+    assert "\n\n---\n\n" in md  # page break between pages
+    assert md.startswith("Hello world")
+
+
+def test_markdown_escapes_special_chars():
+    xml = make_alto([[("a*b", {}), ("c_d", {})]])
+    page, _ = parse_alto_page(xml, 0)
+    md = write_markdown([page])
+    assert md == r"a\*b c\_d"
+
+
+def test_markdown_no_formatting_mode():
+    pages = _pages_from_alto()
+    md = write_markdown(pages, apply_formatting=False)
+    assert "**" not in md
+    assert "Bold words" in md
