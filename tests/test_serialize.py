@@ -1,0 +1,72 @@
+"""Parsed-page save/restore round trip (.scribe analog, SURVEY S10/F3)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scribe_js_ray.model import page_text
+from scribe_js_ray.stages.alto import parse_alto_page
+from scribe_js_ray.stages.emit import write_text_spans
+from scribe_js_ray.stages.hocr import parse_hocr_page
+from scribe_js_ray.stages.layout import analyze_layout
+from scribe_js_ray.stages.serialize import (
+    PAGES_T, column_to_pages, pages_column, pages_to_py, py_to_pages)
+from scribe_js_ray.sources.synth import make_payload
+
+from tests.test_formats import make_alto
+
+
+def _parsed_pages(doc_id=3):
+    stratum, payload, text, lang = make_payload(42, doc_id)
+    raw = payload.decode()
+    import re
+    chunks = [c for c in re.split(r"(?=<div class=.ocr_page)", raw)
+              if "ocr_page" in c[:200]]
+    pages = []
+    for i, c in enumerate(chunks):
+        try:
+            page, _ = parse_hocr_page(c, i)
+            pages.append(page)
+        except ValueError:
+            pass
+    analyze_layout(pages)
+    return pages
+
+
+def test_roundtrip_identical_text_and_spans():
+    pages = _parsed_pages()
+    assert pages
+    restored = py_to_pages(pages_to_py(pages))
+    t1, s1 = write_text_spans(pages, reflow_text=True, drop_furniture=True)
+    t2, s2 = write_text_spans(restored, reflow_text=True,
+                              drop_furniture=True)
+    assert t1 == t2
+    assert s1 == s2
+
+
+def test_roundtrip_preserves_styles_and_pars():
+    xml = make_alto([[("Bold", {"STYLE": "bold"}), ("plain", {})]])
+    page, _ = parse_alto_page(xml, 0)
+    analyze_layout([page])
+    restored = py_to_pages(pages_to_py([page]))[0]
+    assert restored.lines[0].words[0].style.bold
+    assert not restored.lines[0].words[1].style.bold
+    assert len(restored.pars) == len(page.pars)
+    assert restored.pars[0].type == page.pars[0].type
+    assert restored.lines[0].par is restored.pars[0]
+
+
+def test_parquet_roundtrip(tmp_path):
+    docs = [_parsed_pages(d) for d in (1, 3)]  # hOCR strata doc ids
+    assert all(docs)
+    tbl = pa.table({
+        "url": pa.array([f"u{d}" for d in (1, 3)]),
+        "pages": pages_column(docs),
+    })
+    path = str(tmp_path / "parsed.parquet")
+    pq.write_table(tbl, path)
+    back = pq.read_table(path)
+    assert back.schema.field("pages").type == PAGES_T
+    restored_docs = column_to_pages(back["pages"].combine_chunks())
+    for orig, rest in zip(docs, restored_docs):
+        assert page_text(rest[0]) == page_text(orig[0])
+        assert len(rest) == len(orig)
