@@ -52,6 +52,43 @@ def _extract_corpus_markdown(sf_dir: str):
     return out.select_columns(["url", "extracted_text"]).sort("url")
 
 
+def _ocr_consensus(sf_dir: str):
+    """Two synthetic OCR layers per doc (base with an injected typo +
+    two clean comparators) → distributed consensus vote (J1/J2)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.consensus import consensus_over_layers
+    from scribe_js_ray.sources.synth import hocr_from_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).limit(64)
+
+    def make_layers(batch: pa.Table) -> pa.Table:
+        urls, layers, payloads = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            url = f"https://fix.test/doc/{doc_id:06d}"
+            words = (text or "").split()
+            if words:
+                words = ["tyop"] + words[1:]  # corrupt the base layer
+            base = hocr_from_text(" ".join(words), doc_id)
+            clean = hocr_from_text(text or "", doc_id)
+            for layer, payload in ((0, base), (1, clean), (2, clean)):
+                urls.append(url)
+                layers.append(layer)
+                payloads.append(payload)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "layer": pa.array(layers, pa.int32()),
+            "html": pa.array(payloads, pa.binary()),
+        })
+
+    layers_ds = docs.map_batches(make_layers, batch_format="pyarrow")
+    return consensus_over_layers(layers_ds) \
+        .select_columns(["url", "n_high", "n_replaced"]).sort("url")
+
+
 def _doc_stats_by_lang(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
@@ -255,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (rows-only check: not SQL-expressible)
         "extract_corpus": _extract_corpus,
         "extract_corpus_markdown": _extract_corpus_markdown,
+        "ocr_consensus": _ocr_consensus,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,
