@@ -120,12 +120,21 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             out.update(extracted_text=txt, spans=spans, n_pages=1,
                        doc_type="html")
         elif kind == "text":
-            body = text if text else (payload or b"").decode("utf-8", "replace")
-            body = body.strip()
-            spans = [{"par_idx": 0, "type": "body", "start": 0,
-                      "end": len(body.encode("utf-8"))}] if body else []
-            out.update(extracted_text=body, spans=spans,
-                       n_pages=1 if body else 0, doc_type="text")
+            # Typeset like the reference (convertPageText.js): raw text →
+            # synthetic Times pages → same layout/reflow/emit path as every
+            # other format.  Reflow re-joins the wrap points, so single-
+            # spaced source text round-trips byte-identically.
+            from ..stages.textlayout import parse_text_pages
+            body = text if text else (payload or b"").decode("utf-8",
+                                                             "replace")
+            # No analyze_layout here: source newlines are authoritative
+            # paragraph breaks (the reference's text import keeps
+            # convertPageText's pars; applyDocParagraphLayout is the
+            # PDF-only doc-level pass, extractPDFText.js:100-110).
+            pages = parse_text_pages(body.strip())
+            txt, spans = _emit(pages, emit_format, True, drop_furniture)
+            out.update(extracted_text=txt, spans=spans,
+                       n_pages=len(pages) if txt else 0, doc_type="text")
         else:  # empty
             out.update(doc_type="image")
     except Exception as exc:  # poison documents must never kill the job
