@@ -114,6 +114,22 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
+        elif kind in ("textract", "google_vision", "google_doc_ai",
+                      "azure_doc_intel"):
+            raw = payload.decode("utf-8", "replace")
+            from ..stages import cloud
+            if kind == "textract":
+                pages = cloud.parse_textract_doc(raw)
+            elif kind == "google_vision":
+                pages = [cloud.parse_google_vision_page(raw, 0)]
+            elif kind == "google_doc_ai":
+                pages = cloud.parse_google_doc_ai(raw)
+            else:
+                pages = cloud.parse_azure_doc_intel(raw)
+            analyze_layout(pages)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
+            out.update(extracted_text=txt, spans=spans,
+                       n_pages=len(pages), doc_type="ocr")
         elif kind == "html":
             raw = payload.decode("utf-8", "replace")
             txt, spans, _ = extract_html_document(raw)

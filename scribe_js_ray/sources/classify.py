@@ -20,6 +20,17 @@ _ALTO_NS_RE = re.compile(
 _FIRST_NODE_RE = re.compile(rb">([^>]+)")
 _ABBYY_RE = re.compile(rb"abbyy", re.I)
 _STEXT_DOC_RE = re.compile(rb"<document name")
+# Cloud-OCR JSON sniffs (importOCR.js:45-63)
+_TEXTRACT_RE = re.compile(
+    rb"\"(?:DetectDocumentTextModelVersion|AnalyzeDocumentModelVersion)\"",
+    re.I)
+_GV_PAGES_RE = re.compile(rb"\"pages\"", re.I)
+_GV_FTA_RE = re.compile(rb"\"fullTextAnnotation\"", re.I)
+_GDAI_ANCHOR_RE = re.compile(rb"\"textAnchor\"", re.I)
+_GDAI_TOKENS_RE = re.compile(rb"\"tokens\"", re.I)
+_AZURE_RE = re.compile(rb"\"createdDateTime\"", re.I)
+_AZURE_AR_RE = re.compile(rb"\"analyzeResult\"", re.I)
+_AZURE_MODEL_RE = re.compile(rb"\"modelId\"", re.I)
 
 
 def classify_payload(payload: bytes, text: str = "") -> str:
@@ -36,6 +47,17 @@ def classify_payload(payload: bytes, text: str = "") -> str:
             return "abbyy"
         if _STEXT_DOC_RE.search(node2.group(1)):
             return "stext"
+    if not node2:
+        if _TEXTRACT_RE.search(head):
+            return "textract"
+        if _GV_PAGES_RE.search(head) and _GV_FTA_RE.search(head):
+            return "google_vision"
+        if _GV_PAGES_RE.search(head) and _GDAI_ANCHOR_RE.search(head) \
+                and _GDAI_TOKENS_RE.search(head):
+            return "google_doc_ai"
+    if _AZURE_RE.search(head) and _AZURE_AR_RE.search(head) \
+            and _AZURE_MODEL_RE.search(head):
+        return "azure_doc_intel"
     if _HOCR_RE.search(head):
         return "hocr"
     if _HTML_RE.search(head):

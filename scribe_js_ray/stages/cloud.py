@@ -1,0 +1,414 @@
+"""Cloud-OCR JSON → Page parsers (SURVEY §2 M14).
+
+Doc-level converters (one JSON may hold many pages → ``flat_map``-shaped):
+
+* AWS Textract — /root/reference/js/import/convertDocTextract.js:50-204:
+  PAGE/LINE/WORD blocks + CHILD relationships; normalized 0-1 geometry ×
+  page dims; LAYOUT_* blocks → paragraphs, remainder grouped into a
+  catch-all par.  Rotation handling ported for orientation 0 (horizontal).
+* Google Vision — convertPageGoogleVision.js:21-205: fullTextAnnotation
+  blocks → paragraphs → words with detectedBreak line splits; metrics from
+  median word height (ascHeight = 2/3·h, baseline −h/3).
+* Google Document AI — convertDocGoogleDocAI.js:25-220: tokens/lines
+  matched by textAnchor segment containment against the shared fullText;
+  line-poly height metrics (asc 3/4·h); paragraphs from textAnchor ranges.
+* Azure Document Intelligence — convertDocAzureDocIntel.js:20-165:
+  analyzeResult.pages words matched to lines by span containment; polygon
+  bboxes; baseline slope from line polygon; asc = 3/5·line height.
+
+Tables and non-horizontal orientations are deferred (same as the parse-
+side ⏳ items in SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import json
+
+from ..functions.stats import mean50
+from ..model import BBox, Line, Page, Par, Word, bbox_union
+from .shared import pass3, split_unicode_superscripts
+
+DEFAULT_PAGE_DIMS = (612, 792)
+
+
+# ---------------------------------------------------------------------------
+# AWS Textract
+
+
+def parse_textract_doc(ocr_str: str, page_dims=None) -> list[Page]:
+    data = json.loads(ocr_str)
+    blocks = data.get("Blocks")
+    if not isinstance(blocks, list):
+        raise ValueError("Invalid Textract JSON: expected Blocks array.")
+
+    rel_map = {}
+    block_map = {}
+    for b in blocks:
+        block_map[b.get("Id")] = b
+        for rel in b.get("Relationships") or []:
+            if rel.get("Type") == "CHILD":
+                rel_map[b.get("Id")] = rel.get("Ids") or []
+
+    page_blocks = [b for b in blocks if b.get("BlockType") == "PAGE"]
+    by_page: dict[int, dict] = {}
+    for b in blocks:
+        n = b.get("Page") or 1
+        d = by_page.setdefault(n, {"lines": [], "layouts": []})
+        bt = b.get("BlockType") or ""
+        if bt == "LINE":
+            d["lines"].append(b)
+        elif bt.startswith("LAYOUT_"):
+            d["layouts"].append(b)
+
+    pages = []
+    for i, _page_block in enumerate(page_blocks):
+        dims = (page_dims[i] if page_dims and i < len(page_dims)
+                else DEFAULT_PAGE_DIMS)
+        w, h = dims
+        page = Page(i, w, h)
+        page.text_source = "textract"
+        pdata = by_page.get(i + 1, {"lines": [], "layouts": []})
+
+        line_obj_map = {}
+        for li, lb in enumerate(pdata["lines"]):
+            if not lb.get("Text") or not lb.get("Geometry"):
+                continue
+            bb = lb["Geometry"].get("BoundingBox") or {}
+            lbox = BBox(bb.get("Left", 0) * w, bb.get("Top", 0) * h,
+                        (bb.get("Left", 0) + bb.get("Width", 0)) * w,
+                        (bb.get("Top", 0) + bb.get("Height", 0)) * h)
+            line = Line(page, lbox, [0, 0])
+            child_ids = rel_map.get(lb.get("Id")) or []
+            word_blocks = [block_map.get(cid) for cid in child_ids]
+            word_blocks = [x for x in word_blocks
+                           if x and x.get("BlockType") == "WORD"]
+            for wi, wb in enumerate(word_blocks):
+                wbb = wb.get("Geometry", {}).get("BoundingBox") or {}
+                wbox = BBox(wbb.get("Left", 0) * w, wbb.get("Top", 0) * h,
+                            (wbb.get("Left", 0) + wbb.get("Width", 0)) * w,
+                            (wbb.get("Top", 0) + wbb.get("Height", 0)) * h)
+                word = Word(line, f"word_{i + 1}_{li + 1}_{wi + 1}",
+                            wb.get("Text") or "", wbox)
+                word.conf = round(wb.get("Confidence") or 100)
+                line.words.append(word)
+            if not line.words:
+                continue
+            # word-height metrics (simplified from the poly math,
+            # convertDocTextract.js:374-416)
+            heights = [wd.bbox.bottom - wd.bbox.top for wd in line.words]
+            med = mean50(heights) or 0
+            line.asc_height = med
+            line.baseline[1] = -med * 0.25
+            page.lines.append(line)
+            line_obj_map[lb.get("Id")] = line
+
+        # LAYOUT_* blocks → paragraphs (createParagraphsFromLayout)
+        for lay in pdata["layouts"]:
+            par_lines = [line_obj_map[cid]
+                         for cid in (rel_map.get(lay.get("Id")) or [])
+                         if cid in line_obj_map]
+            par_lines = [ln for ln in par_lines if ln.par is None]
+            if not par_lines:
+                continue
+            par = Par(page, bbox_union(ln.bbox for ln in par_lines))
+            par.reason = lay.get("BlockType") or "LAYOUT_UNKNOWN"
+            par.lines = par_lines
+            for ln in par_lines:
+                ln.par = par
+            page.pars.append(par)
+        unassigned = [ln for ln in page.lines if ln.par is None]
+        if unassigned:
+            par = Par(page, bbox_union(ln.bbox for ln in unassigned))
+            par.lines = unassigned
+            for ln in unassigned:
+                ln.par = par
+            page.pars.append(par)
+
+        pass3(page)
+        pages.append(page)
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# Google Vision
+
+
+def parse_google_vision_page(ocr_str: str, n: int = 0) -> Page:
+    data = json.loads(ocr_str)
+    if data.get("fullTextAnnotation"):
+        result = data
+    elif (data.get("responses") or [{}])[0].get("fullTextAnnotation"):
+        result = data["responses"][0]
+    elif isinstance(data, list) and data:
+        result = data[0]
+    else:
+        result = None
+    if not result or not result.get("fullTextAnnotation"):
+        raise ValueError("Failed to parse Google Vision OCR data.")
+
+    page_vision = result["fullTextAnnotation"]["pages"][0]
+    w = page_vision.get("width")
+    h = page_vision.get("height")
+    if not w or not h:
+        raise ValueError("Failed to parse page dimensions.")
+
+    def vertices(bp):
+        if bp.get("vertices"):
+            return [(v.get("x", 0), v.get("y", 0)) for v in bp["vertices"]]
+        if bp.get("normalizedVertices"):
+            return [(v.get("x", 0) * w, v.get("y", 0) * h)
+                    for v in bp["normalizedVertices"]]
+        raise ValueError("No vertices found in bounding box.")
+
+    page = Page(n, w, h)
+    page.text_source = "google_vision"
+
+    for bi, block in enumerate(page_vision.get("blocks") or []):
+        for pi, par_v in enumerate(block.get("paragraphs") or []):
+            words_v = par_v.get("words") or []
+            if not words_v:
+                continue
+            vs = vertices(par_v["boundingBox"])
+            par = Par(page, BBox(min(x for x, _ in vs),
+                                 min(y for _, y in vs),
+                                 max(x for x, _ in vs),
+                                 max(y for _, y in vs)))
+            par.reason = str(block.get("blockType") or "TEXT")
+
+            line = Line(page, BBox(0, 0, 0, 0), [0, 0])
+            line_index = 0
+            for wi, word_v in enumerate(words_v):
+                symbols = word_v.get("symbols") or []
+                if not symbols:
+                    continue
+                wvs = vertices(word_v["boundingBox"])
+                wbox = BBox(min(x for x, _ in wvs), min(y for _, y in wvs),
+                            max(x for x, _ in wvs), max(y for _, y in wvs))
+                wid = (f"word_{n + 1}_{bi + 1}_{pi + 1}_"
+                       f"{line_index + 1}_{wi + 1}")
+                word = Word(line, wid,
+                            "".join(s.get("text") or "" for s in symbols),
+                            wbox)
+                word.conf = round((word_v.get("confidence") or 0) * 100)
+                line.words.append(word)
+
+                has_break = any(
+                    (s.get("property") or {}).get("detectedBreak", {})
+                    .get("type") in ("LINE_BREAK", "EOL_SURE_SPACE")
+                    for s in symbols)
+                if has_break or wi == len(words_v) - 1:
+                    if line.words:
+                        line.bbox = bbox_union(wd.bbox for wd in line.words)
+                        heights = sorted(wd.bbox.bottom - wd.bbox.top
+                                         for wd in line.words)
+                        med = heights[len(heights) // 2]
+                        line.asc_height = med * 2 / 3
+                        line.baseline[1] = -med / 3
+                        page.lines.append(line)
+                        par.lines.append(line)
+                        line.par = par
+                        line_index += 1
+                    if wi != len(words_v) - 1:
+                        line = Line(page, BBox(0, 0, 0, 0), [0, 0])
+            if par.lines:
+                page.pars.append(par)
+
+    for line in page.lines:
+        line.bbox = bbox_union(wd.bbox for wd in line.words)
+    pass3(page)
+    return page
+
+
+# ---------------------------------------------------------------------------
+# Google Document AI
+
+
+def parse_google_doc_ai(ocr_str: str, page_dims=None) -> list[Page]:
+    data = json.loads(ocr_str)
+    if not data.get("pages"):
+        raise ValueError("Invalid Google Document AI format: missing pages.")
+    full_text = data.get("text") or ""
+
+    pages = []
+    for i, pd in enumerate(data["pages"]):
+        dim = pd.get("dimension") or {}
+        w, h = dim.get("width"), dim.get("height")
+        if not w or not h:
+            raise ValueError(f"Failed to parse page dimensions for page {i}.")
+        page = Page(i, int(w), int(h))
+        page.text_source = "google_doc_ai"
+        tokens = pd.get("tokens") or []
+        lines_v = pd.get("lines") or []
+        if not tokens or not lines_v:
+            pages.append(page)
+            continue
+
+        def seg_of(layout):
+            seg = ((layout or {}).get("textAnchor") or {}) \
+                .get("textSegments", [{}])[0]
+            return (int(seg.get("startIndex") or 0),
+                    int(seg.get("endIndex") or 0))
+
+        def verts(layout):
+            bp = (layout or {}).get("boundingPoly") or {}
+            if bp.get("vertices"):
+                return [(v.get("x", 0), v.get("y", 0))
+                        for v in bp["vertices"]]
+            return [(v.get("x", 0) * w, v.get("y", 0) * h)
+                    for v in bp.get("normalizedVertices") or []]
+
+        line_ranges = []
+        for line_v in lines_v:
+            layout = line_v.get("layout")
+            ls, le = seg_of(layout)
+            vs = verts(layout)
+            if len(vs) < 4:
+                continue
+            lbox = BBox(min(x for x, _ in vs), min(y for _, y in vs),
+                        max(x for x, _ in vs), max(y for _, y in vs))
+            baseline = [0.0, 0.0]
+            tl, tr, br, bl = vs[0], vs[1], vs[2], vs[3]
+            if br[0] != bl[0]:
+                baseline[0] = (br[1] - bl[1]) / (br[0] - bl[0])
+            line = Line(page, lbox, baseline)
+
+            line_tokens = [t for t in tokens
+                           if ls <= seg_of(t.get("layout"))[0]
+                           and seg_of(t.get("layout"))[1] <= le]
+            if not line_tokens:
+                continue
+            for li, tok in enumerate(line_tokens):
+                t_layout = tok.get("layout")
+                t0, t1 = seg_of(t_layout)
+                word_text = full_text[t0:t1].strip()
+                if not word_text:
+                    continue
+                tvs = verts(t_layout)
+                wbox = BBox(min(x for x, _ in tvs),
+                            min(y for _, y in tvs),
+                            max(x for x, _ in tvs),
+                            max(y for _, y in tvs))
+                word = Word(line, f"word_{i + 1}_"
+                            f"{len(page.lines) + 1}_{li + 1}",
+                            word_text, wbox)
+                word.conf = round(((t_layout or {}).get("confidence")
+                                   or 0) * 100)
+                line.words.append(word)
+            if line.words:
+                split_unicode_superscripts(line)
+                line.bbox = bbox_union(wd.bbox for wd in line.words)
+                line_height = ((br[1] - tr[1]) + (bl[1] - tl[1])) / 2
+                line.asc_height = line_height * 3 / 4
+                line.baseline[1] = (-line_height / 4 -
+                                    (line.bbox.bottom - bl[1]))
+                line_ranges.append((ls, le))
+                page.lines.append(line)
+
+        for par_v in pd.get("paragraphs") or []:
+            ps, pe = seg_of(par_v.get("layout"))
+            par_lines = [page.lines[k] for k, (ls, le)
+                         in enumerate(line_ranges)
+                         if ls >= ps and le <= pe
+                         and page.lines[k].par is None]
+            if not par_lines:
+                continue
+            par = Par(page, bbox_union(ln.bbox for ln in par_lines))
+            par.lines = par_lines
+            for ln in par_lines:
+                ln.par = par
+            page.pars.append(par)
+        unassigned = [ln for ln in page.lines if ln.par is None]
+        if unassigned:
+            par = Par(page, bbox_union(ln.bbox for ln in unassigned))
+            par.lines = unassigned
+            for ln in unassigned:
+                ln.par = par
+            page.pars.append(par)
+
+        pass3(page)
+        pages.append(page)
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# Azure Document Intelligence
+
+
+def parse_azure_doc_intel(ocr_str: str, page_dims=None) -> list[Page]:
+    data = json.loads(ocr_str)
+    ar = data.get("analyzeResult") or {}
+    if not ar.get("pages"):
+        raise ValueError("Invalid Azure Document Intelligence format.")
+
+    pages = []
+    for n, pd in enumerate(ar["pages"]):
+        pw, ph = pd.get("width"), pd.get("height")
+        if not pw or not ph:
+            raise ValueError("Failed to parse page dimensions.")
+        if pd.get("unit") != "pixel":
+            if page_dims and n < len(page_dims):
+                dims = page_dims[n]
+                mult_w, mult_h = dims[0] / pw, dims[1] / ph
+            else:
+                # No target dims: scale inches/points to 72 dpi pixels.
+                mult_w = mult_h = 72.0 if pd.get("unit") == "inch" else 1.0
+                dims = (round(pw * mult_w), round(ph * mult_h))
+        else:
+            mult_w = mult_h = 1.0
+            dims = (round(pw), round(ph))
+        page = Page(n, dims[0], dims[1])
+        page.text_source = "azure_doc_intel"
+        words_pd = pd.get("words") or []
+        if not words_pd:
+            pages.append(page)
+            continue
+
+        def scaled_poly(poly):
+            return [v * (mult_w if i % 2 == 0 else mult_h)
+                    for i, v in enumerate(poly or [])]
+
+        for i, line_v in enumerate(pd.get("lines") or []):
+            line_words = []
+            for span in line_v.get("spans") or []:
+                off, ln_len = span.get("offset", 0), span.get("length", 0)
+                for wv in words_pd:
+                    ws = wv.get("span") or {}
+                    if ws.get("offset", 0) >= off and \
+                            ws.get("offset", 0) + ws.get("length", 0) <= \
+                            off + ln_len:
+                        line_words.append(wv)
+            if not line_words:
+                continue
+            polys = [scaled_poly(wv.get("polygon")) for wv in line_words]
+            all_x = [v for p in polys for v in p[0::2]]
+            all_y = [v for p in polys for v in p[1::2]]
+            line = Line(page, BBox(min(all_x), min(all_y),
+                                   max(all_x), max(all_y)), [0, 0])
+            for j, (wv, poly) in enumerate(zip(line_words, polys)):
+                content = (wv.get("content") or "").strip()
+                if not content:
+                    continue
+                wx, wy = poly[0::2], poly[1::2]
+                word = Word(line, f"word_{n + 1}_"
+                            f"{len(page.lines) + 1}_{j + 1}", content,
+                            BBox(min(wx), min(wy), max(wx), max(wy)))
+                word.conf = round((wv.get("confidence") or 0) * 100)
+                line.words.append(word)
+            if line.words:
+                lp = scaled_poly(line_v.get("polygon"))
+                if len(lp) >= 8:
+                    tl, tr = (lp[0], lp[1]), (lp[2], lp[3])
+                    br, bl = (lp[4], lp[5]), (lp[6], lp[7])
+                    if br[0] != bl[0]:
+                        line.baseline[0] = (br[1] - bl[1]) / (br[0] - bl[0])
+                    line_height = ((br[1] - tr[1]) + (bl[1] - tl[1])) / 2
+                    line.baseline[1] = (-line_height / 4 -
+                                        (line.bbox.bottom - bl[1]))
+                    if line_height * 3 / 5 > 0:
+                        line.asc_height = line_height * 3 / 5
+                page.lines.append(line)
+
+        page.angle = pd.get("angle") or 0
+        pass3(page)
+        pages.append(page)
+    return pages

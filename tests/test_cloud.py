@@ -1,0 +1,212 @@
+"""Cloud-OCR JSON parser tests (Textract / Google Vision / Doc AI / Azure)."""
+
+import json
+
+import pyarrow as pa
+
+from scribe_js_ray.model import line_text, page_text
+from scribe_js_ray.sources.classify import classify_payload
+from scribe_js_ray.stages.cloud import (
+    parse_azure_doc_intel, parse_google_doc_ai, parse_google_vision_page,
+    parse_textract_doc)
+
+
+# ---------------------------------------------------------------------------
+# fixture builders
+
+
+def make_textract(lines, page=1):
+    """lines: list of word-text lists."""
+    blocks = [{"BlockType": "PAGE", "Id": "page1", "Page": page,
+               "Geometry": {"Polygon": [
+                   {"X": 0, "Y": 0}, {"X": 1, "Y": 0},
+                   {"X": 1, "Y": 1}, {"X": 0, "Y": 1}]},
+               "Relationships": [{"Type": "CHILD", "Ids": [
+                   f"line{i}" for i in range(len(lines))]}]}]
+    y = 0.1
+    for i, words in enumerate(lines):
+        wids = [f"w{i}_{j}" for j in range(len(words))]
+        blocks.append({
+            "BlockType": "LINE", "Id": f"line{i}", "Page": page,
+            "Text": " ".join(words),
+            "Geometry": {"BoundingBox": {
+                "Left": 0.1, "Top": y, "Width": 0.8, "Height": 0.03}},
+            "Relationships": [{"Type": "CHILD", "Ids": wids}]})
+        x = 0.1
+        for j, wtext in enumerate(words):
+            ww = 0.02 * len(wtext)
+            blocks.append({
+                "BlockType": "WORD", "Id": wids[j], "Page": page,
+                "Text": wtext, "Confidence": 99.0,
+                "Geometry": {"BoundingBox": {
+                    "Left": x, "Top": y, "Width": ww, "Height": 0.03}}})
+            x += ww + 0.01
+        y += 0.05
+    return json.dumps({"DetectDocumentTextModelVersion": "1.0",
+                       "Blocks": blocks})
+
+
+def make_google_vision(lines):
+    words_v = []
+    y = 100
+    for li, words in enumerate(lines):
+        x = 100
+        for wi, w in enumerate(words):
+            ww = 20 * len(w)
+            symbols = [{"text": c} for c in w]
+            if wi == len(words) - 1:
+                symbols[-1]["property"] = {
+                    "detectedBreak": {"type": "LINE_BREAK"}}
+            words_v.append({
+                "boundingBox": {"vertices": [
+                    {"x": x, "y": y}, {"x": x + ww, "y": y},
+                    {"x": x + ww, "y": y + 30}, {"x": x, "y": y + 30}]},
+                "symbols": symbols,
+                "confidence": 0.97})
+            x += ww + 10
+        y += 50
+    par = {"boundingBox": {"vertices": [
+        {"x": 100, "y": 100}, {"x": 800, "y": 100},
+        {"x": 800, "y": y}, {"x": 100, "y": y}]},
+        "words": words_v}
+    return json.dumps({"fullTextAnnotation": {"pages": [{
+        "width": 1000, "height": 1400,
+        "blocks": [{"blockType": "TEXT", "paragraphs": [par]}]}]},
+        "pages": True})
+
+
+def make_google_doc_ai(lines):
+    full_text = "\n".join(" ".join(ws) for ws in lines) + "\n"
+    tokens, lines_v = [], []
+    pos = 0
+    y = 100
+    for words in lines:
+        line_start = pos
+        x = 100
+        for w in words:
+            ww = 20 * len(w)
+            tokens.append({"layout": {
+                "textAnchor": {"textSegments": [
+                    {"startIndex": str(pos),
+                     "endIndex": str(pos + len(w) + 1)}]},
+                "confidence": 0.9,
+                "boundingPoly": {"vertices": [
+                    {"x": x, "y": y}, {"x": x + ww, "y": y},
+                    {"x": x + ww, "y": y + 30}, {"x": x, "y": y + 30}]}}})
+            pos += len(w) + 1
+            x += ww + 10
+        lines_v.append({"layout": {
+            "textAnchor": {"textSegments": [
+                {"startIndex": str(line_start), "endIndex": str(pos)}]},
+            "boundingPoly": {"vertices": [
+                {"x": 100, "y": y}, {"x": x, "y": y},
+                {"x": x, "y": y + 30}, {"x": 100, "y": y + 30}]}}})
+        y += 50
+    return json.dumps({
+        "text": full_text,
+        "pages": [{"dimension": {"width": 1000, "height": 1400},
+                   "tokens": tokens, "lines": lines_v}]})
+
+
+def make_azure(lines):
+    words_v, lines_v = [], []
+    pos = 0
+    y = 100
+    for words in lines:
+        spans = []
+        x = 100
+        line_start = pos
+        for w in words:
+            ww = 20 * len(w)
+            words_v.append({
+                "content": w, "confidence": 0.95,
+                "span": {"offset": pos, "length": len(w)},
+                "polygon": [x, y, x + ww, y, x + ww, y + 30, x, y + 30]})
+            pos += len(w) + 1
+            x += ww + 10
+        lines_v.append({
+            "content": " ".join(words),
+            "spans": [{"offset": line_start, "length": pos - line_start}],
+            "polygon": [100, y, x, y, x, y + 30, 100, y + 30]})
+        y += 50
+    return json.dumps({
+        "createdDateTime": "2024-01-01T00:00:00Z",
+        "analyzeResult": {"modelId": "prebuilt-read",
+                          "pages": [{"unit": "pixel", "width": 1000,
+                                     "height": 1400, "angle": 0,
+                                     "words": words_v,
+                                     "lines": lines_v}]}})
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_classify_cloud_formats():
+    assert classify_payload(
+        make_textract([["x"]]).encode()) == "textract"
+    assert classify_payload(
+        make_google_vision([["x"]]).encode()) == "google_vision"
+    assert classify_payload(
+        make_google_doc_ai([["x"]]).encode()) == "google_doc_ai"
+    assert classify_payload(make_azure([["x"]]).encode()) == "azure_doc_intel"
+
+
+def test_textract_parse():
+    pages = parse_textract_doc(
+        make_textract([["Hello", "world"], ["Second", "line"]]))
+    assert len(pages) == 1
+    assert [line_text(ln) for ln in pages[0].lines] == \
+        ["Hello world", "Second line"]
+    assert pages[0].lines[0].words[0].conf == 99
+    assert pages[0].pars  # catch-all paragraph
+
+
+def test_google_vision_parse():
+    page = parse_google_vision_page(
+        make_google_vision([["Hello", "world"], ["Second", "line"]]))
+    assert [line_text(ln) for ln in page.lines] == \
+        ["Hello world", "Second line"]
+    assert page.lines[0].words[0].conf == 97
+    assert len(page.pars) == 1
+
+
+def test_google_doc_ai_parse():
+    pages = parse_google_doc_ai(
+        make_google_doc_ai([["Hello", "world"], ["Second", "line"]]))
+    assert len(pages) == 1
+    assert [line_text(ln) for ln in pages[0].lines] == \
+        ["Hello world", "Second line"]
+    assert pages[0].lines[0].words[0].conf == 90
+
+
+def test_azure_parse():
+    pages = parse_azure_doc_intel(
+        make_azure([["Hello", "world"], ["Second", "line"]]))
+    assert len(pages) == 1
+    assert [line_text(ln) for ln in pages[0].lines] == \
+        ["Hello world", "Second line"]
+    assert pages[0].lines[0].words[0].conf == 95
+
+
+def test_cloud_through_pipeline(ray_session):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.extract import build_extract_pipeline
+
+    payloads = [make_textract([["Textract", "doc"]]).encode(),
+                make_google_vision([["Vision", "doc"]]).encode(),
+                make_google_doc_ai([["DocAI", "doc"]]).encode(),
+                make_azure([["Azure", "doc"]]).encode()]
+    tbl = pa.table({
+        "url": [f"u{i}" for i in range(4)],
+        "html": payloads,
+        "text": [""] * 4,
+        "lang": ["eng"] * 4,
+    })
+    out = build_extract_pipeline(rd.from_arrow(tbl)) \
+        .to_pandas().set_index("url")
+    assert out.loc["u0", "extracted_text"] == "Textract doc"
+    assert out.loc["u1", "extracted_text"] == "Vision doc"
+    assert out.loc["u2", "extracted_text"] == "DocAI doc"
+    assert out.loc["u3", "extracted_text"] == "Azure doc"
+    assert (out["error"] == "").all()
