@@ -122,9 +122,29 @@ def _style_wrapper(text: str, style_key: str) -> str:
     return text
 
 
+def _render_markdown_table(rows) -> str:
+    """Cell-text rows → pipe table with a separator after the header
+    (writeMarkdown.js renderMarkdownTable:50-100, style grouping omitted
+    since extract_table_content returns plain cell text)."""
+    if not rows:
+        return ""
+    n_cols = max(len(r) for r in rows)
+    out = []
+    for r, cells in enumerate(rows):
+        cells = [(_MD_ESCAPE_RE.sub(r"\\\1", c).replace("|", "\\|"))
+                 for c in list(cells) + [""] * (n_cols - len(cells))]
+        out.append("| " + " | ".join(cells) + " |\n")
+        if r == 0:
+            out.append("| " + " | ".join(["---"] * n_cols) + " |\n")
+    return "".join(out)
+
+
 def write_markdown(pages, reflow_text: bool = False,
-                   apply_formatting: bool = True) -> str:
-    """Page trees → markdown (writeMarkdown.js:115-256, tables omitted)."""
+                   apply_formatting: bool = True,
+                   detect_tables: bool = False) -> str:
+    """Page trees → markdown (writeMarkdown.js:115-256).  With
+    ``detect_tables``, numeric table regions render as pipe tables and
+    their source lines are skipped (writeMarkdown.js:165-188)."""
     md = []
     new_line = False
     is_first_content = True
@@ -134,6 +154,13 @@ def write_markdown(pages, reflow_text: bool = False,
             continue
         if not is_first_content and g > 0:
             md.append("\n\n---\n\n")
+
+        table_bboxes = []
+        tables_rendered = set()
+        if detect_tables:
+            from .combine import _box_overlap
+            from .tables import detect_tables_in_page, extract_table_content
+            table_bboxes = list(enumerate(detect_tables_in_page(page)))
 
         par_current = page.lines[0].par
         current_style_key = None
@@ -149,6 +176,24 @@ def write_markdown(pages, reflow_text: bool = False,
             styled_words = []
 
         for h, line in enumerate(page.lines):
+            if table_bboxes:
+                inside = None
+                for ti, tb in table_bboxes:
+                    if _box_overlap(line.bbox, tb) > 0.5:
+                        inside = (ti, tb)
+                        break
+                if inside is not None:
+                    ti, tb = inside
+                    if ti not in tables_rendered:
+                        tables_rendered.add(ti)
+                        rows = extract_table_content(page, tb)
+                        if rows:
+                            if not is_first_content:
+                                md.append("\n\n")
+                            md.append(_render_markdown_table(rows))
+                            is_first_content = False
+                    continue  # in-table lines are consumed by the table
+
             if reflow_text:
                 if (h == 0 and not is_first_content) or \
                         line.par is not par_current:

@@ -62,3 +62,14 @@ def test_markdown_no_formatting_mode():
     md = write_markdown(pages, apply_formatting=False)
     assert "**" not in md
     assert "Bold words" in md
+
+
+def test_markdown_renders_detected_table():
+    from tests.test_tables import _numeric_table_page
+    page = _numeric_table_page(5)
+    md = write_markdown([page], detect_tables=True)
+    assert "| --- |" in md or "| --- | --- |" in md.replace("--- | ---", "--- | ---")
+    assert md.count("|") > 10          # pipe table present
+    assert "Quarterly Report" in md.replace("\n", " ")
+    # table source lines are not duplicated as prose
+    assert md.count("100") == 1
