@@ -228,3 +228,168 @@ def write_markdown(pages, reflow_text: bool = False,
             flush()
 
     return "".join(md)
+
+
+_TESS_TO_ISO = {
+    "eng": "en-US", "fra": "fr-FR", "deu": "de-DE", "spa": "es-ES",
+    "ita": "it-IT", "por": "pt-PT", "nld": "nl-NL", "rus": "ru-RU",
+    "pol": "pl-PL", "ces": "cs-CZ", "slk": "sk-SK", "ukr": "uk-UA",
+    "hun": "hu-HU", "ron": "ro-RO", "hrv": "hr-HR", "srp": "sr-RS",
+    "bul": "bg-BG", "slv": "sl-SI", "cat": "ca-ES", "dan": "da-DK",
+    "fin": "fi-FI", "nor": "no-NO", "swe": "sv-SE", "tur": "tr-TR",
+    "ell": "el-GR", "ara": "ar-SA", "heb": "he-IL", "hin": "hi-IN",
+    "jpn": "ja-JP", "kor": "ko-KR", "chi_sim": "zh-CN",
+    "chi_tra": "zh-TW", "tha": "th-TH", "vie": "vi-VN",
+}  # writeAlto.js:7-45
+
+
+def write_alto(pages) -> str:
+    """Page trees → ALTO XML v2.0 (writeAlto.js:61-322): shared <Styles>
+    section keyed by font+size; TextBlock per paragraph with dominant
+    style/language refs; TextLine/String geometry; explicit <SP> spacing
+    elements; word STYLE attrs (bold/italic/underline/superscript/
+    smallCaps); WC confidence.  processingDateTime omitted (the reference
+    stamps the current date — nondeterministic, excluded from our golden
+    surfaces)."""
+    styles_map: dict[str, dict] = {}
+
+    def style_id(font, size):
+        key = f"{font or 'Default'}_{size or 10}"
+        if key not in styles_map:
+            styles_map[key] = {"id": f"font{len(styles_map)}",
+                               "font": font or "Default",
+                               "size": size or 10}
+        return styles_map[key]["id"]
+
+    for page in pages:
+        for line in page.lines:
+            for w in line.words:
+                if w.style.font or w.style.size:
+                    style_id(w.style.font, w.style.size)
+
+    out = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+           '<alto xmlns="http://www.loc.gov/standards/alto/ns-v2#" '
+           'xmlns:xlink="http://www.w3.org/1999/xlink" '
+           'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+           'xsi:schemaLocation="http://www.loc.gov/standards/alto/ns-v2# '
+           'http://www.loc.gov/standards/alto/alto-v2.0.xsd">\n'
+           '<Description>\n<MeasurementUnit>pixel</MeasurementUnit>\n'
+           '<OCRProcessing ID="IdOcr"><ocrProcessingStep>'
+           '<processingSoftware>'
+           '<softwareCreator>scribe_js_ray</softwareCreator>'
+           '<softwareName>scribe_js_ray</softwareName>'
+           '</processingSoftware>'
+           '</ocrProcessingStep></OCRProcessing>\n</Description>\n']
+    if styles_map:
+        out.append("<Styles>")
+        for st in styles_map.values():
+            out.append(f'<TextStyle ID="{st["id"]}" '
+                       f'FONTFAMILY="{escape_xml(st["font"])}" '
+                       f'FONTSIZE="{st["size"]}"/>')
+        out.append("\n</Styles>\n")
+    out.append("<Layout>\n")
+
+    for pi, page in enumerate(pages):
+        out.append(f'<Page ID="Page{pi + 1}" PHYSICAL_IMG_NR="{pi + 1}" '
+                   f'HEIGHT="{page.height}" WIDTH="{page.width}">\n')
+        if not page.lines:
+            out.append("</Page>\n")
+            continue
+        out.append(f'<PrintSpace HEIGHT="{page.height}" '
+                   f'WIDTH="{page.width}" VPOS="0" HPOS="0">\n')
+
+        par_current = None
+        block_index = 0
+        block_style_ref = None
+        block_lang = None
+        for li, line in enumerate(page.lines):
+            if not line.words:
+                continue
+            if block_index == 0 or line.par is not par_current:
+                if block_index > 0:
+                    out.append("</TextBlock>\n")
+                par_current = line.par
+                bl = round(line.bbox.left)
+                bt = round(line.bbox.top)
+                br = round(line.bbox.right)
+                bb = round(line.bbox.bottom)
+                style_counts: dict[str, int] = {}
+                lang_counts: dict[str, int] = {}
+                for j in range(li, len(page.lines)):
+                    nxt = page.lines[j]
+                    if not nxt.words:
+                        continue
+                    if j > li and nxt.par is not par_current:
+                        break
+                    if j > li:
+                        bl = min(bl, round(nxt.bbox.left))
+                        bt = min(bt, round(nxt.bbox.top))
+                        br = max(br, round(nxt.bbox.right))
+                        bb = max(bb, round(nxt.bbox.bottom))
+                    for w in nxt.words:
+                        if w.style.font or w.style.size:
+                            sid = style_id(w.style.font or "",
+                                           w.style.size or 0)
+                            style_counts[sid] = style_counts.get(sid, 0) + 1
+                        if w.lang:
+                            lang_counts[w.lang] = \
+                                lang_counts.get(w.lang, 0) + 1
+                block_style_ref = max(style_counts, key=style_counts.get) \
+                    if style_counts else None
+                block_lang = max(lang_counts, key=lang_counts.get) \
+                    if lang_counts else None
+                out.append(f'<TextBlock ID="Page{pi + 1}_Block'
+                           f'{block_index + 1}" HEIGHT="{bb - bt}" '
+                           f'WIDTH="{br - bl}" VPOS="{bt}" HPOS="{bl}"')
+                if block_lang:
+                    out.append(f' language='
+                               f'"{_TESS_TO_ISO.get(block_lang, block_lang)}"')
+                if block_style_ref:
+                    out.append(f' STYLEREFS="{block_style_ref}"')
+                out.append(">\n")
+                block_index += 1
+
+            lt, ll = round(line.bbox.top), round(line.bbox.left)
+            lr, lb = round(line.bbox.right), round(line.bbox.bottom)
+            out.append(f'<TextLine HEIGHT="{lb - lt}" WIDTH="{lr - ll}" '
+                       f'VPOS="{lt}" HPOS="{ll}">')
+            for wi, w in enumerate(line.words):
+                wl, wt = round(w.bbox.left), round(w.bbox.top)
+                wr, wb = round(w.bbox.right), round(w.bbox.bottom)
+                attrs = []
+                if w.style.bold:
+                    attrs.append("bold")
+                if w.style.italic:
+                    attrs.append("italic")
+                if w.style.underline:
+                    attrs.append("underline")
+                if w.style.sup:
+                    attrs.append("superscript")
+                if w.style.small_caps:
+                    attrs.append("smallCaps")
+                style_attr = f' STYLE="{" ".join(attrs)}"' if attrs else ""
+                refs_attr = ""
+                if w.style.font or w.style.size:
+                    sid = style_id(w.style.font or "", w.style.size or 0)
+                    if sid != block_style_ref:
+                        refs_attr = f' STYLEREFS="{sid}"'
+                lang_attr = ""
+                if w.lang and w.lang != block_lang:
+                    lang_attr = (f' language='
+                                 f'"{_TESS_TO_ISO.get(w.lang, w.lang)}"')
+                wc_attr = f' WC="{w.conf / 100:.2f}"' \
+                    if w.conf is not None else ""
+                out.append(f"<String{style_attr}{lang_attr}{wc_attr}"
+                           f"{refs_attr} CONTENT=\"{escape_xml(w.text)}\" "
+                           f'HEIGHT="{wb - wt}" WIDTH="{wr - wl}" '
+                           f'VPOS="{wt}" HPOS="{wl}"/>')
+                if wi < len(line.words) - 1:
+                    nxt_w = line.words[wi + 1]
+                    sp = round(nxt_w.bbox.left) - wr - 2
+                    if sp > 0:
+                        out.append(f'<SP WIDTH="{sp}" VPOS="{wt}" '
+                                   f'HPOS="{wr + 1}"/>')
+            out.append("</TextLine>\n")
+        out.append("</TextBlock>\n</PrintSpace>\n</Page>\n")
+    out.append("</Layout>\n</alto>\n")
+    return "".join(out)

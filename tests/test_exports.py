@@ -73,3 +73,23 @@ def test_markdown_renders_detected_table():
     assert "Quarterly Report" in md.replace("\n", " ")
     # table source lines are not duplicated as prose
     assert md.count("100") == 1
+
+
+def test_alto_roundtrip_preserves_text():
+    from scribe_js_ray.stages.exports import write_alto
+    pages = _pages_from_alto()
+    alto = write_alto(pages)
+    assert 'xmlns="http://www.loc.gov/standards/alto/ns-v2#"' in alto
+    assert "<SP WIDTH=" in alto
+    # our own ALTO parser reads it back with identical text
+    reparsed, _ = parse_alto_page(alto, 0)
+    assert page_text(reparsed) == page_text(pages[0])
+    # bold style round-trips via the STYLE attribute
+    bold = [w.text for ln in reparsed.lines for w in ln.words
+            if w.style.bold]
+    assert bold == ["Bold"]
+    # font family round-trips via Styles/STYLEREFS
+    pages[0].lines[0].words[0].style.font = "Georgia"
+    alto2 = write_alto(pages)
+    reparsed2, _ = parse_alto_page(alto2, 0)
+    assert reparsed2.lines[0].words[0].style.font == "Georgia"
