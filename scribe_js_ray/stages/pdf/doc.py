@@ -127,9 +127,10 @@ def determine_pdf_type(page_stats: list) -> str:
 def parse_pdf_document(data: bytes):
     """bytes → (pages, doc_type).  Raises ValueError on undecodable files."""
     pdf = PdfFile(data)
-    enc = pdf.trailer.get("Encrypt")
-    if enc is not None:
-        raise ValueError("encrypted PDF not supported")
+    if pdf.trailer.get("Encrypt") is not None and pdf.crypt is None:
+        # Non-standard handler or unsupported revision (R5/6 raises from
+        # the handler itself with a clearer message).
+        raise ValueError("encrypted PDF: unsupported security handler")
     infos = _walk_pages(pdf)
     pages = []
     stats = []

@@ -334,6 +334,24 @@ class PdfFile:
             self._scan_objects()
         if "Root" not in self.trailer:
             self._find_root_by_scan()
+        # Standard security handler (empty user password): decrypts stream
+        # bytes transparently in get_object (pdfCrypto.js analog).
+        self.crypt = None
+        self._encrypt_num = None
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            from .crypto import StandardSecurityHandler
+            if isinstance(enc_ref, Ref):
+                self._encrypt_num = enc_ref.num
+            enc = self.resolve(enc_ref)
+            ids = self.trailer.get("ID")
+            first_id = ids[0] if isinstance(ids, list) and ids else b""
+            if isinstance(first_id, str):
+                first_id = first_id.encode("latin-1")
+            if isinstance(enc, dict) and \
+                    str(enc.get("Filter")) == "Standard":
+                self.crypt = StandardSecurityHandler(
+                    enc, first_id, resolve=self.resolve)
 
     # -- xref -------------------------------------------------------------
     def _parse_xref_chain(self):
@@ -457,6 +475,15 @@ class PdfFile:
             m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[pos:pos + 32])
             lex = Lexer(self.data, pos + (m.end() if m else 0))
             obj = lex.parse_object()
+            gen = int(m.group(2)) if m else 0
+            # Decrypt stream payloads (XRef streams are never encrypted,
+            # but they parse before self.crypt exists, so no special case;
+            # the Encrypt dict's own object is exempt per spec).
+            if getattr(self, "crypt", None) is not None and \
+                    isinstance(obj, StreamObj) and \
+                    num != self._encrypt_num and \
+                    str(obj.dict.get("Type") or "") != "XRef":
+                obj.raw = self.crypt.decrypt(obj.raw, num, gen)
         elif num in self.compressed:
             container, idx = self.compressed[num]
             objs = self._load_objstm(container)
