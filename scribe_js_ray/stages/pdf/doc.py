@@ -96,13 +96,27 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int):
                 MAX_RASTER_W / width_pt if width_pt else DEFAULT_DPI_SCALE)
     page = group_chars_into_page(interp.chars, n, width_pt, height_pt, scale)
 
-    # Per-page char-class stats for doc-type detection.
+    # Form-field value lift + annotation summaries (M28 subset,
+    # parsePdfDoc.js:1100-1176).
+    lifted_chars = 0
+    try:
+        from .annots import lift_field_values, parse_page_annotations
+        annotations = parse_page_annotations(pdf, node)
+        if annotations:
+            lifted_chars = lift_field_values(page, annotations, height_pt)
+    except Exception:
+        annotations = []
+
+    # Per-page char-class stats for doc-type detection.  Lifted field
+    # values count toward the text-native verdict (parsePdfDoc.js:1172).
     visible = sum(1 for c in interp.chars if not c.invisible)
     printable = sum(1 for c in interp.chars
                     if not c.invisible and c.text.isprintable())
+    printable += lifted_chars
+    visible += lifted_chars
     control = sum(1 for c in interp.chars if ord(c.text[0]) < 32)
     stats = {"visible": visible, "printable": printable, "control": control,
-             "total": len(interp.chars)}
+             "total": len(interp.chars) + lifted_chars}
     return page, stats
 
 
