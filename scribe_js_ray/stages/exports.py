@@ -393,3 +393,58 @@ def write_alto(pages) -> str:
         out.append("</TextBlock>\n</PrintSpace>\n</Page>\n")
     out.append("</Layout>\n</alto>\n")
     return "".join(out)
+
+
+def write_html(pages, reflow_text: bool = True) -> str:
+    """Page trees → semantic HTML.
+
+    The reference's writeHtml (/root/reference/js/export/writeHtml.js:74+)
+    produces an absolutely-positioned visual facsimile that depends on
+    canvas-equivalent font metrics; this engine has no font files, so we
+    emit the SEMANTIC variant instead: paragraph roles map to elements
+    (title→h1, blockquote→blockquote, furniture→aside, body→p) with
+    b/i/sup inline styling — the structure writeMarkdown.js encodes with
+    markdown syntax, in HTML."""
+    role_tag = {"title": "h1", "blockquote": "blockquote", "body": "p",
+                "footnote": "aside", "endnote": "aside"}
+    out = ["<!DOCTYPE html>\n<html>\n<head>"
+           '<meta charset="utf-8"/></head>\n<body>\n']
+    for g, page in enumerate(pages):
+        if not page.lines:
+            continue
+        out.append(f'<section class="page" data-page="{g}">\n')
+        pars = page.pars if page.pars else []
+        emitted = set()
+
+        def emit_line_words(line):
+            parts = []
+            for w in line.words:
+                t = escape_xml(w.text)
+                if w.style.sup:
+                    t = f"<sup>{t}</sup>"
+                if w.style.bold:
+                    t = f"<b>{t}</b>"
+                if w.style.italic:
+                    t = f"<i>{t}</i>"
+                parts.append(t)
+            return " ".join(parts)
+
+        for par in pars:
+            tag = role_tag.get(par.type)
+            if tag is None:  # furniture roles
+                tag = "aside"
+            sep = " " if reflow_text else "<br/>\n"
+            body = sep.join(emit_line_words(ln) for ln in par.lines
+                            if ln.words)
+            cls = f' class="{par.type}"' if par.type != "body" else ""
+            out.append(f"<{tag}{cls}>{body}</{tag}>\n")
+            emitted.update(id(ln) for ln in par.lines)
+        orphans = [ln for ln in page.lines
+                   if id(ln) not in emitted and ln.words]
+        if orphans:
+            sep = " " if reflow_text else "<br/>\n"
+            out.append("<p>" + sep.join(
+                emit_line_words(ln) for ln in orphans) + "</p>\n")
+        out.append("</section>\n")
+    out.append("</body>\n</html>\n")
+    return "".join(out)

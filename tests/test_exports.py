@@ -93,3 +93,19 @@ def test_alto_roundtrip_preserves_text():
     alto2 = write_alto(pages)
     reparsed2, _ = parse_alto_page(alto2, 0)
     assert reparsed2.lines[0].words[0].style.font == "Georgia"
+
+
+def test_html_semantic_export():
+    from scribe_js_ray.stages.exports import write_html
+    from scribe_js_ray.stages.layout import analyze_layout
+    pages = _pages_from_alto()
+    analyze_layout(pages)
+    html = write_html(pages)
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<b>Bold</b>" in html
+    assert "Hello world" in html.replace("</p>", "").replace("<p>", "")
+    assert '<section class="page" data-page="0">' in html
+    # XML-escapes content
+    pages[0].lines[0].words[0].text = "a<b"
+    html2 = write_html(pages)
+    assert "a&lt;b" in html2
