@@ -135,6 +135,12 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             txt, spans, _ = extract_html_document(raw)
             out.update(extracted_text=txt, spans=spans, n_pages=1,
                        doc_type="html")
+        elif kind == "docx":
+            from ..stages.docx import parse_docx
+            pages = parse_docx(payload)
+            txt, spans = _emit(pages, emit_format, True, drop_furniture)
+            out.update(extracted_text=txt, spans=spans,
+                       n_pages=len(pages) if txt else 0, doc_type="text")
         elif kind == "text":
             # Typeset like the reference (convertPageText.js): raw text →
             # synthetic Times pages → same layout/reflow/emit path as every

@@ -38,6 +38,10 @@ def classify_payload(payload: bytes, text: str = "") -> str:
         return "text" if text else "empty"
     if payload[:5] == b"%PDF-":
         return "pdf"
+    if payload[:4] == b"PK\x03\x04":
+        if b"word/document.xml" in payload:
+            return "docx"
+        return "zip"
     head = payload[:65536]
     if _ALTO_RE.search(head) and _ALTO_NS_RE.search(head):
         return "alto"

