@@ -89,6 +89,40 @@ def _ocr_consensus(sf_dir: str):
         .select_columns(["url", "n_high", "n_replaced"]).sort("url")
 
 
+def _eval_word_accuracy(sf_dir: str):
+    """Corpus eval metrics (A6 partial+final): corrupted layer scored
+    against the clean text, reduced with Sum aggregates."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.evaluate import (
+        eval_layers_batch, reduce_eval_metrics)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        cand = []
+        for i, t in zip(ids, texts):
+            words = (t or "").split()
+            if words:
+                words[i % len(words)] = "corrupted"
+            cand.append(" ".join(words))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_a": pa.array(cand, pa.string()),
+            "text_b": pa.array([t or "" for t in texts], pa.string()),
+        })
+
+    ds = docs.map_batches(corrupt, batch_format="pyarrow") \
+        .map_batches(eval_layers_batch, batch_format="pyarrow")
+    agg = reduce_eval_metrics(ds)
+    return pd.DataFrame([agg])
+
+
 def _doc_stats_by_lang(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
@@ -293,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_corpus": _extract_corpus,
         "extract_corpus_markdown": _extract_corpus_markdown,
         "ocr_consensus": _ocr_consensus,
+        "eval_word_accuracy": _eval_word_accuracy,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,
