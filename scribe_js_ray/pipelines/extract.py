@@ -103,8 +103,10 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
     try:
         if kind == "pdf":
             from ..stages.pdf import parse_pdf_document
-            pages, doc_type = parse_pdf_document(payload)
-            analyze_layout(pages)
+            pages, doc_type, outline = parse_pdf_document(
+                payload, with_outline=True)
+            analyze_layout(pages,
+                           outline_titles=[o["title"] for o in outline])
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type=doc_type)

@@ -379,11 +379,16 @@ _ROLE_TO_TYPE = {
 }
 
 
-def analyze_layout(pages: list) -> None:
+def analyze_layout(pages: list, outline_titles=None) -> None:
     """Assign paragraphs + semantic roles across all pages of one document.
 
     Mutates each page: sets page.pars (geometric breaks from
     assign_paragraphs, split further at role boundaries) with par.type.
+
+    ``outline_titles``: document bookmark titles (PDF outline) — a line
+    whose normalized text equals a title is a heading regardless of the
+    geometric evidence (outline-heading overlay, the outlineIndex.js:151
+    structural signal consumed by applyDocParagraphLayout).
     """
     feats = _features(pages)
     if not feats:
@@ -395,6 +400,15 @@ def analyze_layout(pages: list) -> None:
     _pass_line_numbers(pages, feats, body_size)
     _pass_folios(pages, feats)
     classify_roles(pages, feats, body_size)
+
+    if outline_titles:
+        import re as _re
+        norm = {_re.sub(r"\s+", " ", t).strip().lower()
+                for t in outline_titles if t}
+        for f in feats:
+            text = " ".join(w.text for w in f.line.words)
+            if _re.sub(r"\s+", " ", text).strip().lower() in norm:
+                f.role = "heading"
 
     role_by_line = {id(f.line): f.role for f in feats}
 

@@ -138,8 +138,9 @@ def determine_pdf_type(page_stats: list) -> str:
     return "ocr"
 
 
-def parse_pdf_document(data: bytes):
-    """bytes → (pages, doc_type).  Raises ValueError on undecodable files."""
+def parse_pdf_document(data: bytes, with_outline: bool = False):
+    """bytes → (pages, doc_type[, outline]).  Raises ValueError on
+    undecodable files."""
     pdf = PdfFile(data)
     if pdf.trailer.get("Encrypt") is not None and pdf.crypt is None:
         # Non-standard handler or unsupported revision (R5/6 raises from
@@ -152,4 +153,11 @@ def parse_pdf_document(data: bytes):
         page, st = parse_pdf_page(pdf, info, n)
         pages.append(page)
         stats.append(st)
+    if with_outline:
+        from .annots import parse_outline
+        try:
+            outline = parse_outline(pdf)
+        except Exception:
+            outline = []
+        return pages, determine_pdf_type(stats), outline
     return pages, determine_pdf_type(stats)

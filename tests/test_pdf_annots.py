@@ -85,3 +85,33 @@ def test_outline_parse():
 def test_decode_pdf_string_utf16():
     assert decode_pdf_string(b"\xfe\xff\x00H\x00i") == "Hi"
     assert decode_pdf_string(b"plain") == "plain"
+
+
+def test_outline_titles_become_headings():
+    from scribe_js_ray.model import FURNITURE_TYPES
+    from scribe_js_ray.sources.synth_pdf import PdfWriter, _Typesetter
+    ts = _Typesetter()
+    ts.line("Chapter One", font="F1")     # same size as body — geometric
+    ts.line("Some body text follows here and continues on", font="F1")
+    stream = ts.stream().encode("latin-1")
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R /Outlines 6 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    w.add(b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+          + stream + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    w.add(b"<< /Type /Outlines /First 7 0 R /Count 1 >>")
+    w.add(b"<< /Title (Chapter One) /Parent 6 0 R >>")
+    data = w.build()
+
+    pages, _, outline = parse_pdf_document(data, with_outline=True)
+    analyze_layout(pages, outline_titles=[o["title"] for o in outline])
+    types = [p.type for p in pages[0].pars]
+    assert "title" in types
+    # the heading par holds exactly the outline line
+    title_par = next(p for p in pages[0].pars if p.type == "title")
+    assert " ".join(w.text for ln in title_par.lines
+                    for w in ln.words) == "Chapter One"
