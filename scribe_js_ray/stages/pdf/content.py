@@ -198,6 +198,9 @@ class TextInterpreter:
         self.fonts = fonts
         self.base_ctm = base_ctm
         self.chars: list[PositionedChar] = []
+        # Image placements as |CTM|-derived areas (parsePdfDoc.js:664-780
+        # image-placement merge → largestImageFrac page stat).
+        self.image_areas: list[float] = []
 
     def run(self, content: bytes, xobjects=None, depth=0):
         pdf = self.pdf
@@ -306,9 +309,15 @@ class TextInterpreter:
                 elif op == "Do" and operands and xobjects and depth < 8:
                     # Form XObject recursion (parsePdfDoc.js:329-372 analog).
                     xo = pdf.resolve(xobjects.get(str(operands[0])))
-                    if isinstance(xo, StreamObj) \
-                            and str(pdf.resolve(xo.dict.get("Subtype", ""))) == "Form":
-                        inner = self._run_form(xo, ctm, depth)
+                    if isinstance(xo, StreamObj):
+                        subtype = str(pdf.resolve(
+                            xo.dict.get("Subtype", "")))
+                        if subtype == "Form":
+                            inner = self._run_form(xo, ctm, depth)
+                        elif subtype == "Image":
+                            # Unit square × CTM → placed area (pts²).
+                            self.image_areas.append(
+                                abs(ctm[0] * ctm[3] - ctm[1] * ctm[2]))
             except Exception:
                 continue
 
@@ -329,3 +338,4 @@ class TextInterpreter:
         except Exception:
             pass
         self.chars.extend(sub.chars)
+        self.image_areas.extend(sub.image_areas)

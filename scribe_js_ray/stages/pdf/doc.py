@@ -115,8 +115,12 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int):
     printable += lifted_chars
     visible += lifted_chars
     control = sum(1 for c in interp.chars if ord(c.text[0]) < 32)
+    page_area = width_pt * height_pt
+    largest_image_frac = (max(interp.image_areas) / page_area) \
+        if interp.image_areas and page_area else 0.0
     stats = {"visible": visible, "printable": printable, "control": control,
-             "total": len(interp.chars) + lifted_chars}
+             "total": len(interp.chars) + lifted_chars,
+             "largest_image_frac": min(largest_image_frac, 1.0)}
     return page, stats
 
 

@@ -139,3 +139,29 @@ def test_deterministic_generators():
     c = make_pdf_styles(random.Random(9))
     d = make_pdf_styles(random.Random(9))
     assert c == d
+
+
+def test_image_placement_tracked():
+    """A full-page image XObject yields largest_image_frac ≈ 1 and an
+    'image' doc type when no text is present (scan-page signal)."""
+    from scribe_js_ray.sources.synth_pdf import PdfWriter
+    from scribe_js_ray.stages.pdf.doc import parse_pdf_page, _walk_pages
+    from scribe_js_ray.stages.pdf.objects import PdfFile
+
+    img = b"\x00" * 10
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>")
+    content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+    w.add(b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+          + content + b"\nendstream")
+    w.add(b"<< /Type /XObject /Subtype /Image /Width 10 /Height 10 "
+          b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 10 "
+          b">>\nstream\n" + img + b"\nendstream")
+    pdf = PdfFile(w.build())
+    info = _walk_pages(pdf)[0]
+    page, stats = parse_pdf_page(pdf, info, 0)
+    assert abs(stats["largest_image_frac"] - 1.0) < 0.01
+    assert stats["total"] == 0
