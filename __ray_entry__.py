@@ -295,6 +295,14 @@ def _mm_image_features(sf_dir: str):
         .sort("image_id")
 
 
+def _font_char_metrics(sf_dir: str):
+    """A3 analog: per-(font,style) mean relative char width over the
+    synthesized pages corpus — partial combine + one small groupby."""
+    from scribe_js_ray.pipelines.corpus import font_char_metrics
+
+    return font_char_metrics(_pages_ds(sf_dir)).sort(["font", "style"])
+
+
 def _emb_label_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -328,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_corpus_markdown": _extract_corpus_markdown,
         "ocr_consensus": _ocr_consensus,
         "eval_word_accuracy": _eval_word_accuracy,
+        "font_char_metrics": _font_char_metrics,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,

@@ -473,3 +473,69 @@ def add_rolling_fingerprint(batch: pa.Table, window: int = 16) -> pa.Table:
         "doc_id": batch["doc_id"],
         "roll_fp": pa.array(out, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# font/char metrics aggregation (SURVEY A3: calcCharMetricsFromPages analog)
+
+
+def font_metrics_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-document partial: parse the hOCR payload, accumulate per-font
+    char-width observations normalized by line x-height (the map-side half
+    of /root/reference/js/fontStatistics.js:19-113's grouped aggregate).
+    Emits one row per (font, style) with count/sum — combinable."""
+    from ..stages.hocr import parse_hocr_page
+
+    fonts, styles, counts, sums = [], [], [], []
+    acc: dict[tuple, list] = {}
+    for payload in batch["html"].to_pylist():
+        try:
+            page, _ = parse_hocr_page(
+                payload.decode("utf-8", "replace"), 0)
+        except (ValueError, AttributeError):
+            continue
+        for line in page.lines:
+            x_h = line.x_height or 0
+            if not x_h:
+                continue
+            for w in line.words:
+                family = w.style.font or "Default"
+                style = ("bold" if w.style.bold else
+                         "italic" if w.style.italic else "normal")
+                width = (w.bbox.right - w.bbox.left) / max(len(w.text), 1)
+                key = (family, style)
+                slot = acc.setdefault(key, [0, 0.0])
+                slot[0] += 1
+                slot[1] += width / x_h
+    for (family, style), (n, s) in acc.items():
+        fonts.append(family)
+        styles.append(style)
+        counts.append(n)
+        sums.append(s)
+    return pa.table({
+        "font": pa.array(fonts, pa.string()),
+        "style": pa.array(styles, pa.string()),
+        "n_obs": pa.array(counts, pa.int64()),
+        "sum_rel_width": pa.array(sums, pa.float64()),
+    })
+
+
+def font_char_metrics(pages_ds):
+    """Corpus-wide grouped aggregate: per-(font,style) mean char width
+    relative to x-height.  Partial combine inside map_batches, ONE small
+    groupby over (font,style) — never over raw observations."""
+    from ray.data.aggregate import Sum
+
+    partial = pages_ds.map_batches(font_metrics_partial_batch,
+                                   batch_format="pyarrow")
+    agg = partial.groupby(["font", "style"]).aggregate(
+        Sum("n_obs", alias_name="n_obs"),
+        Sum("sum_rel_width", alias_name="sum_rel_width"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = pc.divide(t["sum_rel_width"],
+                         pc.cast(t["n_obs"], pa.float64()))
+        return t.append_column("mean_rel_width", mean) \
+            .drop_columns(["sum_rel_width"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
