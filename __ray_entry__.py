@@ -385,7 +385,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_purchase": rel.EVENTS_ASOF_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "doc_stats_by_lang": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    avg(n_chars) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
