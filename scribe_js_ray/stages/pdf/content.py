@@ -83,19 +83,27 @@ def tokenize_content(data: bytes):
 
 
 class SimpleFont:
-    """A simple (non-CID) font: byte → unicode + widths."""
+    """A font: code → unicode + widths.  ``two_byte`` marks Type0/CID
+    fonts with Identity-H/V encodings (2-byte codes, widths from the
+    descendant CIDFont's /W array with /DW default — parsePdfFonts.js
+    Type0 handling analog)."""
 
     __slots__ = ("name", "widths_table", "first_char", "widths_arr",
-                 "to_unicode", "differences", "bold", "italic")
+                 "to_unicode", "differences", "bold", "italic",
+                 "two_byte", "cid_widths", "default_width")
 
     def __init__(self, name, widths_table, first_char=None, widths_arr=None,
-                 to_unicode=None, differences=None):
+                 to_unicode=None, differences=None, two_byte=False,
+                 cid_widths=None, default_width=1000.0):
         self.name = name or "Helvetica"
         self.widths_table = widths_table
         self.first_char = first_char
         self.widths_arr = widths_arr
         self.to_unicode = to_unicode
         self.differences = differences
+        self.two_byte = two_byte
+        self.cid_widths = cid_widths
+        self.default_width = default_width
         low = (name or "").lower()
         self.bold = "bold" in low
         self.italic = "italic" in low or "oblique" in low
@@ -105,6 +113,10 @@ class SimpleFont:
             return self.differences[b]
         if self.to_unicode and b in self.to_unicode:
             return self.to_unicode[b]
+        if self.two_byte:
+            # Identity mapping fallback: CID == unicode is wrong in
+            # general, but deterministic; real text needs the ToUnicode.
+            return chr(b) if 32 <= b < 0xD800 else "�"
         try:
             return bytes([b]).decode("latin-1")
         except Exception:
@@ -112,6 +124,10 @@ class SimpleFont:
 
     def width_of(self, b: int, ch: str) -> float:
         """Advance in 1/1000 em."""
+        if self.two_byte:
+            if self.cid_widths is not None and b in self.cid_widths:
+                return self.cid_widths[b]
+            return self.default_width
         if self.widths_arr is not None and self.first_char is not None:
             idx = b - self.first_char
             if 0 <= idx < len(self.widths_arr):
@@ -152,15 +168,53 @@ def build_font(pdf, font_dict) -> SimpleFont:
     subtype = str(d.get("Subtype", ""))
     base = str(pdf.resolve(d.get("BaseFont")) or "Helvetica")
     if subtype == "Type0":
-        # CID fonts: decode via ToUnicode when present (2-byte codes).
+        # CID fonts: 2-byte Identity-H/V codes, ToUnicode for text,
+        # widths from the descendant CIDFont /W + /DW.
         tu = None
         if "ToUnicode" in d:
             try:
                 tu = parse_tounicode_cmap(pdf.stream_bytes(d["ToUnicode"]))
             except Exception:
                 tu = None
-        f = SimpleFont(base, base14_widths(base), to_unicode=tu)
-        return f
+        enc_name = str(pdf.resolve(d.get("Encoding")) or "")
+        two_byte = enc_name.startswith("Identity")
+        cid_widths = None
+        default_width = 1000.0
+        desc = pdf.resolve(d.get("DescendantFonts"))
+        if isinstance(desc, list) and desc:
+            cidfont = pdf.resolve(desc[0])
+            if isinstance(cidfont, dict):
+                dw = pdf.resolve(cidfont.get("DW"))
+                if isinstance(dw, (int, float)):
+                    default_width = float(dw)
+                w_arr = pdf.resolve(cidfont.get("W"))
+                if isinstance(w_arr, list):
+                    cid_widths = {}
+                    i = 0
+                    items = [pdf.resolve(x) for x in w_arr]
+                    while i < len(items):
+                        c = items[i]
+                        nxt = items[i + 1] if i + 1 < len(items) else None
+                        if isinstance(nxt, list):
+                            # c [w1 w2 ...]
+                            for j, w in enumerate(nxt):
+                                w = pdf.resolve(w)
+                                if isinstance(w, (int, float)):
+                                    cid_widths[int(c) + j] = float(w)
+                            i += 2
+                        elif isinstance(nxt, (int, float)) and \
+                                i + 2 < len(items):
+                            # c1 c2 w
+                            w = items[i + 2]
+                            if isinstance(w, (int, float)):
+                                for cid in range(int(c), int(nxt) + 1):
+                                    cid_widths[cid] = float(w)
+                            i += 3
+                        else:
+                            break
+        return SimpleFont(base, base14_widths(base), to_unicode=tu,
+                          two_byte=two_byte, cid_widths=cid_widths,
+                          default_width=default_width)
     first_char = pdf.resolve(d.get("FirstChar"))
     widths = pdf.resolve(d.get("Widths"))
     widths_arr = [float(pdf.resolve(w) or 0) for w in widths] \
@@ -221,11 +275,20 @@ class TextInterpreter:
             nonlocal tm
             if font is None:
                 return
-            for b in s:
+            if font.two_byte:
+                # CID strings: 2 bytes per code; word spacing applies
+                # only to single-byte code 32 per spec → never here.
+                codes = [(s[i] << 8) | s[i + 1]
+                         for i in range(0, len(s) - 1, 2)]
+            else:
+                codes = list(s)
+            for b in codes:
                 ch = font.decode_byte(b)
                 w_em = font.width_of(b, ch) / 1000.0
                 adv = (w_em * font_size + char_spacing
-                       + (word_spacing if b == 0x20 else 0.0)) * h_scale
+                       + (word_spacing if (b == 0x20 and
+                                           not font.two_byte) else 0.0)
+                       ) * h_scale
                 if ch and not ch.isspace():
                     trm = _mat_mul((font_size * h_scale, 0, 0, font_size,
                                     0, rise), _mat_mul(tm, ctm))

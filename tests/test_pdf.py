@@ -165,3 +165,36 @@ def test_image_placement_tracked():
     page, stats = parse_pdf_page(pdf, info, 0)
     assert abs(stats["largest_image_frac"] - 1.0) < 0.01
     assert stats["total"] == 0
+
+
+def test_type0_identity_h_font():
+    """CID font with Identity-H: 2-byte codes decoded via ToUnicode,
+    widths from the descendant /W array."""
+    from scribe_js_ray.sources.synth_pdf import PdfWriter
+    from scribe_js_ray.model import page_text
+
+    # ToUnicode CMap: CIDs 1..5 → "Hello"
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+            b"endcodespacerange\n5 beginbfchar\n"
+            b"<0001> <0048>\n<0002> <0065>\n<0003> <006C>\n"
+            b"<0004> <006C>\n<0005> <006F>\nendbfchar\nendcmap\nend")
+    content = b"BT /F1 12 Tf 72 700 Td <00010002000300040005> Tj ET"
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    w.add(b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+          + content + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type0 /BaseFont /NotoSans "
+          b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+          b"/ToUnicode 7 0 R >>")
+    w.add(b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NotoSans "
+          b"/DW 600 /W [1 [500 450 250 250 500]] >>")
+    w.add(b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+          + cmap + b"\nendstream")
+    pages, doc_type = parse_pdf_document(w.build())
+    assert page_text(pages[0]) == "Hello"
+    # 5 chars is below the 10-printable text-verdict threshold
+    # (determinePdfType parsePdfDoc.js:417-444) — type check not asserted.
