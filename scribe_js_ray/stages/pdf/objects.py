@@ -284,6 +284,90 @@ def apply_predictor(data: bytes, predictor: int, columns: int,
     return bytes(out)
 
 
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4; reference port target:
+    /root/reference/js/pdf/codecs — text-path subset only)."""
+    out = bytearray()
+    table = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    code_len = 9
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= code_len:
+            nbits -= code_len
+            code = (acc >> nbits) & ((1 << code_len) - 1)
+            if code == 256:  # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                code_len = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            else:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            out.extend(entry)
+            prev = entry
+            if next_code + early_change - 1 >= (1 << code_len) and \
+                    code_len < 12:
+                code_len += 1
+    return bytes(out)
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    data = re.sub(rb"\s", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i:i + 1] == b"z":
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        group = data[i:i + 5]
+        pad = 5 - len(group)
+        group = group + b"u" * pad
+        val = 0
+        for c in group:
+            val = val * 85 + (c - 33)
+        quad = val.to_bytes(4, "big")
+        out += quad[:4 - pad]
+        i += 5
+    return bytes(out)
+
+
+def run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1:i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1:i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
 def decode_stream(stream: StreamObj, resolve) -> bytes:
     """Apply /Filter chain to a stream's raw bytes."""
     filters = resolve(stream.dict.get("Filter"))
@@ -311,6 +395,20 @@ def decode_stream(stream: StreamObj, resolve) -> bytes:
             if len(hx) % 2:
                 hx += b"0"
             data = bytes.fromhex(hx.decode("latin-1"))
+        elif fname == "LZWDecode":
+            parm = resolve(parm) or {}
+            early = resolve(parm.get("EarlyChange"))
+            data = lzw_decode(data, 1 if early is None else int(early))
+            pred = resolve(parm.get("Predictor")) or 1
+            if pred >= 10:
+                cols = resolve(parm.get("Columns")) or 1
+                colors = resolve(parm.get("Colors")) or 1
+                bpc = resolve(parm.get("BitsPerComponent")) or 8
+                data = apply_predictor(data, pred, cols, colors, bpc)
+        elif fname == "ASCII85Decode":
+            data = ascii85_decode(data)
+        elif fname == "RunLengthDecode":
+            data = run_length_decode(data)
         else:
             raise ValueError(f"unsupported stream filter: {fname}")
     return data

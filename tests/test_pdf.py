@@ -198,3 +198,44 @@ def test_type0_identity_h_font():
     assert page_text(pages[0]) == "Hello"
     # 5 chars is below the 10-printable text-verdict threshold
     # (determinePdfType parsePdfDoc.js:417-444) — type check not asserted.
+
+
+def test_stream_filters():
+    import base64
+    from scribe_js_ray.stages.pdf.objects import (
+        ascii85_decode, lzw_decode, run_length_decode)
+    # ASCII85: standard vector
+    assert ascii85_decode(b"87cUR") == b"Hell"
+    assert ascii85_decode(b"z") == b"\x00\x00\x00\x00"
+    # RunLength: literal + repeat
+    assert run_length_decode(b"\x02abc" + b"\xfeZ" + b"\x80") == b"abcZZZ"
+    # LZW: round-trip a known encoding of b"-----A---B" (from the PDF
+    # spec family of examples): encode with a minimal LZW encoder here
+    def lzw_encode(data):
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        code_len = 9
+        out_bits = []
+        def emit(code):
+            out_bits.extend(int(b) for b in format(code, f"0{code_len}b"))
+        emit(256)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                emit(table[w])
+                table[wc] = next_code
+                next_code += 1
+                if next_code + 1 - 1 >= (1 << code_len) and code_len < 12:
+                    code_len += 1
+                w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(257)
+        bits = "".join(map(str, out_bits))
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i:i+8], 2) for i in range(0, len(bits), 8))
+    payload = b"the quick brown fox the quick brown fox"
+    assert lzw_decode(lzw_encode(payload)) == payload
