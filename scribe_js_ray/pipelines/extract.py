@@ -227,12 +227,18 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
     ramp-up, but the right shape for heavyweight per-actor state).
     """
     if compute == "tasks":
+        kwargs = {}
+        if concurrency is not None:
+            # cap concurrent tasks (callers throttling a shared cluster)
+            kwargs["concurrency"] = concurrency[1] \
+                if isinstance(concurrency, tuple) else concurrency
         return ds.map_batches(
             _extract_batch,
             fn_kwargs={"reflow": reflow, "drop_furniture": drop_furniture,
                        "emit_format": emit_format},
             batch_format="pyarrow",
             batch_size=batch_size,
+            **kwargs,
         )
     if concurrency is None:
         # Autoscaling actor pool sized to the session CPUs (callable-class

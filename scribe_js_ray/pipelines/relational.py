@@ -264,10 +264,11 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
+    keep_cust_arr = pa.array(sorted(keep_cust), pa.int64())
+
     def filter_orders(t: pa.Table) -> pa.Table:
         mask_date = pc.less(t["o_orderdate"], cutoff)
-        mask_cust = pa.array(
-            [c in keep_cust for c in t["o_custkey"].to_pylist()])
+        mask_cust = pc.is_in(t["o_custkey"], value_set=keep_cust_arr)
         return t.filter(pc.and_(mask_date, mask_cust)) \
             .select(["o_orderkey", "o_orderdate"])
 

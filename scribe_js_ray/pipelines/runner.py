@@ -92,7 +92,8 @@ def run_extract_shard(files: list[str], shard_dir: str,
                       large_doc_bytes: int = DEFAULT_LARGE_DOC_BYTES,
                       batch_size: int = 32, concurrency=None) -> dict:
     """One shard: read → size-split → extract (both branches share the
-    actor-pool class) → union → write.  Returns metric counters."""
+    same batch transform; ``concurrency`` caps task parallelism in
+    either compute mode) → union → write.  Returns metric counters."""
     import ray.data as rd
 
     from .extract import build_extract_pipeline

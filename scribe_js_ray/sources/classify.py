@@ -51,7 +51,11 @@ def classify_payload(payload: bytes, text: str = "") -> str:
             return "abbyy"
         if _STEXT_DOC_RE.search(node2.group(1)):
             return "stext"
-    if not node2:
+    # JSON payloads can contain '>' inside quoted OCR text, so the cloud
+    # sniffs run for any JSON-looking head, not only when node2 is absent
+    # (stricter than importOCR.js:45-55, which would misroute such files).
+    json_like = head.lstrip()[:1] in (b"{", b"[")
+    if not node2 or json_like:
         if _TEXTRACT_RE.search(head):
             return "textract"
         if _GV_PAGES_RE.search(head) and _GV_FTA_RE.search(head):

@@ -89,7 +89,8 @@ def parse_textract_doc(ocr_str: str, page_dims=None) -> list[Page]:
                             (wbb.get("Top", 0) + wbb.get("Height", 0)) * h)
                 word = Word(line, f"word_{i + 1}_{li + 1}_{wi + 1}",
                             wb.get("Text") or "", wbox)
-                word.conf = round(wb.get("Confidence") or 100)
+                conf = wb.get("Confidence")
+                word.conf = round(conf) if conf is not None else 100
                 line.words.append(word)
             if not line.words:
                 continue

@@ -59,13 +59,22 @@ def parse_docx(data: bytes) -> list[Page]:
     from .textlayout import parse_text_pages
     body = "\n".join(text for _, text in paragraphs)
     pages = parse_text_pages(body)
-    # Mark heading paragraphs by source order (styles HeadingN → title).
+    # Mark heading paragraphs: a source paragraph may span a page break
+    # and split into SEVERAL consecutive Pars, so walk the flat par list
+    # consuming pars until each source paragraph's word count is covered.
     flat_pars = [p for page in pages for p in page.pars]
-    for (style, _), par in zip(paragraphs, flat_pars):
-        if style.startswith("Heading"):
-            par.type = "title"
-        elif style == "Quote":
-            par.type = "blockquote"
+    pi = 0
+    for style, text in paragraphs:
+        remaining = len(text.split())
+        while remaining > 0 and pi < len(flat_pars):
+            par = flat_pars[pi]
+            n_words = sum(len(ln.words) for ln in par.lines)
+            if style.startswith("Heading"):
+                par.type = "title"
+            elif style == "Quote":
+                par.type = "blockquote"
+            remaining -= n_words
+            pi += 1
     return pages
 
 

@@ -390,7 +390,9 @@ def write_alto(pages) -> str:
                         out.append(f'<SP WIDTH="{sp}" VPOS="{wt}" '
                                    f'HPOS="{wr + 1}"/>')
             out.append("</TextLine>\n")
-        out.append("</TextBlock>\n</PrintSpace>\n</Page>\n")
+        if block_index > 0:
+            out.append("</TextBlock>\n")
+        out.append("</PrintSpace>\n</Page>\n")
     out.append("</Layout>\n</alto>\n")
     return "".join(out)
 

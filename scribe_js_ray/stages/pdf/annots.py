@@ -99,12 +99,17 @@ def parse_page_annotations(pdf, page_dict: dict) -> list[dict]:
 
 
 def lift_field_values(page, annotations: list[dict],
-                      page_height: float) -> int:
+                      page_height: float, scale: float = 1.0) -> int:
     """Insert visible Tx/Ch field values as synthetic lines; returns the
     number of printable characters lifted (feeds pageStats.printableVis,
-    parsePdfDoc.js:1172-1174)."""
+    parsePdfDoc.js:1172-1174).
+
+    ``page_height`` is in PDF points; ``scale`` is the page's raster
+    scale (group_chars_into_page multiplied every real line's coords by
+    it), so lifted geometry is scaled identically."""
     printable = 0
     field_idx = 0
+    page_height = page_height * scale
     for a in annotations:
         if a.get("type") != "field" or a.get("hidden"):
             continue
@@ -113,14 +118,14 @@ def lift_field_values(page, annotations: list[dict],
         value = (a.get("value") or "").strip()
         if not value:
             continue
-        rect = a["rect"]
+        rect = [v * scale for v in a["rect"]]
         llx, lly = min(rect[0], rect[2]), min(rect[1], rect[3])
         urx, ury = max(rect[0], rect[2]), max(rect[1], rect[3])
         rect_w, rect_h = urx - llx, ury - lly
         if rect_w <= 0 or rect_h <= 0:
             continue
         field_idx += 1
-        font_size = min(10.0, rect_h * 0.8)
+        font_size = min(10.0 * scale, rect_h * 0.8)
         asc, desc = font_size * 0.8, font_size * 0.2
         # device space: top-left origin, y = page_height - pdf_y
         for lift_idx, text_line in enumerate(value.split("\n")):

@@ -103,7 +103,8 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int):
         from .annots import lift_field_values, parse_page_annotations
         annotations = parse_page_annotations(pdf, node)
         if annotations:
-            lifted_chars = lift_field_values(page, annotations, height_pt)
+            lifted_chars = lift_field_values(page, annotations, height_pt,
+                                             scale=scale)
     except Exception:
         annotations = []
 

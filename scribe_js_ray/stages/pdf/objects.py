@@ -320,7 +320,10 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 next_code += 1
             out.extend(entry)
             prev = entry
-            if next_code + early_change - 1 >= (1 << code_len) and \
+            # Width bump per the xpdf/pdf.js/mupdf convention: the NEXT
+            # code to be read needs more bits once next_code+EarlyChange
+            # reaches the current capacity.
+            if next_code + early_change >= (1 << code_len) and \
                     code_len < 12:
                 code_len += 1
     return bytes(out)
@@ -450,6 +453,11 @@ class PdfFile:
                     str(enc.get("Filter")) == "Standard":
                 self.crypt = StandardSecurityHandler(
                     enc, first_id, resolve=self.resolve)
+                # Objects parsed during init (scan fallback, xref walk)
+                # were cached with still-encrypted stream bytes — drop
+                # them so re-reads decrypt.
+                self._cache.clear()
+                self._objstm_cache.clear()
 
     # -- xref -------------------------------------------------------------
     def _parse_xref_chain(self):

@@ -201,7 +201,7 @@ def detect_tables_in_page(page: Page) -> list[BBox]:
             current_compat = []
         i += 1
     if len(current) >= min_rows:
-        tables.append(current)
+        tables.append(header_rows_for() + current)
 
     return [bbox_union(
         bbox_union(it.bbox for it in row["items"]) for row in table)

@@ -210,3 +210,20 @@ def test_cloud_through_pipeline(ray_session):
     assert out.loc["u2", "extracted_text"] == "DocAI doc"
     assert out.loc["u3", "extracted_text"] == "Azure doc"
     assert (out["error"] == "").all()
+
+
+def test_cloud_json_with_gt_in_text_still_classified():
+    """'>' inside quoted OCR text must not break the JSON sniff."""
+    blob = make_textract([["a->b", "x"]])
+    assert ">" in blob[:500]
+    assert classify_payload(blob.encode()) == "textract"
+
+
+def test_textract_zero_confidence_preserved():
+    import json as _json
+    data = _json.loads(make_textract([["shaky"]]))
+    for b in data["Blocks"]:
+        if b["BlockType"] == "WORD":
+            b["Confidence"] = 0.0
+    pages = parse_textract_doc(_json.dumps(data))
+    assert pages[0].lines[0].words[0].conf == 0

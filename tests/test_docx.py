@@ -84,3 +84,19 @@ def test_docx_through_pipeline(ray_session):
     assert out["payload_kind"].iloc[0] == "docx"
     assert "Doc Title" in out["extracted_text"].iloc[0]
     assert "docx body content" in out["extracted_text"].iloc[0]
+
+
+def test_docx_heading_after_pagebreak_spanning_paragraph():
+    """A paragraph splitting across a page break must not shift styles of
+    later paragraphs (review finding)."""
+    long_body = " ".join(["filler"] * 3500)  # spans >1 page
+    data = _make_docx([
+        ("", [(long_body, False)]),
+        ("Heading1", [("Real Heading", False)]),
+    ])
+    pages = parse_docx(data)
+    flat = [p for pg in pages for p in pg.pars]
+    titles = [p for p in flat if p.type == "title"]
+    assert len(titles) == 1
+    assert " ".join(w.text for ln in titles[0].lines
+                    for w in ln.words) == "Real Heading"

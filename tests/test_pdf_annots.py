@@ -26,7 +26,7 @@ def _pdf_with_field(value="John Doe", hidden=False, multiline=False):
     ff = 0x1000 if multiline else 0
     w.add(f"<< /Type /Annot /Subtype /Widget /FT /Tx /T (name) "
           f"/V ({value}) /F {flags} /Ff {ff} "
-          f"/Rect [150 700 400 720] >>".encode())                     # 6
+          f"/Rect [150 600 400 620] >>".encode())                     # 6
     w.add(b"<< /Type /Outlines /First 8 0 R /Count 2 >>")             # 7
     w.add(b"<< /Title (Chapter One) /Parent 7 0 R /First 9 0 R >>")   # 8
     w.add(b"<< /Title (Section 1.1) /Parent 8 0 R >>")                # 9
@@ -39,6 +39,13 @@ def test_field_value_lifted_into_text():
     text = page_text(pages[0])
     assert "John" in text and "Doe" in text
     assert "Name:" in text
+    # geometry is in the page's scaled raster space and reading order is
+    # correct: the content line (~706pt) sits ABOVE the field rect
+    # (600-620pt), so "Name:" precedes the value
+    assert text.index("Name:") < text.index("John")
+    page = pages[0]
+    for ln in page.lines:
+        assert 0 <= ln.bbox.top <= page.height
 
 
 def test_hidden_field_not_lifted():
