@@ -45,10 +45,16 @@ def _filtered_pages(pages, drop_furniture: bool, drop_line_num_words: bool):
 
 
 def write_text_spans(pages, reflow_text=False, line_numbers=False,
-                     drop_furniture=False, drop_line_num_words=False):
+                     drop_furniture=False, drop_line_num_words=False,
+                     preserve_spacing=False):
     """Returns (text, spans).  spans = list of dicts with par_idx/type/start/
-    end (UTF-8 byte offsets)."""
-    do_reflow = reflow_text and not line_numbers
+    end (UTF-8 byte offsets).
+
+    ``preserve_spacing`` pads words to a 120-char virtual page by their
+    horizontal position (writeText.js:39-89) — column layouts survive in
+    plain text; incompatible with reflow, like the reference."""
+    do_reflow = reflow_text and not line_numbers and not preserve_spacing
+    LINE_WIDTH = 120  # writeText.js:40
 
     parts = []
     byte_pos = 0
@@ -77,6 +83,7 @@ def write_text_spans(pages, reflow_text=False, line_numbers=False,
         if not line_items:
             continue
 
+        page_width = page.width if preserve_spacing else 0
         par_current = line_items[0][0].par
         for h, (line, words_override) in enumerate(line_items):
             if do_reflow:
@@ -86,6 +93,8 @@ def write_text_spans(pages, reflow_text=False, line_numbers=False,
             else:
                 new_line = True
 
+            current_pos = 0
+            prefix_len = len(f"{g}:{h}  ") if line_numbers else 0
             words = words_override if words_override is not None else line.words
             for i, word in enumerate(words):
                 if word is None:
@@ -94,6 +103,19 @@ def write_text_spans(pages, reflow_text=False, line_numbers=False,
                     emit("\n")
                     if line_numbers:
                         emit(f"{g}:{h}  ")
+                    current_pos = prefix_len
+                    if preserve_spacing and page_width > 0:
+                        target = prefix_len + round(
+                            word.bbox.left / page_width * LINE_WIDTH)
+                        pad = max(0, target - current_pos)
+                        emit(" " * pad)
+                        current_pos = target + len(word.text)
+                elif preserve_spacing and page_width > 0:
+                    target = prefix_len + round(
+                        word.bbox.left / page_width * LINE_WIDTH)
+                    pad = max(1, target - current_pos)
+                    emit(" " * pad)
+                    current_pos = target + len(word.text)
                 elif h > 0 or g > 0 or i > 0:
                     emit(" ")
                 new_line = False

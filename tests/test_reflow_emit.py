@@ -133,3 +133,23 @@ def test_superscript_footnote_break():
     assert len(page.pars) >= 2
     assert any(p.reason == "superscript/footnote" for p in page.pars) or \
         any("space" in p.reason for p in page.pars[1:])
+
+
+def test_preserve_spacing_columns():
+    """preserve_spacing pads words by horizontal position (writeText.js
+    :39-89): two-column rows keep their visual gap in plain text."""
+    from tests.test_reorder import _two_column_page
+    from scribe_js_ray.stages.emit import write_text_spans
+    page = _two_column_page()
+    text, _ = write_text_spans([page], preserve_spacing=True)
+    lines = [ln for ln in text.split("\n") if ln]
+    # right-column words start far right of left-column ones
+    left_cols = [ln for ln in lines if ln.lstrip().startswith("w0")]
+    right_cols = [ln for ln in lines if ln.lstrip().startswith("w1")]
+    assert left_cols and right_cols
+    assert (len(right_cols[0]) - len(right_cols[0].lstrip())) > \
+        (len(left_cols[0]) - len(left_cols[0].lstrip())) + 20
+    # reflow+preserve_spacing: spacing wins (doReflow disabled, like ref)
+    text2, _ = write_text_spans([page], reflow_text=True,
+                                preserve_spacing=True)
+    assert text2 == text
