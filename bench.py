@@ -238,7 +238,7 @@ def main() -> None:
     try:
         head = run_headline(args.sf_dir,
                             repeat=args.repeat if args.headline_only else 1,
-                            warmup=args.warmup)
+                            warmup=args.warmup or not args.headline_only)
         if args.headline_only:
             print(json.dumps({"rows": head["rows"],
                               "sec": round(head["sec"], 3),
