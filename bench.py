@@ -213,6 +213,10 @@ def main() -> None:
         tp8 = results[8]["docs_per_sec"]
         tp32 = results[32]["docs_per_sec"]
         eff = (tp32 / tp8) / 4 if tp8 > 0 else 0.0
+        # _mp_work (pool workers) reads GRAFT_SF_DIR from the environment;
+        # propagate --sf-dir so the hardware-ceiling probe runs on the SAME
+        # input as the Ray trials (ADVICE r1).
+        os.environ["GRAFT_SF_DIR"] = args.sf_dir
         hw = _hw_ceiling()
         hw_eff = (hw[32] / hw[8]) / 4 if hw.get(8) else 0.0
         print(json.dumps({

@@ -16,9 +16,15 @@ import pyarrow.compute as pc
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 analog: filter by ship date, group by flag+status.
     Pruned read: 7 of 11 columns; partial sums happen inside the groupby's
-    map-side combine (Ray Data aggregate)."""
+    map-side combine (Ray Data aggregate).
+
+    The money columns are exact multiples of 0.01, so all sums are done in
+    scaled int64 (cents / cents² / cents³) — exact, order-independent, and
+    therefore bit-identical to the oracle's DECIMAL aggregation regardless
+    of Ray's block/summation order (r1 hash_match was off by ~1 ulp from
+    float summation order)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -26,43 +32,98 @@ def q1_pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
 
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+    i64 = pa.int64()
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
-        disc_price = pc.multiply(t["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc_price,
-                             pc.add(pa.scalar(1.0), t["l_tax"]))
-        t = t.append_column("disc_price", disc_price)
-        t = t.append_column("charge", charge)
-        return t.select(["l_returnflag", "l_linestatus", "l_quantity",
-                         "l_extendedprice", "disc_price", "charge",
-                         "l_discount"])
+        qty = pc.cast(pc.round(t["l_quantity"]), i64)
+        price_c = pc.cast(pc.round(
+            pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), i64)
+        disc_c = pc.cast(pc.round(
+            pc.multiply(t["l_discount"], pa.scalar(100.0))), i64)
+        tax_c = pc.cast(pc.round(
+            pc.multiply(t["l_tax"], pa.scalar(100.0))), i64)
+        disc_price_s4 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, i64), disc_c))
+        charge_s6 = pc.multiply(
+            disc_price_s4, pc.add(pa.scalar(100, i64), tax_c))
+        partial = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty, "price_c": price_c, "disc_c": disc_c,
+            "disc_price_s4": disc_price_s4, "charge_s6": charge_s6,
+            "n": pa.array(np.ones(len(qty), dtype=np.int64)),
+        })
+        # Map-side combine: collapse to one row per (flag,status) per batch
+        # BEFORE the shuffle (6 groups total).
+        g = partial.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("disc_c", "sum"),
+             ("disc_price_s4", "sum"), ("charge_s6", "sum"), ("n", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "price_c", "disc_c",
+             "disc_price_s4", "charge_s6", "n"])
 
-    out = ds.map_batches(prep, batch_format="pyarrow") \
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
         .groupby(["l_returnflag", "l_linestatus"]) \
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+            Sum("qty", alias_name="qty"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Sum("disc_price_s4", alias_name="disc_price_s4"),
+            Sum("charge_s6", alias_name="charge_s6"),
+            Sum("n", alias_name="count_order"),
         )
-    return out.sort(["l_returnflag", "l_linestatus"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["count_order"], pa.float64())
+        sum_qty = pc.cast(t["qty"], pa.float64())
+        sum_base = pc.divide(pc.cast(t["price_c"], pa.float64()),
+                             pa.scalar(100.0))
+        sum_disc_price = pc.divide(
+            pc.cast(t["disc_price_s4"], pa.float64()), pa.scalar(1e4))
+        sum_charge = pc.divide(
+            pc.cast(t["charge_s6"], pa.float64()), pa.scalar(1e6))
+        sum_disc = pc.divide(pc.cast(t["disc_c"], pa.float64()),
+                             pa.scalar(100.0))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": sum_qty,
+            "sum_base_price": sum_base,
+            "sum_disc_price": sum_disc_price,
+            "sum_charge": sum_charge,
+            "avg_qty": pc.divide(sum_qty, n),
+            "avg_price": pc.divide(sum_base, n),
+            "avg_disc": pc.divide(sum_disc, n),
+            "count_order": t["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["l_returnflag", "l_linestatus"])
 
 
+# Oracle mirrors the exact-arithmetic contract: DECIMAL sums (exact), cast
+# to DOUBLE only at the end, averages as double(sum)/count — the same
+# correctly-rounded conversions the Ray side performs on its scaled int64
+# sums, so values match bit-for-bit.
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity)                                       AS sum_qty,
-       sum(l_extendedprice)                                  AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-       avg(l_quantity)                                       AS avg_qty,
-       avg(l_extendedprice)                                  AS avg_price,
-       avg(l_discount)                                       AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)
+           AS avg_disc,
        count(*)                                              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

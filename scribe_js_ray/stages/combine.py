@@ -145,7 +145,17 @@ def build_consensus_page(base_page: Page, comparator_pages: list[Page],
     """n-way consensus vote in place on base_page; returns stats."""
     stats = {"total": 0, "high": 0, "medium": 0, "low": 0, "replaced": 0}
     base_words = [w for ln in base_page.lines for w in ln.words]
+    # Comparators that failed to parse contribute nothing; with ZERO usable
+    # comparators there is no corroboration — every word stays at its
+    # existing conf and is reported 'low', rather than the degenerate
+    # matches == n_comparators == 0 → all-'high' outcome (ADVICE r1).
+    comparator_pages = [c for c in comparator_pages if c is not None]
     n_comparators = len(comparator_pages)
+    if n_comparators == 0:
+        n = len(base_words)
+        stats["total"] = n
+        stats["low"] = n
+        return stats
 
     assignments = []
     for comp in comparator_pages:

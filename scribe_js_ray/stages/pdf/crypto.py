@@ -11,11 +11,14 @@ per-object key schedule).  Implemented from the public PDF 1.7 spec
 * RC4 (V=1/2 and V=4 with /V2 crypt filter) in pure Python.
 * AES-128-CBC (V=4 /AESV2) in pure Python (decrypt-only, IV = first 16
   bytes, PKCS#7 padding stripped).
+* AES-256 (V=5, R=5/6, /AESV3) per ISO 32000-2 §7.6.4: Algorithm 2.A
+  (file key from /U key salt + /UE) with the R6 iterated hash
+  (Algorithm 2.B — AES-128-CBC-encrypt rounds + SHA-256/384/512
+  selection).  R5/R6 use the file key directly for every object (no
+  per-object key schedule).
 
-R=5/6 (AES-256) is left as a clearly-marked NotImplementedError — the
-fixtures and the dominant legacy corpus use R2-R4.  Only an EMPTY user
-password is attempted (the batch-extraction contract: per-row failures
-land in the error column, never prompt).
+Only an EMPTY user password is attempted (the batch-extraction
+contract: per-row failures land in the error column, never prompt).
 """
 
 from __future__ import annotations
@@ -157,6 +160,106 @@ def _aes_decrypt_block(block: bytes, w, nr) -> bytes:
     return bytes(state[r][c] for c in range(4) for r in range(4))
 
 
+# Encryption uses the classic T-table formulation (one 32-bit word per
+# column, ShiftRows+SubBytes+MixColumns fused into 4 table lookups) —
+# the R6 password hash (Algorithm 2.B) CBC-encrypts ~hundreds of KB, so
+# the naive byte-matrix path is too slow in pure Python.
+_TE = None
+
+
+def _build_te():
+    global _TE
+    if _TE is not None:
+        return
+    _build_sboxes()
+    te0, te1, te2, te3 = [0] * 256, [0] * 256, [0] * 256, [0] * 256
+    for x in range(256):
+        s = _SBOX[x]
+        s2, s3 = _gmul(s, 2), _gmul(s, 3)
+        te0[x] = (s2 << 24) | (s << 16) | (s << 8) | s3
+        te1[x] = (s3 << 24) | (s2 << 16) | (s << 8) | s
+        te2[x] = (s << 24) | (s3 << 16) | (s2 << 8) | s
+        te3[x] = (s << 24) | (s << 16) | (s3 << 8) | s2
+    _TE = (te0, te1, te2, te3)
+
+
+def _words(w):
+    return [(a << 24) | (b << 16) | (c << 8) | d for a, b, c, d in w]
+
+
+def _aes_encrypt_words(s0, s1, s2, s3, rk, nr):
+    te0, te1, te2, te3 = _TE
+    s0 ^= rk[0]
+    s1 ^= rk[1]
+    s2 ^= rk[2]
+    s3 ^= rk[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = te0[s0 >> 24] ^ te1[(s1 >> 16) & 255] ^ \
+            te2[(s2 >> 8) & 255] ^ te3[s3 & 255] ^ rk[k]
+        t1 = te0[s1 >> 24] ^ te1[(s2 >> 16) & 255] ^ \
+            te2[(s3 >> 8) & 255] ^ te3[s0 & 255] ^ rk[k + 1]
+        t2 = te0[s2 >> 24] ^ te1[(s3 >> 16) & 255] ^ \
+            te2[(s0 >> 8) & 255] ^ te3[s1 & 255] ^ rk[k + 2]
+        t3 = te0[s3 >> 24] ^ te1[(s0 >> 16) & 255] ^ \
+            te2[(s1 >> 8) & 255] ^ te3[s2 & 255] ^ rk[k + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    sb = _SBOX
+    r0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 255] << 16) |
+          (sb[(s2 >> 8) & 255] << 8) | sb[s3 & 255]) ^ rk[k]
+    r1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 255] << 16) |
+          (sb[(s3 >> 8) & 255] << 8) | sb[s0 & 255]) ^ rk[k + 1]
+    r2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 255] << 16) |
+          (sb[(s0 >> 8) & 255] << 8) | sb[s1 & 255]) ^ rk[k + 2]
+    r3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 255] << 16) |
+          (sb[(s1 >> 8) & 255] << 8) | sb[s2 & 255]) ^ rk[k + 3]
+    return r0, r1, r2, r3
+
+
+def _aes_encrypt_block(block: bytes, w, nr) -> bytes:
+    _build_te()
+    s0, s1, s2, s3 = struct.unpack(">4I", block)
+    r = _aes_encrypt_words(s0, s1, s2, s3, _words(w), nr)
+    return struct.pack(">4I", *r)
+
+
+def aes_cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC-encrypt without padding (len(data) must be a multiple of 16).
+
+    Used by the R6 Algorithm-2.B hash and by the test-fixture encryptor;
+    the IV is NOT prepended to the output."""
+    if len(data) % 16:
+        raise ValueError("aes_cbc_encrypt_raw needs 16-byte-aligned data")
+    _build_te()
+    w, nr = _expand_key(key)
+    rk = _words(w)
+    out = bytearray()
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
+    unpack, pack = struct.unpack_from, struct.pack
+    for off in range(0, len(data), 16):
+        d0, d1, d2, d3 = unpack(">4I", data, off)
+        p0, p1, p2, p3 = _aes_encrypt_words(
+            d0 ^ p0, d1 ^ p1, d2 ^ p2, d3 ^ p3, rk, nr)
+        out += pack(">4I", p0, p1, p2, p3)
+    return bytes(out)
+
+
+def aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC-decrypt without padding removal (IV passed explicitly)."""
+    if len(data) % 16 or not data:
+        return b""
+    w, nr = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        block = data[off:off + 16]
+        plain = _aes_decrypt_block(block, w, nr)
+        out.extend(bytes(a ^ b for a, b in zip(plain, prev)))
+        prev = block
+    return bytes(out)
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """data = IV || ciphertext; strips PKCS#7 padding."""
     if len(data) < 32 or len(data) % 16:
@@ -179,6 +282,30 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 iterated password hash.
+
+    Rounds of AES-128-CBC-encrypt over 64 repetitions of
+    (password||K||udata), with the digest function for the next round
+    chosen by the encrypted output mod 3; terminates when at least 64
+    rounds have run and the last byte of E is <= round - 32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_raw(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 class StandardSecurityHandler:
     """PDF standard security handler, empty user password only."""
 
@@ -187,8 +314,30 @@ class StandardSecurityHandler:
         self.v = int(resolve(encrypt.get("V")) or 0)
         self.r = int(resolve(encrypt.get("R")) or 2)
         if self.r >= 5:
-            raise NotImplementedError(
-                "AES-256 (R5/R6) encryption not supported")
+            # AES-256 (ISO 32000-2 §7.6.4): recover the file key from the
+            # empty user password via /U (48 bytes: hash ||
+            # validation-salt || key-salt) and /UE.
+            u = resolve(encrypt.get("U"))
+            ue = resolve(encrypt.get("UE"))
+            u_bytes = u if isinstance(u, (bytes, bytearray)) else b""
+            ue_bytes = ue if isinstance(ue, (bytes, bytearray)) else b""
+            if len(u_bytes) < 48 or len(ue_bytes) < 32:
+                raise ValueError("R%d /U or /UE missing/short" % self.r)
+            vsalt, ksalt = u_bytes[32:40], u_bytes[40:48]
+            if self.r == 5:  # deprecated Adobe ExtensionLevel 3 variant
+                check = hashlib.sha256(vsalt).digest()
+                ikey = hashlib.sha256(ksalt).digest()
+            else:
+                check = hash_r6(b"", vsalt)
+                ikey = hash_r6(b"", ksalt)
+            if check != u_bytes[:32]:
+                raise ValueError("empty user password rejected (R%d)"
+                                 % self.r)
+            self.key = aes_cbc_decrypt_raw(ikey, bytes(16), ue_bytes[:32])
+            self.key_len = 32
+            self.cfm = "AESV3"
+            self.encrypt_metadata = True
+            return
         length = int(resolve(encrypt.get("Length")) or 40)
         self.key_len = length // 8
         o = resolve(encrypt.get("O"))
@@ -230,6 +379,8 @@ class StandardSecurityHandler:
             self.key = key[:5]
 
     def object_key(self, num: int, gen: int) -> bytes:
+        if self.cfm == "AESV3":  # R5/R6: file key used directly
+            return self.key
         ext = self.key + bytes([num & 0xFF, (num >> 8) & 0xFF,
                                 (num >> 16) & 0xFF,
                                 gen & 0xFF, (gen >> 8) & 0xFF])
@@ -242,6 +393,6 @@ class StandardSecurityHandler:
         if self.cfm == "Identity":
             return data
         key = self.object_key(num, gen)
-        if self.cfm == "AESV2":
+        if self.cfm in ("AESV2", "AESV3"):
             return aes_cbc_decrypt(key, data)
         return rc4(key, data)

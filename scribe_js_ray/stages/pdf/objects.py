@@ -586,10 +586,17 @@ class PdfFile:
             # but they parse before self.crypt exists, so no special case;
             # the Encrypt dict's own object is exempt per spec).
             if getattr(self, "crypt", None) is not None and \
-                    isinstance(obj, StreamObj) and \
-                    num != self._encrypt_num and \
-                    str(obj.dict.get("Type") or "") != "XRef":
-                obj.raw = self.crypt.decrypt(obj.raw, num, gen)
+                    num != self._encrypt_num:
+                if isinstance(obj, StreamObj) and \
+                        str(obj.dict.get("Type") or "") != "XRef":
+                    obj.raw = self.crypt.decrypt(obj.raw, num, gen)
+                # String objects (form-field /V, annotation /Contents,
+                # outline /Title, ...) are encrypted with the same
+                # per-object key as streams (ISO 32000-1 §7.6.2; reference
+                # objectCache.js decryptStringBytes). Strings inside object
+                # streams are NOT re-encrypted — this branch only runs for
+                # directly-stored objects.
+                obj = self._decrypt_strings(obj, num, gen)
         elif num in self.compressed:
             container, idx = self.compressed[num]
             objs = self._load_objstm(container)
@@ -597,6 +604,24 @@ class PdfFile:
         else:
             obj = None
         self._cache[num] = obj
+        return obj
+
+    def _decrypt_strings(self, obj, num: int, gen: int):
+        """Recursively decrypt every PDF string (parsed to ``bytes``)
+        inside a directly-stored object with its per-object key."""
+        if isinstance(obj, (bytes, bytearray)):
+            try:
+                return self.crypt.decrypt(bytes(obj), num, gen)
+            except Exception:
+                return obj
+        if isinstance(obj, StreamObj):
+            obj.dict = self._decrypt_strings(obj.dict, num, gen)
+            return obj
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(v, num, gen)
+                    for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, num, gen) for v in obj]
         return obj
 
     def _load_objstm(self, num: int) -> list:

@@ -1,17 +1,20 @@
 """Encrypted-PDF support: RC4/AES primitives (published test vectors),
-standard-security-handler key schedule, end-to-end encrypted extraction."""
+standard-security-handler key schedule (R3 RC4, R6 AES-256), string +
+stream decryption, end-to-end encrypted extraction."""
 
 import hashlib
-import random
 import re
 import struct
 
-from scribe_js_ray.sources.synth_pdf import _Typesetter, _make_pdf
+from scribe_js_ray.sources.synth_pdf import (
+    PdfWriter, _Typesetter, _make_pdf)
 from scribe_js_ray.stages.pdf import parse_pdf_document
 from scribe_js_ray.stages.pdf.crypto import (
-    _PAD, StandardSecurityHandler, aes_cbc_decrypt, rc4)
+    _PAD, StandardSecurityHandler, aes_cbc_decrypt, aes_cbc_decrypt_raw,
+    aes_cbc_encrypt_raw, hash_r6, rc4)
 from scribe_js_ray.stages.pdf.objects import PdfFile
 from scribe_js_ray.model import page_text
+from scribe_js_ray.stages.layout import analyze_layout
 
 
 def test_rc4_vectors():
@@ -22,20 +25,81 @@ def test_rc4_vectors():
     assert rc4(b"k", rc4(b"k", b"payload")) == b"payload"
 
 
-def test_aes_cbc_roundtrip_via_vector():
-    from scribe_js_ray.stages.pdf.crypto import _aes_decrypt_block, \
-        _expand_key
+def test_aes_block_vectors():
+    # FIPS-197 appendix C.1 (AES-128), both directions
+    from scribe_js_ray.stages.pdf.crypto import (
+        _aes_decrypt_block, _aes_encrypt_block, _expand_key)
     key = bytes(range(16))
-    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")  # FIPS-197
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
     w, nr = _expand_key(key)
-    assert _aes_decrypt_block(ct, w, nr) == bytes.fromhex(
-        "00112233445566778899aabbccddeeff")
+    assert _aes_decrypt_block(ct, w, nr) == pt
+    assert _aes_encrypt_block(pt, w, nr) == ct
+    # FIPS-197 C.3 (AES-256)
+    key256 = bytes(range(32))
+    ct256 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    w2, nr2 = _expand_key(key256)
+    assert _aes_encrypt_block(pt, w2, nr2) == ct256
+    assert _aes_decrypt_block(ct256, w2, nr2) == pt
+
+
+def test_aes_cbc_raw_roundtrip():
+    key, iv = bytes(range(32)), bytes(range(16, 32))
+    data = bytes(range(256)) * 2  # 512 bytes, 16-aligned
+    ct = aes_cbc_encrypt_raw(key, iv, data)
+    assert ct != data
+    assert aes_cbc_decrypt_raw(key, iv, ct) == data
+
+
+# ---------------------------------------------------------------------------
+# fixture encryptors: re-parse the synthetic writer's object blocks,
+# encrypt stream payloads AND literal strings (the reference decrypts
+# both — objectCache.js decryptStringBytes), rebuild xref + trailer.
+
+_OBJ_PAT = re.compile(rb"(\d+) (\d+) obj\n?([\s\S]*?)\nendobj\n")
+_STR_PAT = re.compile(rb"\((?:[^\\()]|\\.)*\)")
+
+
+def _unesc(raw: bytes) -> bytes:
+    return re.sub(rb"\\([\\()])", rb"\1", raw[1:-1])
+
+
+def _transform_pdf(data: bytes, enc_stream, enc_string,
+                   trailer_extra: bytes) -> bytes:
+    """Rebuild a synthetic PDF, transforming each object's stream payload
+    and literal strings with the provided per-object encryptors."""
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for m in _OBJ_PAT.finditer(data):
+        num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
+        sm = re.search(rb"stream\r?\n([\s\S]*?)\nendstream", body)
+        if sm:
+            head, payload = body[:sm.start()], sm.group(1)
+            payload = enc_stream(num, gen, payload)
+            head = re.sub(rb"/Length \d+",
+                          b"/Length %d" % len(payload), head)
+            head = _STR_PAT.sub(
+                lambda s: b"<%s>" % enc_string(
+                    num, gen, _unesc(s.group(0))).hex().encode(), head)
+            body = head + b"stream\n" + payload + b"\nendstream"
+        else:
+            body = _STR_PAT.sub(
+                lambda s: b"<%s>" % enc_string(
+                    num, gen, _unesc(s.group(0))).hex().encode(), body)
+        offsets[num] = len(out)
+        out += b"%d %d obj\n" % (num, gen) + body + b"\nendobj\n"
+    xref_pos = len(out)
+    maxn = max(offsets) + 1
+    out += b"xref\n0 %d\n" % maxn + b"0000000000 65535 f \n"
+    for i in range(1, maxn):
+        out += b"%010d 00000 n \n" % offsets[i]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R " % maxn + trailer_extra
+            + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(out)
 
 
 def _encrypt_pdf_rc4(data: bytes) -> bytes:
-    """Post-process a synthetic PDF into an RC4-encrypted one (R3, 128-bit):
-    derive /O for empty owner password, file key per Algorithm 2, RC4 every
-    stream with its per-object key, append /Encrypt + /ID to the trailer."""
+    """RC4-encrypt (R3, 128-bit, empty passwords) streams AND strings."""
     doc_id = b"\x01\x23\x45\x67\x89\xab\xcd\xef" * 2
     p = -44
 
@@ -66,32 +130,45 @@ def _encrypt_pdf_rc4(data: bytes) -> bytes:
                                 (gen >> 8) & 0xFF])
         return hashlib.md5(ext).digest()[:16]
 
-    # encrypt every stream body in place
-    out = bytearray()
-    pos = 0
-    pattern = re.compile(
-        rb"(\d+) (\d+) obj((?:(?!endobj)[\s\S])*?stream\r?\n)"
-        rb"([\s\S]*?)(endstream)")
-    last = 0
-    for m in pattern.finditer(data):
-        num, gen = int(m.group(1)), int(m.group(2))
-        body = m.group(4)
-        enc = rc4(obj_key(num, gen), body)
-        out += data[last:m.start(4)]
-        out += enc
-        last = m.end(4)
-    out += data[last:]
+    enc = lambda num, gen, b: rc4(obj_key(num, gen), b)
+    trailer = (f"/Encrypt << /Filter /Standard /V 2 /R 3 /Length 128 "
+               f"/P {p} /O <{o_val.hex()}> /U <{bytes(32).hex()}> >> "
+               f"/ID [<{doc_id.hex()}> <{doc_id.hex()}>]").encode()
+    return _transform_pdf(data, enc, enc, trailer)
 
-    # splice /Encrypt (inline dict) + /ID into the existing trailer —
-    # the trailer sits after the xref table, so object offsets and
-    # startxref stay valid.
-    enc_dict = (f"/Encrypt << /Filter /Standard /V 2 /R 3 /Length 128 "
-                f"/P {p} /O <{o_val.hex()}> /U <{bytes(32).hex()}> >> "
-                f"/ID [<{doc_id.hex()}> <{doc_id.hex()}>]").encode()
-    blob = bytes(out).replace(
-        b"/Root 1 0 R >>", b"/Root 1 0 R " + enc_dict + b" >>", 1)
-    assert enc_dict in blob
-    return blob
+
+def _encrypt_pdf_aes256(data: bytes, r: int = 6) -> bytes:
+    """AES-256-encrypt (V5 R5/R6, empty passwords): /U from the
+    validation salt, /UE wrapping a fixed file key."""
+    file_key = hashlib.sha256(b"fixture-file-key").digest()
+    vsalt, ksalt = b"VSALT##1", b"KSALT##2"
+    if r == 6:
+        u_hash = hash_r6(b"", vsalt)
+        ikey = hash_r6(b"", ksalt)
+    else:
+        u_hash = hashlib.sha256(vsalt).digest()
+        ikey = hashlib.sha256(ksalt).digest()
+    u_val = u_hash + vsalt + ksalt
+    ue_val = aes_cbc_encrypt_raw(ikey, bytes(16), file_key)
+    # /O and /OE are not consulted by the empty-user-password path;
+    # fill with plausible 48/32-byte values.
+    o_val = hashlib.sha512(b"owner").digest()[:48]
+    oe_val = bytes(32)
+
+    iv = bytes(range(16))
+
+    def enc(num, gen, b):
+        pad = 16 - len(b) % 16
+        return iv + aes_cbc_encrypt_raw(file_key, iv, b + bytes([pad]) * pad)
+
+    trailer = (
+        f"/Encrypt << /Filter /Standard /V 5 /R {r} /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF /P -44 "
+        f"/O <{o_val.hex()}> /U <{u_val.hex()}> "
+        f"/OE <{oe_val.hex()}> /UE <{ue_val.hex()}> >> "
+        f"/ID [<{bytes(16).hex()}> <{bytes(16).hex()}>]").encode()
+    return _transform_pdf(data, enc, enc, trailer)
 
 
 def _sample_pdf() -> bytes:
@@ -99,6 +176,28 @@ def _sample_pdf() -> bytes:
     ts.line("Secret content line one", font="F1")
     ts.line("And a second line", font="F1")
     return _make_pdf([ts.stream()], {"F1": "Helvetica"})
+
+
+def _sample_pdf_with_field(value="Hidden Field Payload") -> bytes:
+    """A page whose extracted text also pulls from a STRING object (a
+    text form-field /V) — exercises string decryption, not just streams."""
+    ts = _Typesetter()
+    ts.line("Label:", font="F1")
+    stream = ts.stream().encode("latin-1")
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")                        # 1
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")                # 2
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R "
+          b"/Annots [6 0 R] >>")                                       # 3
+    w.add(b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+          + stream + b"\nendstream")                                   # 4
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")                            # 5
+    w.add(f"<< /Type /Annot /Subtype /Widget /FT /Tx /T (fld) "
+          f"/V ({value}) /F 0 /Ff 0 "
+          f"/Rect [150 600 400 620] >>".encode())                      # 6
+    return w.build()
 
 
 def test_handler_roundtrip_self_consistent():
@@ -120,8 +219,54 @@ def test_encrypted_pdf_extracts_text():
     assert page_text(pages_enc[0]) == plain_text
 
 
-def test_r5_rejected_cleanly():
+def test_encrypted_string_objects_decrypted():
+    """Form-field /V is a string object; its bytes must decrypt before
+    lift_field_values typesets them (ADVICE r1: previously mojibake)."""
+    plain = _sample_pdf_with_field()
+    pages_plain, _ = parse_pdf_document(plain)
+    analyze_layout(pages_plain)
+    plain_text = page_text(pages_plain[0])
+    assert "Hidden Field Payload" in plain_text
+
+    enc = _encrypt_pdf_rc4(plain)
+    assert b"Hidden Field Payload" not in enc  # string truly encrypted
+    pages_enc, _ = parse_pdf_document(enc)
+    analyze_layout(pages_enc)
+    assert page_text(pages_enc[0]) == plain_text
+
+
+def test_aes256_r6_pdf_extracts_text():
+    plain = _sample_pdf_with_field()
+    pages_plain, _ = parse_pdf_document(plain)
+    analyze_layout(pages_plain)
+    plain_text = page_text(pages_plain[0])
+
+    enc = _encrypt_pdf_aes256(plain, r=6)
+    assert b"Secret" not in enc and b"Hidden Field Payload" not in enc
+    pdf = PdfFile(enc)
+    assert pdf.crypt is not None and pdf.crypt.cfm == "AESV3"
+    assert pdf.crypt.key_len == 32
+    pages_enc, _ = parse_pdf_document(enc)
+    analyze_layout(pages_enc)
+    assert page_text(pages_enc[0]) == plain_text
+
+
+def test_aes256_r5_pdf_extracts_text():
+    plain = _sample_pdf()
+    pages_plain, _ = parse_pdf_document(plain)
+    plain_text = page_text(pages_plain[0])
+
+    enc = _encrypt_pdf_aes256(plain, r=5)
+    pages_enc, _ = parse_pdf_document(enc)
+    assert page_text(pages_enc[0]) == plain_text
+
+
+def test_wrong_password_rejected():
     import pytest
-    with pytest.raises(NotImplementedError):
-        StandardSecurityHandler({"V": 5, "R": 6, "O": b"x" * 48,
-                                 "P": -44}, b"")
+    # /U validation hash that matches no password → ValueError, which the
+    # pipeline catches into the per-row error column.
+    bad_u = bytes(32) + b"VSALT##1" + b"KSALT##2"
+    with pytest.raises(ValueError):
+        StandardSecurityHandler(
+            {"V": 5, "R": 6, "O": b"x" * 48, "U": bad_u, "UE": bytes(32),
+             "P": -44}, b"")
