@@ -256,6 +256,7 @@ def _emb_near_dup(sf_dir: str):
 
 
 def _emb_knn_ivf(sf_dir: str):
+    import hashlib as _hl
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -267,7 +268,24 @@ def _emb_knn_ivf(sf_dir: str):
     qvec = tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"][0].as_py()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return knn_top_k_ivf(ds, qvec, k=10).select_columns(["vec_id"])
+    # Cell-partitioned index cached per input dir: built once, every
+    # query after that reads only its probe cells' files.
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    index_dir = f"/tmp/scribe_js_ray_ivf_{tag}"
+    return knn_top_k_ivf(ds, qvec, k=10, index_dir=index_dir) \
+        .select_columns(["vec_id"])
+
+
+def _emb_near_dup_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import emb_near_dup_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # Same threshold as emb_near_dup; LSH-bucketed sub-quadratic path
+    # (rows-only: recall is probabilistic, precision exact).
+    return emb_near_dup_lsh(ds, threshold=0.42)
 
 
 def _mm_image_features(sf_dir: str):
@@ -367,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_top10": _emb_knn_top10,
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_near_dup": _emb_near_dup,
+        "emb_near_dup_lsh": _emb_near_dup_lsh,
     }
 
 

@@ -162,44 +162,41 @@ def _minhash_bands_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def minhash_duplicate_pairs(ds):
+_LSH_BUCKET_CAP = 128
+
+
+def minhash_duplicate_pairs(ds, bucket_cap: int = _LSH_BUCKET_CAP):
     """MinHash+LSH near-dup candidates: shingle → 64-perm signature →
     16-band bucketing → per-bucket pair emission → distinct pairs.
     Shuffle key = (band, band_key); the text never crosses the exchange.
 
-    Bucket membership is collected with a combinable list aggregate (one
-    groupby shuffle, map-side combined) instead of per-group pandas calls
-    — thousands of tiny ``map_groups`` invocations were the bottleneck."""
-    from ray.data.aggregate import AggregateFn
-
+    Pair emission happens inside ``map_groups`` (one vectorized call per
+    bucket — r1's per-row ``AggregateFn`` list-append was O(n²) Python).
+    Hot buckets (boilerplate-heavy corpora collapse thousands of docs
+    into one band key) are capped: above ``bucket_cap`` members, each doc
+    links only to the bucket minimum — O(n) star pairs that preserve the
+    connected component for dedup instead of an unbounded O(n²) blowup."""
     bands = ds.map_batches(_minhash_bands_batch, batch_format="pyarrow")
 
-    collect_ids = AggregateFn(
-        init=lambda k: [],
-        accumulate_row=lambda acc, row: acc + [row["doc_id"]],
-        merge=lambda a, b: a + b,
-        name="doc_ids",
-    )
-    buckets = bands.groupby(["band", "band_key"]).aggregate(collect_ids)
-
-    def pairs_of_buckets(t: pa.Table) -> pa.Table:
+    def pairs_of_bucket(t: pa.Table) -> pa.Table:
+        ids = sorted(set(t["doc_id"].to_pylist()))
         out_a, out_b = [], []
-        seen = set()
-        for ids in t["doc_ids"].to_pylist():
-            ids = sorted(set(ids))
+        if len(ids) > bucket_cap:
+            m = ids[0]
+            out_a = [m] * (len(ids) - 1)
+            out_b = ids[1:]
+        else:
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    p = (ids[i], ids[j])
-                    if p not in seen:  # in-block dedup before the shuffle
-                        seen.add(p)
-                        out_a.append(p[0])
-                        out_b.append(p[1])
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pa.table({
             "doc_a": pa.array(out_a, pa.int64()),
             "doc_b": pa.array(out_b, pa.int64()),
         })
 
-    pairs = buckets.map_batches(pairs_of_buckets, batch_format="pyarrow")
+    pairs = bands.groupby(["band", "band_key"]) \
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
     # Distinct across bands (a true pair collides in many bands).
     from ray.data.aggregate import Count
     return pairs.groupby(["doc_a", "doc_b"]) \
@@ -248,7 +245,7 @@ def knn_top_k(ds, query_vec, k: int = 10):
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def score(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        mat = _emb_matrix(batch["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ qn) / norms
@@ -266,56 +263,110 @@ def knn_top_k(ds, query_vec, k: int = 10):
 # n-gram Jaccard near-dup (verification layer over LSH candidates)
 
 
-def _ngram_set(text: str, n: int = 3) -> set:
+def _ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the doc's token n-grams — the set
+    representation that crosses the shuffle (8 B/gram, never the text)."""
     toks = _NONALNUM_RE.sub(" ", (text or "").lower()).split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
     if len(toks) < n:
-        return {tuple(toks)} if toks else set()
-    return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    arr = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "big") for g in grams),
+        dtype=np.uint64, count=len(grams))
+    return np.unique(arr)
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3):
-    """Near-dup pairs by exact n-gram Jaccard, LSH-pruned: MinHash+LSH
-    proposes candidates (no quadratic scan), then each candidate pair is
-    verified with the true Jaccard of token n-gram sets.  The doc texts
-    needed for verification are fetched via a broadcast id→text map
-    (ray.put once, read per task — documents table is the small side of
-    this join at verification time because candidates reference only the
-    docs that collided)."""
-    import ray
+    """Near-dup pairs by n-gram Jaccard, LSH-pruned: MinHash+LSH proposes
+    candidates (no quadratic scan), then each candidate pair is verified
+    with the true Jaccard of the docs' n-gram hash sets.
 
+    Fully distributed — a two-hop repartition join (r1 materialized the
+    whole documents table on the driver):
+      1. per-doc n-gram hash sets computed once (map_batches);
+      2. join on doc_id: union(hash-set rows, exploded pair rows) →
+         groupby(doc_id) attaches each doc's set to every pair that
+         references it;
+      3. groupby(doc_a, doc_b) brings the two sets of a pair together
+         and computes exact Jaccard.
+    Only candidate-pair hash sets cross the second exchange."""
     candidates = minhash_duplicate_pairs(ds)
 
-    # Broadcast the text column once (id→text); at 100 TB this becomes a
-    # shuffle join of candidates against documents on doc_id — candidates
-    # are tiny, so a broadcast of the *candidate* ids into a documents
-    # scan would be the scale path.  Here the docs table fits the store.
-    texts_ref = ray.put({
-        d: t for batch in ds.iter_batches(batch_size=4096,
-                                          batch_format="pyarrow")
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist())})
+    hash_list_t = pa.list_(pa.uint64())
+    join_schema = pa.schema([
+        ("doc_id", pa.int64()), ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()), ("hashes", hash_list_t)])
 
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        a_ids = batch["doc_a"].to_pylist()
-        b_ids = batch["doc_b"].to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(a_ids, b_ids):
-            sa, sb = _ngram_set(texts.get(a), n), _ngram_set(texts.get(b), n)
-            if not sa and not sb:
-                continue
-            j = len(sa & sb) / (len(sa | sb) or 1)
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(round(j, 6))
+    def doc_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hs = [_ngram_hashes(x, n) for x in t["text"].to_pylist()]
+        nn = pa.nulls(len(ids), pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"], "doc_a": nn, "doc_b": nn,
+            "hashes": pa.array([h.tolist() for h in hs], hash_list_t),
+        }, schema=join_schema)
+
+    def pair_side(t: pa.Table) -> pa.Table:
+        a, b = t["doc_a"], t["doc_b"]
+        both_key = pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]) \
+            if isinstance(a, pa.ChunkedArray) else pa.concat_arrays([a, b])
+        n_rows = len(t)
+        aa = pa.concat_tables([t, t])  # doc_a/doc_b repeated for both rows
+        return pa.table({
+            "doc_id": both_key,
+            "doc_a": aa["doc_a"], "doc_b": aa["doc_b"],
+            "hashes": pa.nulls(2 * n_rows, hash_list_t),
+        }, schema=join_schema)
+
+    left = ds.map_batches(doc_side, batch_format="pyarrow")
+    right = candidates.map_batches(pair_side, batch_format="pyarrow")
+
+    def attach(group: pa.Table) -> pa.Table:
+        # One doc-side row (hashes non-null) + K pair-side rows; emit one
+        # (doc_a, doc_b, this-doc's-hashes) row per referencing pair.
+        hashes_col = group["hashes"].to_pylist()
+        doc_hashes = next((h for h in hashes_col if h is not None), None)
+        mask = [h is None for h in hashes_col]
+        out_a = [a for a, m in zip(group["doc_a"].to_pylist(), mask) if m]
+        out_b = [b for b, m in zip(group["doc_b"].to_pylist(), mask) if m]
         return pa.table({
             "doc_a": pa.array(out_a, pa.int64()),
             "doc_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
+            "hashes": pa.array([doc_hashes] * len(out_a), hash_list_t),
         })
 
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    attached = left.union(right).groupby("doc_id") \
+        .map_groups(attach, batch_format="pyarrow")
+
+    def jaccard_of_pair(group: pa.Table) -> pa.Table:
+        sets = [np.asarray(h, dtype=np.uint64)
+                for h in group["hashes"].to_pylist() if h is not None]
+        empty = pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())})
+        if len(sets) != 2:
+            return empty
+        sa, sb = sets
+        if not len(sa) and not len(sb):
+            return empty
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = len(sa) + len(sb) - inter
+        j = inter / (union or 1)
+        if j < threshold:
+            return empty
+        return pa.table({
+            "doc_a": group["doc_a"][:1],
+            "doc_b": group["doc_b"][:1],
+            "jaccard": pa.array([round(j, 6)], pa.float64()),
+        })
+
+    return attached.groupby(["doc_a", "doc_b"]) \
+        .map_groups(jaccard_of_pair, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -328,29 +379,46 @@ def _norm_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """list<float> / fixed_size_list<float> column → (n, dim) float64
+    matrix without a Python-list round trip (flatten + reshape over the
+    Arrow values buffer)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), dim).astype(np.float64, copy=False)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1).astype(np.float64, copy=False)
+
+
 def emb_near_dup_pairs(ds, threshold: float = 0.95):
     """Exact embedding-cosine near-dup: per-batch matmul against a
     broadcast normalized matrix of the full (small-side) table — the
     blocked all-pairs pattern: each task computes one B×N strip, so the
-    N×N similarity matrix never materializes.  ray.put once; tasks read
-    zero-copy from the object store."""
+    N×N similarity matrix never materializes.
+
+    The broadcast side is assembled INSIDE a Ray task from the dataset's
+    block refs — the driver only ever holds an ObjectRef (r1 gathered the
+    whole table into a driver-side dict).  ``emb_near_dup_lsh`` is the
+    sub-quadratic path when the corpus outgrows a broadcast side."""
     import ray
 
-    # Materialize the broadcast side once (ids + normalized matrix).
-    ids = []
-    vecs = []
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        ids += batch["vec_id"].to_pylist()
-        vecs.append(np.array(batch["embedding"].to_pylist(),
-                             dtype=np.float64))
-    all_ids = np.array(ids, dtype=np.int64)
-    all_mat = _norm_rows(np.vstack(vecs))
-    side_ref = ray.put((all_ids, all_mat))
+    block_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def build_side(*blocks):
+        ids = np.concatenate(
+            [np.asarray(b["vec_id"], dtype=np.int64) for b in blocks])
+        mat = np.vstack([_emb_matrix(b["embedding"]) for b in blocks])
+        return ids, _norm_rows(mat)
+
+    side_ref = build_side.remote(*block_refs)
 
     def strip(batch: pa.Table) -> pa.Table:
         bids = np.asarray(batch["vec_id"], dtype=np.int64)
-        bmat = _norm_rows(np.array(batch["embedding"].to_pylist(),
-                                   dtype=np.float64))
+        bmat = _norm_rows(_emb_matrix(batch["embedding"]))
         oids, omat = ray.get(side_ref)
         sims = bmat @ omat.T  # B×N strip
         rows, cols = np.nonzero(sims >= threshold)
@@ -363,6 +431,62 @@ def emb_near_dup_pairs(ds, threshold: float = 0.95):
         })
 
     return ds.map_batches(strip, batch_format="pyarrow") \
+        .sort(["vec_a", "vec_b"])
+
+
+def emb_near_dup_lsh(ds, threshold: float = 0.95, n_bands: int = 8,
+                     band_bits: int = 8, dim: int = 64):
+    """Sub-quadratic embedding near-dup: sign-LSH banding (n_bands bands
+    of band_bits hyperplanes each) proposes candidates; each bucket is
+    verified with EXACT cosine inside ``map_groups``.  Shuffle key =
+    (band, bucket); each vector ships its (dim)-float payload to its
+    n_bands buckets — no broadcast side, no N² strip.  Precision is
+    exact; recall is the LSH collision probability (≥1 of n_bands bands
+    agreeing on all band_bits signs), which for cos≥0.95 pairs is ≫0.99
+    at these defaults."""
+    planes = np.random.RandomState(777).randn(n_bands * band_bits, dim)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch["embedding"])
+        signs = (mat @ planes.T) > 0            # n × (bands*bits)
+        signs = signs.reshape(len(mat), n_bands, band_bits)
+        keys = np.packbits(signs, axis=2)[:, :, 0].astype(np.int64)
+        n = len(mat)
+        band_idx = np.repeat(np.arange(n_bands, dtype=np.int32)[None, :],
+                             n, axis=0).ravel()
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        take = np.repeat(np.arange(n), n_bands)
+        return pa.table({
+            "band": pa.array(band_idx, pa.int32()),
+            "bucket": pa.array(keys.ravel(), pa.int64()),
+            "vec_id": batch["vec_id"].take(pa.array(take)),
+            "embedding": emb.take(pa.array(take)),
+        })
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"], dtype=np.int64)
+        if len(ids) < 2:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64())})
+        mat = _norm_rows(_emb_matrix(group["embedding"]))
+        sims = mat @ mat.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a, b = ids[rows], ids[cols]
+        keep = a < b
+        return pa.table({
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+        })
+
+    pairs = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]) \
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+    return pairs.groupby(["vec_a", "vec_b"]) \
+        .aggregate(Count(alias_name="n_bands")) \
+        .select_columns(["vec_a", "vec_b"]) \
         .sort(["vec_a", "vec_b"])
 
 
@@ -380,7 +504,7 @@ def emb_lsh_buckets(ds, dim: int = 64):
     planes = _hyperplanes(dim)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        mat = _emb_matrix(batch["embedding"])
         signs = (mat @ planes.T) > 0
         keys = np.packbits(signs, axis=1)[:, :2]
         key_int = (keys[:, 0].astype(np.int64) << 8) | keys[:, 1]
@@ -392,37 +516,74 @@ def emb_lsh_buckets(ds, dim: int = 64):
     return ds.map_batches(bucket, batch_format="pyarrow")
 
 
+def _ivf_planes(n_cells: int, dim: int) -> np.ndarray:
+    """Deterministic coarse centroids (unit rows; k-means at cluster
+    scale would refine these — the partition/pruning mechanics are
+    identical)."""
+    return _norm_rows(np.random.RandomState(4242).randn(n_cells, dim))
+
+
+def build_ivf_index(ds, index_dir: str, n_cells: int = 16, dim: int = 64):
+    """One-time IVF index build: assign every vector to its nearest coarse
+    centroid and write Parquet PARTITIONED BY cell.  The cell is thereby a
+    physical partition key — probes read only their cells' files."""
+    planes = _ivf_planes(n_cells, dim)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        matn = _norm_rows(_emb_matrix(batch["embedding"]))
+        cells = np.argmax(matn @ planes.T, axis=1)
+        return batch.append_column(
+            "cell", pa.array(cells.astype(np.int32), pa.int32()))
+
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["cell"])
+    return index_dir
+
+
 def knn_top_k_ivf(ds, query_vec, k: int = 10, n_cells: int = 16,
-                  n_probe: int = 4, dim: int = 64):
-    """IVF-style ANN: coarse centroids from a deterministic grid of the
-    hyperplane signs (no training pass needed at test scale; k-means at
-    cluster scale), search only the n_probe cells nearest the query.
-    Scale path: cells are the partition key; the query probes a fixed
-    fraction of the corpus instead of all of it."""
+                  n_probe: int = 4, dim: int = 64,
+                  index_dir: str | None = None):
+    """IVF ANN with real partition pruning: vectors are laid out in a
+    cell-partitioned Parquet index (one directory per coarse centroid);
+    a query reads ONLY its n_probe nearest cells — n_probe/n_cells of
+    the corpus leaves storage, instead of r1's full scan with a
+    per-batch cell filter.  Pass ``index_dir`` to reuse a prebuilt
+    index across queries (the amortized path; bench does this)."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
-    planes = np.random.RandomState(4242).randn(n_cells, dim)
-    planes = _norm_rows(planes)
+    planes = _ivf_planes(n_cells, dim)
+
+    if index_dir is None or not os.path.isdir(index_dir) \
+            or not os.listdir(index_dir):
+        index_dir = index_dir or tempfile.mkdtemp(prefix="ivf-index-")
+        build_ivf_index(ds, index_dir, n_cells=n_cells, dim=dim)
+
     q_sims = planes @ qn
-    probe_cells = set(np.argsort(-q_sims)[:n_probe].tolist())
+    probe_cells = np.argsort(-q_sims)[:n_probe].tolist()
+    dirs = [os.path.join(index_dir, f"cell={c}") for c in probe_cells]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                       "sim": pa.array([], pa.float64())}))
+    pruned = rd.read_parquet(paths, columns=["vec_id", "embedding"])
 
     def score(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        matn = _norm_rows(mat)
-        cells = np.argmax(matn @ planes.T, axis=1)
-        mask = np.isin(cells, list(probe_cells))
-        if not mask.any():
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        sims = matn[mask] @ qn
-        ids = np.asarray(batch["vec_id"], dtype=np.int64)[mask]
+        matn = _norm_rows(_emb_matrix(batch["embedding"]))
+        sims = matn @ qn
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
         order = np.argsort(-sims)[:k]
         return pa.table({
             "vec_id": pa.array(ids[order], pa.int64()),
             "sim": pa.array(sims[order], pa.float64()),
         })
 
-    topk = ds.map_batches(score, batch_format="pyarrow")
+    topk = pruned.map_batches(score, batch_format="pyarrow")
     return topk.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
 

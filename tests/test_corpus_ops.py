@@ -134,3 +134,37 @@ def test_emb_lsh_buckets_deterministic(ray_session):
     }))
     b3 = corpus.emb_lsh_buckets(ds2).to_pandas()
     assert b3["bucket"].iloc[0] == b3["bucket"].iloc[1]
+
+
+def test_emb_near_dup_lsh_finds_planted_pair(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(40, 64)
+    vecs[9] = vecs[4] + 0.001 * rng.randn(64)  # planted near-dup
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    pairs = corpus.emb_near_dup_lsh(ds, threshold=0.99).to_pandas()
+    got = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (4, 9) in got
+    assert all(a < b for a, b in got)
+    # precision is exact: LSH output ⊆ exact all-pairs output
+    exact = corpus.emb_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert got <= set(zip(exact["vec_a"], exact["vec_b"]))
+
+
+def test_minhash_hot_bucket_star_cap(ray_session):
+    # 30 identical docs collide in every band; with a cap below the
+    # bucket size the emission degrades to O(n) star pairs anchored at
+    # the bucket minimum — the connected component survives.
+    texts = [BASE] * 30
+    pairs = corpus.minhash_duplicate_pairs(_docs_ds(texts), bucket_cap=10) \
+        .to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == {(0, j) for j in range(1, 30)}
+    # without the cap the same corpus yields all n(n-1)/2 pairs
+    full = corpus.minhash_duplicate_pairs(_docs_ds(texts), bucket_cap=1000) \
+        .to_pandas()
+    assert len(full) == 30 * 29 // 2
