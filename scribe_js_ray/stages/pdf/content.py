@@ -20,11 +20,21 @@ from .objects import Lexer, Name, Ref, StreamObj
 
 
 class PositionedChar:
+    """One placed glyph (parsePdfDoc.js:1350-1372 PositionedChar analog).
+
+    ``orientation`` is the quarter-turn of the advance direction on
+    screen (0 rightward, 1 downward, 2 leftward, 3 upward);
+    ``dir_x``/``dir_y`` are the unit advance direction in SCREEN coords
+    (y grows downward) for rotation-aware line grouping and baseline
+    slope.  ``family``/``smallcaps`` come from the font name."""
+
     __slots__ = ("text", "x", "y", "width", "font_size", "font", "bold",
-                 "italic", "invisible")
+                 "italic", "invisible", "orientation", "dir_x", "dir_y",
+                 "family", "smallcaps")
 
     def __init__(self, text, x, y, width, font_size, font, bold, italic,
-                 invisible):
+                 invisible, orientation=0, dir_x=1.0, dir_y=0.0,
+                 family=None, smallcaps=False):
         self.text = text
         self.x = x
         self.y = y
@@ -34,6 +44,11 @@ class PositionedChar:
         self.bold = bold
         self.italic = italic
         self.invisible = invisible
+        self.orientation = orientation
+        self.dir_x = dir_x
+        self.dir_y = dir_y
+        self.family = family if family is not None else font
+        self.smallcaps = smallcaps
 
 
 def _mat_mul(a, b):
@@ -90,11 +105,12 @@ class SimpleFont:
 
     __slots__ = ("name", "widths_table", "first_char", "widths_arr",
                  "to_unicode", "differences", "bold", "italic",
-                 "two_byte", "cid_widths", "default_width")
+                 "two_byte", "cid_widths", "default_width",
+                 "family", "smallcaps", "base_encoding")
 
     def __init__(self, name, widths_table, first_char=None, widths_arr=None,
                  to_unicode=None, differences=None, two_byte=False,
-                 cid_widths=None, default_width=1000.0):
+                 cid_widths=None, default_width=1000.0, base_encoding=None):
         self.name = name or "Helvetica"
         self.widths_table = widths_table
         self.first_char = first_char
@@ -104,9 +120,21 @@ class SimpleFont:
         self.two_byte = two_byte
         self.cid_widths = cid_widths
         self.default_width = default_width
-        low = (name or "").lower()
-        self.bold = "bold" in low
-        self.italic = "italic" in low or "oblique" in low
+        # Name-derived style flags (parsePdfFonts.js:844-849) over the
+        # subset-prefix-stripped base name.
+        base = re.sub(r"^[A-Z]{6}\+", "", self.name)
+        self.bold = bool(re.search(r"bold|black", base, re.I))
+        self.italic = bool(re.search(
+            r"italic|oblique|-\w*ital|-it$", base, re.I))
+        self.smallcaps = bool(re.search(
+            r"(small\W?cap)|(sc(?=[-+]|$))|(caps(?=[-+]|$))", base, re.I))
+        # familyName = base minus "-Style" / ",Style" suffixes
+        # (parsePdfFonts.js:849 cleanFamilyName analog).
+        self.family = re.sub(r",.*", "", re.sub(r"-.+", "", base)) or base
+        if base_encoding is None and not two_byte:
+            from .encodings import builtin_encoding_for_font
+            base_encoding = builtin_encoding_for_font(base)
+        self.base_encoding = base_encoding
 
     def decode_byte(self, b: int) -> str:
         if self.differences and b in self.differences:
@@ -117,6 +145,10 @@ class SimpleFont:
             # Identity mapping fallback: CID == unicode is wrong in
             # general, but deterministic; real text needs the ToUnicode.
             return chr(b) if 32 <= b < 0xD800 else "�"
+        if self.base_encoding is not None:
+            ch = self.base_encoding.get(b)
+            if ch is not None:
+                return ch
         try:
             return bytes([b]).decode("latin-1")
         except Exception:
@@ -226,22 +258,31 @@ def build_font(pdf, font_dict) -> SimpleFont:
         except Exception:
             to_unicode = None
     differences = None
+    base_encoding = None
     enc = pdf.resolve(d.get("Encoding"))
-    if isinstance(enc, dict) and "Differences" in enc:
-        differences = {}
-        code = 0
-        from .glyphnames import glyph_to_unicode
-        for item in pdf.resolve(enc["Differences"]) or []:
-            item = pdf.resolve(item)
-            if isinstance(item, (int, float)):
-                code = int(item)
-            elif isinstance(item, Name):
-                differences[code] = glyph_to_unicode(str(item))
-                code += 1
+    from .encodings import encoding_by_name
+    if isinstance(enc, Name) or isinstance(enc, str):
+        base_encoding = encoding_by_name(str(enc))
+    elif isinstance(enc, dict):
+        be = pdf.resolve(enc.get("BaseEncoding"))
+        if be is not None:
+            base_encoding = encoding_by_name(str(be))
+        if "Differences" in enc:
+            differences = {}
+            code = 0
+            from .glyphnames import glyph_to_unicode
+            for item in pdf.resolve(enc["Differences"]) or []:
+                item = pdf.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, Name):
+                    differences[code] = glyph_to_unicode(str(item))
+                    code += 1
     return SimpleFont(
         base, base14_widths(base),
         first_char=int(first_char) if isinstance(first_char, (int, float)) else None,
-        widths_arr=widths_arr, to_unicode=to_unicode, differences=differences)
+        widths_arr=widths_arr, to_unicode=to_unicode, differences=differences,
+        base_encoding=base_encoding)
 
 
 class TextInterpreter:
@@ -289,17 +330,29 @@ class TextInterpreter:
                        + (word_spacing if (b == 0x20 and
                                            not font.two_byte) else 0.0)
                        ) * h_scale
-                if ch and not ch.isspace():
+                if ch:
                     trm = _mat_mul((font_size * h_scale, 0, 0, font_size,
                                     0, rise), _mat_mul(tm, ctm))
                     x, y = trm[4], trm[5]
                     scale_x = (trm[0] ** 2 + trm[1] ** 2) ** 0.5
                     scale_y = (trm[2] ** 2 + trm[3] ** 2) ** 0.5
                     eff_size = scale_y
+                    # Advance direction = image of (1,0) under the trm
+                    # linear part; screen coords (y down) for orientation
+                    # + baseline slope (parsePdfDoc.js dirX/dirY).
+                    dx, dy = trm[0], trm[1]
+                    mag = (dx * dx + dy * dy) ** 0.5 or 1.0
+                    sdx, sdy = dx / mag, -dy / mag
+                    if abs(sdx) >= abs(sdy):
+                        orient = 0 if sdx >= 0 else 2
+                    else:
+                        orient = 1 if sdy > 0 else 3
                     self.chars.append(PositionedChar(
                         ch, x, y, w_em * scale_x, eff_size,
                         font.name, font.bold, font.italic,
-                        render_mode == 3))
+                        render_mode == 3, orientation=orient,
+                        dir_x=sdx, dir_y=sdy,
+                        family=font.family, smallcaps=font.smallcaps))
                 tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
 
         for operands, op in tokenize_content(content):

@@ -110,17 +110,21 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int):
 
     # Per-page char-class stats for doc-type detection.  Lifted field
     # values count toward the text-native verdict (parsePdfDoc.js:1172).
-    visible = sum(1 for c in interp.chars if not c.invisible)
-    printable = sum(1 for c in interp.chars
+    # Space glyphs are emitted into the char stream for word-split logic
+    # but never count toward the char-class stats (the reference's
+    # printable test is cp 33-127 / 161+, parsePdfDoc.js:653).
+    stat_chars = [c for c in interp.chars if c.text.strip()]
+    visible = sum(1 for c in stat_chars if not c.invisible)
+    printable = sum(1 for c in stat_chars
                     if not c.invisible and c.text.isprintable())
     printable += lifted_chars
     visible += lifted_chars
-    control = sum(1 for c in interp.chars if ord(c.text[0]) < 32)
+    control = sum(1 for c in stat_chars if ord(c.text[0]) < 32)
     page_area = width_pt * height_pt
     largest_image_frac = (max(interp.image_areas) / page_area) \
         if interp.image_areas and page_area else 0.0
     stats = {"visible": visible, "printable": printable, "control": control,
-             "total": len(interp.chars) + lifted_chars,
+             "total": len(stat_chars) + lifted_chars,
              "largest_image_frac": min(largest_image_frac, 1.0)}
     return page, stats
 
