@@ -1,18 +1,29 @@
 """Document-level layout analysis: furniture roles + headings + footnotes.
 
-A documented subset of /root/reference/js/import/analyzeLayout.js (3454 LoC);
-this engine ports the passes that drive text extraction over Common-Crawl
-style corpora and defers the long tail (struct-tree overlays, numbering
-schemes, concordance pages, hanging markers) to later rounds:
+Reimplementation of the decision surface of
+/root/reference/js/import/analyzeLayout.js (3454 LoC) that drives text
+extraction over Common-Crawl style corpora:
 
-- line-number columns, case A standalone   (analyzeLayout.js:189-333)
+- line-number columns, case A standalone AND case B fused-prefix
+  (analyzeLayout.js:189-333) with the table/list discrimination gates
 - folio sequence tracking + edge folios    (classifyRole, :2869-2905)
 - running header/footer recurrence         (:1119-1235)
+- enumerator classification + numbering-scheme activation
+  (lineEnumerator :3240, detectNumberingSchemes :3298)
+- in-text note-reference label collection  (:652-706)
+- endnote sections vs footnote blocks via note-dominated page runs
+  (:1270-1350)
+- column detection                          (detectColumns :3173)
+- hanging speaker/label markers             (:1882-1910)
 - footnote start via superscript marker    (:2938-2960, simplified)
 - heading via size ratio / centering       (:3000-3070, simplified)
 - body-size document style model           (:171-188)
+- blockquote via both-side inset pars      (:2212-2237)
 
 Roles map to par types as in analyzeLayout.js:2175-2181 (heading → 'title').
+
+Still deferred: struct-tree decideBreak overlay, concordance pages, the
+full heading-signature model.
 
 This pass needs all pages of one document together; with doc = row it runs
 per-row inside ``map_batches`` — no shuffle required.
@@ -38,8 +49,18 @@ LN_LEFT_FRAC = 0.4
 LN_GATE_RUN = 8
 LN_CONF_RUN = 6
 LN_RESCUE_RUN = 4
+LN_MAX_RUN = 35        # case B: a longer merged numeric column is a table
 LN_MAX_START = 30
 LN_LOCK_PAGES = 3
+LN_MAX_NUMFIRST = 0.5  # case B: mostly-numeric first content word = table
+LN_MIN_PITCHREG = 0.85
+LN_CASEB_MIN_RIGHTFRAC = 0.35
+LN_CASEB_MIN_DENSITY = 0.6
+
+# Transcript line numbers may be decorated with leader dots (never ASCII
+# '.', so a list marker "1." does not match) — analyzeLayout.js:3108-3131.
+_LN_LEADER_RE = re.compile(r"^[·•∙⋅‧․]+$")
+_LN_INT_RE = re.compile(r"^[·•∙⋅‧․]*(\d{1,4})[·•∙⋅‧․]*$")
 
 
 class _Feat:
@@ -47,13 +68,20 @@ class _Feat:
                  "bottom", "center", "size", "text", "n_char", "all_caps",
                  "ends_terminal", "starts_lower", "first_word_sup",
                  "top_frac", "bottom_frac", "role", "size_ratio", "line_num",
-                 "folio")
+                 "folio", "ln_split", "enumerator", "endnote",
+                 "footnote_block", "hang_marker", "orientation")
 
     def __init__(self):
         self.role = "body"
         self.size_ratio = 1.0
         self.line_num = False
         self.folio = False
+        self.ln_split = False
+        self.enumerator = None
+        self.endnote = False
+        self.footnote_block = False
+        self.hang_marker = False
+        self.orientation = 0
 
 
 def _line_size(line) -> float:
@@ -105,8 +133,157 @@ def _features(pages) -> list:
             f.first_word_sup = bool(line.words[0].style.sup)
             f.top_frac = b.top / page_h if page_h else 0
             f.bottom_frac = b.bottom / page_h if page_h else 0
+            f.orientation = getattr(line, "orientation", 0) or 0
+            f.enumerator = _line_enumerator(line)
             feats.append(f)
     return feats
+
+
+_ROMAN_VAL = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500,
+              "m": 1000}
+
+
+def _roman_to_int(s: str):
+    t = s.lower()
+    total = 0
+    for i, c in enumerate(t):
+        cur = _ROMAN_VAL.get(c)
+        if not cur:
+            return None
+        nxt = _ROMAN_VAL.get(t[i + 1]) if i + 1 < len(t) else None
+        total += -cur if (nxt and cur < nxt) else cur
+    return total or None
+
+
+_BULLET_SET_RE = re.compile(r"^[•◦▪▫●○◼◻➢»■□◾◽▶▸‣➤➔–—-]$")
+
+
+def _line_enumerator(line):
+    """Leading enumerator classification (analyzeLayout.js:3240-3296)."""
+    if not line.words:
+        return None
+    w0 = line.words[0].text or ""
+    w1 = line.words[1].text if len(line.words) > 1 else ""
+    if line.words[0].style.sup and re.match(r"^\d{1,3}$", w0):
+        return {"scheme": "sup-ref", "value": int(w0), "raw": w0}
+    m = re.match(r"^FN(\d{1,3})[.)]?$", w0)
+    if m:
+        return {"scheme": "sup-ref", "value": int(m.group(1)), "raw": w0}
+    if re.match(r"^(Sec\.?|SEC\.?|Section|SECTION|Article|ARTICLE|§)$", w0):
+        nm = re.match(r"^(\d{1,4})", w1)
+        if nm:
+            return {"scheme": "section", "value": int(nm.group(1)),
+                    "raw": f"{w0} {w1}".strip()}
+        rm = re.match(r"^([ivxlcdm]+)[.)]?$", w1, re.I)
+        if rm:
+            return {"scheme": "section", "value": _roman_to_int(rm.group(1)),
+                    "raw": f"{w0} {w1}".strip()}
+        return None
+    m = re.match(r"^\((\d{1,3}|[a-z]{1,3}|[ivxlcdm]+)\)$", w0, re.I)
+    if m:
+        inner = m.group(1)
+        if inner.isdigit():
+            return {"scheme": "paren-num", "value": int(inner), "raw": w0}
+        if re.match(r"^[ivxlcdm]+$", inner, re.I) and len(inner) > 1:
+            return {"scheme": "paren-roman", "value": _roman_to_int(inner),
+                    "raw": w0}
+        if re.match(r"^[a-z]$", inner, re.I):
+            return {"scheme": "paren-alpha",
+                    "value": ord(inner.lower()) - 96, "raw": w0}
+        return {"scheme": "paren-alpha", "value": None, "raw": w0}
+    m = re.match(r"^\[(\d{1,3})\]$", w0)
+    if m:
+        return {"scheme": "bracket-num", "value": int(m.group(1)), "raw": w0}
+    m = re.match(r"^(\d{1,3})[.)]$", w0)
+    if m:
+        return {"scheme": "num-dot", "value": int(m.group(1)), "raw": w0}
+    m = re.match(r"^([ivxlcdm]{2,})\)$", w0, re.I)
+    if m:
+        return {"scheme": "roman-paren", "value": _roman_to_int(m.group(1)),
+                "raw": w0}
+    m = re.match(r"^([ivxlcdm]{2,})\.$", w0, re.I)
+    if m:
+        return {"scheme": "roman-dot", "value": _roman_to_int(m.group(1)),
+                "raw": w0}
+    m = re.match(r"^([a-z])\)$", w0, re.I)
+    if m:
+        return {"scheme": "alpha-paren", "value": ord(m.group(1).lower()) - 96,
+                "raw": w0}
+    m = re.match(r"^([a-z])\.$", w0, re.I)
+    if m:
+        return {"scheme": "alpha-dot", "value": ord(m.group(1).lower()) - 96,
+                "raw": w0}
+    if _BULLET_SET_RE.match(w0):
+        return {"scheme": "bullet", "value": None, "raw": w0}
+    cps = list(w0)
+    if len(cps) == 1 and ord(cps[0]) >= 0x80 \
+            and re.match(r"[\W]", cps[0]) and not cps[0].isalnum():
+        import unicodedata
+        cat = unicodedata.category(cps[0])
+        if cat.startswith("S") or cat.startswith("C"):
+            return {"scheme": "bullet", "value": None, "raw": w0}
+    return None
+
+
+def _detect_numbering_schemes(feats) -> dict:
+    """Per-scheme activation: an increasing run and 'value has a numeric
+    neighbour' membership (analyzeLayout.js:3298-3343)."""
+    seq: dict = {}
+    for f in feats:
+        e = f.enumerator
+        if not e or e["value"] is None:
+            continue
+        seq.setdefault(e["scheme"], []).append(e["value"])
+    out = {}
+    for scheme, vals in seq.items():
+        vset = set(vals)
+        seq_vals = {v for v in vset if v - 1 in vset or v + 1 in vset}
+        asc = sorted(vset)
+        run = max_run = 1
+        for i in range(1, len(asc)):
+            if asc[i] == asc[i - 1] + 1:
+                run += 1
+                max_run = max(max_run, run)
+            else:
+                run = 1
+        splittable = scheme not in ("alpha-dot", "roman-dot")
+        strong = scheme == "section" or scheme.startswith("paren-") \
+            or scheme in ("alpha-paren", "roman-paren", "bracket-num")
+        out[scheme] = {"active": splittable
+                       and max_run >= (2 if strong else 3),
+                       "max_run": max_run, "sequence_values": seq_vals}
+    glyph_counts: dict = {}
+    for f in feats:
+        e = f.enumerator
+        if e and e["scheme"] == "bullet":
+            glyph_counts[e["raw"]] = glyph_counts.get(e["raw"], 0) + 1
+    bullet_max = max(glyph_counts.values()) if glyph_counts else 0
+    if bullet_max >= 3:
+        out["bullet"] = {"active": True, "max_run": bullet_max,
+                         "sequence_values": set()}
+    return out
+
+
+def _leading_line_number(line):
+    """(value, prefix_words, standalone) of a leading line number,
+    tolerating leader-dot decoration (analyzeLayout.js:3119-3131)."""
+    words = line.words
+    if not words:
+        return None
+    i = 0
+    while i < len(words) and _LN_LEADER_RE.match((words[i].text or "").strip()):
+        i += 1
+    if i >= len(words):
+        return None
+    m = _LN_INT_RE.match((words[i].text or "").strip())
+    if not m:
+        return None
+    pfx = i + 1
+    while pfx < len(words) \
+            and _LN_LEADER_RE.match((words[pfx].text or "").strip()):
+        pfx += 1
+    return {"value": int(m.group(1)), "prefix_words": pfx,
+            "standalone": pfx >= len(words)}
 
 
 def _body_size(feats) -> float:
@@ -149,8 +326,9 @@ def _cluster_peaks(values, tol):
 
 
 def _pass_line_numbers(pages, feats, body_size):
-    """Case A standalone left-margin integer columns
-    (analyzeLayout.js:189-322, case B omitted this round)."""
+    """Left-margin line-number columns, case A (standalone) and case B
+    (number fused into the body line) with the table/list discrimination
+    gates (analyzeLayout.js:189-333)."""
     by_page = {}
     for f in feats:
         by_page.setdefault(f.page, []).append(f)
@@ -166,10 +344,13 @@ def _pass_line_numbers(pages, feats, body_size):
         for f in pf:
             if f.left >= left_edge:
                 continue
-            t = f.text.strip()
-            if not _INT_RE.match(t):
+            lead = _leading_line_number(f.line)
+            if not lead:
                 continue
-            cands.append({"f": f, "value": int(t), "x": f.left, "top": f.top})
+            cands.append({"f": f, "value": lead["value"],
+                          "prefix_words": lead["prefix_words"],
+                          "standalone": lead["standalone"],
+                          "x": f.left, "top": f.top})
         if len(cands) < LN_RESCUE_RUN:
             continue
         best_run = []
@@ -190,20 +371,71 @@ def _pass_line_numbers(pages, feats, body_size):
             continue
         xs = sorted(c["x"] for c in best_run)
         col_x = xs[len(xs) // 2]
-        start_ok = best_run[0]["value"] <= LN_MAX_START
+
+        # ln-like gates (analyzeLayout.js:237-278)
+        sa_frac = sum(1 for c in best_run if c["standalone"]) / len(best_run)
+        member_set = {id(c["f"]) for c in best_run}
+        prose_lefts = [f.left for f in pf if id(f) not in member_set
+                       and (f.right - f.left) > body_size * 8]
+        body_peaks = sorted(_cluster_peaks(prose_lefts, body_size * 0.6),
+                            key=lambda q: -q["count"])
+        page_body_left = body_peaks[0]["center"] if body_peaks else col_x
+        indent_ok = col_x <= page_body_left + body_size * 2
+        body_lines = [f for f in pf if id(f) not in member_set
+                      and _LETTER_RE.search(f.text or "")]
+        body_bottom = max((f.top for f in body_lines), default=float("inf"))
+        body_overlap = len(body_lines) < 4 \
+            or any(c["top"] <= body_bottom for c in best_run)
+        ln_like_core = best_run[0]["value"] <= LN_MAX_START \
+            and (sa_frac >= 0.5 or len(best_run) <= LN_MAX_RUN)
+        if ln_like_core and sa_frac < 0.5:
+            # Case B discrimination: data tables / numbered lists.
+            num_first = have_content = 0
+            for c in best_run:
+                ws = c["f"].line.words
+                if c["prefix_words"] >= len(ws):
+                    continue
+                fw = ws[c["prefix_words"]]
+                have_content += 1
+                t = (fw.text or "").strip()
+                if re.search(r"\d", t) and re.match(r"^[\d.,$%()-]+$", t):
+                    num_first += 1
+            num_first_frac = num_first / have_content if have_content else 0
+            tops = [c["top"] for c in best_run]
+            gaps = [tops[k] - tops[k - 1] for k in range(1, len(tops))]
+            med_gap = sorted(gaps)[len(gaps) // 2] if gaps else 1
+            pitch_reg = (sum(1 for g in gaps
+                             if 0.5 * med_gap <= g <= 1.75 * med_gap)
+                         / len(gaps)) if gaps else 1
+            rights = sorted(c["f"].right for c in best_run)
+            med_right_frac = rights[len(rights) // 2] / page_w
+            span_top, span_bot = tops[0], tops[-1]
+            in_span = sum(1 for f in pf
+                          if span_top - 1 <= f.top <= span_bot + 1)
+            density = len(best_run) / in_span if in_span else 1
+            ln_like_core = num_first_frac < LN_MAX_NUMFIRST \
+                and pitch_reg >= LN_MIN_PITCHREG \
+                and med_right_frac >= LN_CASEB_MIN_RIGHTFRAC \
+                and density >= LN_CASEB_MIN_DENSITY
+        ln_like = ln_like_core and indent_ok and body_overlap
+
         page_runs[p] = {"run": len(best_run), "members": best_run,
-                        "col_x": col_x, "cands": cands,
+                        "col_x": col_x, "cands": cands, "ln_like": ln_like,
+                        "indent_ok": indent_ok,
                         "start_val": best_run[0]["value"]}
-        if len(best_run) >= LN_GATE_RUN and start_ok:
+        if len(best_run) >= LN_GATE_RUN and ln_like:
             gate_fired = True
 
     if not gate_fired:
         return
 
     recur = [(p, r) for p, r in page_runs.items()
-             if r["run"] >= LN_CONF_RUN and r["start_val"] <= LN_MAX_START]
+             if r["run"] >= LN_CONF_RUN and r["start_val"] <= LN_MAX_START
+             and r["indent_ok"]]
     ln_ceil = 0
     for _, r in page_runs.items():
+        if not r["ln_like"]:
+            continue
         for c in r["members"]:
             ln_ceil = max(ln_ceil, c["value"])
     if not ln_ceil:
@@ -227,7 +459,36 @@ def _pass_line_numbers(pages, feats, body_size):
             for c in r["cands"]:
                 if abs(c["x"] - peak["center"]) <= body_size \
                         and 1 <= c["value"] <= ln_ceil:
-                    c["f"].line_num = True
+                    if c["standalone"]:
+                        c["f"].line_num = True
+                    else:
+                        ws = c["f"].line.words
+                        for w in ws[:c["prefix_words"]]:
+                            w.line_num = True
+                        c["f"].ln_split = True
+
+    # Refresh features frozen on the stripped digit (analyzeLayout.js:325-
+    # 344): startsLower/enumerator must read the first CONTENT word, and a
+    # margin sup-ref digit must not feed the footnote scheme.
+    for f in feats:
+        if f.line_num:
+            f.enumerator = None
+            continue
+        ws = f.line.words
+        if not ws or not ws[0].line_num:
+            continue
+        j = 0
+        while j < len(ws) and ws[j].line_num:
+            j += 1
+        if j < len(ws):
+            f.starts_lower = bool(re.match(r"[a-z]", ws[j].text or ""))
+
+            class _L:  # minimal line view over the content words
+                words = ws[j:]
+            f.enumerator = _line_enumerator(_L)
+            f.first_word_sup = bool(ws[j].style.sup)
+        else:
+            f.enumerator = None
 
 
 def _pass_folios(pages, feats):
@@ -263,6 +524,245 @@ def _pass_folios(pages, feats):
                     f.folio = True
 
 
+def _detect_columns(pf, body_size):
+    """Column layout of one page from its body lines, or None when
+    single-column (analyzeLayout.js:3173-3210)."""
+    body = [f for f in pf
+            if f.n_char >= 4 and not f.all_caps and f.orientation == 0
+            and (0.92 <= f.size_ratio <= 1.08
+                 or abs(f.size - body_size) <= body_size * 0.1)]
+    if len(body) < 8:
+        return None
+    peaks = sorted(
+        (pk for pk in _cluster_peaks([f.left for f in body], body_size * 0.5)
+         if pk["count"] >= max(3, len(body) * 0.08)),
+        key=lambda pk: pk["center"])
+    cols = []
+    prev_peak = None
+    for pk in peaks:
+        # Clusters within ~7 em chain as one column's flush/indent family.
+        chained = prev_peak is not None \
+            and pk["center"] - prev_peak < body_size * 7
+        prev_peak = pk["center"]
+        if chained:
+            continue
+        cols.append({"left": pk["center"], "rights": []})
+    if len(cols) < 2:
+        return None
+    for f in body:
+        best = cols[0]
+        for c in cols:
+            if f.left >= c["left"] - body_size * 0.5:
+                best = c
+        best["rights"].append(f.right)
+    out = []
+    for c in cols:
+        if len(c["rights"]) < 3:
+            continue
+        right = quantile(c["rights"], 0.9) or max(c["rights"])
+        out.append({"left": c["left"], "right": right,
+                    "width": right - c["left"]})
+    return out if len(out) >= 2 else None
+
+
+def _column_for(left, pcols, body_size):
+    if not pcols or len(pcols) < 2:
+        return None
+    c = pcols[0]
+    for cc in pcols:
+        if left >= cc["left"] - body_size * 0.5:
+            c = cc
+    return c
+
+
+_SUP_DIGITS = {"⁰": "0", "¹": "1", "²": "2", "³": "3", "⁴": "4", "⁵": "5",
+               "⁶": "6", "⁷": "7", "⁸": "8", "⁹": "9"}
+
+
+def _collect_body_ref_labels(pages) -> set:
+    """In-text note-reference labels: glued symbol markers, FN+digits,
+    Unicode superscript digits, and sup-styled marker words (word 0 of a
+    line is skipped — a note's own opener is not a reference)
+    (analyzeLayout.js:652-706)."""
+    labels = set()
+    for page in pages:
+        for line in page.lines:
+            ws = line.words
+            for wi in range(1, len(ws)):
+                wt = (ws[wi].text or "").strip()
+                if not wt:
+                    continue
+                m = re.search(r"[A-Za-z0-9][*†‡∗]{1,3}$", wt)
+                if m:
+                    labels.add(m.group(0)[1:])
+                m = re.search(r"FN(\d{1,3})$", wt)
+                if m:
+                    labels.add(m.group(1))
+                m = re.search(r"[⁰¹²³⁴-⁹]{1,4}$", wt)
+                if m:
+                    labels.add("".join(_SUP_DIGITS.get(c, "")
+                                       for c in m.group(0)))
+                if ws[wi].style.sup:
+                    label = re.sub(r"[.)\]/]+$", "", wt)
+                    if re.match(r"^[\d*†‡∗]{1,3}$", label):
+                        labels.add(label)
+    return labels
+
+
+def _pass_endnotes(pages, feats, schemes, body_ref_labels, body_size,
+                   furniture_ids):
+    """Endnote sections vs footnote blocks: note-dominated pages (sup-ref
+    entry blocks covering >60% of content lines) form runs — runs >= 2
+    pages are endnotes, an isolated dominated page is a footnote block
+    (analyzeLayout.js:1270-1350)."""
+    sup = schemes.get("sup-ref")
+    if not sup or not sup["active"]:
+        return
+    # Leading (median pitch) for the continuation-gap gate.
+    tops_by_page: dict = {}
+    for f in feats:
+        tops_by_page.setdefault(f.page, []).append(f.top)
+    gaps = []
+    for tops in tops_by_page.values():
+        tops.sort()
+        gaps += [b - a for a, b in zip(tops, tops[1:]) if b - a > 0]
+    leading = sorted(gaps)[len(gaps) // 2] if gaps else body_size * 1.2
+
+    def opens_entry(f):
+        return f.first_word_sup and f.enumerator \
+            and f.enumerator["scheme"] == "sup-ref" \
+            and not f.line_num and not f.folio \
+            and id(f) not in furniture_ids \
+            and f.enumerator["value"] in sup["sequence_values"]
+
+    by_page: dict = {}
+    for f in feats:
+        by_page.setdefault(f.page, []).append(f)
+    page_notes = {}
+    for p, pf in by_page.items():
+        note_lines, values = [], []
+        i = 0
+        while i < len(pf):
+            if not opens_entry(pf[i]):
+                i += 1
+                continue
+            start = pf[i]
+            note_lines.append(start)
+            values.append(start.enumerator["value"])
+            j = i + 1
+            while j < len(pf):
+                g = pf[j]
+                if opens_entry(g) or id(g) in furniture_ids:
+                    break
+                dx = g.left - start.left
+                if g.size_ratio >= 1.15 or dx < -body_size * 0.6 \
+                        or dx > body_size * 2.5:
+                    break
+                if g.top - pf[j - 1].top > leading * 2.2:
+                    break
+                note_lines.append(g)
+                j += 1
+            i += 1
+        if not note_lines:
+            continue
+        content = sum(1 for f in pf if id(f) not in furniture_ids)
+        page_notes[p] = {
+            "note_lines": note_lines, "values": sorted(values),
+            "dominated": content > 0 and len(note_lines) / content > 0.6}
+
+    dom_pages = sorted(p for p, d in page_notes.items() if d["dominated"])
+    runs = []
+    for p in dom_pages:
+        if runs and runs[-1][-1] == p - 1:
+            runs[-1].append(p)
+        else:
+            runs.append([p])
+    endnote_pages, block_pages = set(), set()
+    for run in runs:
+        referenced = any(str(v) in body_ref_labels
+                         for p in run for v in page_notes[p]["values"])
+        if not referenced:
+            continue
+        if len(run) >= 2:
+            endnote_pages.update(run)
+        else:
+            block_pages.add(run[0])
+    # Extend a >=3-page run onto value-contiguous neighbours.
+    for run in runs:
+        if len(run) < 3:
+            continue
+        first_vals = page_notes[run[0]]["values"]
+        before = page_notes.get(run[0] - 1)
+        if before and not before["dominated"] and first_vals \
+                and before["values"] \
+                and before["values"][-1] + 1 == first_vals[0]:
+            endnote_pages.add(run[0] - 1)
+        last_vals = page_notes[run[-1]]["values"]
+        after = page_notes.get(run[-1] + 1)
+        if after and not after["dominated"] and last_vals \
+                and after["values"] and after["values"][0] - 1 == last_vals[-1]:
+            endnote_pages.add(run[-1] + 1)
+    for p, d in page_notes.items():
+        if p in endnote_pages:
+            for f in d["note_lines"]:
+                f.endnote = True
+        elif p in block_pages:
+            for f in d["note_lines"]:
+                f.footnote_block = True
+
+
+def _pass_hang_markers(pages, feats, page_columns, body_size):
+    """Recurring outdent column of short leads with same-row body text at
+    the body column: transcript speaker markers / hanging-list labels
+    (analyzeLayout.js:1882-1910)."""
+    lefts = [f.left for f in feats if not f.line_num]
+    if not lefts:
+        return
+    body_text_left = quantile(lefts, 0.5) or 0
+    by_page: dict = {}
+    for f in feats:
+        by_page.setdefault(f.page, []).append(f)
+    cands = []
+    for p, arr in by_page.items():
+        if page_columns.get(p):
+            continue
+        arr = sorted(arr, key=lambda f: f.top)
+        for i, f in enumerate(arr):
+            if f.line_num or f.left >= body_text_left - body_size:
+                continue
+            cwc = sum(1 for w in f.line.words if not w.line_num)
+            if cwc > 2:
+                continue
+            has_body = False
+            height = f.bottom - f.top
+            for j in range(i + 1, len(arr)):
+                g = arr[j]
+                if g.top - f.top >= min(height, g.bottom - g.top) * 0.5:
+                    break
+                if not g.line_num and g.left > f.right \
+                        and abs(g.left - body_text_left) <= body_size:
+                    has_body = True
+                    break
+            for j in range(i - 1, -1, -1):
+                if has_body:
+                    break
+                g = arr[j]
+                if f.top - g.top >= min(height, g.bottom - g.top) * 0.5:
+                    break
+                if not g.line_num and g.left > f.right \
+                        and abs(g.left - body_text_left) <= body_size:
+                    has_body = True
+                    break
+            if has_body:
+                cands.append(f)
+    peaks = sorted(_cluster_peaks([f.left for f in cands], body_size * 0.5),
+                   key=lambda q: -q["count"])
+    if peaks and peaks[0]["count"] >= max(6, len(feats) * 0.02):
+        for f in cands:
+            if abs(f.left - peaks[0]["center"]) <= body_size:
+                f.hang_marker = True
+
+
 def _pass_running_furniture(pages, feats):
     """Recurring margin-band lines across pages → header/footer
     (analyzeLayout.js:1119-1235, recurrence gates simplified)."""
@@ -296,9 +796,13 @@ def _pass_running_furniture(pages, feats):
     return furniture
 
 
-def classify_roles(pages, feats, body_size):
+def classify_roles(pages, feats, body_size, furniture_ids=None,
+                   page_columns=None, schemes=None):
     n_pages = len(pages)
-    furniture_ids = _pass_running_furniture(pages, feats)
+    if furniture_ids is None:
+        furniture_ids = _pass_running_furniture(pages, feats)
+    page_columns = page_columns or {}
+    schemes = schemes or {}
 
     # Page flush margins for centering tests.
     lefts = [f.left for f in feats]
@@ -316,6 +820,12 @@ def classify_roles(pages, feats, body_size):
             continue
         if f.folio:
             f.role = "pagenum"
+            continue
+        if f.endnote:
+            f.role = "endnote"
+            continue
+        if f.footnote_block:
+            f.role = "footnote"
             continue
         t = f.text.strip()
         t_nospace = re.sub(r"\s+", "", t)
@@ -344,13 +854,20 @@ def classify_roles(pages, feats, body_size):
             f.role = "footnote"
             continue
         # Heading: display size + short/centered + letters dominate.
+        # A multi-column page judges shortness against the line's OWN
+        # column frame, not the page frame (detectColumns consumer).
         letters = sum(1 for c in t if c.isalpha() and c.isascii())
         digits = sum(1 for c in t if c.isdigit())
         letter_dom = letters >= 2 and letters >= digits
         if f.size_ratio >= 1.15 and f.n_char <= 200 and letter_dom:
-            short = f.width < col_width * 0.85
-            li = f.left - body_left
-            ri = body_right - f.right
+            own_col = _column_for(f.left, page_columns.get(f.page),
+                                  body_size)
+            frame_left = own_col["left"] if own_col else body_left
+            frame_right = own_col["right"] if own_col else body_right
+            frame_w = max(frame_right - frame_left, 1)
+            short = f.width < frame_w * 0.85
+            li = f.left - frame_left
+            ri = frame_right - f.right
             centered = li > body_size and ri > body_size \
                 and abs(li - ri) < max(body_size * 1.5, min(li, ri) * 0.6)
             if short or centered or f.size_ratio >= 2.5:
@@ -397,9 +914,23 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
                 assign_paragraphs(page, page.angle or 0)
         return
     body_size = _body_size(feats)
+    for f in feats:
+        f.size_ratio = (f.size / body_size) if body_size else 1.0
     _pass_line_numbers(pages, feats, body_size)
     _pass_folios(pages, feats)
-    classify_roles(pages, feats, body_size)
+    furniture_ids = _pass_running_furniture(pages, feats)
+    schemes = _detect_numbering_schemes(feats)
+    body_ref_labels = _collect_body_ref_labels(pages)
+    _pass_endnotes(pages, feats, schemes, body_ref_labels, body_size,
+                   furniture_ids)
+    by_page: dict = {}
+    for f in feats:
+        by_page.setdefault(f.page, []).append(f)
+    page_columns = {p: _detect_columns(pf, body_size)
+                    for p, pf in by_page.items()}
+    _pass_hang_markers(pages, feats, page_columns, body_size)
+    classify_roles(pages, feats, body_size, furniture_ids=furniture_ids,
+                   page_columns=page_columns, schemes=schemes)
 
     if outline_titles:
         import re as _re
@@ -436,3 +967,26 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
                         ln.par = np_
                     new_pars.append(np_)
         page.pars = new_pars
+
+    # Blockquote re-tag: a body paragraph of >=2 lines inset symmetrically
+    # from BOTH doc body margins (analyzeLayout.js:2212-2237).  Hanging-
+    # marker and split-line-number paragraphs are excluded — their bbox
+    # shift reads as a false inset.
+    body_left = quantile([f.left for f in feats], 0.25) or 0
+    body_right = quantile([f.right for f in feats], 0.75) or 0
+    col_width = max(body_right - body_left, 1)
+    skip_pars = set()
+    for f in feats:
+        if (f.hang_marker or f.ln_split) and f.line.par is not None:
+            skip_pars.add(id(f.line.par))
+    for page in pages:
+        for par in page.pars:
+            if par.type != "body" or id(par) in skip_pars:
+                continue
+            left_indent = par.bbox.left - body_left
+            right_inset = body_right - par.bbox.right
+            if len(par.lines) >= 2 \
+                    and left_indent > col_width * 0.035 \
+                    and right_inset > col_width * 0.035 \
+                    and abs(left_indent - right_inset) < col_width * 0.06:
+                par.type = "blockquote"

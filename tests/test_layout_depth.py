@@ -1,0 +1,176 @@
+"""analyzeLayout long-tail passes (SURVEY M20): case-B line numbers,
+endnote sections, blockquote, hang markers, enumerator schemes, columns."""
+
+from scribe_js_ray.model import BBox, Line, Page, Word
+from scribe_js_ray.stages import layout
+from scribe_js_ray.stages.layout import analyze_layout
+
+
+def _mk_line(page, y, words_spec, size=12.0):
+    """words_spec: list of (text, left, right[, sup])."""
+    line = Line(page, BBox(words_spec[0][1], y, words_spec[-1][2], y + size),
+                [0.0, -2.0], size * 0.75, size * 0.5)
+    for spec in words_spec:
+        text, left, right = spec[0], spec[1], spec[2]
+        w = Word(line, f"w{y}_{left}", text, BBox(left, y, right, y + size))
+        w.conf = 100
+        w.style.size = size
+        if len(spec) > 3 and spec[3]:
+            w.style.sup = True
+        line.words.append(w)
+    page.lines.append(line)
+    return line
+
+
+def _body_words(left, y, n=8):
+    """n plain body words starting at x=left."""
+    out = []
+    x = left
+    for k in range(n):
+        out.append((f"word{k}", x, x + 40))
+        x += 48
+    return out
+
+
+def test_case_b_line_numbers_split_prefix():
+    # 2 pages, each with lines "N body text..." fused (case B).
+    pages = []
+    for p in range(3):
+        page = Page(p, 612, 792)
+        for i in range(10):
+            y = 80 + i * 24
+            spec = [(str(i + 1), 40, 52)] + _body_words(90, y)
+            _mk_line(page, y, spec)
+        pages.append(page)
+    analyze_layout(pages)
+    # the leading integer words are flagged line_num, body words are not
+    for page in pages:
+        for ln in page.lines:
+            assert ln.words[0].line_num, ln.words[0].text
+            assert not ln.words[1].line_num
+    # and the lines themselves stay body (not furniture)
+    for page in pages:
+        for par in page.pars:
+            assert par.type != "linenum"
+
+
+def test_case_b_rejected_for_numeric_table():
+    # Leading integers followed by mostly-numeric first content words →
+    # a data table, NOT line numbers.
+    pages = []
+    for p in range(3):
+        page = Page(p, 612, 792)
+        for i in range(10):
+            y = 80 + i * 24
+            spec = [(str(i + 1), 40, 52),
+                    (f"{1000 + i * 7}", 90, 140),
+                    ("acme", 160, 200), ("widgets", 210, 270)]
+            _mk_line(page, y, spec)
+        pages.append(page)
+    analyze_layout(pages)
+    flagged = sum(1 for page in pages for ln in page.lines
+                  if ln.words[0].line_num)
+    assert flagged == 0
+
+
+def test_endnote_section_detected():
+    # Body pages with in-text sup references, then 2 note-dominated pages
+    # of sup-marker entries → endnote role.
+    pages = []
+    for p in range(2):
+        page = Page(p, 612, 792)
+        for i in range(12):
+            y = 80 + i * 24
+            spec = _body_words(72, y, 7)
+            if i == 3:
+                spec.append((str(p * 6 + 1), 430, 438, True))  # sup ref
+            _mk_line(page, y, spec)
+        pages.append(page)
+    for p in (2, 3):
+        page = Page(p, 612, 792)
+        for i in range(6):
+            y = 80 + i * 40
+            v = (p - 2) * 6 + i + 1
+            spec = [(str(v), 72, 80, True)] + _body_words(95, y, 6)
+            _mk_line(page, y, spec)
+            _mk_line(page, y + 20, _body_words(95, y + 20, 6))
+        pages.append(page)
+    analyze_layout(pages)
+    en_types = [par.type for par in pages[2].pars] \
+        + [par.type for par in pages[3].pars]
+    assert "endnote" in en_types
+    # body pages keep body
+    assert any(par.type == "body" for par in pages[0].pars)
+
+
+def test_blockquote_inset_par():
+    page = Page(0, 612, 792)
+    # flush body pars
+    for i in range(4):
+        _mk_line(page, 80 + i * 24, _body_words(72, 80 + i * 24, 9))
+    # inset quote block: both margins in by ~60pt
+    for i in range(3):
+        y = 200 + i * 24
+        _mk_line(page, y, _body_words(132, y, 7))
+    for i in range(4):
+        y = 300 + i * 24
+        _mk_line(page, y, _body_words(72, y, 9))
+    analyze_layout([page])
+    types = [par.type for par in page.pars]
+    assert "blockquote" in types
+    assert "body" in types
+
+
+def test_enumerator_schemes():
+    page = Page(0, 612, 792)
+    _mk_line(page, 80, [("(a)", 72, 95)] + _body_words(110, 80, 4))
+    _mk_line(page, 110, [("(b)", 72, 95)] + _body_words(110, 110, 4))
+    feats = layout._features([page])
+    schemes = layout._detect_numbering_schemes(feats)
+    assert schemes["paren-alpha"]["active"]  # strong form: 2-run activates
+    assert feats[0].enumerator["scheme"] == "paren-alpha"
+    assert feats[0].enumerator["value"] == 1
+
+
+def test_num_dot_needs_three():
+    page = Page(0, 612, 792)
+    _mk_line(page, 80, [("1.", 72, 85)] + _body_words(100, 80, 4))
+    _mk_line(page, 110, [("2.", 72, 85)] + _body_words(100, 110, 4))
+    feats = layout._features([page])
+    schemes = layout._detect_numbering_schemes(feats)
+    assert not schemes["num-dot"]["active"]  # weak form: needs a 3-run
+    _mk_line(page, 140, [("3.", 72, 85)] + _body_words(100, 140, 4))
+    feats = layout._features([page])
+    assert layout._detect_numbering_schemes(feats)["num-dot"]["active"]
+
+
+def test_detect_columns_two_column_page():
+    page = Page(0, 612, 792)
+    for i in range(10):
+        y = 80 + i * 24
+        _mk_line(page, y, _body_words(50, y, 5))    # left col ~50-280
+        _mk_line(page, y, _body_words(330, y, 5))   # right col ~330-560
+    feats = layout._features([page])
+    for f in feats:
+        f.size_ratio = 1.0
+    cols = layout._detect_columns(feats, 12.0)
+    assert cols is not None and len(cols) == 2
+    assert cols[0]["left"] < 100 < 300 < cols[1]["left"]
+
+
+def test_hang_markers_flagged():
+    # Q./A. speaker labels outdented left of the body column with the
+    # testimony on the same row.
+    page = Page(0, 612, 792)
+    for i in range(12):
+        y = 80 + i * 24
+        label = "Q." if i % 2 == 0 else "A."
+        _mk_line(page, y, [(label, 40, 55)])
+        _mk_line(page, y, _body_words(90, y, 7))
+    feats = layout._features([page])
+    for f in feats:
+        f.size_ratio = 1.0
+    layout._pass_hang_markers([page], feats, {}, 12.0)
+    marked = [f for f in feats if f.hang_marker]
+    assert len(marked) >= 6
+    assert all(f.text in ("Q.", "A.") for f in marked)
