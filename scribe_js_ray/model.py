@@ -135,7 +135,7 @@ def par_is_furniture(par: Optional[Par]) -> bool:
 
 class Page:
     __slots__ = ("n", "width", "height", "angle", "lines", "pars",
-                 "text_source")
+                 "text_source", "rules", "table_boxes")
 
     def __init__(self, n: int, width: int, height: int):
         self.n = n
@@ -145,6 +145,11 @@ class Page:
         self.lines: list[Line] = []
         self.pars: list[Par] = []
         self.text_source = None
+        # Thin drawn horizontal separator rules (ocrObjects.js:22-27) and
+        # detected table regions that suppress furniture rules inside
+        # them (ocrObjects.js:28-34); both in line-bbox pixel space.
+        self.rules: list = []
+        self.table_boxes: list = []
 
     @property
     def dims(self):

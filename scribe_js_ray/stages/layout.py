@@ -69,7 +69,7 @@ class _Feat:
                  "ends_terminal", "starts_lower", "first_word_sup",
                  "top_frac", "bottom_frac", "role", "size_ratio", "line_num",
                  "folio", "ln_split", "enumerator", "endnote",
-                 "footnote_block", "hang_marker", "orientation")
+                 "footnote_block", "hang_marker", "orientation", "in_table")
 
     def __init__(self):
         self.role = "body"
@@ -82,6 +82,7 @@ class _Feat:
         self.footnote_block = False
         self.hang_marker = False
         self.orientation = 0
+        self.in_table = False
 
 
 def _line_size(line) -> float:
@@ -135,6 +136,12 @@ def _features(pages) -> list:
             f.bottom_frac = b.bottom / page_h if page_h else 0
             f.orientation = getattr(line, "orientation", 0) or 0
             f.enumerator = _line_enumerator(line)
+            cx, cy = (b.left + b.right) / 2, (b.top + b.bottom) / 2
+            for tb in getattr(page, "table_boxes", None) or []:
+                if tb["left"] <= cx <= tb["right"] \
+                        and tb["top"] <= cy <= tb["bottom"]:
+                    f.in_table = True
+                    break
             feats.append(f)
     return feats
 
@@ -346,6 +353,10 @@ def _pass_line_numbers(pages, feats, body_size):
                 continue
             lead = _leading_line_number(f.line)
             if not lead:
+                continue
+            # A table's leading index column recurs at a fixed x exactly
+            # like a line-number margin (analyzeLayout.js:216).
+            if f.in_table:
                 continue
             cands.append({"f": f, "value": lead["value"],
                           "prefix_words": lead["prefix_words"],

@@ -795,9 +795,13 @@ def _detect_fake_small_caps(words: list[_W]) -> None:
 
 
 def group_chars_into_page(chars, n: int, width: float, height: float,
-                          scale: float = 1.0) -> Page:
+                          scale: float = 1.0,
+                          underline_rects=None) -> Page:
     """chars: PositionedChar list in stream order, PDF device space
-    (origin bottom-left).  scale: device → output pixel scale."""
+    (origin bottom-left).  scale: device → output pixel scale.
+    underline_rects: thin horizontal bars (top-down scaled space) matched
+    against words as underlines; consumed rects get is_underline=True
+    (parsePdfDoc.js:3142-3172)."""
     page = Page(n, int(round(width * scale)), int(round(height * scale)))
     if not chars:
         return page
@@ -942,6 +946,24 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
                     for co in chars_out:
                         co.text = co.text.lower()
                 word.text = "".join(co.text for co in chars_out)
+
+            # Underline: a thin bar overlapping the word just below its
+            # baseline, pinned within the line's extent (+0.5 em stroke
+            # overhang) so a table-row divider passing under the word
+            # does not read as an underline.
+            if underline_rects and orientation == 0:
+                base_y = wc[0].y * scale
+                sz = wc[0].size * scale
+                overhang = sz * 0.5
+                for rect in underline_rects:
+                    if rect["right"] > w_left and rect["left"] < w_right \
+                            and base_y - sz * 0.1 <= rect["y"] \
+                            <= base_y + sz * 0.35 \
+                            and rect["left"] >= l_left - overhang \
+                            and rect["right"] <= l_right + overhang:
+                        word.style.underline = True
+                        rect["is_underline"] = True
+                        break
 
             word.chars = chars_out
             word.text = replace_ligatures(word.text)

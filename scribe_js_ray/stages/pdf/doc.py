@@ -94,7 +94,32 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int):
 
     scale = min(DEFAULT_DPI_SCALE,
                 MAX_RASTER_W / width_pt if width_pt else DEFAULT_DPI_SCALE)
-    page = group_chars_into_page(interp.chars, n, width_pt, height_pt, scale)
+
+    # Vector paths → underline/rule rects, checkbox squares, column
+    # rulings (M28; parsePdfDoc.js:843-1008).  Heavy streams skip this
+    # (the 2 MB guard lives in execute_path_operators).
+    graphics = {"underline_rects": [], "fill_squares": [], "v_segments": []}
+    try:
+        from .paths import (detect_ruled_tables, execute_path_operators,
+                            harvest_page_graphics)
+        paths = execute_path_operators(pdf, content, xobjects, base)
+        graphics = harvest_page_graphics(paths, height_pt, scale)
+    except Exception:
+        pass
+
+    page = group_chars_into_page(interp.chars, n, width_pt, height_pt, scale,
+                                 underline_rects=graphics["underline_rects"])
+    # Unconsumed thin rules become paragraph separators; ruled grids
+    # become table regions that suppress furniture rules inside them
+    # (ocrObjects.js:22-34 rules/tableBoxes).
+    page.rules = [{"y": r["y"], "left": r["left"], "right": r["right"]}
+                  for r in graphics["underline_rects"]
+                  if not r.get("is_underline")]
+    try:
+        page.table_boxes = [t["bbox"] for t in detect_ruled_tables(
+            graphics["underline_rects"], graphics["v_segments"])]
+    except Exception:
+        page.table_boxes = []
 
     # Form-field value lift + annotation summaries (M28 subset,
     # parsePdfDoc.js:1100-1176).
