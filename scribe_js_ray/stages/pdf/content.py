@@ -106,11 +106,13 @@ class SimpleFont:
     __slots__ = ("name", "widths_table", "first_char", "widths_arr",
                  "to_unicode", "differences", "bold", "italic",
                  "two_byte", "cid_widths", "default_width",
-                 "family", "smallcaps", "base_encoding")
+                 "family", "smallcaps", "base_encoding",
+                 "embedded_encoding", "to_unicode_broken")
 
     def __init__(self, name, widths_table, first_char=None, widths_arr=None,
                  to_unicode=None, differences=None, two_byte=False,
-                 cid_widths=None, default_width=1000.0, base_encoding=None):
+                 cid_widths=None, default_width=1000.0, base_encoding=None,
+                 embedded_encoding=None):
         self.name = name or "Helvetica"
         self.widths_table = widths_table
         self.first_char = first_char
@@ -135,20 +137,35 @@ class SimpleFont:
             from .encodings import builtin_encoding_for_font
             base_encoding = builtin_encoding_for_font(base)
         self.base_encoding = base_encoding
+        self.embedded_encoding = embedded_encoding
+        from .fonts_embedded import to_unicode_is_broken
+        self.to_unicode_broken = to_unicode_is_broken(to_unicode)
 
     def decode_byte(self, b: int) -> str:
         if self.differences and b in self.differences:
             return self.differences[b]
+        # A producer-garbage ToUnicode (PUA/U+FFFD-heavy) loses to the
+        # embedded font program's own glyph names (M5 broken-ToUnicode).
+        if self.to_unicode and not self.to_unicode_broken \
+                and b in self.to_unicode:
+            return self.to_unicode[b]
+        # base_encoding is the merged effective table: explicit /Encoding
+        # entries over embedded-program names over built-in guesses
+        # (ISO 32000-1 §9.6.6 precedence; merge happens in build_font).
+        if self.embedded_encoding is not None:
+            ch = self.embedded_encoding.get(b)
+            if ch is not None:
+                return ch
+        if self.base_encoding is not None:
+            ch = self.base_encoding.get(b)
+            if ch is not None:
+                return ch
         if self.to_unicode and b in self.to_unicode:
             return self.to_unicode[b]
         if self.two_byte:
             # Identity mapping fallback: CID == unicode is wrong in
             # general, but deterministic; real text needs the ToUnicode.
             return chr(b) if 32 <= b < 0xD800 else "�"
-        if self.base_encoding is not None:
-            ch = self.base_encoding.get(b)
-            if ch is not None:
-                return ch
         try:
             return bytes([b]).decode("latin-1")
         except Exception:
@@ -278,11 +295,33 @@ def build_font(pdf, font_dict) -> SimpleFont:
                 elif isinstance(item, Name):
                     differences[code] = glyph_to_unicode(str(item))
                     code += 1
+    # Embedded font program → code-to-unicode via its own glyph names;
+    # the recovery path for subset fonts without (or with broken)
+    # ToUnicode (M5; reference parsePdfFonts.js:695 + font-parser).
+    embedded = None
+    desc = pdf.resolve(d.get("FontDescriptor"))
+    if isinstance(desc, dict):
+        from .fonts_embedded import parse_cff_encoding, parse_type1_encoding
+        try:
+            if "FontFile3" in desc:
+                embedded = parse_cff_encoding(
+                    pdf.stream_bytes(desc["FontFile3"]))
+            elif "FontFile" in desc:
+                embedded = parse_type1_encoding(
+                    pdf.stream_bytes(desc["FontFile"]))
+        except Exception:
+            embedded = None
+    # Precedence merge (ISO 32000-1 §9.6.6): explicit /Encoding entries
+    # override the embedded program's built-in names, which override
+    # nothing-at-all; the merged table feeds decode_byte.
+    if embedded and base_encoding:
+        embedded = {**embedded, **base_encoding}
+        base_encoding = None
     return SimpleFont(
         base, base14_widths(base),
         first_char=int(first_char) if isinstance(first_char, (int, float)) else None,
         widths_arr=widths_arr, to_unicode=to_unicode, differences=differences,
-        base_encoding=base_encoding)
+        base_encoding=base_encoding, embedded_encoding=embedded)
 
 
 class TextInterpreter:

@@ -1,0 +1,371 @@
+"""Embedded font-program parsing for text recovery (SURVEY M5/T2).
+
+When a simple font carries no usable /ToUnicode and no /Differences, the
+code→unicode mapping must come from the embedded font program itself —
+the reference does this with a vendored opentype.js fork
+(/root/reference/js/font-parser, js/pdf/fonts/parsePdfFonts.js:695);
+this engine parses just the naming structures it needs:
+
+- CFF (/FontFile3, Subtype /Type1C): header → INDEXes → Top DICT →
+  charset (GID→SID→glyph name) + encoding (code→GID), yielding a
+  code→glyph-name map resolved through the AGL resolver.  Subset fonts
+  name glyphs ``uniXXXX``/standard names, so this recovers real text
+  where the latin-1 fallback produced mojibake.
+- Type1 (/FontFile): the cleartext header's ``/Encoding`` array
+  (``dup <code> /<name> put`` entries).
+- OpenType (/FontFile3 /OpenType or /FontFile2 TrueType): cmap table
+  (format 4/6/12) mapping unicode→GID, inverted for single-byte codes
+  when the font is symbolic with a (3,0) table.
+
+All parsers are defensive: any malformed structure returns ``None`` and
+the caller falls back to the base-encoding path.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+from .glyphnames import glyph_to_unicode
+
+# CFF standard strings, SIDs 0-390 (CFF spec appendix A).
+_CFF_STD = (
+    ".notdef space exclam quotedbl numbersign dollar percent ampersand "
+    "quoteright parenleft parenright asterisk plus comma hyphen period "
+    "slash zero one two three four five six seven eight nine colon "
+    "semicolon less equal greater question at A B C D E F G H I J K L M N "
+    "O P Q R S T U V W X Y Z bracketleft backslash bracketright "
+    "asciicircum underscore quoteleft a b c d e f g h i j k l m n o p q r "
+    "s t u v w x y z braceleft bar braceright asciitilde exclamdown cent "
+    "sterling fraction yen florin section currency quotesingle "
+    "quotedblleft guillemotleft guilsinglleft guilsinglright fi fl endash "
+    "dagger daggerdbl periodcentered paragraph bullet quotesinglbase "
+    "quotedblbase quotedblright guillemotright ellipsis perthousand "
+    "questiondown grave acute circumflex tilde macron breve dotaccent "
+    "dieresis ring cedilla hungarumlaut ogonek caron emdash AE "
+    "ordfeminine Lslash Oslash OE ordmasculine ae dotlessi lslash oslash "
+    "oe germandbls onesuperior logicalnot mu trademark Eth onehalf "
+    "plusminus Thorn onequarter divide brokenbar degree thorn "
+    "threequarters twosuperior registered minus eth multiply "
+    "threesuperior copyright Aacute Acircumflex Adieresis Agrave Aring "
+    "Atilde Ccedilla Eacute Ecircumflex Edieresis Egrave Iacute "
+    "Icircumflex Idieresis Igrave Ntilde Oacute Ocircumflex Odieresis "
+    "Ograve Otilde Scaron Uacute Ucircumflex Udieresis Ugrave Yacute "
+    "Ydieresis Zcaron aacute acircumflex adieresis agrave aring atilde "
+    "ccedilla eacute ecircumflex edieresis egrave iacute icircumflex "
+    "idieresis igrave ntilde oacute ocircumflex odieresis ograve otilde "
+    "scaron uacute ucircumflex udieresis ugrave yacute ydieresis zcaron "
+    "exclamsmall Hungarumlautsmall dollaroldstyle dollarsuperior "
+    "ampersandsmall Acutesmall parenleftsuperior parenrightsuperior "
+    "twodotenleader onedotenleader zerooldstyle oneoldstyle twooldstyle "
+    "threeoldstyle fouroldstyle fiveoldstyle sixoldstyle sevenoldstyle "
+    "eightoldstyle nineoldstyle commasuperior threequartersemdash "
+    "periodsuperior questionsmall asuperior bsuperior centsuperior "
+    "dsuperior esuperior isuperior lsuperior msuperior nsuperior "
+    "osuperior rsuperior ssuperior tsuperior ff ffi ffl "
+    "parenleftinferior parenrightinferior Circumflexsmall hyphensuperior "
+    "Gravesmall Asmall Bsmall Csmall Dsmall Esmall Fsmall Gsmall Hsmall "
+    "Ismall Jsmall Ksmall Lsmall Msmall Nsmall Osmall Psmall Qsmall "
+    "Rsmall Ssmall Tsmall Usmall Vsmall Wsmall Xsmall Ysmall Zsmall "
+    "colonmonetary onefitted rupiah Tildesmall exclamdownsmall "
+    "centoldstyle Lslashsmall Scaronsmall Zcaronsmall Dieresissmall "
+    "Brevesmall Caronsmall Dotaccentsmall Macronsmall figuredash "
+    "hypheninferior Ogoneksmall Ringsmall Cedillasmall questiondownsmall "
+    "oneeighth threeeighths fiveeighths seveneighths onethird twothirds "
+    "zerosuperior foursuperior fivesuperior sixsuperior sevensuperior "
+    "eightsuperior ninesuperior zeroinferior oneinferior twoinferior "
+    "threeinferior fourinferior fiveinferior sixinferior seveninferior "
+    "eightinferior nineinferior centinferior dollarinferior "
+    "periodinferior commainferior Agravesmall Aacutesmall "
+    "Acircumflexsmall Atildesmall Adieresissmall Aringsmall AEsmall "
+    "Ccedillasmall Egravesmall Eacutesmall Ecircumflexsmall "
+    "Edieresissmall Igravesmall Iacutesmall Icircumflexsmall "
+    "Idieresissmall Ethsmall Ntildesmall Ogravesmall Oacutesmall "
+    "Ocircumflexsmall Otildesmall Odieresissmall OEsmall Oslashsmall "
+    "Ugravesmall Uacutesmall Ucircumflexsmall Udieresissmall Yacutesmall "
+    "Thornsmall Ydieresissmall 001.000 001.001 001.002 001.003 Black "
+    "Bold Book Light Medium Regular Roman Semibold"
+).split()
+
+
+def _read_index(data: bytes, pos: int):
+    """CFF INDEX → (items, end_pos)."""
+    if pos + 2 > len(data):
+        return None
+    count = struct.unpack_from(">H", data, pos)[0]
+    pos += 2
+    if count == 0:
+        return [], pos
+    off_size = data[pos]
+    pos += 1
+    if off_size < 1 or off_size > 4:
+        return None
+    offs = []
+    for i in range(count + 1):
+        v = 0
+        for b in data[pos + i * off_size:pos + (i + 1) * off_size]:
+            v = (v << 8) | b
+        offs.append(v)
+    pos += (count + 1) * off_size
+    base = pos - 1
+    items = [data[base + offs[i]:base + offs[i + 1]] for i in range(count)]
+    return items, base + offs[-1]
+
+
+def _parse_dict(data: bytes) -> dict:
+    """CFF DICT: {op: [operands]}; two-byte ops keyed as 1200+op2."""
+    out = {}
+    operands = []
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b <= 21:
+            if b == 12:
+                op = 1200 + data[i + 1]
+                i += 2
+            else:
+                op = b
+                i += 1
+            out[op] = operands
+            operands = []
+        elif b == 28:
+            operands.append(struct.unpack_from(">h", data, i + 1)[0])
+            i += 3
+        elif b == 29:
+            operands.append(struct.unpack_from(">i", data, i + 1)[0])
+            i += 5
+        elif b == 30:  # real number
+            i += 1
+            s = ""
+            done = False
+            while i < n and not done:
+                for nib in (data[i] >> 4, data[i] & 0xF):
+                    if nib <= 9:
+                        s += str(nib)
+                    elif nib == 0xA:
+                        s += "."
+                    elif nib == 0xB:
+                        s += "E"
+                    elif nib == 0xC:
+                        s += "E-"
+                    elif nib == 0xE:
+                        s += "-"
+                    elif nib == 0xF:
+                        done = True
+                        break
+                i += 1
+            try:
+                operands.append(float(s or "0"))
+            except ValueError:
+                operands.append(0.0)
+        elif 32 <= b <= 246:
+            operands.append(b - 139)
+            i += 1
+        elif 247 <= b <= 250:
+            operands.append((b - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b <= 254:
+            operands.append(-(b - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        else:
+            i += 1
+    return out
+
+
+def parse_cff_encoding(data: bytes) -> dict[int, str] | None:
+    """CFF bytes → {code: unicode string} via encoding + charset."""
+    try:
+        if len(data) < 4 or data[0] != 1:
+            return None
+        hdr_size = data[2]
+        pos = hdr_size
+        r = _read_index(data, pos)          # Name INDEX
+        if not r:
+            return None
+        _, pos = r
+        r = _read_index(data, pos)          # Top DICT INDEX
+        if not r or not r[0]:
+            return None
+        top_dicts, pos = r
+        top = _parse_dict(top_dicts[0])
+        r = _read_index(data, pos)          # String INDEX
+        if not r:
+            return None
+        strings, pos = r
+        if 1230 in top:                     # ROS → CIDFont, no encoding
+            return None
+        charstrings_off = top.get(17, [0])[0]
+        r = _read_index(data, int(charstrings_off))
+        if not r:
+            return None
+        n_glyphs = len(r[0])
+        if n_glyphs == 0:
+            return None
+
+        def sid_name(sid):
+            if sid < len(_CFF_STD):
+                return _CFF_STD[sid]
+            k = sid - len(_CFF_STD)
+            if k < len(strings):
+                return strings[k].decode("latin-1", "replace")
+            return None
+
+        # charset: GID → SID (GID 0 = .notdef)
+        charset_off = int(top.get(15, [0])[0])
+        gid_to_sid = [0] * n_glyphs
+        if charset_off == 0:
+            for g in range(n_glyphs):
+                gid_to_sid[g] = g  # ISOAdobe: identity
+        elif charset_off in (1, 2):
+            return None  # Expert charsets carry no plain text
+        else:
+            fmt = data[charset_off]
+            p = charset_off + 1
+            if fmt == 0:
+                for g in range(1, n_glyphs):
+                    gid_to_sid[g] = struct.unpack_from(">H", data, p)[0]
+                    p += 2
+            elif fmt in (1, 2):
+                g = 1
+                step = 3 if fmt == 1 else 4
+                while g < n_glyphs:
+                    first = struct.unpack_from(">H", data, p)[0]
+                    n_left = data[p + 2] if fmt == 1 else \
+                        struct.unpack_from(">H", data, p + 2)[0]
+                    p += step
+                    for k in range(n_left + 1):
+                        if g >= n_glyphs:
+                            break
+                        gid_to_sid[g] = first + k
+                        g += 1
+            else:
+                return None
+
+        # encoding: code → GID
+        enc_off = int(top.get(16, [0])[0])
+        code_to_gid: dict[int, int] = {}
+        if enc_off in (0, 1):
+            # Standard/Expert encoding: map via glyph NAME against the
+            # standard code→name table.
+            from .encodings import STANDARD
+            name_to_code = {}
+            for code, ch in STANDARD.items():
+                name_to_code.setdefault(ch, code)
+            out = {}
+            for g in range(1, n_glyphs):
+                name = sid_name(gid_to_sid[g])
+                if not name:
+                    continue
+                uni = glyph_to_unicode(name)
+                if uni == "�":
+                    continue
+                code = name_to_code.get(uni)
+                if code is not None:
+                    out[code] = uni
+            return out or None
+        fmt = data[enc_off]
+        p = enc_off + 1
+        base_fmt = fmt & 0x7F
+        if base_fmt == 0:
+            n_codes = data[p]
+            p += 1
+            for g in range(1, n_codes + 1):
+                if g >= n_glyphs:
+                    break
+                code_to_gid[data[p]] = g
+                p += 1
+        elif base_fmt == 1:
+            n_ranges = data[p]
+            p += 1
+            g = 1
+            for _ in range(n_ranges):
+                first, n_left = data[p], data[p + 1]
+                p += 2
+                for k in range(n_left + 1):
+                    if g >= n_glyphs:
+                        break
+                    code_to_gid[first + k] = g
+                    g += 1
+        else:
+            return None
+        if fmt & 0x80:  # supplements: code → SID directly
+            n_sups = data[p]
+            p += 1
+            sup_names = {}
+            for _ in range(n_sups):
+                code = data[p]
+                sid = struct.unpack_from(">H", data, p + 1)[0]
+                p += 3
+                sup_names[code] = sid_name(sid)
+            out = {}
+            for code, gid in code_to_gid.items():
+                name = sid_name(gid_to_sid[gid])
+                if name:
+                    out[code] = name
+            out.update({c: n for c, n in sup_names.items() if n})
+            return {c: glyph_to_unicode(n) for c, n in out.items()
+                    if glyph_to_unicode(n) != "�"} or None
+
+        out = {}
+        for code, gid in code_to_gid.items():
+            name = sid_name(gid_to_sid[gid])
+            if not name:
+                continue
+            uni = glyph_to_unicode(name)
+            if uni != "�":
+                out[code] = uni
+        return out or None
+    except Exception:
+        return None
+
+
+_T1_ENC_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/]+)\s+put")
+
+
+def parse_type1_encoding(data: bytes) -> dict[int, str] | None:
+    """Type1 font program cleartext /Encoding array → {code: unicode}."""
+    try:
+        # PFB segments: strip 6-byte headers if present.
+        if data[:1] == b"\x80":
+            out = bytearray()
+            pos = 0
+            while pos + 6 <= len(data) and data[pos] == 0x80:
+                seg_type = data[pos + 1]
+                seg_len = struct.unpack_from("<I", data, pos + 2)[0]
+                if seg_type == 3:
+                    break
+                out += data[pos + 6:pos + 6 + seg_len]
+                pos += 6 + seg_len
+            data = bytes(out)
+        head = data.split(b"eexec", 1)[0]
+        if b"StandardEncoding" in head and b"dup " not in head:
+            from .encodings import STANDARD
+            return dict(STANDARD)
+        out = {}
+        for m in _T1_ENC_RE.finditer(head):
+            code = int(m.group(1))
+            name = m.group(2).decode("latin-1", "replace")
+            uni = glyph_to_unicode(name)
+            if 0 <= code < 256 and uni != "�":
+                out[code] = uni
+        return out or None
+    except Exception:
+        return None
+
+
+def to_unicode_is_broken(to_unicode: dict) -> bool:
+    """≥3 mapped codes landing in the PUA or U+FFFD, and ≥50% of the map
+    (parsePdfDoc.js:518-550) — the ToUnicode is producer garbage and the
+    embedded-program path should win."""
+    if not to_unicode:
+        return False
+    mapped = broken = 0
+    for s in to_unicode.values():
+        mapped += 1
+        if not s:
+            continue
+        cp = ord(s[0])
+        if 0xE000 <= cp <= 0xF8FF or cp == 0xFFFD:
+            broken += 1
+    return broken >= 3 and broken >= mapped * 0.5
