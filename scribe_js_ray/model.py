@@ -79,7 +79,7 @@ class Char:
 
 class Word:
     __slots__ = ("text", "bbox", "style", "lang", "conf", "chars", "line",
-                 "line_num", "id")
+                 "line_num", "id", "mcid", "artifact")
 
     def __init__(self, line: "Line", wid: str, text: str, bbox: BBox):
         self.line = line
@@ -93,6 +93,9 @@ class Word:
         # Transcript line number fused into the start of a body line
         # (ocrObjects.js:194-198); dropped by reflowed text exports.
         self.line_num = False
+        # Marked-content id + /Artifact flag (PDF path only, M21).
+        self.mcid = None
+        self.artifact = False
 
 
 class Line:
@@ -135,7 +138,7 @@ def par_is_furniture(par: Optional[Par]) -> bool:
 
 class Page:
     __slots__ = ("n", "width", "height", "angle", "lines", "pars",
-                 "text_source", "rules", "table_boxes")
+                 "text_source", "rules", "table_boxes", "mcid_roles")
 
     def __init__(self, n: int, width: int, height: int):
         self.n = n
@@ -150,6 +153,8 @@ class Page:
         # them (ocrObjects.js:28-34); both in line-bbox pixel space.
         self.rules: list = []
         self.table_boxes: list = []
+        # Tagged-PDF struct-tree roles keyed by marked-content id (M21).
+        self.mcid_roles: dict = {}
 
     @property
     def dims(self):

@@ -69,7 +69,8 @@ class _Feat:
                  "ends_terminal", "starts_lower", "first_word_sup",
                  "top_frac", "bottom_frac", "role", "size_ratio", "line_num",
                  "folio", "ln_split", "enumerator", "endnote",
-                 "footnote_block", "hang_marker", "orientation", "in_table")
+                 "footnote_block", "hang_marker", "orientation", "in_table",
+                 "struct_role", "artifact_frac")
 
     def __init__(self):
         self.role = "body"
@@ -83,6 +84,8 @@ class _Feat:
         self.hang_marker = False
         self.orientation = 0
         self.in_table = False
+        self.struct_role = None
+        self.artifact_frac = 0.0
 
 
 def _line_size(line) -> float:
@@ -136,6 +139,29 @@ def _features(pages) -> list:
             f.bottom_frac = b.bottom / page_h if page_h else 0
             f.orientation = getattr(line, "orientation", 0) or 0
             f.enumerator = _line_enumerator(line)
+            # Char-weighted dominant struct-tree tag (tagged PDFs, M21):
+            # resolved only when >=60% of the line's chars agree.
+            mcid_roles = getattr(page, "mcid_roles", None) or {}
+            if mcid_roles:
+                tag_w: dict = {}
+                n_art = 0
+                for w in line.words:
+                    wl = len(w.text) or 1
+                    if getattr(w, "artifact", False):
+                        n_art += wl
+                    tag = mcid_roles.get(getattr(w, "mcid", None))
+                    if tag:
+                        tag_w[tag] = tag_w.get(tag, 0) + wl
+                if tag_w and f.n_char:
+                    best_tag, best_w = max(tag_w.items(),
+                                           key=lambda kv: kv[1])
+                    if best_w / f.n_char >= 0.6:
+                        f.struct_role = best_tag
+                f.artifact_frac = n_art / f.n_char if f.n_char else 0.0
+            elif any(getattr(w, "artifact", False) for w in line.words):
+                n_art = sum(len(w.text) or 1 for w in line.words
+                            if getattr(w, "artifact", False))
+                f.artifact_frac = n_art / f.n_char if f.n_char else 0.0
             cx, cy = (b.left + b.right) / 2, (b.top + b.bottom) / 2
             for tb in getattr(page, "table_boxes", None) or []:
                 if tb["left"] <= cx <= tb["right"] \
@@ -838,6 +864,12 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
         if f.footnote_block:
             f.role = "footnote"
             continue
+        # Struct-tree overlay (tagged PDFs, M21): an H*/Title element is
+        # a heading regardless of geometric evidence.
+        if f.struct_role in ("H", "H1", "H2", "H3", "H4", "H5", "H6",
+                             "Title"):
+            f.role = "heading"
+            continue
         t = f.text.strip()
         t_nospace = re.sub(r"\s+", "", t)
         at_edge = f.top_frac < 0.08 or f.bottom_frac > 0.92
@@ -885,6 +917,20 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
                 f.role = "heading"
                 continue
         f.role = "body"
+
+    # Producer /Artifact tagging: artifact-dominated margin-band lines are
+    # furniture — unless the producer tags body content artifact too
+    # (artifactUnreliable, analyzeLayout.js model.artifactUnreliable).
+    art_chars = sum(f.n_char for f in feats if f.artifact_frac > 0.6)
+    all_chars = sum(f.n_char for f in feats) or 1
+    if 0 < art_chars / all_chars <= 0.5:
+        for f in feats:
+            if f.role != "body" or f.artifact_frac <= 0.6:
+                continue
+            if f.top_frac < 0.15:
+                f.role = "header"
+            elif f.bottom_frac > 0.88:
+                f.role = "footer"
 
     # Footnote region: once a sup-marker note opens at the bottom of a page,
     # body lines at or below it on that page are its continuation
@@ -987,17 +1033,22 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     body_right = quantile([f.right for f in feats], 0.75) or 0
     col_width = max(body_right - body_left, 1)
     skip_pars = set()
+    quote_pars = set()
     for f in feats:
         if (f.hang_marker or f.ln_split) and f.line.par is not None:
             skip_pars.add(id(f.line.par))
+        if f.struct_role in ("BlockQuote", "Quote") \
+                and f.line.par is not None:
+            quote_pars.add(id(f.line.par))
     for page in pages:
         for par in page.pars:
             if par.type != "body" or id(par) in skip_pars:
                 continue
             left_indent = par.bbox.left - body_left
             right_inset = body_right - par.bbox.right
-            if len(par.lines) >= 2 \
-                    and left_indent > col_width * 0.035 \
-                    and right_inset > col_width * 0.035 \
-                    and abs(left_indent - right_inset) < col_width * 0.06:
+            geo = len(par.lines) >= 2 \
+                and left_indent > col_width * 0.035 \
+                and right_inset > col_width * 0.035 \
+                and abs(left_indent - right_inset) < col_width * 0.06
+            if id(par) in quote_pars or geo:
                 par.type = "blockquote"

@@ -70,7 +70,7 @@ class _G:
     """Mutable working glyph in top-down page coordinates."""
     __slots__ = ("text", "x", "y", "width", "size", "font", "family",
                  "bold", "italic", "smallcaps", "invisible", "orientation",
-                 "dir_x", "dir_y", "perp")
+                 "dir_x", "dir_y", "perp", "artifact", "mcid")
 
     def __init__(self, c, height):
         self.text = c.text
@@ -88,6 +88,8 @@ class _G:
         self.dir_x = getattr(c, "dir_x", 1.0)
         self.dir_y = getattr(c, "dir_y", 0.0)
         self.perp = None
+        self.artifact = getattr(c, "artifact", False)
+        self.mcid = getattr(c, "mcid", None)
 
     @property
     def py(self):
@@ -898,6 +900,10 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
                         text, BBox(w_left, w_top, w_right, w_bottom))
             word.conf = 100
             word.lang = calc_lang(text)
+            word.artifact = any(c.artifact for c in wc)
+            mcids = [c.mcid for c in wc if c.mcid is not None]
+            if mcids:
+                word.mcid = max(set(mcids), key=mcids.count)
             first_alpha = next(
                 (c for c in wc if re.match(r"[A-Za-z\d]", c.text)), wc[0])
             word.style.font = first_alpha.family

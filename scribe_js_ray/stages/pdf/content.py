@@ -30,11 +30,11 @@ class PositionedChar:
 
     __slots__ = ("text", "x", "y", "width", "font_size", "font", "bold",
                  "italic", "invisible", "orientation", "dir_x", "dir_y",
-                 "family", "smallcaps")
+                 "family", "smallcaps", "artifact", "mcid")
 
     def __init__(self, text, x, y, width, font_size, font, bold, italic,
                  invisible, orientation=0, dir_x=1.0, dir_y=0.0,
-                 family=None, smallcaps=False):
+                 family=None, smallcaps=False, artifact=False, mcid=None):
         self.text = text
         self.x = x
         self.y = y
@@ -49,6 +49,8 @@ class PositionedChar:
         self.dir_y = dir_y
         self.family = family if family is not None else font
         self.smallcaps = smallcaps
+        self.artifact = artifact
+        self.mcid = mcid
 
 
 def _mat_mul(a, b):
@@ -350,6 +352,10 @@ class TextInterpreter:
         render_mode = 0
         tm = (1, 0, 0, 1, 0, 0)
         tlm = tm
+        # Marked-content stack: (/Artifact nesting depth, current MCID)
+        # — feeds the struct-tree role overlay (M21) and artifact-aware
+        # furniture handling (parsePdfDoc.js /Artifact + MCID tracking).
+        mc_stack = []
 
         def show_string(s: bytes):
             nonlocal tm
@@ -391,7 +397,10 @@ class TextInterpreter:
                         font.name, font.bold, font.italic,
                         render_mode == 3, orientation=orient,
                         dir_x=sdx, dir_y=sdy,
-                        family=font.family, smallcaps=font.smallcaps))
+                        family=font.family, smallcaps=font.smallcaps,
+                        artifact=any(t == "Artifact" for t, _ in mc_stack),
+                        mcid=next((m for _, m in reversed(mc_stack)
+                                   if m is not None), None)))
                 tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
 
         for operands, op in tokenize_content(content):
@@ -408,6 +417,19 @@ class TextInterpreter:
                     tlm = tm
                 elif op == "ET":
                     pass
+                elif op == "BMC" and operands:
+                    mc_stack.append((str(operands[-1]), None))
+                elif op == "BDC" and len(operands) >= 2:
+                    props = operands[-1]
+                    mcid = None
+                    if isinstance(props, dict):
+                        v = props.get("MCID")
+                        if isinstance(v, (int, float)):
+                            mcid = int(v)
+                    mc_stack.append((str(operands[0]), mcid))
+                elif op == "EMC":
+                    if mc_stack:
+                        mc_stack.pop()
                 elif op == "Tf" and len(operands) == 2:
                     fname = str(operands[0])
                     font = self.fonts.get(fname)

@@ -42,6 +42,8 @@ def _walk_pages(pdf: PdfFile):
         else:
             merged = dict(inh)
             merged["_node"] = node
+            merged["_ref_num"] = node_ref.num \
+                if isinstance(node_ref, Ref) else None
             out.append(merged)
 
     walk(pages_ref, {})
@@ -181,10 +183,18 @@ def parse_pdf_document(data: bytes, with_outline: bool = False):
         # the handler itself with a clearer message).
         raise ValueError("encrypted PDF: unsupported security handler")
     infos = _walk_pages(pdf)
+    # Tagged-PDF structure tree → per-page mcid role maps (M21).
+    try:
+        from .structtree import parse_struct_tree
+        struct_roles = parse_struct_tree(pdf)
+    except Exception:
+        struct_roles = {}
     pages = []
     stats = []
     for n, info in enumerate(infos):
         page, st = parse_pdf_page(pdf, info, n)
+        if struct_roles and info.get("_ref_num") is not None:
+            page.mcid_roles = struct_roles.get(info["_ref_num"], {})
         pages.append(page)
         stats.append(st)
     if with_outline:

@@ -1,0 +1,108 @@
+"""Tagged-PDF struct tree + marked content (SURVEY M21/J4): MCID role
+maps, heading/blockquote overlays, /Artifact furniture."""
+
+from scribe_js_ray.model import page_text
+from scribe_js_ray.sources.synth_pdf import PdfWriter, _Typesetter
+from scribe_js_ray.stages.layout import analyze_layout
+from scribe_js_ray.stages.pdf import parse_pdf_document
+from scribe_js_ray.stages.pdf.objects import PdfFile
+from scribe_js_ray.stages.pdf.structtree import parse_struct_tree
+
+
+def _tagged_pdf():
+    """One page: H1-tagged heading (MCID 0), P body (MCID 1), BlockQuote
+    (MCID 2); role map aliases 'Heading1' → H1."""
+    stream = (
+        "/Heading1 <</MCID 0>> BDC "
+        "BT /F1 12 Tf 72 700 Td (Chapter Title Here) Tj ET EMC "
+        "/P <</MCID 1>> BDC "
+        "BT /F1 12 Tf 72 660 Td (Plain body sentence words here) Tj ET "
+        "BT /F1 12 Tf 72 640 Td (and another body line of text) Tj ET EMC "
+        "/BlockQuote <</MCID 2>> BDC "
+        "BT /F1 12 Tf 72 600 Td (a quoted passage set inline) Tj ET "
+        "BT /F1 12 Tf 72 580 Td (continuing the quoted text) Tj ET EMC "
+    ).encode("latin-1")
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 6 0 R >>")  # 1
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")                # 2
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")  # 3
+    w.add(b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+          + stream + b"\nendstream")                                   # 4
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")                            # 5
+    w.add(b"<< /Type /StructTreeRoot /K [7 0 R 8 0 R 9 0 R] "
+          b"/RoleMap << /Heading1 /H1 >> >>")                          # 6
+    w.add(b"<< /Type /StructElem /S /Heading1 /Pg 3 0 R /K 0 >>")      # 7
+    w.add(b"<< /Type /StructElem /S /P /Pg 3 0 R /K 1 >>")             # 8
+    w.add(b"<< /Type /StructElem /S /BlockQuote /Pg 3 0 R /K 2 >>")    # 9
+    return w.build()
+
+
+def test_struct_tree_parse_with_rolemap():
+    pdf = PdfFile(_tagged_pdf())
+    roles = parse_struct_tree(pdf)
+    assert roles == {3: {0: "H1", 1: "P", 2: "BlockQuote"}}
+
+
+def test_struct_overlay_heading_and_blockquote():
+    pages, _ = parse_pdf_document(_tagged_pdf())
+    assert pages[0].mcid_roles == {0: "H1", 1: "P", 2: "BlockQuote"}
+    analyze_layout(pages)
+    types = [par.type for par in pages[0].pars]
+    assert "title" in types       # H1 → heading → 'title'
+    assert "blockquote" in types  # struct BlockQuote, no geometry needed
+    assert "body" in types
+    # geometry alone would NOT have made these: the quote is flush left
+    quote_par = next(p for p in pages[0].pars if p.type == "blockquote")
+    assert "quoted" in " ".join(w.text for ln in quote_par.lines
+                                for w in ln.words)
+
+
+def test_artifact_band_is_furniture():
+    stream = (
+        "/Artifact <</Type /Pagination>> BDC "
+        "BT /F1 10 Tf 72 770 Td (Running Head Stamp) Tj ET EMC "
+    ) + " ".join(
+        f"BT /F1 12 Tf 72 {700 - 20 * i} Td "
+        f"(body line {i} with several words here) Tj ET"
+        for i in range(8))
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    data = stream.encode("latin-1")
+    w.add(b"<< /Length " + str(len(data)).encode() + b" >>\nstream\n"
+          + data + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    pages, _ = parse_pdf_document(w.build())
+    analyze_layout(pages)
+    head_par = next(p for p in pages[0].pars
+                    if "Stamp" in " ".join(w_.text for ln in p.lines
+                                           for w_ in ln.words))
+    assert head_par.type == "header"
+
+
+def test_artifact_unreliable_producer_ignored():
+    # EVERYTHING tagged artifact → the flag is useless; body stays body.
+    lines = " ".join(
+        f"BT /F1 12 Tf 72 {700 - 20 * i} Td "
+        f"(body line {i} with several words here) Tj ET"
+        for i in range(8))
+    stream = f"/Artifact BMC {lines} EMC"
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    data = stream.encode("latin-1")
+    w.add(b"<< /Length " + str(len(data)).encode() + b" >>\nstream\n"
+          + data + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    pages, _ = parse_pdf_document(w.build())
+    analyze_layout(pages)
+    assert all(par.type == "body" for par in pages[0].pars)
+    assert "body line 3" in page_text(pages[0])
