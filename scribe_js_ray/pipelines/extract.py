@@ -85,6 +85,10 @@ def _emit(pages, emit_format, reflow, drop_furniture):
     if emit_format == "hocr":
         from ..stages.exports import write_hocr
         return write_hocr(pages), []
+    if emit_format == "pdf":
+        from ..stages.pdf_export import write_pdf
+        # binary export: latin-1 round-trip keeps it a string column
+        return write_pdf(pages).decode("latin-1"), []
     return write_text_spans(
         pages, reflow_text=reflow, drop_furniture=drop_furniture,
         drop_line_num_words=True)
