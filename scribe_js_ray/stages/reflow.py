@@ -88,6 +88,12 @@ def assign_paragraphs(page: Page, angle: float) -> None:
             return None
         return lm, rm, wm, sm
 
+    # Drawn horizontal separator rules (from the PDF path) split a
+    # paragraph when one lies in the vertical gap between two lines and
+    # horizontally overlaps the later line (analyzeLayout.js decideBreak
+    # pageRules consumer).
+    page_rules = getattr(page, "rules", None) or []
+
     for h in range(n_lines):
         line = lines[h]
         ends_early_int = False
@@ -96,6 +102,22 @@ def assign_paragraphs(page: Page, angle: float) -> None:
         if h > 0 and line.orientation != lines[h - 1].orientation:
             new_par = True
             reason = "orientation change"
+
+        if not new_par and h > 0 and page_rules:
+            # Line bboxes carry full ascender/descender bands, so a rule
+            # drawn visually between two rows can sit inside the next
+            # line's box; tolerate up to ~40% of each band.
+            prev_b = lines[h - 1].bbox
+            gap_top = prev_b.bottom - (prev_b.bottom - prev_b.top) * 0.4
+            gap_bot = line.bbox.top + (line.bbox.bottom
+                                       - line.bbox.top) * 0.4
+            for r in page_rules:
+                if gap_top <= r["y"] <= gap_bot \
+                        and r["right"] > line.bbox.left \
+                        and r["left"] < line.bbox.right:
+                    new_par = True
+                    reason = "separator rule"
+                    break
 
         w0_text = line.words[0].text if line.words else ""
         bullet = bool(_BULLET_RE.match(w0_text))

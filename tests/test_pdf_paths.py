@@ -111,3 +111,23 @@ def test_detect_ruled_tables_unit():
     tables = detect_ruled_tables(h, v)
     assert len(tables) == 1
     assert tables[0]["col_separators"] == [100]
+
+
+def test_separator_rule_splits_paragraph():
+    # Two tightly-pitched line groups with a drawn rule between them:
+    # without the rule they'd reflow into one paragraph.
+    rows = []
+    for i, y in enumerate((700, 686, 672)):
+        rows.append(f"BT /F1 12 Tf 72 {y} Td "
+                    f"(first block line {i} words here) Tj ET")
+    rows.append("72 664 200 0.7 re f")
+    for i, y in enumerate((658, 644, 630)):
+        rows.append(f"BT /F1 12 Tf 72 {y} Td "
+                    f"(second block line {i} words here) Tj ET")
+    pages, _ = parse_pdf_document(_make_pdf([" ".join(rows)], F))
+    from scribe_js_ray.stages.layout import analyze_layout
+    analyze_layout(pages)
+    pars = pages[0].pars
+    assert len(pars) >= 2
+    reasons = {p.reason for p in pars}
+    assert "separator rule" in reasons
