@@ -365,7 +365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": rel.q3_shipping_priority,
         "events_sessionize": rel.events_sessionize,
         "events_asof_purchase": rel.events_asof_purchase,
+        "events_running_total": rel.events_running_total,
         "nation_top_customers": rel.nation_top_customers,
+        "regional_revenue": rel.regional_revenue,
         # documents corpus ops
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
@@ -402,7 +404,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": rel.Q3_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_asof_purchase": rel.EVENTS_ASOF_SQL,
+        "events_running_total": rel.EVENTS_RUNNING_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
+        "regional_revenue": rel.REGIONAL_REVENUE_SQL,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -518,3 +518,137 @@ FROM (
 WHERE rn <= 3
 ORDER BY n_nationkey, total_spent DESC, o_custkey
 """
+
+
+def events_running_total(sf_dir: str):
+    """Windowed aggregate (custom operator — Ray Data has no window
+    functions): per-user running total of event value in event-time
+    order.  Shuffle key = user_id; each group sorts + cumsums its own
+    stream.  Sums run in scaled int64 cents so the result is bit-exact
+    vs the oracle's window SUM regardless of its aggregation tree."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def running_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = (g["value"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "running_value": (cents.cumsum() / 100.0).to_numpy(),
+        })
+
+    return ds.groupby("user_id").map_groups(
+        running_of_user, batch_format="pandas") \
+        .sort(["user_id", "event_id"])
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+           AS running_value
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+def regional_revenue(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5-style multi-join: revenue per nation for customers in one
+    region.  lineitem⋈orders and (orders⋈customer) run as hash-bucketed
+    repartition joins (functions/joins.py — 64 vectorized pandas merges,
+    not one Python call per key); nation⋈region is a broadcast dict.
+    Revenue sums in int64 cents² → bit-exact vs the DECIMAL oracle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_bucket_join
+
+    # Broadcast side: nationkey → name for nations in the region.
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    region_keys = {k for k, n in zip(reg["r_regionkey"].to_pylist(),
+                                     reg["r_name"].to_pylist())
+                   if n == region}
+    nation_name = {k: n for k, n, rk in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist(),
+        nation["n_regionkey"].to_pylist()) if rk in region_keys}
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        part = pa.table({"l_orderkey": t["l_orderkey"], "rev_s4": rev})
+        return part.group_by("l_orderkey").aggregate(
+            [("rev_s4", "sum")]).rename_columns(["l_orderkey", "rev_s4"])
+
+    li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("rev_s4", alias_name="rev_s4"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+                     batch_format="pyarrow")
+
+    joined = hash_bucket_join(li_agg, orders, on="l_orderkey")
+
+    def by_cust(g):
+        return g.groupby("o_custkey", as_index=False)["rev_s4"].sum()
+
+    cust_rev = joined.map_batches(by_cust, batch_format="pandas") \
+        .groupby("o_custkey").aggregate(Sum("rev_s4", alias_name="rev_s4"))
+
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+                     batch_format="pyarrow")
+    cust_joined = hash_bucket_join(cust_rev, customer, on="o_custkey")
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        keys = t["c_nationkey"].to_pylist()
+        names = [nation_name.get(k) for k in keys]
+        mask = pa.array([n is not None for n in names])
+        out = pa.table({
+            "n_name": pa.array([n for n in names if n is not None],
+                               pa.string()),
+            "rev_s4": t.filter(mask)["rev_s4"],
+        })
+        return out
+
+    agg = cust_joined.map_batches(to_nation, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("rev_s4", alias_name="rev_s4"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(t["rev_s4"], pa.float64()),
+                        pa.scalar(1e4))
+        return pa.table({"n_name": t["n_name"], "revenue": rev})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("n_name")
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+"""
