@@ -321,6 +321,55 @@ def _font_char_metrics(sf_dir: str):
     return font_char_metrics(_pages_ds(sf_dir)).sort(["font", "style"])
 
 
+def _mm_audio_features(sf_dir: str):
+    """Multimodal audio plumbing: deterministic synthetic clips →
+    decode-stub PCM → vectorized features (rows-only check)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.stages.multimodal import decode_audio_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).limit(64)
+
+    def synth_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "audio_id": pa.array(ids, pa.int64()),
+            "audio": pa.array(
+                [d.to_bytes(8, "big") * 32 for d in ids], pa.binary()),
+        })
+
+    audio = docs.map_batches(synth_audio, batch_format="pyarrow")
+    return decode_audio_pipeline(audio) \
+        .select_columns(["audio_id", "features"]).sort("audio_id")
+
+
+def _mm_video_frames(sf_dir: str):
+    """Multimodal video plumbing: synthetic clips → frame sampling
+    (flat_map shape, one row per frame) → per-frame features."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.stages.multimodal import sample_video_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).limit(32)
+
+    def synth_video(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "video_id": pa.array(ids, pa.int64()),
+            "video": pa.array(
+                [d.to_bytes(8, "big") * 64 for d in ids], pa.binary()),
+        })
+
+    vids = docs.map_batches(synth_video, batch_format="pyarrow")
+    return sample_video_pipeline(vids) \
+        .select_columns(["video_id", "frame_idx"]) \
+        .sort(["video_id", "frame_idx"])
+
+
 def _emb_label_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -382,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fp": _doc_rolling_fp,
         # multimodal plumbing (decode stub + features)
         "mm_image_features": _mm_image_features,
+        "mm_audio_features": _mm_audio_features,
+        "mm_video_frames": _mm_video_frames,
         # embeddings / similarity search
         "emb_label_counts": _emb_label_counts,
         "emb_knn_top10": _emb_knn_top10,

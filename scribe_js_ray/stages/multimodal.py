@@ -159,3 +159,115 @@ def decode_image_pipeline(ds, batch_size: int = 8, concurrency=None):
         ImageFeatures, batch_format="pyarrow", batch_size=64,
         concurrency=concurrency,
     )
+
+
+class DecodeAudio:
+    """audio binary → fixed-length mono PCM window + metadata.
+
+    Same contract as DecodeImages: actor-pool stage, codec contexts
+    initialize once per actor, real decode stubbed behind
+    ``real_codecs=True`` (audio libraries absent in this environment);
+    the deterministic fake derives the waveform from the payload digest
+    so identical bytes decode identically on any worker."""
+
+    N_SAMPLES = 2048
+    SAMPLE_RATE = 16000
+
+    def __init__(self, real_codecs: bool = False):
+        self.real_codecs = real_codecs
+        self._pcm_type = pa.list_(pa.float32(), self.N_SAMPLES)
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if self.real_codecs:
+            raise NotImplementedError("real audio decode not available")
+        seed = int.from_bytes(
+            hashlib.blake2b(payload or b"", digest_size=4).digest(), "big")
+        rng = np.random.RandomState(seed)
+        # a few seeded sinusoids + noise: featureful, deterministic
+        t = np.arange(self.N_SAMPLES, dtype=np.float32) / self.SAMPLE_RATE
+        freqs = rng.uniform(50, 4000, size=3).astype(np.float32)
+        amps = rng.uniform(0.1, 0.5, size=3).astype(np.float32)
+        wave = sum(a * np.sin(2 * np.pi * f * t)
+                   for a, f in zip(amps, freqs))
+        wave = wave + rng.normal(0, 0.02, self.N_SAMPLES)
+        return wave.astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("audio").to_pylist()
+        waves = np.stack([self._decode_one(p) for p in payloads]) \
+            if payloads else np.empty((0, self.N_SAMPLES), np.float32)
+        return pa.table({
+            "audio_id": batch["audio_id"],
+            "pcm": pa.FixedSizeListArray.from_arrays(
+                pa.array(waves.reshape(-1), pa.float32()), self.N_SAMPLES),
+            "sample_rate": pa.array(
+                [self.SAMPLE_RATE] * len(payloads), pa.int32()),
+        })
+
+
+class AudioFeatures:
+    """PCM window → feature vector: RMS, zero-crossing rate, and an
+    8-band log-power spectrum (vectorized rfft over the whole batch)."""
+
+    N_BANDS = 8
+    DIM = 2 + N_BANDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pcm_col = batch.column("pcm")
+        n = len(pcm_col)
+        if n == 0:
+            return batch.append_column(
+                "features", pa.array([], pa.list_(pa.float32(), self.DIM)))
+        width = pcm_col.type.list_size
+        waves = np.asarray(pcm_col.combine_chunks().flatten(),
+                           dtype=np.float32).reshape(n, width)
+        rms = np.sqrt((waves ** 2).mean(axis=1, keepdims=True))
+        zc = (np.diff(np.signbit(waves), axis=1) != 0) \
+            .mean(axis=1, keepdims=True).astype(np.float32)
+        spec = np.abs(np.fft.rfft(waves, axis=1)) ** 2
+        bands = np.stack([
+            b.mean(axis=1)
+            for b in np.array_split(spec, self.N_BANDS, axis=1)], axis=1)
+        log_bands = np.log1p(bands).astype(np.float32)
+        feats = np.concatenate(
+            [rms.astype(np.float32), zc, log_bands], axis=1)
+        return batch.append_column(
+            "features", pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), self.DIM))
+
+
+def decode_audio_pipeline(ds, batch_size: int = 8, concurrency=None):
+    """audio Dataset (audio_id + audio binary) → PCM + features."""
+    if concurrency is None:
+        concurrency = (1, 4)
+    return ds.map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+def sample_video_pipeline(ds, n_frames: int = 4, batch_size: int = 4,
+                          concurrency=None):
+    """video Dataset (video_id + video binary) → one row per sampled
+    frame (flat_map shape) + per-frame image features."""
+    if concurrency is None:
+        concurrency = (1, 4)
+    frames = ds.map_batches(
+        SampleVideoFrames, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        concurrency=concurrency)
+
+    class _FrameFeatures(ImageFeatures):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            renamed = batch.rename_columns(
+                ["video_id", "frame_idx", "thumb"])
+            out = super().__call__(renamed)
+            return out.rename_columns(
+                ["video_id", "frame_idx", "frame", "features"])
+
+    return frames.map_batches(
+        _FrameFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency)
