@@ -932,6 +932,62 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             elif f.bottom_frac > 0.88:
                 f.role = "footer"
 
+    # Footnote separator rules (analyzeLayout.js:931-990): a short,
+    # left-anchored drawn rule in the lower half whose below-lines look
+    # like notes (reduced size or an active-scheme enumerator) marks a
+    # note region — everything below it on the page is footnote.
+    by_page_fr: dict = {}
+    for f in feats:
+        by_page_fr.setdefault(f.page, []).append(f)
+    for p, pf in by_page_fr.items():
+        rules = getattr(pages[p], "rules", None) or []
+        page_h = pages[p].height or 0
+        if not rules or not page_h:
+            continue
+        flush = quantile([g.left for g in pf], 0.25) or body_left
+        y = None
+        for r in rules:
+            if r["left"] > flush + body_size:
+                continue
+            # Union collinear segments before the width test: a
+            # segmented table border still reads full-width and rejects.
+            u_l, u_r = r["left"], r["right"]
+            for q in rules:
+                if abs(q["y"] - r["y"]) <= body_size * 0.3:
+                    u_l = min(u_l, q["left"])
+                    u_r = max(u_r, q["right"])
+            if u_r - u_l > col_width * 0.6:
+                continue
+            # A rule inside a line's bbox is an underline, not a
+            # separator.
+            if any(g.top <= r["y"] <= g.bottom and r["left"] < g.right
+                   and r["right"] > g.left for g in pf):
+                continue
+            if r["y"] < page_h * 0.5:
+                continue
+            if y is None or r["y"] < y:
+                y = r["y"]
+        if y is None:
+            continue
+        corroborated = False
+        for g in pf:
+            if g.top <= y:
+                continue
+            if g.size_ratio <= 0.86 and re.search(r"[A-Za-z]{2,}", g.text):
+                corroborated = True
+                break
+            e = g.enumerator
+            sc = schemes.get(e["scheme"]) if e else None
+            if e and e["value"] is not None and sc and sc["active"] \
+                    and e["value"] in sc["sequence_values"]:
+                corroborated = True
+                break
+        if not corroborated:
+            continue
+        for g in pf:
+            if g.top > y and g.role == "body":
+                g.role = "footnote"
+
     # Footnote region: once a sup-marker note opens at the bottom of a page,
     # body lines at or below it on that page are its continuation
     # (analyzeLayout.js footnote-region machinery, simplified).

@@ -131,3 +131,28 @@ def test_separator_rule_splits_paragraph():
     assert len(pars) >= 2
     reasons = {p.reason for p in pars}
     assert "separator rule" in reasons
+
+
+def test_footnote_rule_marks_note_region():
+    # Body lines, then a short left-anchored rule low on the page, then
+    # smaller note text below — the rule corroborates a footnote region.
+    rows = []
+    for i in range(6):
+        y = 700 - 18 * i
+        rows.append(f"BT /F1 12 Tf 72 {y} Td "
+                    f"(body paragraph line number {i} with many more "
+                    f"words of content) Tj ET")
+    rows.append("72 200 60 0.7 re f")  # short separator
+    rows.append("BT /F1 8 Tf 72 185 Td "
+                "(1 note text in smaller print here) Tj ET")
+    rows.append("BT /F1 8 Tf 72 170 Td "
+                "(continuing the small note content) Tj ET")
+    pages, _ = parse_pdf_document(_make_pdf([" ".join(rows)], F))
+    from scribe_js_ray.stages.layout import analyze_layout
+    analyze_layout(pages)
+    note_pars = [p for p in pages[0].pars if p.type == "footnote"]
+    assert note_pars
+    note_text = " ".join(w.text for p in note_pars for ln in p.lines
+                         for w in ln.words)
+    assert "note" in note_text
+    assert "body paragraph" not in note_text
