@@ -285,62 +285,60 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3):
     candidates (no quadratic scan), then each candidate pair is verified
     with the true Jaccard of the docs' n-gram hash sets.
 
-    Fully distributed — a two-hop repartition join (r1 materialized the
-    whole documents table on the driver):
-      1. per-doc n-gram hash sets computed once (map_batches);
-      2. join on doc_id: union(hash-set rows, exploded pair rows) →
-         groupby(doc_id) attaches each doc's set to every pair that
-         references it;
-      3. groupby(doc_a, doc_b) brings the two sets of a pair together
-         and computes exact Jaccard.
-    Only candidate-pair hash sets cross the second exchange."""
-    candidates = minhash_duplicate_pairs(ds)
+    Fully distributed, candidate-pruned (r1 materialized the whole
+    documents table on the driver; the first r2 cut hashed EVERY doc):
+      1. candidate doc ids (distinct, tiny) semi-join the documents
+         table via ``hash_bucket_join`` — only colliding docs' text is
+         read into the hash stage;
+      2. per-candidate-doc n-gram hash sets (sorted uint64, 8 B/gram);
+      3. a second bucket join attaches each doc's set to its exploded
+         pair rows; groupby(pair) computes exact Jaccard.
+    Non-candidate docs never ship text OR hashes across an exchange."""
+    from ..functions.joins import hash_bucket_join
+
+    # Materialize the small intermediates: each hash_bucket_join consumes
+    # its inputs twice (schema probe + union), and Ray lazily re-executes
+    # the WHOLE upstream DAG per consumer — without this the MinHash
+    # banding runs 4x.  Candidates/hash-sets are collapsed outputs, far
+    # smaller than the corpus, so the object store holds them fine.
+    candidates = minhash_duplicate_pairs(ds).materialize()
 
     hash_list_t = pa.list_(pa.uint64())
-    join_schema = pa.schema([
-        ("doc_id", pa.int64()), ("doc_a", pa.int64()),
-        ("doc_b", pa.int64()), ("hashes", hash_list_t)])
 
-    def doc_side(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        hs = [_ngram_hashes(x, n) for x in t["text"].to_pylist()]
-        nn = pa.nulls(len(ids), pa.int64())
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        both = pa.concat_arrays([t["doc_a"].chunk(0), t["doc_b"].chunk(0)]) \
+            if t.num_rows else pa.array([], pa.int64())
+        doubled = pa.concat_tables([t, t])
         return pa.table({
-            "doc_id": t["doc_id"], "doc_a": nn, "doc_b": nn,
-            "hashes": pa.array([h.tolist() for h in hs], hash_list_t),
-        }, schema=join_schema)
-
-    def pair_side(t: pa.Table) -> pa.Table:
-        a, b = t["doc_a"], t["doc_b"]
-        both_key = pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]) \
-            if isinstance(a, pa.ChunkedArray) else pa.concat_arrays([a, b])
-        n_rows = len(t)
-        aa = pa.concat_tables([t, t])  # doc_a/doc_b repeated for both rows
-        return pa.table({
-            "doc_id": both_key,
-            "doc_a": aa["doc_a"], "doc_b": aa["doc_b"],
-            "hashes": pa.nulls(2 * n_rows, hash_list_t),
-        }, schema=join_schema)
-
-    left = ds.map_batches(doc_side, batch_format="pyarrow")
-    right = candidates.map_batches(pair_side, batch_format="pyarrow")
-
-    def attach(group: pa.Table) -> pa.Table:
-        # One doc-side row (hashes non-null) + K pair-side rows; emit one
-        # (doc_a, doc_b, this-doc's-hashes) row per referencing pair.
-        hashes_col = group["hashes"].to_pylist()
-        doc_hashes = next((h for h in hashes_col if h is not None), None)
-        mask = [h is None for h in hashes_col]
-        out_a = [a for a, m in zip(group["doc_a"].to_pylist(), mask) if m]
-        out_b = [b for b, m in zip(group["doc_b"].to_pylist(), mask) if m]
-        return pa.table({
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "hashes": pa.array([doc_hashes] * len(out_a), hash_list_t),
+            "doc_id": both,
+            "doc_a": doubled["doc_a"],
+            "doc_b": doubled["doc_b"],
         })
 
-    attached = left.union(right).groupby("doc_id") \
-        .map_groups(attach, batch_format="pyarrow")
+    exploded = candidates.map_batches(explode, batch_format="pyarrow") \
+        .materialize()
+
+    # Distinct candidate doc ids — the semi-join probe side.
+    from ray.data.aggregate import Count
+    cand_ids = exploded.groupby("doc_id") \
+        .aggregate(Count(alias_name="__n")).select_columns(["doc_id"])
+
+    docs_slim = ds.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+    cand_docs = hash_bucket_join(cand_ids, docs_slim, on="doc_id")
+
+    def hash_docs(t: pa.Table) -> pa.Table:
+        hs = [_ngram_hashes(x, n) for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "hashes": pa.array([h.tolist() for h in hs], hash_list_t),
+        })
+
+    doc_hashes = cand_docs.map_batches(hash_docs, batch_format="pyarrow") \
+        .materialize()
+
+    attached = hash_bucket_join(exploded, doc_hashes, on="doc_id")
 
     def jaccard_of_pair(group: pa.Table) -> pa.Table:
         sets = [np.asarray(h, dtype=np.uint64)

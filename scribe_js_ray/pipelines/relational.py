@@ -595,7 +595,8 @@ def regional_revenue(sf_dir: str, region: str = "ASIA"):
             [("rev_s4", "sum")]).rename_columns(["l_orderkey", "rev_s4"])
 
     li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("rev_s4", alias_name="rev_s4"))
+        .groupby("l_orderkey").aggregate(Sum("rev_s4", alias_name="rev_s4")) \
+        .materialize()  # consumed twice by the join (schema + union)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"]) \
@@ -604,11 +605,16 @@ def regional_revenue(sf_dir: str, region: str = "ASIA"):
 
     joined = hash_bucket_join(li_agg, orders, on="l_orderkey")
 
-    def by_cust(g):
-        return g.groupby("o_custkey", as_index=False)["rev_s4"].sum()
+    def by_cust(t: pa.Table) -> pa.Table:
+        # Arrow in/out: pandas-typed blocks drag Ray's sort-aggregate
+        # into its slow path (measured 20x on this stage).
+        return t.select(["o_custkey", "rev_s4"]) \
+            .group_by("o_custkey").aggregate([("rev_s4", "sum")]) \
+            .rename_columns(["o_custkey", "rev_s4"])
 
-    cust_rev = joined.map_batches(by_cust, batch_format="pandas") \
-        .groupby("o_custkey").aggregate(Sum("rev_s4", alias_name="rev_s4"))
+    cust_rev = joined.map_batches(by_cust, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("rev_s4", alias_name="rev_s4")) \
+        .materialize()
 
     customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_nationkey"]) \
