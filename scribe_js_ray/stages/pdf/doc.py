@@ -50,7 +50,8 @@ def _walk_pages(pdf: PdfFile):
     return out
 
 
-def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int):
+def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
+                   seen_annots: set | None = None):
     node = page_info["_node"]
     media = [float(pdf.resolve(v)) for v in
              (pdf.resolve(page_info.get("CropBox"))
@@ -129,6 +130,18 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int):
     try:
         from .annots import lift_field_values, parse_page_annotations
         annotations = parse_page_annotations(pdf, node)
+        # D3: a widget shared by reference across several pages lifts its
+        # value once — doc-level dedup by annotation object number.
+        if seen_annots is not None:
+            fresh = []
+            for a in annotations:
+                num = a.get("obj_num")
+                if num is not None and a.get("type") == "field":
+                    if num in seen_annots:
+                        continue
+                    seen_annots.add(num)
+                fresh.append(a)
+            annotations = fresh
         if annotations:
             lifted_chars = lift_field_values(page, annotations, height_pt,
                                              scale=scale)
@@ -191,8 +204,9 @@ def parse_pdf_document(data: bytes, with_outline: bool = False):
         struct_roles = {}
     pages = []
     stats = []
+    seen_annots: set = set()
     for n, info in enumerate(infos):
-        page, st = parse_pdf_page(pdf, info, n)
+        page, st = parse_pdf_page(pdf, info, n, seen_annots=seen_annots)
         if struct_roles and info.get("_ref_num") is not None:
             page.mcid_roles = struct_roles.get(info["_ref_num"], {})
         pages.append(page)

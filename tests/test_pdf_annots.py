@@ -122,3 +122,24 @@ def test_outline_titles_become_headings():
     title_par = next(p for p in pages[0].pars if p.type == "title")
     assert " ".join(w.text for ln in title_par.lines
                     for w in ln.words) == "Chapter One"
+
+
+def test_shared_widget_lifted_once_across_pages():
+    """D3: the same field object referenced from two pages lifts on the
+    first page only."""
+    from scribe_js_ray.sources.synth_pdf import PdfWriter
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")                        # 1
+    w.add(b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")          # 2
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Annots [5 0 R] >>")                                       # 3
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Annots [5 0 R] >>")                                       # 4
+    w.add(b"<< /Type /Annot /Subtype /Widget /FT /Tx /T (shared) "
+          b"/V (OnceOnly) /F 0 /Rect [100 600 300 620] >>")            # 5
+    pages, _ = parse_pdf_document(w.build())
+    texts = [page_text(p) for p in pages]
+    assert "OnceOnly" in texts[0]
+    assert "OnceOnly" not in texts[1]
