@@ -268,9 +268,13 @@ def _emb_knn_ivf(sf_dir: str):
     qvec = tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"][0].as_py()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    # Cell-partitioned index cached per input dir: built once, every
+    # Cell-partitioned index cached per input FILE (path + mtime + size,
+    # so a regenerated dataset invalidates the cache): built once, every
     # query after that reads only its probe cells' files.
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    import os
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = _hl.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
     index_dir = f"/tmp/scribe_js_ray_ivf_{tag}"
     return knn_top_k_ivf(ds, qvec, k=10, index_dir=index_dir) \
         .select_columns(["vec_id"])
@@ -283,8 +287,11 @@ def _emb_near_dup_lsh(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    # Same threshold as emb_near_dup; LSH-bucketed sub-quadratic path
-    # (rows-only: recall is probabilistic, precision exact).
+    # Same threshold as emb_near_dup so the two queries are comparable,
+    # but NOTE: at cos=0.42 the sign-LSH collision probability is only
+    # ~0.2, so this returns a deterministic SUBSET of emb_near_dup's
+    # pairs — it demonstrates the sub-quadratic plumbing; production
+    # near-dup thresholds (≥0.9) get ≫0.99 recall (rows-only check).
     return emb_near_dup_lsh(ds, threshold=0.42)
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SIDE_COL = "__join_side"
 _BUCKET_COL = "__join_bucket"
@@ -64,25 +65,31 @@ def hash_bucket_join(left, right, on: str, n_buckets: int = 64,
     lt = left.map_batches(tagger(0, set(l_cols)), batch_format="pyarrow")
     rt = right.map_batches(tagger(1, set(r_cols)), batch_format="pyarrow")
 
-    def join_bucket(g):
+    def join_bucket(t: pa.Table) -> pa.Table:
         import pandas as pd
+        # Arrow-backed pandas dtypes: null-padded int64 columns stay
+        # int64[pyarrow] through the merge (a numpy round-trip would
+        # widen them to float64 and corrupt values above 2^53).
+        g = t.to_pandas(types_mapper=pd.ArrowDtype)
         lg = g[g[_SIDE_COL] == 0]
         rg = g[g[_SIDE_COL] == 1]
         lg = lg[[on] + [c for c in l_cols if c in lg.columns]]
         rg = rg[[on] + [c for c in r_cols if c in rg.columns]]
         merged = pd.merge(lg, rg, on=on, how=how)
-        # The null-padded union already widened int64 → float64 in
-        # pandas; rebuild the bucket's output with the ORIGINAL Arrow
-        # types so every block shares one schema.  Columns that picked
-        # up real nulls (outer joins) keep their widened type.
+        out = pa.Table.from_pandas(merged, preserve_index=False)
+        # Pin each column to its source-side type (outer-join nulls keep
+        # the nullable Arrow type naturally).
         arrays = {}
-        for c in merged.columns:
+        for c in out.column_names:
             want = types.get(c)
-            try:
-                arrays[c] = pa.array(merged[c], type=want)
-            except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
-                arrays[c] = pa.array(merged[c])
+            col = out[c]
+            if want is not None and col.type != want:
+                try:
+                    col = pc.cast(col, want)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    pass
+            arrays[c] = col
         return pa.table(arrays)
 
     return lt.union(rt).groupby(_BUCKET_COL) \
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")

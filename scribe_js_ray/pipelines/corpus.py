@@ -338,33 +338,42 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3):
     doc_hashes = cand_docs.map_batches(hash_docs, batch_format="pyarrow") \
         .materialize()
 
-    attached = hash_bucket_join(exploded, doc_hashes, on="doc_id")
+    # Attach both sides' hash sets with two bucket joins, then verify a
+    # whole BATCH of pairs per Python call (a per-pair map_groups was the
+    # tiny-groups bottleneck this module already calls out for r1).
+    hashes_a = doc_hashes.map_batches(
+        lambda t: t.rename_columns(["doc_a", "hashes_a"]),
+        batch_format="pyarrow")
+    j1 = hash_bucket_join(candidates, hashes_a, on="doc_a").materialize()
+    hashes_b = doc_hashes.map_batches(
+        lambda t: t.rename_columns(["doc_b", "hashes_b"]),
+        batch_format="pyarrow")
+    j2 = hash_bucket_join(j1, hashes_b, on="doc_b")
 
-    def jaccard_of_pair(group: pa.Table) -> pa.Table:
-        sets = [np.asarray(h, dtype=np.uint64)
-                for h in group["hashes"].to_pylist() if h is not None]
-        empty = pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())})
-        if len(sets) != 2:
-            return empty
-        sa, sb = sets
-        if not len(sa) and not len(sb):
-            return empty
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = len(sa) + len(sb) - inter
-        j = inter / (union or 1)
-        if j < threshold:
-            return empty
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, ha, hb in zip(t["doc_a"].to_pylist(),
+                                t["doc_b"].to_pylist(),
+                                t["hashes_a"].to_pylist(),
+                                t["hashes_b"].to_pylist()):
+            sa = np.asarray(ha or [], dtype=np.uint64)
+            sb = np.asarray(hb or [], dtype=np.uint64)
+            if not len(sa) and not len(sb):
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = len(sa) + len(sb) - inter
+            j = inter / (union or 1)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 6))
         return pa.table({
-            "doc_a": group["doc_a"][:1],
-            "doc_b": group["doc_b"][:1],
-            "jaccard": pa.array([round(j, 6)], pa.float64()),
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
         })
 
-    return attached.groupby(["doc_a", "doc_b"]) \
-        .map_groups(jaccard_of_pair, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -440,8 +449,11 @@ def emb_near_dup_lsh(ds, threshold: float = 0.95, n_bands: int = 8,
     (band, bucket); each vector ships its (dim)-float payload to its
     n_bands buckets — no broadcast side, no N² strip.  Precision is
     exact; recall is the LSH collision probability (≥1 of n_bands bands
-    agreeing on all band_bits signs), which for cos≥0.95 pairs is ≫0.99
-    at these defaults."""
+    agreeing on all band_bits signs): ≫0.99 for cos≥0.95 pairs at these
+    defaults, but it FALLS with the threshold (≈0.2 at cos≈0.42, where
+    the per-bit agreement is only ~0.64) — at loose thresholds either
+    raise n_bands / shrink band_bits or use the exact emb_near_dup_pairs
+    path."""
     planes = np.random.RandomState(777).randn(n_bands * band_bits, dim)
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -521,10 +533,21 @@ def _ivf_planes(n_cells: int, dim: int) -> np.ndarray:
     return _norm_rows(np.random.RandomState(4242).randn(n_cells, dim))
 
 
+_IVF_MARKER = "_IVF_DONE"
+
+
 def build_ivf_index(ds, index_dir: str, n_cells: int = 16, dim: int = 64):
     """One-time IVF index build: assign every vector to its nearest coarse
     centroid and write Parquet PARTITIONED BY cell.  The cell is thereby a
-    physical partition key — probes read only their cells' files."""
+    physical partition key — probes read only their cells' files.
+
+    The build is ATOMIC: it writes into a staging dir and renames it into
+    place with a done-marker, so a crashed or concurrent build can never
+    leave a half-index that probes silently trust (r2 review finding)."""
+    import os
+    import shutil
+    import tempfile
+
     planes = _ivf_planes(n_cells, dim)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -533,9 +556,31 @@ def build_ivf_index(ds, index_dir: str, n_cells: int = 16, dim: int = 64):
         return batch.append_column(
             "cell", pa.array(cells.astype(np.int32), pa.int32()))
 
-    ds.map_batches(assign, batch_format="pyarrow") \
-        .write_parquet(index_dir, partition_cols=["cell"])
+    parent = os.path.dirname(os.path.abspath(index_dir)) or "."
+    staging = tempfile.mkdtemp(prefix=".ivf-build-", dir=parent)
+    try:
+        ds.map_batches(assign, batch_format="pyarrow") \
+            .write_parquet(staging, partition_cols=["cell"])
+        with open(os.path.join(staging, _IVF_MARKER), "w") as fh:
+            fh.write(f"n_cells={n_cells} dim={dim}\n")
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir, ignore_errors=True)
+        try:
+            os.replace(staging, index_dir)
+        except OSError:
+            # Lost a rename race to a concurrent builder — its complete
+            # index is equivalent; drop ours.
+            shutil.rmtree(staging, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return index_dir
+
+
+def ivf_index_ready(index_dir) -> bool:
+    import os
+    return index_dir is not None and os.path.isfile(
+        os.path.join(index_dir, _IVF_MARKER))
 
 
 def knn_top_k_ivf(ds, query_vec, k: int = 10, n_cells: int = 16,
@@ -547,7 +592,9 @@ def knn_top_k_ivf(ds, query_vec, k: int = 10, n_cells: int = 16,
     the corpus leaves storage, instead of r1's full scan with a
     per-batch cell filter.  Pass ``index_dir`` to reuse a prebuilt
     index across queries (the amortized path; bench does this)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     import ray.data as rd
@@ -556,9 +603,13 @@ def knn_top_k_ivf(ds, query_vec, k: int = 10, n_cells: int = 16,
     qn = q / (np.linalg.norm(q) or 1.0)
     planes = _ivf_planes(n_cells, dim)
 
-    if index_dir is None or not os.path.isdir(index_dir) \
-            or not os.listdir(index_dir):
-        index_dir = index_dir or tempfile.mkdtemp(prefix="ivf-index-")
+    # Only a COMPLETE index (done-marker present) is trusted; anything
+    # else — partial crash debris, an empty dir — is rebuilt atomically.
+    if not ivf_index_ready(index_dir):
+        if index_dir is None:
+            index_dir = tempfile.mkdtemp(prefix="ivf-index-")
+            # ad-hoc (uncached) indexes are reaped at process exit
+            atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
         build_ivf_index(ds, index_dir, n_cells=n_cells, dim=dim)
 
     q_sims = planes @ qn

@@ -338,7 +338,10 @@ class TextInterpreter:
         # image-placement merge → largestImageFrac page stat).
         self.image_areas: list[float] = []
 
-    def run(self, content: bytes, xobjects=None, depth=0):
+    def run(self, content: bytes, xobjects=None, depth=0, tokens=None):
+        """``tokens``: pre-tokenized (operands, op) list for this stream —
+        pass when the caller also feeds the same stream to the path
+        executor so the content is lexed once, not twice."""
         pdf = self.pdf
         ctm = self.base_ctm
         gs_stack = []
@@ -403,7 +406,8 @@ class TextInterpreter:
                                    if m is not None), None)))
                 tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
 
-        for operands, op in tokenize_content(content):
+        for operands, op in (tokens if tokens is not None
+                             else tokenize_content(content)):
             try:
                 if op == "q":
                     gs_stack.append(ctm)

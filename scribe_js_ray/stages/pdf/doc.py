@@ -92,8 +92,15 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     # orientation is deferred to a later round).
     base = (1, 0, 0, 1, -x0, -y0)
 
+    # Tokenize the page stream ONCE; the text interpreter and the path
+    # executor share the list (r2 review: double-lexing every page).
+    # Heavy streams skip paths, so don't materialize tokens for them.
+    from .content import tokenize_content
+    from .paths import GRAPHICS_HEAVY_STREAM_BYTES
+    shared_tokens = list(tokenize_content(content)) \
+        if len(content) <= GRAPHICS_HEAVY_STREAM_BYTES else None
     interp = TextInterpreter(pdf, fonts, base)
-    interp.run(content, xobjects=xobjects)
+    interp.run(content, xobjects=xobjects, tokens=shared_tokens)
 
     scale = min(DEFAULT_DPI_SCALE,
                 MAX_RASTER_W / width_pt if width_pt else DEFAULT_DPI_SCALE)
@@ -105,7 +112,8 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     try:
         from .paths import (detect_ruled_tables, execute_path_operators,
                             harvest_page_graphics)
-        paths = execute_path_operators(pdf, content, xobjects, base)
+        paths = execute_path_operators(pdf, content, xobjects, base,
+                                       tokens=shared_tokens)
         graphics = harvest_page_graphics(paths, height_pt, scale)
     except Exception:
         pass

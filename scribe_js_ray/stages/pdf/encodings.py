@@ -29,8 +29,13 @@ def _decode_single(b: int, codec: str) -> str | None:
 WIN_ANSI: dict[int, str] = {}
 for _b in range(256):
     _ch = _decode_single(_b, "cp1252")
-    # Annex D: codes with no WinAnsi assignment render as bullet.
-    WIN_ANSI[_b] = _ch if _ch is not None else "•"
+    # Annex D says unassigned WinAnsi codes RENDER as bullet, but that is
+    # a display rule, not a text semantic — leaving the five undefined
+    # codes (0x81/0x8D/0x8F/0x90/0x9D) unmapped lets the embedded font
+    # program's own glyph names fill them instead of a placeholder
+    # shadowing the M5 recovery path.
+    if _ch is not None:
+        WIN_ANSI[_b] = _ch
 
 MAC_ROMAN: dict[int, str] = {}
 for _b in range(256):

@@ -50,8 +50,10 @@ _PAINT_OPS = {
 
 def execute_path_operators(pdf, content: bytes, xobjects=None,
                            base_ctm=(1, 0, 0, 1, 0, 0),
-                           depth: int = 0) -> list[PaintedPath]:
-    """Painted paths of one content stream, coordinates in device space."""
+                           depth: int = 0,
+                           tokens=None) -> list[PaintedPath]:
+    """Painted paths of one content stream, coordinates in device space.
+    ``tokens``: pre-tokenized stream shared with the text pass."""
     if len(content) > GRAPHICS_HEAVY_STREAM_BYTES:
         return []
     out: list[PaintedPath] = []
@@ -80,7 +82,8 @@ def execute_path_operators(pdf, content: bytes, xobjects=None,
                                line_width * ((ctm[0] ** 2 + ctm[1] ** 2)
                                              ** 0.5 or 1.0)))
 
-    for operands, op in tokenize_content(content):
+    for operands, op in (tokens if tokens is not None
+                         else tokenize_content(content)):
         try:
             if op == "q":
                 gs_stack.append((ctm, list(fill_color), fill_space,

@@ -37,10 +37,18 @@ _LINE_T = pa.struct([
 ])
 _PAR_T = pa.struct([("bbox", _BBOX_T), ("type", pa.string()),
                     ("reason", pa.string())])
+_RULE_T = pa.struct([("y", pa.float64()), ("left", pa.float64()),
+                     ("right", pa.float64())])
+_TBOX_T = pa.struct([("left", pa.float64()), ("top", pa.float64()),
+                     ("right", pa.float64()), ("bottom", pa.float64())])
 PAGE_T = pa.struct([
     ("n", pa.int32()), ("width", pa.int32()), ("height", pa.int32()),
     ("angle", pa.float64()), ("text_source", pa.string()),
     ("lines", pa.list_(_LINE_T)), ("pars", pa.list_(_PAR_T)),
+    # r2 model additions: drawn separator rules + detected table regions
+    # (ocrObjects.js:22-34) must survive a save/restore or re-running
+    # layout on the restored tree diverges.
+    ("rules", pa.list_(_RULE_T)), ("table_boxes", pa.list_(_TBOX_T)),
 ])
 PAGES_T = pa.list_(PAGE_T)
 
@@ -89,6 +97,14 @@ def pages_to_py(pages: list[Page]) -> list[dict]:
             "lines": lines,
             "pars": [{"bbox": _bbox_py(p.bbox), "type": p.type,
                       "reason": p.reason} for p in page.pars],
+            "rules": [{"y": float(r["y"]), "left": float(r["left"]),
+                       "right": float(r["right"])}
+                      for r in (page.rules or [])],
+            "table_boxes": [{"left": float(t["left"]),
+                             "top": float(t["top"]),
+                             "right": float(t["right"]),
+                             "bottom": float(t["bottom"])}
+                            for t in (page.table_boxes or [])],
         })
     return out
 
@@ -100,6 +116,8 @@ def py_to_pages(page_dicts: list[dict]) -> list[Page]:
         page = Page(d["n"], d["width"], d["height"])
         page.angle = d["angle"]
         page.text_source = d.get("text_source")
+        page.rules = [dict(r) for r in d.get("rules") or []]
+        page.table_boxes = [dict(t) for t in d.get("table_boxes") or []]
         for pd in d["pars"] or []:
             b = pd["bbox"]
             par = Par(page, BBox(b["l"], b["t"], b["r"], b["b"]))

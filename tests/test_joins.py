@@ -45,3 +45,16 @@ def test_column_collision_rejected(ray_session):
     import pytest
     with pytest.raises(ValueError):
         hash_bucket_join(_ds(t), _ds(t), on="k")
+
+
+def test_large_int64_survive_exactly(ray_session):
+    # ids above 2^53 must not round-trip through float64 (review r2)
+    big = 2 ** 60 + 12345
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "lv": pa.array([big, big + 1], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "rv": pa.array([big + 2, big + 3], pa.int64())})
+    out = hash_bucket_join(_ds(left), _ds(right), on="k") \
+        .to_pandas().sort_values("k", ignore_index=True)
+    assert list(out["lv"]) == [big, big + 1]
+    assert list(out["rv"]) == [big + 2, big + 3]

@@ -70,3 +70,15 @@ def test_parquet_roundtrip(tmp_path):
     for orig, rest in zip(docs, restored_docs):
         assert page_text(rest[0]) == page_text(orig[0])
         assert len(rest) == len(orig)
+
+
+def test_rules_and_table_boxes_roundtrip():
+    from scribe_js_ray.stages.serialize import pages_to_py, py_to_pages
+    from scribe_js_ray.model import Page
+    page = Page(0, 612, 792)
+    page.rules = [{"y": 400.0, "left": 72.0, "right": 300.0}]
+    page.table_boxes = [{"left": 100.0, "top": 200.0,
+                         "right": 500.0, "bottom": 400.0}]
+    restored = py_to_pages(pages_to_py([page]))[0]
+    assert restored.rules == page.rules
+    assert restored.table_boxes == page.table_boxes
