@@ -280,7 +280,8 @@ def _ngram_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(arr)
 
 
-def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3):
+def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
+                        broadcast_cap: int = 2_000_000):
     """Near-dup pairs by n-gram Jaccard, LSH-pruned: MinHash+LSH proposes
     candidates (no quadratic scan), then each candidate pair is verified
     with the true Jaccard of the docs' n-gram hash sets.
@@ -326,6 +327,71 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3):
 
     docs_slim = ds.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+    # Semi-join strategy: the candidate-id set is usually TINY after LSH
+    # (dup pairs only) — broadcast it as a plain int64 array and filter
+    # docs in place (no text crosses any exchange).  Only when the set
+    # outgrows a broadcast does the bucket join take over (it shuffles
+    # the text of matched buckets — still never the whole corpus per
+    # task, the r1 failure mode).
+    cand_ids = cand_ids.materialize()
+    n_cand = cand_ids.count()
+
+    def _jaccard(sa, sb):
+        if not len(sa) and not len(sb):
+            return None
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = len(sa) + len(sb) - inter
+        return inter / (union or 1)
+
+    if n_cand <= broadcast_cap:
+        # Small candidate set (the common case): broadcast the ids,
+        # filter+hash the colliding docs in place, broadcast the hash
+        # sets, verify every pair in ONE map_batches — zero extra
+        # shuffles (each all-to-all costs seconds of fixed overhead on
+        # many-block datasets).
+        import ray as _ray
+        id_arr = np.sort(np.asarray(
+            cand_ids.to_pandas()["doc_id"], dtype=np.int64))
+        ids_ref = _ray.put(id_arr)
+
+        def filter_and_hash(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            mask = np.isin(ids, _ray.get(ids_ref))
+            t = t.filter(pa.array(mask))
+            hs = [_ngram_hashes(x, n) for x in t["text"].to_pylist()]
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "hashes": pa.array([h.tolist() for h in hs], hash_list_t),
+            })
+
+        hashed = docs_slim.map_batches(
+            filter_and_hash, batch_format="pyarrow").to_pandas()
+        hash_map = {i: np.asarray(h, dtype=np.uint64)
+                    for i, h in zip(hashed["doc_id"], hashed["hashes"])}
+        map_ref = _ray.put(hash_map)
+        empty64 = np.empty(0, dtype=np.uint64)
+
+        def verify_pairs(t: pa.Table) -> pa.Table:
+            hm = _ray.get(map_ref)
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(t["doc_a"].to_pylist(),
+                            t["doc_b"].to_pylist()):
+                j = _jaccard(hm.get(a, empty64), hm.get(b, empty64))
+                if j is not None and j >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(round(j, 6))
+            return pa.table({
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            })
+
+        return candidates.map_batches(verify_pairs, batch_format="pyarrow")
+
+    # Scale path: candidate set too large to broadcast — semi-join the
+    # documents table, hash matched docs, attach both sides' hash sets
+    # with two bucket joins, verify a whole batch of pairs per call.
     cand_docs = hash_bucket_join(cand_ids, docs_slim, on="doc_id")
 
     def hash_docs(t: pa.Table) -> pa.Table:
@@ -337,10 +403,6 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3):
 
     doc_hashes = cand_docs.map_batches(hash_docs, batch_format="pyarrow") \
         .materialize()
-
-    # Attach both sides' hash sets with two bucket joins, then verify a
-    # whole BATCH of pairs per Python call (a per-pair map_groups was the
-    # tiny-groups bottleneck this module already calls out for r1).
     hashes_a = doc_hashes.map_batches(
         lambda t: t.rename_columns(["doc_a", "hashes_a"]),
         batch_format="pyarrow")
@@ -356,14 +418,9 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3):
                                 t["doc_b"].to_pylist(),
                                 t["hashes_a"].to_pylist(),
                                 t["hashes_b"].to_pylist()):
-            sa = np.asarray(ha or [], dtype=np.uint64)
-            sb = np.asarray(hb or [], dtype=np.uint64)
-            if not len(sa) and not len(sb):
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = len(sa) + len(sb) - inter
-            j = inter / (union or 1)
-            if j >= threshold:
+            j = _jaccard(np.asarray(ha or [], dtype=np.uint64),
+                         np.asarray(hb or [], dtype=np.uint64))
+            if j is not None and j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(round(j, 6))

@@ -168,3 +168,18 @@ def test_minhash_hot_bucket_star_cap(ray_session):
     full = corpus.minhash_duplicate_pairs(_docs_ds(texts), bucket_cap=1000) \
         .to_pandas()
     assert len(full) == 30 * 29 // 2
+
+
+def test_ngram_jaccard_join_scale_path(ray_session):
+    # Force the bucket-join branch (broadcast_cap=0) and check it agrees
+    # with the broadcast fast path.
+    texts = [BASE, BASE.replace("morning", "evening"), BASE,
+             "totally different text about streams and executors here ok"]
+    fast = corpus.ngram_jaccard_pairs(_docs_ds(texts), threshold=0.5) \
+        .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    joined = corpus.ngram_jaccard_pairs(_docs_ds(texts), threshold=0.5,
+                                        broadcast_cap=0) \
+        .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    assert list(fast["doc_a"]) == list(joined["doc_a"])
+    assert list(fast["doc_b"]) == list(joined["doc_b"])
+    assert list(fast["jaccard"]) == list(joined["jaccard"])
