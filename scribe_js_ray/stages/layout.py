@@ -44,6 +44,8 @@ _ROMAN_RE = re.compile(
 _N_OF_M_RE = re.compile(r"^\d{1,3}\s+of\s+\d{1,3}$")
 _SUP_MARKER_RE = re.compile(r"^[\d*†‡]{1,3}$")
 _LETTER_RE = re.compile(r"[A-Za-z]")
+_ENDS_TERMINAL_RE = re.compile(r"[.!?:][\"')”’]?\s*$")
+_STARTS_LOWER_RE = re.compile(r"[a-z]")
 
 LN_LEFT_FRAC = 0.4
 LN_GATE_RUN = 8
@@ -127,13 +129,22 @@ def _features(pages) -> list:
             f.center = (f.left + f.right) / 2
             f.size = _line_size(line)
             f.text = " ".join(w.text for w in line.words)
-            f.n_char = sum(len(w.text) for w in line.words)
-            letters = sum(1 for c in f.text if c.isalpha() and c.isascii())
-            upper = sum(1 for c in f.text if c.isupper() and c.isascii())
+            n_char = 0
+            letters = upper = 0
+            for w in line.words:
+                n_char += len(w.text)
+            for c in f.text:
+                if c.isascii():
+                    if "a" <= c <= "z":
+                        letters += 1
+                    elif "A" <= c <= "Z":
+                        letters += 1
+                        upper += 1
+            f.n_char = n_char
             f.all_caps = letters >= 2 and upper / letters >= 0.8
             last = line.words[-1].text if line.words else ""
-            f.ends_terminal = bool(re.search(r"[.!?:][\"')”’]?\s*$", last))
-            f.starts_lower = bool(re.match(r"[a-z]", line.words[0].text))
+            f.ends_terminal = bool(_ENDS_TERMINAL_RE.search(last))
+            f.starts_lower = bool(_STARTS_LOWER_RE.match(line.words[0].text))
             f.first_word_sup = bool(line.words[0].style.sup)
             f.top_frac = b.top / page_h if page_h else 0
             f.bottom_frac = b.bottom / page_h if page_h else 0

@@ -59,11 +59,40 @@ _MATH_CHAR_RE = re.compile(
     "\U0001d400-\U0001d7ff]")
 _RADICAL_RE = re.compile(r"^[√∛∜]$")
 _REF_MARKER_RE = re.compile(r"^[0-9,]+$|^[®*†‡§]+$")
+_PAREN_RUN_RE = re.compile(r"^(\(\d+\))+$")
+_BRACKET_RUN_RE = re.compile(r"^(\[\d+\])+$")
+_REF_WORD_RE = re.compile(r"^[(\[]\d+[)\]]$")
 _FN_MARKER_RE = re.compile(r"^FN\d{1,3}$")
 
 
+_symbol_font_cache: dict = {}
+
+
 def _is_symbol_font(family: str) -> bool:
-    return bool(family) and bool(_SYMBOL_FONT_RE.match(family))
+    hit = _symbol_font_cache.get(family)
+    if hit is None:
+        hit = bool(family) and bool(_SYMBOL_FONT_RE.match(family))
+        _symbol_font_cache[family] = hit
+    return hit
+
+
+_math_font_cache: dict = {}
+
+
+def _is_math_font(font: str) -> bool:
+    hit = _math_font_cache.get(font)
+    if hit is None:
+        hit = bool(_MATH_FONT_RE.match(font or ""))
+        _math_font_cache[font] = hit
+    return hit
+
+
+_UPPER_RE = re.compile(r"[A-Z]")
+_LOWER_RE = re.compile(r"[a-z]")
+_ALNUM_ASCII_RE = re.compile(r"[A-Za-z0-9]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_CAPS_PAIR_RE = re.compile(r"[A-Z].?[A-Z]")
+_TERMINAL_SET = ".!?"
 
 
 class _G:
@@ -104,7 +133,7 @@ def _dedup(glyphs: list[_G]) -> list[_G]:
     pos_index: dict[tuple, int] = {}
     LOOKBACK = 500
     for g in glyphs:
-        key = (g.text, g.font, round(g.x * 100), round(g.y * 100),
+        key = (g.text, g.font, int(g.x * 100 + 0.5), int(g.y * 100 + 0.5),
                g.orientation)
         hit = pos_index.get(key)
         dupe = hit if hit is not None and len(result) - hit <= LOOKBACK \
@@ -183,9 +212,9 @@ def _page_has_math(glyphs: list[_G]) -> bool:
         if g.invisible or not g.text.strip():
             continue
         cp = ord(g.text[0])
-        if _MATH_FONT_RE.match(g.font or ""):
+        if _is_math_font(g.font):
             font_hits += 1
-        if _MATH_CHAR_RE.search(g.text):
+        if cp >= 0x2100 and _MATH_CHAR_RE.search(g.text):
             char_hits += 1
         if (33 <= cp <= 127) or (cp >= 161 and not 0xE000 <= cp <= 0xF8FF):
             printable += 1
@@ -228,13 +257,17 @@ def _cut_lines(glyphs: list[_G], page_has_math: bool) -> list[list[_G]]:
             prev = next((c for c in reversed(cur) if c.text != " "), prev)
 
         gy, py = g.py, prev.py
-        ygap = abs(gy - py)
+        ygap = gy - py
+        if ygap < 0:
+            ygap = -ygap
         xgap = g.x - (prev.x + prev.width)
         # Type3-style collapsed sizes: floor at the advance width.
-        gsize = max(g.size, g.width)
-        psize = max(prev.size, prev.width)
-        max_f = max(gsize, psize)
-        min_f = min(gsize, psize)
+        gsize = g.size if g.size >= g.width else g.width
+        psize = prev.size if prev.size >= prev.width else prev.width
+        if gsize >= psize:
+            max_f, min_f = gsize, psize
+        else:
+            max_f, min_f = psize, gsize
         ratio = g.size / prev.size if prev.size else 1.0
 
         symbol_boundary = _is_symbol_font(g.family) \
@@ -246,11 +279,11 @@ def _cut_lines(glyphs: list[_G], page_has_math: bool) -> list[list[_G]]:
         reduced_script = g.size < anchor_size * 0.85 \
             and gy - g.size * 0.8 < anchor_y + anchor_size * 0.2 \
             and gy + g.size * 0.2 > anchor_y - anchor_size * 0.8
-        radical = (_RADICAL_RE.match(prev.text) or _RADICAL_RE.match(g.text))
+        radical = (prev.text in "√∛∜" or g.text in "√∛∜")
         radical_radicand = radical and 0.8 < ratio < 1.25 \
             and -max_f * 0.2 < xgap < max_f * 0.5 and ygap < max_f * 1.1
-        math_ctx = bool(_MATH_FONT_RE.match(g.font or "")
-                        or _MATH_FONT_RE.match(prev.font or "")
+        math_ctx = bool(_is_math_font(g.font)
+                        or _is_math_font(prev.font)
                         or radical
                         or g.size < anchor_size * 0.85
                         or prev.size < anchor_size * 0.85
@@ -373,7 +406,7 @@ def _merge_orphans(lines: list[list[_G]]) -> None:
                 if same_size and x_adj and abs(o.y - ch.y) < max_f * 0.5:
                     ok = True
                 elif not same_size and o.size > ch.size * 2 \
-                        and re.search(r"[A-Z]", o.text) and x_adj:
+                        and _UPPER_RE.search(o.text) and x_adj:
                     ch_top = ch.y - ASC_FRAC * ch.size
                     if abs(o_top - ch_top) < min_f * 0.25:
                         ok = True
@@ -521,14 +554,14 @@ def _split_words(lc: list[_G]) -> list[list[_G]]:
             gap = g.x - (prev.x + prev.width)
             min_f = min(g.size, prev.size)
             split = False
-            if g.text == "—" and re.match(r"[.!?]", prev.text):
+            if g.text == "—" and prev.text[:1] in _TERMINAL_SET:
                 # Sentence-terminal em-dash is its own word.
                 words.append(cur)
                 words.append([g])
                 cur = []
                 continue
             if len(cur) == 1 and _BULLET_CHAR_RE.match(prev.text) \
-                    and re.match(r"[A-Za-z0-9]", g.text):
+                    and _ALNUM_ASCII_RE.match(g.text):
                 words.append(cur)
                 cur = [g]
                 continue
@@ -547,7 +580,7 @@ def _split_words(lc: list[_G]) -> list[list[_G]]:
                     or _SYMBOL_CHAR_RE.search(g.text)
                     or _SYMBOL_CHAR_RE.search(prev.text)):
                 split = True
-            elif prev.text == "”" and re.match(r"[A-Za-z]", g.text):
+            elif prev.text == "”" and _ALPHA_RE.match(g.text):
                 split = True
             elif gap > g.size * 0.15:
                 split = True
@@ -585,8 +618,8 @@ def _merge_small_caps(words: list[list[_G]]) -> list[list[_G]]:
     while i < len(words):
         cur = words[i]
         nxt = words[i + 1] if i + 1 < len(words) else None
-        if len(cur) == 1 and re.search(r"[A-Z]", cur[0].text) and nxt \
-                and re.search(r"[A-Z]", nxt[0].text) \
+        if len(cur) == 1 and _UPPER_RE.search(cur[0].text) and nxt \
+                and _UPPER_RE.search(nxt[0].text) \
                 and cur[0].family == nxt[0].family \
                 and nxt[0].size < cur[0].size * 0.95 \
                 and abs(nxt[0].y - cur[0].y) \
@@ -633,9 +666,9 @@ def _structure_words(word_groups: list[list[_G]]) -> list[_W]:
         if not splits and len(wc) > 4:
             text = "".join(c.text for c in wc)
             oc = None
-            if re.match(r"^(\(\d+\))+$", text):
+            if _PAREN_RUN_RE.match(text):
                 oc = ("(", ")")
-            elif re.match(r"^(\[\d+\])+$", text):
+            elif _BRACKET_RUN_RE.match(text):
                 oc = ("[", "]")
             if oc:
                 for ci in range(1, len(wc)):
@@ -698,7 +731,7 @@ def _detect_word_sups(words: list[_W]) -> None:
                 continue
             if len(w.chars) > 4:
                 text = "".join(c.text for c in w.chars)
-                if not re.match(r"^[(\[]\d+[)\]]$", text):
+                if not _REF_WORD_RE.match(text):
                     continue
             w_size = _avg(w, "size")
             w_base = _avg(w, "y")
@@ -770,7 +803,7 @@ def _detect_fake_small_caps(words: list[_W]) -> None:
         mixed = max_s > 0 and min_s < max_s * 0.95
         if mixed:
             text = "".join(c.text for c in wc)
-            if not re.search(r"[a-z]", text) and re.search(r"[A-Z]", text):
+            if not _LOWER_RE.search(text) and _UPPER_RE.search(text):
                 large = next((c for c in wc if c.size >= max_s * 0.95),
                              None)
                 small = next((c for c in wc if c.size <= min_s * 1.05),
@@ -781,7 +814,7 @@ def _detect_fake_small_caps(words: list[_W]) -> None:
                     w.sc_alt = True
                     w.sc_size = max_s
                     first_alpha = next(
-                        (c for c in wc if re.match(r"[A-Z]", c.text)), None)
+                        (c for c in wc if _UPPER_RE.match(c.text)), None)
                     if first_alpha and first_alpha.size >= max_s * 0.95:
                         w.sc_title = True
                     active = True
@@ -905,7 +938,7 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             if mcids:
                 word.mcid = max(set(mcids), key=mcids.count)
             first_alpha = next(
-                (c for c in wc if re.match(r"[A-Za-z\d]", c.text)), wc[0])
+                (c for c in wc if _ALNUM_ASCII_RE.match(c.text)), wc[0])
             word.style.font = first_alpha.family
             word.style.bold = first_alpha.bold
             word.style.italic = first_alpha.italic
@@ -920,8 +953,8 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
 
             if first_alpha.smallcaps:
                 word.style.small_caps = True
-            elif w.sc_alt and not re.search(r"[a-z]", text) \
-                    and re.search(r"[A-Z].?[A-Z]", text):
+            elif w.sc_alt and not _LOWER_RE.search(text) \
+                    and _CAPS_PAIR_RE.search(text):
                 word.style.small_caps = True
                 if w.sc_size > 0:
                     word.style.size = round(w.sc_size * scale, 3)

@@ -371,6 +371,30 @@ class TextInterpreter:
                          for i in range(0, len(s) - 1, 2)]
             else:
                 codes = list(s)
+            # Per-RUN constants: the trm's linear part (scales, direction,
+            # orientation) is fixed within one show op; only the origin
+            # advances, and translate(adv)·tm·ctm == shift of tm·ctm by
+            # adv·(m0, m1).  This replaces two 6-term matrix products per
+            # GLYPH with two adds (the extraction hot path).
+            m0, m1, m2, m3, m4, m5 = _mat_mul(tm, ctm)
+            fsh = font_size * h_scale
+            t0, t1 = fsh * m0, fsh * m1          # trm[0], trm[1]
+            t2, t3 = font_size * m2, font_size * m3
+            scale_x = (t0 * t0 + t1 * t1) ** 0.5
+            eff_size = (t2 * t2 + t3 * t3) ** 0.5
+            mag = scale_x or 1.0
+            sdx, sdy = t0 / mag, -t1 / mag
+            if abs(sdx) >= abs(sdy):
+                orient = 0 if sdx >= 0 else 2
+            else:
+                orient = 1 if sdy > 0 else 3
+            rx = rise * m2 + m4
+            ry = rise * m3 + m5
+            artifact = any(t == "Artifact" for t, _ in mc_stack)
+            mcid = next((m for _, m in reversed(mc_stack)
+                         if m is not None), None)
+            invisible = render_mode == 3
+            total_adv = 0.0
             for b in codes:
                 ch = font.decode_byte(b)
                 w_em = font.width_of(b, ch) / 1000.0
@@ -379,32 +403,17 @@ class TextInterpreter:
                                            not font.two_byte) else 0.0)
                        ) * h_scale
                 if ch:
-                    trm = _mat_mul((font_size * h_scale, 0, 0, font_size,
-                                    0, rise), _mat_mul(tm, ctm))
-                    x, y = trm[4], trm[5]
-                    scale_x = (trm[0] ** 2 + trm[1] ** 2) ** 0.5
-                    scale_y = (trm[2] ** 2 + trm[3] ** 2) ** 0.5
-                    eff_size = scale_y
-                    # Advance direction = image of (1,0) under the trm
-                    # linear part; screen coords (y down) for orientation
-                    # + baseline slope (parsePdfDoc.js dirX/dirY).
-                    dx, dy = trm[0], trm[1]
-                    mag = (dx * dx + dy * dy) ** 0.5 or 1.0
-                    sdx, sdy = dx / mag, -dy / mag
-                    if abs(sdx) >= abs(sdy):
-                        orient = 0 if sdx >= 0 else 2
-                    else:
-                        orient = 1 if sdy > 0 else 3
                     self.chars.append(PositionedChar(
-                        ch, x, y, w_em * scale_x, eff_size,
+                        ch, rx, ry, w_em * scale_x, eff_size,
                         font.name, font.bold, font.italic,
-                        render_mode == 3, orientation=orient,
+                        invisible, orientation=orient,
                         dir_x=sdx, dir_y=sdy,
                         family=font.family, smallcaps=font.smallcaps,
-                        artifact=any(t == "Artifact" for t, _ in mc_stack),
-                        mcid=next((m for _, m in reversed(mc_stack)
-                                   if m is not None), None)))
-                tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+                        artifact=artifact, mcid=mcid))
+                rx += adv * m0
+                ry += adv * m1
+                total_adv += adv
+            tm = _mat_mul((1, 0, 0, 1, total_adv, 0), tm)
 
         for operands, op in (tokens if tokens is not None
                              else tokenize_content(content)):
