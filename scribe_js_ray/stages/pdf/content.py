@@ -311,6 +311,10 @@ def build_font(pdf, font_dict) -> SimpleFont:
             elif "FontFile" in desc:
                 embedded = parse_type1_encoding(
                     pdf.stream_bytes(desc["FontFile"]))
+            elif "FontFile2" in desc:
+                from .fonts_embedded import parse_truetype_encoding
+                embedded = parse_truetype_encoding(
+                    pdf.stream_bytes(desc["FontFile2"]))
         except Exception:
             embedded = None
     # Precedence merge (ISO 32000-1 §9.6.6): explicit /Encoding entries

@@ -320,6 +320,160 @@ def parse_cff_encoding(data: bytes) -> dict[int, str] | None:
         return None
 
 
+_MAC_GLYPH_NAMES_HEAD = (
+    ".notdef .null nonmarkingreturn space exclam quotedbl numbersign "
+    "dollar percent ampersand quotesingle parenleft parenright asterisk "
+    "plus comma hyphen period slash zero one two three four five six "
+    "seven eight nine colon semicolon less equal greater question at "
+    "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z "
+    "bracketleft backslash bracketright asciicircum underscore grave "
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z "
+    "braceleft bar braceright asciitilde"
+).split()
+
+
+def parse_truetype_encoding(data: bytes) -> dict[int, str] | None:
+    """TrueType (/FontFile2) → {code: unicode}: cmap subtables
+    (3,1)/(3,0)/(1,0) for code→GID, then the post-2.0 table's glyph
+    names (falling back to the standard Mac glyph order) resolved
+    through the AGL — the text-recovery path for embedded TrueType
+    subsets without ToUnicode."""
+    try:
+        if len(data) < 12:
+            return None
+        tag = data[:4]
+        if tag not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+            return None
+        num_tables = struct.unpack_from(">H", data, 4)[0]
+        tables = {}
+        for i in range(num_tables):
+            off = 12 + 16 * i
+            if off + 16 > len(data):
+                return None
+            name = data[off:off + 4]
+            t_off, t_len = struct.unpack_from(">II", data, off + 8)
+            tables[name] = (t_off, t_len)
+        cm = tables.get(b"cmap")
+        if not cm:
+            return None
+        c_off = cm[0]
+        n_sub = struct.unpack_from(">H", data, c_off + 2)[0]
+        best = None  # (priority, offset)
+        for i in range(n_sub):
+            pid, eid, sub_off = struct.unpack_from(
+                ">HHI", data, c_off + 4 + 8 * i)
+            pri = {(3, 1): 0, (0, 3): 0, (3, 0): 1, (1, 0): 2}.get(
+                (pid, eid))
+            if pri is not None and (best is None or pri < best[0]):
+                best = (pri, c_off + sub_off, pid, eid)
+        if best is None:
+            return None
+        _, sub, pid, eid = best
+        fmt = struct.unpack_from(">H", data, sub)[0]
+        code_to_gid: dict[int, int] = {}
+        if fmt == 4:
+            seg_x2 = struct.unpack_from(">H", data, sub + 6)[0]
+            segs = seg_x2 // 2
+            ends = struct.unpack_from(f">{segs}H", data, sub + 14)
+            starts = struct.unpack_from(f">{segs}H", data,
+                                        sub + 16 + seg_x2)
+            deltas = struct.unpack_from(f">{segs}h", data,
+                                        sub + 16 + 2 * seg_x2)
+            range_off_base = sub + 16 + 3 * seg_x2
+            range_offs = struct.unpack_from(f">{segs}H", data,
+                                            range_off_base)
+            for k in range(segs):
+                if starts[k] == 0xFFFF:
+                    continue
+                for code in range(starts[k], min(ends[k], 0xFFFE) + 1):
+                    if range_offs[k] == 0:
+                        gid = (code + deltas[k]) & 0xFFFF
+                    else:
+                        gi_off = (range_off_base + 2 * k + range_offs[k]
+                                  + 2 * (code - starts[k]))
+                        if gi_off + 2 > len(data):
+                            continue
+                        gid = struct.unpack_from(">H", data, gi_off)[0]
+                        if gid:
+                            gid = (gid + deltas[k]) & 0xFFFF
+                    if gid:
+                        code_to_gid[code] = gid
+        elif fmt == 6:
+            first, count = struct.unpack_from(">HH", data, sub + 6)
+            gids = struct.unpack_from(f">{count}H", data, sub + 10)
+            for i, gid in enumerate(gids):
+                if gid:
+                    code_to_gid[first + i] = gid
+        elif fmt == 0:
+            gids = data[sub + 6:sub + 262]
+            for code, gid in enumerate(gids):
+                if gid:
+                    code_to_gid[code] = gid
+        elif fmt == 12:
+            n_groups = struct.unpack_from(">I", data, sub + 12)[0]
+            for gi in range(min(n_groups, 10000)):
+                s0, e0, g0 = struct.unpack_from(
+                    ">III", data, sub + 16 + 12 * gi)
+                for code in range(s0, min(e0, s0 + 1000) + 1):
+                    code_to_gid[code] = g0 + (code - s0)
+        if not code_to_gid:
+            return None
+
+        # gid → glyph name via post 2.0 (else None).
+        gid_names = None
+        po = tables.get(b"post")
+        if po:
+            p_off = po[0]
+            version = struct.unpack_from(">I", data, p_off)[0]
+            if version == 0x00020000:
+                n_glyphs = struct.unpack_from(">H", data, p_off + 32)[0]
+                idx = struct.unpack_from(f">{n_glyphs}H", data, p_off + 34)
+                names = []
+                p = p_off + 34 + 2 * n_glyphs
+                end = p_off + po[1]
+                while p < end and p < len(data):
+                    ln = data[p]
+                    names.append(
+                        data[p + 1:p + 1 + ln].decode("latin-1", "replace"))
+                    p += 1 + ln
+                gid_names = []
+                for gi in range(n_glyphs):
+                    k = idx[gi]
+                    if k < 258:
+                        gid_names.append(
+                            _MAC_GLYPH_NAMES_HEAD[k]
+                            if k < len(_MAC_GLYPH_NAMES_HEAD) else None)
+                    elif k - 258 < len(names):
+                        gid_names.append(names[k - 258])
+                    else:
+                        gid_names.append(None)
+
+        out = {}
+        for code, gid in code_to_gid.items():
+            uni = None
+            if gid_names and gid < len(gid_names) and gid_names[gid]:
+                u = glyph_to_unicode(gid_names[gid])
+                if u != "�":
+                    uni = u
+            if uni is None and (pid, eid) in ((3, 1), (0, 3)):
+                # a unicode cmap: the code IS the codepoint
+                uni = chr(code) if 0x20 <= code < 0xD800 else None
+            if uni is None and (pid, eid) == (3, 0):
+                # symbol cmap: codes live at 0xF000+byte
+                base = code & 0xFF
+                if 0x20 <= base < 0x7F and not gid_names:
+                    uni = chr(base)
+            if uni is not None:
+                # simple-font byte codes: fold 0xF000-page symbol codes
+                key = code & 0xFF if (pid, eid) == (3, 0) \
+                    and code >= 0xF000 else code
+                if 0 <= key < 256:
+                    out[key] = uni
+        return out or None
+    except Exception:
+        return None
+
+
 _T1_ENC_RE = re.compile(rb"dup\s+(\d+)\s*/([^\s/]+)\s+put")
 
 

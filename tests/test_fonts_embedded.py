@@ -125,3 +125,61 @@ def test_build_font_uses_fontfile3():
     assert font.decode_byte(66) == "中"
     # codes the program doesn't cover still fall back sanely
     assert font.decode_byte(0x61) == "a"
+
+
+def _build_truetype(code_name_pairs, cmap_pid_eid=(3, 1)):
+    """Minimal sfnt: cmap format 4 (one seg per code) + post 2.0 names."""
+    import struct as st
+    codes = [c for c, _ in code_name_pairs]
+    n_glyphs = len(codes) + 1  # gid 0 = .notdef
+
+    # cmap format 4: one segment per code + terminator
+    segs = [(c, c, (i + 1 - c) & 0xFFFF) for i, c in enumerate(codes)]
+    segs.append((0xFFFF, 0xFFFF, 1))
+    seg_count = len(segs)
+    sub = st.pack(">HHHHHHH", 4, 16 + 8 * seg_count, 0,
+                  seg_count * 2, 0, 0, 0)
+    sub += st.pack(f">{seg_count}H", *[e for _, e, _ in segs])
+    sub += b"\x00\x00"  # reservedPad
+    sub += st.pack(f">{seg_count}H", *[s for s, _, _ in segs])
+    sub += st.pack(f">{seg_count}h",
+                   *[d - 0x10000 if d > 0x7FFF else d
+                     for _, _, d in segs])
+    sub += st.pack(f">{seg_count}H", *([0] * seg_count))
+    cmap = st.pack(">HH", 0, 1) + st.pack(">HHI", *cmap_pid_eid, 12) + sub
+
+    # post 2.0: gid0 -> .notdef (mac index 0), others -> custom names
+    names = [n for _, n in code_name_pairs]
+    idx = [0] + [258 + i for i in range(len(names))]
+    post = st.pack(">IIhhIIIIIH", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0,
+                   n_glyphs)
+    post += st.pack(f">{n_glyphs}H", *idx)
+    for n in names:
+        post += bytes([len(n)]) + n.encode()
+
+    tables = [(b"cmap", cmap), (b"post", post)]
+    out = st.pack(">IHHHH", 0x00010000, len(tables), 0, 0, 0)
+    off = 12 + 16 * len(tables)
+    recs = b""
+    body = b""
+    for tag, payload in tables:
+        recs += tag + st.pack(">III", 0, off, len(payload))
+        body += payload + b"\x00" * (-len(payload) % 4)
+        off += len(payload) + (-len(payload) % 4)
+    return out + recs + body
+
+
+def test_truetype_cmap_post_names():
+    from scribe_js_ray.stages.pdf.fonts_embedded import (
+        parse_truetype_encoding)
+    data = _build_truetype([(65, "Gamma"), (66, "uni4E2D"),
+                            (0x82, "eacute")])
+    enc = parse_truetype_encoding(data)
+    assert enc[65] == "Γ" and enc[66] == "中" and enc[0x82] == "é"
+
+
+def test_truetype_rejects_garbage():
+    from scribe_js_ray.stages.pdf.fonts_embedded import (
+        parse_truetype_encoding)
+    assert parse_truetype_encoding(b"nonsense") is None
+    assert parse_truetype_encoding(b"") is None
