@@ -72,7 +72,8 @@ class _Feat:
                  "top_frac", "bottom_frac", "role", "size_ratio", "line_num",
                  "folio", "ln_split", "enumerator", "endnote",
                  "footnote_block", "hang_marker", "orientation", "in_table",
-                 "struct_role", "artifact_frac")
+                 "struct_role", "artifact_frac", "bold", "family",
+                 "sig_key", "below_nchar")
 
     def __init__(self):
         self.role = "body"
@@ -88,6 +89,10 @@ class _Feat:
         self.in_table = False
         self.struct_role = None
         self.artifact_frac = 0.0
+        self.bold = 0.0
+        self.family = ""
+        self.sig_key = ""
+        self.below_nchar = 0
 
 
 def _line_size(line) -> float:
@@ -131,8 +136,15 @@ def _features(pages) -> list:
             f.text = " ".join(w.text for w in line.words)
             n_char = 0
             letters = upper = 0
+            n_bold = 0
+            fam_w: dict = {}
             for w in line.words:
-                n_char += len(w.text)
+                wl = len(w.text)
+                n_char += wl
+                if w.style.bold:
+                    n_bold += wl or 1
+                fam = w.style.font or ""
+                fam_w[fam] = fam_w.get(fam, 0) + (wl or 1)
             for c in f.text:
                 if c.isascii():
                     if "a" <= c <= "z":
@@ -141,6 +153,9 @@ def _features(pages) -> list:
                         letters += 1
                         upper += 1
             f.n_char = n_char
+            f.bold = n_bold / n_char if n_char else 0.0
+            f.family = max(fam_w.items(), key=lambda kv: kv[1])[0] \
+                if fam_w else ""
             f.all_caps = letters >= 2 and upper / letters >= 0.8
             last = line.words[-1].text if line.words else ""
             f.ends_terminal = bool(_ENDS_TERMINAL_RE.search(last))
@@ -811,6 +826,112 @@ def _pass_hang_markers(pages, feats, page_columns, body_size):
                 f.hang_marker = True
 
 
+def _heading_signature_model(feats, body_size, page_columns, col_width):
+    """Doc-wide heading style signatures (analyzeLayout.js:1573-1629):
+    per style-tuple stats over content lines; a tuple qualifies when its
+    instances are mostly short, mostly strongly-styled, letter-dominated,
+    rarely lowercase-starting, and usually head substantial text."""
+    # belowFeat: nearest horizontally-overlapping line below (per page).
+    by_page: dict = {}
+    for f in feats:
+        by_page.setdefault(f.page, []).append(f)
+    for pf in by_page.values():
+        pf.sort(key=lambda f: f.top)
+        for i, f in enumerate(pf):
+            below = None
+            for j in range(i + 1, min(len(pf), i + 80)):
+                g = pf[j]
+                if g.top - f.top <= min(f.bottom - f.top,
+                                        g.bottom - g.top) * 0.5:
+                    continue
+                if g.left < f.right and f.left < g.right:
+                    below = g
+                    break
+            if below is not None:
+                f.below_nchar = below.n_char
+
+    # Doc bold fraction (for the bold-distinct test + boldHeading flag).
+    tot_chars = sum(f.n_char for f in feats) or 1
+    bold_chars = sum(f.n_char for f in feats if f.bold > 0.6)
+    bold_rare = bold_chars / tot_chars < 0.3
+    caps_chars = sum(f.n_char for f in feats if f.all_caps)
+    caps_rare = caps_chars / tot_chars < 0.3
+    # Dominant body family (familyDistinct evidence needs a dominator).
+    fam_chars: dict = {}
+    for f in feats:
+        fam_chars[f.family] = fam_chars.get(f.family, 0) + f.n_char
+    body_family, body_fam_n = ("", 0)
+    if fam_chars:
+        body_family, body_fam_n = max(fam_chars.items(),
+                                      key=lambda kv: kv[1])
+    family_dominated = body_fam_n / tot_chars >= 0.6
+
+    stats: dict = {}
+    for f in feats:
+        flags = ("b" if f.bold > 0.6 else "") + ("c" if f.all_caps else "")
+        f.sig_key = f"{round(f.size * 2) / 2}|{flags}|{f.family}"
+        if f.line_num or f.folio or f.in_table or f.endnote \
+                or f.footnote_block or f.artifact_frac > 0.6:
+            continue
+        st = stats.setdefault(f.sig_key, {
+            "n": 0, "short": 0, "strong": 0, "weak": 0, "weak_big": 0,
+            "enum_led": 0, "letter_dom": 0, "lower_start": 0,
+            "heads_body": 0})
+        st["n"] += 1
+        col = _column_for(f.left, page_columns.get(f.page), body_size)
+        frame_w = col["width"] if col else col_width
+        if f.width < frame_w * 0.85:
+            st["short"] += 1
+        bold_distinct = f.bold > 0.6 and bold_rare
+        caps_distinct = f.all_caps and caps_rare
+        if f.size_ratio >= 1.15 or bold_distinct or caps_distinct:
+            st["strong"] += 1
+        elif family_dominated and f.family != body_family \
+                and f.size_ratio >= 0.95:
+            st["weak"] += 1
+            if f.size_ratio >= 1.02:
+                st["weak_big"] += 1
+        enum_led = bool(f.enumerator
+                        and f.enumerator["scheme"] not in ("sup-ref",
+                                                           "bullet"))
+        if enum_led:
+            st["enum_led"] += 1
+        text = f.text.strip()
+        if enum_led and text.startswith(f.enumerator["raw"]):
+            text = text[len(f.enumerator["raw"]):]
+        letters = sum(1 for c in text
+                      if ("a" <= c <= "z") or ("A" <= c <= "Z"))
+        digits = sum(1 for c in text if c.isdigit() and c.isascii())
+        if (letters >= digits) if enum_led \
+                else (letters >= 2 and letters >= digits):
+            st["letter_dom"] += 1
+        if f.starts_lower and not enum_led:
+            st["lower_start"] += 1
+        if f.below_nchar >= 30:
+            st["heads_body"] += 1
+
+    qualified = set()
+    for key, st in stats.items():
+        n = st["n"]
+        if n < 2:
+            continue
+        if (st["strong"] + st["weak"]) / n < 0.7:
+            continue
+        if st["short"] / n < 0.5:
+            continue
+        if st["letter_dom"] / n < 0.5:
+            continue
+        if st["lower_start"] / n > 0.4:
+            continue
+        if st["heads_body"] / n < 0.25:
+            continue
+        if not st["strong"] and st["weak_big"] / n < 0.5 \
+                and st["enum_led"] / n < 0.5:
+            continue
+        qualified.add(key)
+    return qualified, stats, bold_rare
+
+
 def _pass_running_furniture(pages, feats):
     """Recurring margin-band lines across pages → header/footer
     (analyzeLayout.js:1119-1235, recurrence gates simplified)."""
@@ -845,7 +966,7 @@ def _pass_running_furniture(pages, feats):
 
 
 def classify_roles(pages, feats, body_size, furniture_ids=None,
-                   page_columns=None, schemes=None):
+                   page_columns=None, schemes=None, heading_model=None):
     n_pages = len(pages)
     if furniture_ids is None:
         furniture_ids = _pass_running_furniture(pages, feats)
@@ -913,6 +1034,24 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
         letters = sum(1 for c in t if c.isalpha() and c.isascii())
         digits = sum(1 for c in t if c.isdigit())
         letter_dom = letters >= 2 and letters >= digits
+        # Heading-signature membership: the doc-wide style model
+        # qualified this tuple as a heading face (analyzeLayout.js:2997).
+        if heading_model is not None and letter_dom:
+            sigs, sig_stats, bold_rare = heading_model
+            if f.sig_key in sigs:
+                ts = sig_stats.get(f.sig_key)
+                tuple_prose = bool(ts and ts["n"] >= 2
+                                   and ts["lower_start"] / ts["n"] > 0.4
+                                   and ts["short"] / ts["n"] < 0.5)
+                if not tuple_prose:
+                    f.role = "heading"
+                    continue
+            # A fully-bold line in a bold-rare document is a heading even
+            # at body size (fullBoldHeading, :3000).
+            if f.bold >= 0.9 and bold_rare and f.n_char <= 200 \
+                    and not f.starts_lower:
+                f.role = "heading"
+                continue
         if f.size_ratio >= 1.15 and f.n_char <= 200 and letter_dom:
             own_col = _column_for(f.left, page_columns.get(f.page),
                                   body_size)
@@ -1053,8 +1192,14 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     page_columns = {p: _detect_columns(pf, body_size)
                     for p, pf in by_page.items()}
     _pass_hang_markers(pages, feats, page_columns, body_size)
+    body_left_hm = quantile([f.left for f in feats], 0.25) or 0
+    body_right_hm = quantile([f.right for f in feats], 0.75) or 0
+    heading_model = _heading_signature_model(
+        feats, body_size, page_columns,
+        max(body_right_hm - body_left_hm, 1))
     classify_roles(pages, feats, body_size, furniture_ids=furniture_ids,
-                   page_columns=page_columns, schemes=schemes)
+                   page_columns=page_columns, schemes=schemes,
+                   heading_model=heading_model)
 
     if outline_titles:
         import re as _re

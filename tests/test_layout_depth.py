@@ -174,3 +174,45 @@ def test_hang_markers_flagged():
     marked = [f for f in feats if f.hang_marker]
     assert len(marked) >= 6
     assert all(f.text in ("Q.", "A.") for f in marked)
+
+
+def _mk_styled_line(page, y, words_spec, size=12.0, bold=False,
+                    font="Body"):
+    line = _mk_line(page, y, words_spec, size=size)
+    for w in line.words:
+        w.style.bold = bold
+        w.style.font = font
+    return line
+
+
+def test_heading_signature_promotes_recurring_style():
+    # Bold short labels at BODY SIZE recur above substantial prose —
+    # the signature model promotes them where geometry alone cannot
+    # (size_ratio == 1.0, not centered, not short enough for 2.5x).
+    page = Page(0, 612, 792)
+    y = 60
+    for k in range(4):
+        _mk_styled_line(page, y, [(f"Heading{k}", 72, 180),
+                                  ("Label", 190, 250)], bold=True,
+                        font="HeadFace")
+        y += 24
+        for i in range(4):
+            _mk_styled_line(page, y, _body_words(72, y, 9), bold=False)
+            y += 24
+        y += 6
+    analyze_layout([page])
+    types = [par.type for par in page.pars]
+    assert "title" in types
+    heads = [p for p in page.pars if p.type == "title"]
+    assert all("Heading" in p.lines[0].words[0].text for p in heads)
+    assert len(heads) == 4
+
+
+def test_bold_prose_not_promoted():
+    # A document set mostly in bold must NOT promote bold lines.
+    page = Page(0, 612, 792)
+    for i in range(12):
+        y = 60 + i * 24
+        _mk_styled_line(page, y, _body_words(72, y, 9), bold=True)
+    analyze_layout([page])
+    assert all(par.type == "body" for par in page.pars)
