@@ -22,8 +22,11 @@ extraction over Common-Crawl style corpora:
 
 Roles map to par types as in analyzeLayout.js:2175-2181 (heading → 'title').
 
-Still deferred: struct-tree decideBreak overlay, concordance pages, the
-full heading-signature model.
+- heading-signature style model       (:1573-1629, :2997-3003)
+- footnote separator rules             (:931-990)
+- struct-tree role overlay (H*/BlockQuote/Artifact via MCIDs, M21)
+
+Still deferred: concordance pages, the full decideBreak reason taxonomy.
 
 This pass needs all pages of one document together; with doc = row it runs
 per-row inside ``map_batches`` — no shuffle required.

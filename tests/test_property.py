@@ -75,3 +75,67 @@ def test_markdown_never_raises_and_escapes(words):
     # unescaped markdown metacharacters never leak from word text
     for token in md.split():
         assert not token.startswith("**") or token.count("*") % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# r2: glyph-assembly + PDF-parse robustness
+
+
+_GLYPH = st.tuples(
+    st.text(alphabet=st.characters(min_codepoint=0x20,
+                                   max_codepoint=0x2FFF),
+            min_size=1, max_size=1),
+    st.floats(0, 600, allow_nan=False),      # x
+    st.floats(0, 790, allow_nan=False),      # y
+    st.floats(0.1, 30, allow_nan=False),     # width
+    st.floats(1, 40, allow_nan=False),       # size
+    st.sampled_from([0, 1, 2, 3]),           # orientation
+    st.booleans(),                           # bold
+)
+
+
+@given(st.lists(_GLYPH, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_assemble_never_crashes_and_preserves_glyphs(glyphs):
+    from scribe_js_ray.stages.pdf.assemble import group_chars_into_page
+    from scribe_js_ray.stages.pdf.content import PositionedChar
+    from scribe_js_ray.model import page_text
+
+    chars = [PositionedChar(t, x, y, w, s, "F", b, False, False,
+                            orientation=o)
+             for (t, x, y, w, s, o, b) in glyphs]
+    page = group_chars_into_page(chars, 0, 612, 792, 1.0)
+    # every page structure is internally consistent
+    for ln in page.lines:
+        assert ln.words
+        for wd in ln.words:
+            assert wd.text.strip()
+    # no visible glyph text is invented: output chars ⊆ input multiset
+    # (ligature expansion can only grow from known ligature inputs,
+    # lowercase restore maps A->a, so compare case-insensitively and
+    # skip ligature-bearing inputs)
+    in_chars = [t for (t, *_rest) in glyphs if not t.isspace()]
+    if not any(c in "ﬁﬂﬀﬃﬅﬆﬄ" for c in in_chars):
+        out = page_text(page).replace(" ", "").replace("\n", "").lower()
+        pool = sorted(c.lower() for c in in_chars)
+        assert sorted(out) <= pool or len(out) <= len(pool)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_pdf_mutation_fuzz_never_escapes(data):
+    """Random byte mutations of a valid PDF must land in the error column
+    or produce a page tree — never raise out of extract_document."""
+    from scribe_js_ray.sources.synth_pdf import _Typesetter, _make_pdf
+    from scribe_js_ray.pipelines.extract import extract_document
+
+    ts = _Typesetter()
+    ts.line("Fuzz seed content line", font="F1")
+    pdf = bytearray(_make_pdf([ts.stream()], {"F1": "Helvetica"}))
+    n_mut = data.draw(st.integers(1, 12))
+    for _ in range(n_mut):
+        pos = data.draw(st.integers(0, len(pdf) - 1))
+        pdf[pos] = data.draw(st.integers(0, 255))
+    res = extract_document("fuzz", bytes(pdf), "", "")
+    assert isinstance(res["extracted_text"], str)
+    assert isinstance(res["error"], str)
