@@ -829,6 +829,31 @@ def _pass_hang_markers(pages, feats, page_columns, body_size):
                 f.hang_marker = True
 
 
+_CONC_REF_RE = re.compile(r"\b\d{1,3}:\d{1,3}\b")
+_CONC_ENTRY_RE = re.compile(r"(^|\s)\S+\s\(\d{1,3}\)")
+_WORD_RUN_RE = re.compile(r"[A-Za-z]{2,}")
+
+
+def _concordance_pages(feats) -> set:
+    """Word-index (concordance) pages: most lines are 'headword (count)'
+    or 'page:line' reference entries (analyzeLayout.js:1094-1116).  The
+    footnote machinery is suppressed on these pages — their numbered
+    entries are not notes."""
+    stats: dict = {}
+    for f in feats:
+        t = (f.text or "").strip()
+        if len(t) < 2:
+            continue
+        st = stats.setdefault(f.page, [0, 0])
+        st[0] += 1
+        refs = len(_CONC_REF_RE.findall(t))
+        words = len(_WORD_RUN_RE.findall(t))
+        if _CONC_ENTRY_RE.search(t) or (refs >= 2 and refs >= words):
+            st[1] += 1
+    return {p for p, (tot, conc) in stats.items()
+            if tot >= 8 and conc / tot >= 0.5}
+
+
 def _heading_signature_model(feats, body_size, page_columns, col_width):
     """Doc-wide heading style signatures (analyzeLayout.js:1573-1629):
     per style-tuple stats over content lines; a tuple qualifies when its
@@ -969,7 +994,8 @@ def _pass_running_furniture(pages, feats):
 
 
 def classify_roles(pages, feats, body_size, furniture_ids=None,
-                   page_columns=None, schemes=None, heading_model=None):
+                   page_columns=None, schemes=None, heading_model=None,
+                   concordance=None):
     n_pages = len(pages)
     if furniture_ids is None:
         furniture_ids = _pass_running_furniture(pages, feats)
@@ -1027,7 +1053,10 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
                 else "footer"
             continue
         # Footnote start: bottom-half line opening with a superscript marker.
+        # Suppressed on concordance (word-index) pages — their numbered
+        # entries are not notes (analyzeLayout.js:2906-2909).
         if f.first_word_sup and f.bottom_frac > 0.5 \
+                and not (concordance and f.page in concordance) \
                 and _SUP_MARKER_RE.match(f.line.words[0].text):
             f.role = "footnote"
             continue
@@ -1093,6 +1122,8 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
     for f in feats:
         by_page_fr.setdefault(f.page, []).append(f)
     for p, pf in by_page_fr.items():
+        if concordance and p in concordance:
+            continue
         rules = getattr(pages[p], "rules", None) or []
         page_h = pages[p].height or 0
         if not rules or not page_h:
@@ -1195,6 +1226,7 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     page_columns = {p: _detect_columns(pf, body_size)
                     for p, pf in by_page.items()}
     _pass_hang_markers(pages, feats, page_columns, body_size)
+    concordance = _concordance_pages(feats)
     body_left_hm = quantile([f.left for f in feats], 0.25) or 0
     body_right_hm = quantile([f.right for f in feats], 0.75) or 0
     heading_model = _heading_signature_model(
@@ -1202,7 +1234,7 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
         max(body_right_hm - body_left_hm, 1))
     classify_roles(pages, feats, body_size, furniture_ids=furniture_ids,
                    page_columns=page_columns, schemes=schemes,
-                   heading_model=heading_model)
+                   heading_model=heading_model, concordance=concordance)
 
     if outline_titles:
         import re as _re

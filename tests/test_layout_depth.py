@@ -216,3 +216,20 @@ def test_bold_prose_not_promoted():
         _mk_styled_line(page, y, _body_words(72, y, 9), bold=True)
     analyze_layout([page])
     assert all(par.type == "body" for par in page.pars)
+
+
+def test_concordance_page_suppresses_notes():
+    # A word-index page ("term (12)" entries) with a raised leading
+    # marker low on the page must NOT open a footnote region.
+    page = Page(0, 612, 792)
+    for i in range(14):
+        y = 80 + i * 24
+        _mk_line(page, y, [(f"term{i}", 72, 130), (f"({i + 1})", 140, 175),
+                           ("12:34", 190, 230), ("56:7", 240, 270)])
+    # raised small marker line at the bottom (would be a footnote opener)
+    _mk_line(page, 700, [("3", 72, 78, True)] + _body_words(90, 700, 4),
+             size=8.0)
+    analyze_layout([page])
+    assert all(par.type != "footnote" for par in page.pars)
+    feats = layout._features([page])
+    assert layout._concordance_pages(feats) == {0}
