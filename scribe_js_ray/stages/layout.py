@@ -1204,6 +1204,41 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     geometric evidence (outline-heading overlay, the outlineIndex.js:151
     structural signal consumed by applyDocParagraphLayout).
     """
+    # Stamp text-detected data-table regions (numeric-dominated only —
+    # a transcript's line-number margin also reads as a columnar table
+    # and must stay eligible for the furniture rules,
+    # parsePdfDoc.js:1224-1252) so in_table can suppress folio/linenum
+    # rules inside genuine tables on ANY page type, not just ruled PDFs.
+    from .tables import detect_tables_in_page
+    for page in pages:
+        try:
+            existing = {(round(t["left"]), round(t["top"]))
+                        for t in page.table_boxes}
+            for bb in detect_tables_in_page(page):
+                numeric = total = 0
+                for ln in page.lines:
+                    for w in ln.words:
+                        cx = (w.bbox.left + w.bbox.right) / 2
+                        cy = (w.bbox.top + w.bbox.bottom) / 2
+                        if not (bb.left <= cx <= bb.right
+                                and bb.top <= cy <= bb.bottom):
+                            continue
+                        total += 1
+                        wt = w.text.strip()
+                        if any(c.isdigit() for c in wt) \
+                                and re.match(r"^[\d.,%()$/-]+$", wt):
+                            numeric += 1
+                if total < 6 or numeric / total < 0.5:
+                    continue
+                key = (round(bb.left), round(bb.top))
+                if key not in existing:
+                    existing.add(key)
+                    page.table_boxes.append({
+                        "left": bb.left, "top": bb.top,
+                        "right": bb.right, "bottom": bb.bottom})
+        except Exception:
+            pass
+
     feats = _features(pages)
     if not feats:
         for page in pages:
