@@ -1307,6 +1307,43 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
                     new_pars.append(np_)
         page.pars = new_pars
 
+    # decideBreak overlays the per-page geometry (analyzeLayout.js:2405,
+    # :3345): a hanging marker always opens a paragraph, and a line
+    # leading with a close-paren enumerator whose value participates in
+    # the document's enumeration starts a new list item.
+    def _list_start(f):
+        e = f.enumerator
+        if not e or e["value"] is None or not e["raw"].endswith(")"):
+            return False
+        sc = schemes.get(e["scheme"])
+        return bool(sc and e["value"] in sc["sequence_values"])
+
+    break_lines = {id(f.line) for f in feats
+                   if f.hang_marker or _list_start(f)}
+    if break_lines:
+        for page in pages:
+            new_pars = []
+            for par in page.pars:
+                groups = []
+                for line in par.lines:
+                    if groups and id(line) not in break_lines:
+                        groups[-1].append(line)
+                    else:
+                        groups.append([line])
+                if len(groups) == 1:
+                    new_pars.append(par)
+                    continue
+                for lns in groups:
+                    np_ = Par(page, bbox_union([ln.bbox for ln in lns]))
+                    np_.lines = lns
+                    np_.type = par.type
+                    np_.reason = "hanging marker/list item" \
+                        if id(lns[0]) in break_lines else par.reason
+                    for ln in lns:
+                        ln.par = np_
+                    new_pars.append(np_)
+            page.pars = new_pars
+
     # Blockquote re-tag: a body paragraph of >=2 lines inset symmetrically
     # from BOTH doc body margins (analyzeLayout.js:2212-2237).  Hanging-
     # marker and split-line-number paragraphs are excluded — their bbox

@@ -233,3 +233,15 @@ def test_concordance_page_suppresses_notes():
     assert all(par.type != "footnote" for par in page.pars)
     feats = layout._features([page])
     assert layout._concordance_pages(feats) == {0}
+
+
+def test_enumerated_list_items_split_paragraphs():
+    # "a) ..." / "b) ..." / "c) ..." items at tight pitch would reflow
+    # into one paragraph; the active enumeration splits them.
+    page = Page(0, 612, 792)
+    for i, marker in enumerate(("a)", "b)", "c)")):
+        y = 80 + i * 14
+        _mk_line(page, y, [(marker, 72, 88)] + _body_words(95, y, 6))
+    analyze_layout([page])
+    assert len(page.pars) == 3
+    assert all(len(p.lines) == 1 for p in page.pars)
