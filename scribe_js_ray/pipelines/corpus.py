@@ -281,7 +281,7 @@ def _ngram_hashes(text: str, n: int = 3) -> np.ndarray:
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
-                        broadcast_cap: int = 2_000_000):
+                        broadcast_cap: int = 100_000):
     """Near-dup pairs by n-gram Jaccard, LSH-pruned: MinHash+LSH proposes
     candidates (no quadratic scan), then each candidate pair is verified
     with the true Jaccard of the docs' n-gram hash sets.
@@ -344,6 +344,9 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, n: int = 3,
         return inter / (union or 1)
 
     if n_cand <= broadcast_cap:
+        # broadcast_cap bounds the DRIVER-side hash map: ~100k candidate
+        # docs x ~1k grams x 8 B ≈ 800 MB worst case — above that the
+        # join path must run even though it pays more shuffle overhead.
         # Small candidate set (the common case): broadcast the ids,
         # filter+hash the colliding docs in place, broadcast the hash
         # sets, verify every pair in ONE map_batches — zero extra

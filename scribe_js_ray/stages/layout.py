@@ -1070,14 +1070,11 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
         # qualified this tuple as a heading face (analyzeLayout.js:2997).
         if heading_model is not None and letter_dom:
             sigs, sig_stats, bold_rare = heading_model
+            # (no tuple-prose re-check here: qualification already
+            # rejects tuples with lower_start/n > 0.4 or short/n < 0.5)
             if f.sig_key in sigs:
-                ts = sig_stats.get(f.sig_key)
-                tuple_prose = bool(ts and ts["n"] >= 2
-                                   and ts["lower_start"] / ts["n"] > 0.4
-                                   and ts["short"] / ts["n"] < 0.5)
-                if not tuple_prose:
-                    f.role = "heading"
-                    continue
+                f.role = "heading"
+                continue
             # A fully-bold line in a bold-rare document is a heading even
             # at body size (fullBoldHeading, :3000).
             if f.bold >= 0.9 and bold_rare and f.n_char <= 200 \
@@ -1212,9 +1209,15 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     from .tables import detect_tables_in_page
     for page in pages:
         try:
+            detected = detect_tables_in_page(page)
+        except Exception:
+            # detection is best-effort; the stamping below must not be
+            # silently disabled by an unrelated per-page error
+            detected = []
+        if detected:
             existing = {(round(t["left"]), round(t["top"]))
                         for t in page.table_boxes}
-            for bb in detect_tables_in_page(page):
+            for bb in detected:
                 numeric = total = 0
                 for ln in page.lines:
                     for w in ln.words:
@@ -1236,8 +1239,6 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
                     page.table_boxes.append({
                         "left": bb.left, "top": bb.top,
                         "right": bb.right, "bottom": bb.bottom})
-        except Exception:
-            pass
 
     feats = _features(pages)
     if not feats:

@@ -71,19 +71,28 @@ _symbol_font_cache: dict = {}
 def _is_symbol_font(family: str) -> bool:
     hit = _symbol_font_cache.get(family)
     if hit is None:
+        if len(_symbol_font_cache) > 4096:
+            _symbol_font_cache.clear()
         hit = bool(family) and bool(_SYMBOL_FONT_RE.match(family))
         _symbol_font_cache[family] = hit
     return hit
 
 
 _math_font_cache: dict = {}
+_SUBSET_PREFIX_RE = re.compile(r"^[A-Z]{6}\+")
 
 
 def _is_math_font(font: str) -> bool:
-    hit = _math_font_cache.get(font)
+    # Key on the subset-stripped name: raw BaseFonts carry a random
+    # per-document ABCDEF+ tag that would grow the per-worker cache
+    # without bound over a corpus run.
+    base = _SUBSET_PREFIX_RE.sub("", font or "")
+    hit = _math_font_cache.get(base)
     if hit is None:
-        hit = bool(_MATH_FONT_RE.match(font or ""))
-        _math_font_cache[font] = hit
+        if len(_math_font_cache) > 4096:
+            _math_font_cache.clear()
+        hit = bool(_MATH_FONT_RE.match(base))
+        _math_font_cache[base] = hit
     return hit
 
 
@@ -133,7 +142,7 @@ def _dedup(glyphs: list[_G]) -> list[_G]:
     pos_index: dict[tuple, int] = {}
     LOOKBACK = 500
     for g in glyphs:
-        key = (g.text, g.font, int(g.x * 100 + 0.5), int(g.y * 100 + 0.5),
+        key = (g.text, g.font, round(g.x * 100), round(g.y * 100),
                g.orientation)
         hit = pos_index.get(key)
         dupe = hit if hit is not None and len(result) - hit <= LOOKBACK \
@@ -214,7 +223,8 @@ def _page_has_math(glyphs: list[_G]) -> bool:
         cp = ord(g.text[0])
         if _is_math_font(g.font):
             font_hits += 1
-        if cp >= 0x2100 and _MATH_CHAR_RE.search(g.text):
+        if (cp >= 0x2100 or len(g.text) > 1) \
+                and _MATH_CHAR_RE.search(g.text):
             char_hits += 1
         if (33 <= cp <= 127) or (cp >= 161 and not 0xE000 <= cp <= 0xF8FF):
             printable += 1
@@ -279,7 +289,8 @@ def _cut_lines(glyphs: list[_G], page_has_math: bool) -> list[list[_G]]:
         reduced_script = g.size < anchor_size * 0.85 \
             and gy - g.size * 0.8 < anchor_y + anchor_size * 0.2 \
             and gy + g.size * 0.2 > anchor_y - anchor_size * 0.8
-        radical = (prev.text in "√∛∜" or g.text in "√∛∜")
+        radical = (prev.text in ("√", "∛", "∜")
+                   or g.text in ("√", "∛", "∜"))
         radical_radicand = radical and 0.8 < ratio < 1.25 \
             and -max_f * 0.2 < xgap < max_f * 0.5 and ygap < max_f * 1.1
         math_ctx = bool(_is_math_font(g.font)

@@ -371,9 +371,18 @@ def parse_truetype_encoding(data: bytes) -> dict[int, str] | None:
         _, sub, pid, eid = best
         fmt = struct.unpack_from(">H", data, sub)[0]
         code_to_gid: dict[int, int] = {}
+
+        def _want(code):
+            # Simple-font consumers only use byte codes (plus the
+            # 0xF000 symbol page) — skipping everything else bounds the
+            # work on corrupt/hostile fonts claiming huge code ranges.
+            return code < 0x100 or 0xF000 <= code <= 0xF0FF
+
         if fmt == 4:
             seg_x2 = struct.unpack_from(">H", data, sub + 6)[0]
             segs = seg_x2 // 2
+            if segs > 2048:
+                return None
             ends = struct.unpack_from(f">{segs}H", data, sub + 14)
             starts = struct.unpack_from(f">{segs}H", data,
                                         sub + 16 + seg_x2)
@@ -386,6 +395,8 @@ def parse_truetype_encoding(data: bytes) -> dict[int, str] | None:
                 if starts[k] == 0xFFFF:
                     continue
                 for code in range(starts[k], min(ends[k], 0xFFFE) + 1):
+                    if not _want(code):
+                        continue
                     if range_offs[k] == 0:
                         gid = (code + deltas[k]) & 0xFFFF
                     else:
@@ -402,7 +413,7 @@ def parse_truetype_encoding(data: bytes) -> dict[int, str] | None:
             first, count = struct.unpack_from(">HH", data, sub + 6)
             gids = struct.unpack_from(f">{count}H", data, sub + 10)
             for i, gid in enumerate(gids):
-                if gid:
+                if gid and _want(first + i):
                     code_to_gid[first + i] = gid
         elif fmt == 0:
             gids = data[sub + 6:sub + 262]
@@ -415,7 +426,8 @@ def parse_truetype_encoding(data: bytes) -> dict[int, str] | None:
                 s0, e0, g0 = struct.unpack_from(
                     ">III", data, sub + 16 + 12 * gi)
                 for code in range(s0, min(e0, s0 + 1000) + 1):
-                    code_to_gid[code] = g0 + (code - s0)
+                    if _want(code):
+                        code_to_gid[code] = g0 + (code - s0)
         if not code_to_gid:
             return None
 
