@@ -502,7 +502,8 @@ def emb_near_dup_pairs(ds, threshold: float = 0.95):
 
 
 def emb_near_dup_lsh(ds, threshold: float = 0.95, n_bands: int = 8,
-                     band_bits: int = 8, dim: int = 64):
+                     band_bits: int = 8, dim: int = 64,
+                     bucket_cap: int = 4096):
     """Sub-quadratic embedding near-dup: sign-LSH banding (n_bands bands
     of band_bits hyperplanes each) proposes candidates; each bucket is
     verified with EXACT cosine inside ``map_groups``.  Shuffle key =
@@ -541,6 +542,20 @@ def emb_near_dup_lsh(ds, threshold: float = 0.95, n_bands: int = 8,
             return pa.table({"vec_a": pa.array([], pa.int64()),
                              "vec_b": pa.array([], pa.int64())})
         mat = _norm_rows(_emb_matrix(group["embedding"]))
+        if len(ids) > bucket_cap:
+            # Hot bucket (a degenerate all-similar corpus collapses into
+            # one sign pattern): full n×n verify is O(n²) memory — link
+            # members to the bucket minimum only (star pairs, O(n)),
+            # preserving the connected component for dedup like the
+            # MinHash hot-bucket cap.
+            order = np.argsort(ids)
+            ids, mat = ids[order], mat[order]
+            sims = mat[1:] @ mat[0]
+            hit = np.nonzero(sims >= threshold)[0] + 1
+            return pa.table({
+                "vec_a": pa.array(np.full(len(hit), ids[0]), pa.int64()),
+                "vec_b": pa.array(ids[hit], pa.int64()),
+            })
         sims = mat @ mat.T
         rows, cols = np.nonzero(sims >= threshold)
         a, b = ids[rows], ids[cols]

@@ -183,3 +183,20 @@ def test_ngram_jaccard_join_scale_path(ray_session):
     assert list(fast["doc_a"]) == list(joined["doc_a"])
     assert list(fast["doc_b"]) == list(joined["doc_b"])
     assert list(fast["jaccard"]) == list(joined["jaccard"])
+
+
+def test_emb_lsh_hot_bucket_star_cap(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(33)
+    base = rng.randn(64)
+    vecs = base + 1e-4 * rng.randn(24, 64)  # all near-identical
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(24), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    pairs = corpus.emb_near_dup_lsh(ds, threshold=0.99,
+                                    bucket_cap=8).to_pandas()
+    got = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    # star pattern anchored at the minimum id covers every member
+    assert got == {(0, j) for j in range(1, 24)}
