@@ -221,6 +221,17 @@ def _doc_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.8).sort(["doc_a", "doc_b"])
 
 
+def _doc_quality_filter(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_quality_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_quality_filter, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 def _doc_bpe_tokens(sf_dir: str):
     import ray.data as rd
 
@@ -429,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _doc_token_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality": _doc_quality,
+        "doc_quality_filter": _doc_quality_filter,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_lang_id": _doc_lang_id,
         "doc_minhash_pairs": _doc_minhash_pairs,
@@ -492,6 +504,25 @@ def oracle_sql() -> dict[str, str]:
                        AS q_punct,
                    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS q_upper
             FROM documents ORDER BY doc_id
+        """,
+        "doc_quality_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                array_length(regexp_split_to_array(trim(text), '\\s+'))
+                    AS n_words,
+                length(regexp_replace(text, '\\s+', '', 'g'))
+                    AS n_nonspace,
+                len(list_filter(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha
+              FROM documents)
+            SELECT doc_id, n_words,
+              CAST(n_nonspace AS DOUBLE) / n_words AS avg_word_len,
+              CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+              (n_words BETWEEN 50 AND 100000)
+                AND (CAST(n_nonspace AS DOUBLE) / n_words BETWEEN 3 AND 10)
+                AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS keep
+            FROM t ORDER BY doc_id
         """,
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents

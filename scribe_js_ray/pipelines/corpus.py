@@ -824,3 +824,40 @@ def font_char_metrics(pages_ds):
             .drop_columns(["sum_rel_width"])
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_WS_SPLIT_RE = re.compile(r"\s+")
+_HAS_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def add_quality_filter(batch: pa.Table, min_words: int = 50,
+                       max_words: int = 100_000,
+                       min_avg_wlen: float = 3.0,
+                       max_avg_wlen: float = 10.0,
+                       min_alpha_frac: float = 0.8) -> pa.Table:
+    """Gopher-style quality gate: word-count window, mean word length
+    window, alphabetic-word fraction floor.  All ratios are exact
+    int/int double divisions so the verdicts hash-match the SQL oracle
+    bit-for-bit."""
+    out_n, out_avg, out_alpha, out_keep = [], [], [], []
+    for text in batch["text"].to_pylist():
+        t = (text or "").strip()
+        toks = _WS_SPLIT_RE.split(t)  # "" → [""] like regexp_split_to_array
+        n_words = len(toks)
+        n_nonspace = sum(len(w) for w in toks)
+        n_alpha = sum(1 for w in toks if _HAS_ALPHA_RE.search(w))
+        avg = n_nonspace / n_words
+        alpha = n_alpha / n_words
+        out_n.append(n_words)
+        out_avg.append(avg)
+        out_alpha.append(alpha)
+        out_keep.append(min_words <= n_words <= max_words
+                        and min_avg_wlen <= avg <= max_avg_wlen
+                        and alpha >= min_alpha_frac)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(out_n, pa.int64()),
+        "avg_word_len": pa.array(out_avg, pa.float64()),
+        "alpha_frac": pa.array(out_alpha, pa.float64()),
+        "keep": pa.array(out_keep, pa.bool_()),
+    })
