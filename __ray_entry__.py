@@ -221,6 +221,16 @@ def _doc_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.8).sort(["doc_a", "doc_b"])
 
 
+def _doc_dup_clusters(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dup_clusters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_clusters(ds)
+
+
 def _doc_quality_filter(sf_dir: str):
     import ray.data as rd
 
@@ -441,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality": _doc_quality,
         "doc_quality_filter": _doc_quality_filter,
+        "doc_dup_clusters": _doc_dup_clusters,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_lang_id": _doc_lang_id,
         "doc_minhash_pairs": _doc_minhash_pairs,

@@ -861,3 +861,70 @@ def add_quality_filter(batch: pa.Table, min_words: int = 50,
         "alpha_frac": pa.array(out_alpha, pa.float64()),
         "keep": pa.array(out_keep, pa.bool_()),
     })
+
+
+def connected_components(pairs_ds, max_iter: int = 15):
+    """Distributed connected components over an edge list (doc_a, doc_b)
+    by iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbours (one bucket join + one
+    groupby-min per round), converging in O(diameter) rounds.  The
+    classic dedup-clustering step that turns near-dup PAIRS into groups
+    keyed by their minimum member."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..functions.joins import hash_bucket_join
+
+    pairs = pairs_ds.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64())}))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        a = t["doc_a"].chunk(0) if t.num_rows else pa.array([], pa.int64())
+        b = t["doc_b"].chunk(0) if t.num_rows else pa.array([], pa.int64())
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow") \
+        .materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"], "label": t["src"]})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("src").aggregate(Min("label", alias_name="label")) \
+        .materialize()
+
+    from ray.data.aggregate import Sum
+    prev_sum = None
+    for _ in range(max_iter):
+        joined = hash_bucket_join(edges, labels, on="src")
+
+        def neighbor_min(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["dst"], "label": t["label"]}) \
+                .group_by("src").aggregate([("label", "min")]) \
+                .rename_columns(["src", "label"])
+
+        labels = joined.map_batches(neighbor_min, batch_format="pyarrow") \
+            .union(labels) \
+            .groupby("src").aggregate(Min("label", alias_name="label")) \
+            .materialize()
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "cluster"])
+
+    return labels.map_batches(rename, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def dup_clusters(ds, max_iter: int = 15):
+    """MinHash near-dup pairs → connected-component cluster ids."""
+    return connected_components(minhash_duplicate_pairs(ds),
+                                max_iter=max_iter)

@@ -200,3 +200,26 @@ def test_emb_lsh_hot_bucket_star_cap(ray_session):
     got = set(zip(pairs["vec_a"], pairs["vec_b"]))
     # star pattern anchored at the minimum id covers every member
     assert got == {(0, j) for j in range(1, 24)}
+
+
+def test_connected_components_chain_and_island(ray_session):
+    import ray.data as rd
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 7, 10], pa.int64()),
+        "doc_b": pa.array([2, 3, 8, 11], pa.int64()),
+    }))
+    out = corpus.connected_components(pairs).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+
+def test_dup_clusters_end_to_end(ray_session):
+    texts = [BASE, BASE, BASE.replace("morning", "evening"),
+             "an unrelated document about arrow record batches and rays",
+             BASE]
+    out = corpus.dup_clusters(_docs_ds(texts)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    # all BASE-derived docs collapse to cluster 0; the unrelated doc is
+    # not in any pair (absent from the output)
+    assert got.get(0) == 0 and got.get(1) == 0 and got.get(4) == 0
+    assert 3 not in got
