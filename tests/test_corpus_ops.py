@@ -223,3 +223,16 @@ def test_dup_clusters_end_to_end(ray_session):
     # not in any pair (absent from the output)
     assert got.get(0) == 0 and got.get(1) == 0 and got.get(4) == 0
     assert 3 not in got
+
+
+def test_connected_components_paths_agree(ray_session):
+    import ray.data as rd
+    pairs = pa.table({
+        "doc_a": pa.array([5, 1, 2, 9, 20], pa.int64()),
+        "doc_b": pa.array([6, 2, 3, 1, 21], pa.int64()),
+    })
+    fast = corpus.connected_components(rd.from_arrow(pairs)).to_pandas()
+    dist = corpus.connected_components(rd.from_arrow(pairs),
+                                       broadcast_cap=0).to_pandas()
+    assert list(fast["doc_id"]) == list(dist["doc_id"])
+    assert list(fast["cluster"]) == list(dist["cluster"])
