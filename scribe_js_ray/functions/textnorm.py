@@ -52,6 +52,8 @@ X_CHARS = frozenset("acemnorsuvwxz")
 
 def unescape_xml(s: str) -> str:
     """miscUtils.js:157-170; replacement order preserved."""
+    if "&" not in s and "\u00ad" not in s:
+        return s
     s = s.replace("&amp;", "&")
     s = s.replace("&quot;", '"')
     s = s.replace("&apos;", "'")

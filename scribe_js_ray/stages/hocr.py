@@ -99,8 +99,10 @@ def parse_hocr_page(ocr_str: str, n: int, page_dims=None, scribe_mode=False):
         wid = wid_m.group(1) if wid_m else \
             f"word_{n + 1}_{len(page.lines) + 1}_{len(line.words) + 1}"
 
-        word_sup = bool(_SUP_RE.search(match))
-        word_dropcap = bool(_DROPCAP_RE.search(match))
+        lower = match.lower()
+        word_sup = "<sup>" in lower          # exact _SUP_RE equivalent
+        word_dropcap = "ocr_dropcap" in lower and \
+            bool(_DROPCAP_RE.search(match))
 
         if word_sup:
             stripped = re.sub(r"\s*<sup>", "", match, count=1, flags=re.I)
@@ -121,7 +123,7 @@ def parse_hocr_page(ocr_str: str, n: int, page_dims=None, scribe_mode=False):
             return ""
         title = title_m.group(1)
 
-        lang_m = _LANG_RE.search(match)
+        lang_m = _LANG_RE.search(match) if "lang=" in lower else None
         lang = lang_m.group(1) if lang_m else current_lang
 
         bb = _parse_bbox4(title)
@@ -130,26 +132,27 @@ def parse_hocr_page(ocr_str: str, n: int, page_dims=None, scribe_mode=False):
         word = Word(line, wid, text, BBox(*[float(v) for v in bb]))
         word.lang = lang
 
-        if scribe_mode:
+        if scribe_mode and "x_fsize" in title:
             fm = _FSIZE_RE.search(title)
             if fm and int(fm.group(1)):
                 word.style.size = int(fm.group(1))
 
-        sm = _STYLE_RE.search(match)
+        sm = _STYLE_RE.search(match) if "style=" in match else None
         if sm:
-            style_str = sm.group(1)
-            if re.search(r"italic", style_str, re.I):
+            style_str = sm.group(1).lower()
+            if "italic" in style_str:
                 word.style.italic = True
-            if re.search(r"bold", style_str, re.I):
+            if "bold" in style_str:
                 word.style.bold = True
-            if re.search(r"small-caps", style_str, re.I):
+            if "small-caps" in style_str:
                 word.style.small_caps = True
         if word_sup:
             word.style.sup = True
-        fm = _XFONT_RE.search(match)
-        if fm:
-            word.style.font = fm.group(1).strip()
-        cm = _WCONF_RE.search(title)
+        if "x_font" in match:
+            fm = _XFONT_RE.search(match)
+            if fm:
+                word.style.font = fm.group(1).strip()
+        cm = _WCONF_RE.search(title) if "x_wconf" in title else None
         word.conf = int(cm.group(1)) if cm else 0
 
         line.words.append(word)
