@@ -858,7 +858,9 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             g.text = " "
 
     glyphs = _dedup(glyphs)
-    glyphs = [g for g in glyphs if not g.invisible]
+    # Invisible (Tr 3) glyphs are KEPT: a scanned PDF's OCR overlay is
+    # entirely invisible text and is exactly what extraction must read
+    # (the reference carries them with opacity 0, parsePdfDoc.js:3106).
     if not glyphs:
         return page
 

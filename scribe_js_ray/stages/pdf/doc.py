@@ -156,43 +156,64 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     except Exception:
         annotations = []
 
-    # Per-page char-class stats for doc-type detection.  Lifted field
-    # values count toward the text-native verdict (parsePdfDoc.js:1172).
-    # Space glyphs are emitted into the char stream for word-split logic
-    # but never count toward the char-class stats (the reference's
-    # printable test is cp 33-127 / 161+, parsePdfDoc.js:653).
-    stat_chars = [c for c in interp.chars if c.text.strip()]
-    visible = sum(1 for c in stat_chars if not c.invisible)
-    printable = sum(1 for c in stat_chars
-                    if not c.invisible and c.text.isprintable())
-    printable += lifted_chars
-    visible += lifted_chars
-    control = sum(1 for c in stat_chars if ord(c.text[0]) < 32)
+    # Per-page char-class stats for doc-type detection
+    # (parsePdfDoc.js:630-656 pageStats): printable = cp 33-127 or >=161
+    # excluding the PUA; invisible text counts toward the OCR-overlay
+    # verdict; lifted field values count as visible printable text
+    # (:1172).  Space glyphs never count.
+    printable_vis = invisible_chars = control = control_vis = 0
+    for c in interp.chars:
+        if not c.text.strip():
+            continue
+        cp = ord(c.text[0])
+        is_printable = (33 <= cp <= 127) or \
+            (cp >= 161 and not 0xE000 <= cp <= 0xF8FF)
+        if c.invisible:
+            invisible_chars += 1
+        elif is_printable:
+            printable_vis += 1
+        if cp < 32:
+            control += 1
+            if not c.invisible:
+                control_vis += 1
+    printable_vis += lifted_chars
     page_area = width_pt * height_pt
     largest_image_frac = (max(interp.image_areas) / page_area) \
         if interp.image_areas and page_area else 0.0
-    stats = {"visible": visible, "printable": printable, "control": control,
-             "total": len(stat_chars) + lifted_chars,
+    stats = {"printable_vis": printable_vis,
+             "invisible_chars": invisible_chars,
+             "control": control, "control_vis": control_vis,
              "largest_image_frac": min(largest_image_frac, 1.0)}
     return page, stats
 
 
 def determine_pdf_type(page_stats: list) -> str:
-    """parsePdfDoc.js:417-444 thresholds: printable−5·control score,
-    visible fraction ≥0.9, ≥half of pages texty → 'text'."""
+    """parsePdfDoc.js:417-444, faithful: per-page scores from
+    (invisible + visible-printable) − 5·control; 'text' needs ≥100
+    chars/page on average, ≥90% of the score visible, and visible-texty
+    pages on ≥half the pages; 'ocr' (a scan with an invisible overlay)
+    needs only the total score; else 'image'."""
     if not page_stats:
         return "image"
-    texty = 0
+    n = len(page_stats)
+    letter_total = letter_vis = 0
+    pages_total_text = pages_vis_text = 0
     for s in page_stats:
-        score = s["printable"] - 5 * s["control"]
-        vis_frac = (s["visible"] / s["total"]) if s["total"] else 0
-        if score > 10 and vis_frac >= 0.9:
-            texty += 1
-    if texty == 0:
-        return "image"
-    if texty * 2 >= len(page_stats):
+        printable = s["invisible_chars"] + s["printable_vis"]
+        score_total = printable - 5 * s["control"]
+        score_vis = s["printable_vis"] - 5 * s["control_vis"]
+        letter_total += score_total
+        letter_vis += score_vis
+        if score_total >= 100:
+            pages_total_text += 1
+        if score_vis >= 100:
+            pages_vis_text += 1
+    if letter_total >= n * 100 and letter_vis >= letter_total * 0.9 \
+            and pages_vis_text >= n / 2:
         return "text"
-    return "ocr"
+    if letter_total >= n * 100 and pages_total_text >= n / 2:
+        return "ocr"
+    return "image"
 
 
 def parse_pdf_document(data: bytes, with_outline: bool = False):

@@ -149,3 +149,165 @@ def write_pdf(pages, text_mode: str = "ebook") -> bytes:
     out += (f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
             f"startxref\n{xref_pos}\n%%EOF\n").encode()
     return bytes(out)
+
+
+def _ser_obj(obj) -> bytes:
+    """Serialize a parsed PDF object back to bytes (inverse of the
+    Lexer's object grammar)."""
+    from .pdf.objects import Name, Ref, StreamObj
+
+    if obj is None:
+        return b"null"
+    if obj is True:
+        return b"true"
+    if obj is False:
+        return b"false"
+    if isinstance(obj, Ref):
+        return f"{obj.num} {obj.gen} R".encode()
+    if isinstance(obj, Name):
+        out = []
+        for ch in str(obj).encode("latin-1", "replace"):
+            if ch in b"()<>[]{}/%# \t\r\n" or ch < 0x21 or ch > 0x7E:
+                out.append(f"#{ch:02X}".encode())
+            else:
+                out.append(bytes([ch]))
+        return b"/" + b"".join(out)
+    if isinstance(obj, bool):
+        return b"true" if obj else b"false"
+    if isinstance(obj, int):
+        return str(obj).encode()
+    if isinstance(obj, float):
+        return f"{obj:g}".encode()
+    if isinstance(obj, (bytes, bytearray)):
+        return b"<" + bytes(obj).hex().encode() + b">"
+    if isinstance(obj, str):
+        return b"<" + obj.encode("latin-1", "replace").hex().encode() + b">"
+    if isinstance(obj, list):
+        return b"[" + b" ".join(_ser_obj(v) for v in obj) + b"]"
+    if isinstance(obj, dict):
+        body = b" ".join(_ser_obj(__import__(
+            "scribe_js_ray.stages.pdf.objects",
+            fromlist=["Name"]).Name(k)) + b" " + _ser_obj(v)
+            for k, v in obj.items())
+        return b"<< " + body + b" >>"
+    if isinstance(obj, StreamObj):
+        d = _ser_obj(obj.dict)
+        return d + b"\nstream\n" + obj.raw + b"\nendstream"
+    raise TypeError(f"unserializable PDF object: {type(obj)}")
+
+
+def overlay_pdf_text(original: bytes, pages, text_mode: str = "invis",
+                     scale: float | None = None) -> bytes:
+    """Overlay a recognized text layer onto the ORIGINAL PDF's pages —
+    the reference's writePdfOverlay (export/pdf/writePdfOverlay.js)
+    re-scoped to the text layer: every original object survives
+    (re-serialized through the parsed object model), each page gains an
+    extra /Contents stream of positioned (default invisible, Tr 3) text
+    plus a base-14 font resource.  ``pages``: one model Page per
+    original page, coordinates in the page's pixel space (÷ scale →
+    points; defaults to the parse-time 300/72 raster scale capped by
+    page width)."""
+    import zlib
+
+    from .pdf.doc import DEFAULT_DPI_SCALE, MAX_RASTER_W, _walk_pages
+    from .pdf.objects import Name, PdfFile, Ref
+
+    pdf = PdfFile(original)
+    if pdf.trailer.get("Encrypt") is not None:
+        raise ValueError("overlay onto encrypted PDFs is unsupported")
+    infos = _walk_pages(pdf)
+
+    # Copy every reachable object under its original number.
+    objects: dict[int, object] = {}
+    max_num = 0
+    for num in set(pdf.offsets) | set(pdf.compressed):
+        obj = pdf.get_object(num)
+        if obj is None:
+            continue
+        objects[num] = obj
+        max_num = max(max_num, num)
+    next_num = max_num + 1
+
+    font_alias = "ScribeOverlayFont"
+    font_num = next_num
+    next_num += 1
+    objects[font_num] = {
+        Name("Type"): Name("Font"), Name("Subtype"): Name("Type1"),
+        Name("BaseFont"): Name("Helvetica"),
+        Name("Encoding"): Name("WinAnsiEncoding")}
+
+    for info, page in zip(infos, pages):
+        num = info.get("_ref_num")
+        node = objects.get(num)
+        if not isinstance(node, dict) or page is None:
+            continue
+        media = [float(pdf.resolve(v)) for v in
+                 (pdf.resolve(info.get("CropBox"))
+                  or pdf.resolve(info.get("MediaBox"))
+                  or [0, 0, 612, 792])]
+        width_pt = abs(media[2] - media[0]) or 612
+        height_pt = abs(media[3] - media[1]) or 792
+        sc = scale if scale is not None else min(
+            DEFAULT_DPI_SCALE, MAX_RASTER_W / width_pt)
+        parts = ["q", "BT"]
+        if text_mode == "invis":
+            parts.append("3 Tr")
+        for line in page.lines:
+            base_y = line.bbox.bottom + (line.baseline[1] or 0)
+            for word in line.words:
+                size = (word.style.size or (line.asc_height or 9) / 0.75)
+                size = max(round(float(size) / sc, 2), 1)
+                x = round(word.bbox.left / sc + media[0], 2)
+                y = round(height_pt - base_y / sc + media[1], 2)
+                txt = _esc_winansi(word.text).decode("latin-1")
+                parts.append(f"/{font_alias} {size:g} Tf")
+                parts.append(f"1 0 0 1 {x:g} {y:g} Tm")
+                parts.append(f"({txt}) Tj")
+        parts.append("ET")
+        parts.append("Q")
+        payload = zlib.compress("\n".join(parts).encode("latin-1"))
+        from .pdf.objects import StreamObj
+        stream_num = next_num
+        next_num += 1
+        objects[stream_num] = StreamObj(
+            {Name("Length"): len(payload),
+             Name("Filter"): Name("FlateDecode")}, payload)
+
+        # Append to /Contents (wrapping a single stream into an array)
+        # and add the overlay font to the page Resources.
+        node = dict(node)
+        contents = node.get("Contents")
+        if isinstance(contents, list):
+            node[Name("Contents")] = list(contents) + [Ref(stream_num, 0)]
+        elif contents is None:
+            node[Name("Contents")] = [Ref(stream_num, 0)]
+        else:
+            node[Name("Contents")] = [contents, Ref(stream_num, 0)]
+        res = pdf.resolve(node.get("Resources"))
+        res = dict(res) if isinstance(res, dict) else {}
+        fonts = pdf.resolve(res.get("Font"))
+        fonts = dict(fonts) if isinstance(fonts, dict) else {}
+        fonts[Name(font_alias)] = Ref(font_num, 0)
+        res[Name("Font")] = fonts
+        node[Name("Resources")] = res
+        objects[num] = node
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + _ser_obj(objects[num]) \
+            + b"\nendobj\n"
+    xref_pos = len(out)
+    maxn = max(objects) + 1
+    out += f"xref\n0 {maxn}\n".encode() + b"0000000000 65535 f \n"
+    for i in range(1, maxn):
+        if i in offsets:
+            out += f"{offsets[i]:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    root = pdf.trailer.get("Root")
+    out += (b"trailer\n<< /Size " + str(maxn).encode()
+            + b" /Root " + _ser_obj(root) + b" >>\nstartxref\n"
+            + str(xref_pos).encode() + b"\n%%EOF\n")
+    return bytes(out)

@@ -75,7 +75,9 @@ def test_field_only_page_is_text_native():
     w.add(b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
           + stream + b"\nendstream")
     w.add(b"<< /Type /Annot /Subtype /Widget /FT /Tx /T (f) "
-          b"/V (only form text content here for sure) "
+          b"/V (only form text content here for sure with enough extra "
+          b"printable words to clear the hundred-character page score "
+          b"threshold of the faithful doc-type gate) "
           b"/Rect [100 700 500 720] >>")
     pages, doc_type = parse_pdf_document(w.build())
     assert "only form text" in page_text(pages[0])

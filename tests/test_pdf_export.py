@@ -9,10 +9,12 @@ from scribe_js_ray.stages.pdf_export import write_pdf
 
 def _sample_pages():
     ts = _Typesetter()
-    ts.line("The quick brown fox jumps", font="F1")
-    ts.line("over the lazy dog again", font="F1")
+    ts.line("The quick brown fox jumps over the lazy dog and keeps", font="F1")
+    ts.line("running through the quiet forest until morning light", font="F1")
+    ts.line("appears slowly over the eastern ridge of the valley", font="F1")
     ts2 = _Typesetter()
-    ts2.line("Second page content here", font="F1")
+    ts2.line("Second page content here with enough printable words", font="F1")
+    ts2.line("to clear the hundred-character page-score threshold", font="F1")
     data = _make_pdf([ts.stream(), ts2.stream()], {"F1": "Helvetica"})
     pages, _ = parse_pdf_document(data)
     return pages
@@ -62,3 +64,64 @@ def test_unencodable_chars_degrade():
     blob = write_pdf(pages)
     re_pages, _ = parse_pdf_document(blob)
     assert "??" in page_text(re_pages[0])
+
+
+def _blank_pdf():
+    """A PDF with pages but no text (scan-like)."""
+    from scribe_js_ray.sources.synth_pdf import PdfWriter
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 4 0 R >>")
+    stream = b"q Q"
+    w.add(b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+          + stream + b"\nendstream")
+    return w.build()
+
+
+def test_overlay_invisible_text_on_blank_pdf():
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    from scribe_js_ray.sources.synth import hocr_from_text
+    from scribe_js_ray.stages.pdf_export import overlay_pdf_text
+
+    payload = hocr_from_text("recognized words from the scan layer", 7)
+    page, _ = parse_hocr_page(payload.decode(), 0)
+    out = overlay_pdf_text(_blank_pdf(), [page], text_mode="invis",
+                           scale=1.0)
+    assert out.startswith(b"%PDF-")
+    re_pages, doc_type = parse_pdf_document(out)
+    text = page_text(re_pages[0])
+    assert "recognized" in text and "scan" in text
+    # Tr 3 text → doc types as an OCR overlay, not text-native
+    assert doc_type in ("ocr", "image")
+
+
+def test_overlay_preserves_original_text():
+    pages = _sample_pages()
+    original = _make_pdf([
+        __import__("scribe_js_ray.sources.synth_pdf",
+                   fromlist=["_Typesetter"])._Typesetter().stream()],
+        {"F1": "Helvetica"})
+    ts = __import__("scribe_js_ray.sources.synth_pdf",
+                    fromlist=["_Typesetter"])._Typesetter()
+    ts.line("Original printed words", font="F1")
+    original = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    from scribe_js_ray.sources.synth import hocr_from_text
+    from scribe_js_ray.stages.pdf_export import overlay_pdf_text
+    ov_page, _ = parse_hocr_page(
+        hocr_from_text("overlay layer text", 3).decode(), 0)
+    out = overlay_pdf_text(original, [ov_page], scale=1.0)
+    re_pages, _ = parse_pdf_document(out)
+    text = page_text(re_pages[0])
+    assert "Original printed words" in text
+    assert "overlay" in text
+
+
+def test_overlay_rejects_encrypted():
+    import pytest
+    from scribe_js_ray.stages.pdf_export import overlay_pdf_text
+    from tests.test_pdf_crypto import _encrypt_pdf_rc4, _sample_pdf
+    with pytest.raises(ValueError):
+        overlay_pdf_text(_encrypt_pdf_rc4(_sample_pdf()), [None])
