@@ -100,7 +100,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
     """Pure per-document extraction; returns a flat result dict.
 
     ``emit_format``: "text" (byte-identical golden surface, default),
-    "markdown" or "hocr" (structural exports, S7-S9)."""
+    "markdown", "hocr", "pdf" (fresh text PDF) or "pdf_overlay"
+    (invisible layer onto the original PDF pages) — S7-S9."""
     kind = classify_payload(payload or b"", text or "")
     out = {"url": url, "extracted_text": "", "spans": [], "n_pages": 0,
            "doc_type": "image", "payload_kind": kind, "error": ""}
@@ -111,7 +112,15 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 payload, with_outline=True)
             analyze_layout(pages,
                            outline_titles=[o["title"] for o in outline])
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
+            if emit_format == "pdf_overlay":
+                # searchable-scan product: invisible text layer merged
+                # back onto the ORIGINAL pages (S9 writePdfOverlay)
+                from ..stages.pdf_export import overlay_pdf_text
+                txt = overlay_pdf_text(payload, pages).decode("latin-1")
+                spans = []
+            else:
+                txt, spans = _emit(pages, emit_format, reflow,
+                                   drop_furniture)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type=doc_type)
         elif kind in ("hocr", "alto", "abbyy", "stext"):

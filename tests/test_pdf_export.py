@@ -125,3 +125,22 @@ def test_overlay_rejects_encrypted():
     from tests.test_pdf_crypto import _encrypt_pdf_rc4, _sample_pdf
     with pytest.raises(ValueError):
         overlay_pdf_text(_encrypt_pdf_rc4(_sample_pdf()), [None])
+
+
+def test_extract_document_pdf_overlay_mode():
+    from scribe_js_ray.pipelines.extract import extract_document
+    ts = __import__("scribe_js_ray.sources.synth_pdf",
+                    fromlist=["_Typesetter"])._Typesetter()
+    ts.line("Printed page body text with enough characters to", font="F1")
+    ts.line("pass the page score threshold for the text type", font="F1")
+    ts.line("and a third line of running prose to be safe ok", font="F1")
+    original = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+    res = extract_document("u", original, "", "",
+                           emit_format="pdf_overlay")
+    assert res["error"] == ""
+    blob = res["extracted_text"].encode("latin-1")
+    assert blob.startswith(b"%PDF-")
+    re_pages, _ = parse_pdf_document(blob)
+    text = page_text(re_pages[0])
+    # original text survives AND the recognized layer is re-embedded
+    assert text.count("Printed page body") >= 1
