@@ -826,7 +826,9 @@ def font_char_metrics(pages_ds):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-_WS_SPLIT_RE = re.compile(r"\s+")
+# ASCII \s to match DuckDB's RE2 semantics; trim(text) strips SPACES
+# only, and the oracle measures nonspace chars over the UNtrimmed text.
+_WS_SPLIT_RE = re.compile(r"\s+", re.ASCII)
 _HAS_ALPHA_RE = re.compile(r"[A-Za-z]")
 
 
@@ -841,10 +843,11 @@ def add_quality_filter(batch: pa.Table, min_words: int = 50,
     bit-for-bit."""
     out_n, out_avg, out_alpha, out_keep = [], [], [], []
     for text in batch["text"].to_pylist():
-        t = (text or "").strip()
+        text = text or ""
+        t = text.strip(" ")  # DuckDB trim() strips spaces only
         toks = _WS_SPLIT_RE.split(t)  # "" → [""] like regexp_split_to_array
         n_words = len(toks)
-        n_nonspace = sum(len(w) for w in toks)
+        n_nonspace = len(_WS_SPLIT_RE.sub("", text))
         n_alpha = sum(1 for w in toks if _HAS_ALPHA_RE.search(w))
         avg = n_nonspace / n_words
         alpha = n_alpha / n_words
@@ -950,6 +953,12 @@ def connected_components(pairs_ds, max_iter: int = 15,
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        import warnings
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} without "
+            "converging; components wider than that many hops are "
+            "reported split", stacklevel=2)
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["doc_id", "cluster"])

@@ -79,6 +79,11 @@ def _parse_paged_payload(kind: str, payload: bytes):
 
 def _emit(pages, emit_format, reflow, drop_furniture):
     """Page trees → (text, spans) in the requested output format."""
+    if emit_format not in ("text", "markdown", "hocr", "pdf"):
+        # pdf_overlay is handled in the pdf branch only; anything else
+        # must fail into the error column rather than silently emitting
+        # plain text
+        raise ValueError(f"unsupported emit_format: {emit_format}")
     if emit_format == "markdown":
         from ..stages.exports import write_markdown
         return write_markdown(pages, reflow_text=reflow), []

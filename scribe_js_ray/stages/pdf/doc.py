@@ -163,15 +163,21 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     # (:1172).  Space glyphs never count.
     printable_vis = invisible_chars = control = control_vis = 0
     for c in interp.chars:
-        if not c.text.strip():
+        if not c.text:
             continue
         cp = ord(c.text[0])
+        if cp == 32:
+            continue
         is_printable = (33 <= cp <= 127) or \
             (cp >= 161 and not 0xE000 <= cp <= 0xF8FF)
-        if c.invisible:
-            invisible_chars += 1
-        elif is_printable:
-            printable_vis += 1
+        # invisibleTextChars counts only PRINTABLE-class invisible glyphs
+        # (reference: printable - printableVis, parsePdfDoc.js:383-410) —
+        # PUA/control invisible glyphs must not inflate the OCR score.
+        if is_printable:
+            if c.invisible:
+                invisible_chars += 1
+            else:
+                printable_vis += 1
         if cp < 32:
             control += 1
             if not c.invisible:

@@ -394,9 +394,17 @@ def parse_truetype_encoding(data: bytes) -> dict[int, str] | None:
             for k in range(segs):
                 if starts[k] == 0xFFFF:
                     continue
-                for code in range(starts[k], min(ends[k], 0xFFFE) + 1):
-                    if not _want(code):
-                        continue
+                # Intersect the claimed range with the byte + symbol-page
+                # windows BEFORE iterating: a hostile font claiming
+                # 0x0100-0xFFFE per segment must not cost 64k iterations.
+                windows = []
+                for lo, hi in ((0, 0xFF), (0xF000, 0xF0FF)):
+                    a = max(starts[k], lo)
+                    b = min(ends[k], hi, 0xFFFE)
+                    if a <= b:
+                        windows.append((a, b))
+                for a, b in windows:
+                  for code in range(a, b + 1):
                     if range_offs[k] == 0:
                         gid = (code + deltas[k]) & 0xFFFF
                     else:

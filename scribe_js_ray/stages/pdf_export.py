@@ -163,7 +163,9 @@ def _ser_obj(obj) -> bytes:
     if obj is False:
         return b"false"
     if isinstance(obj, Ref):
-        return f"{obj.num} {obj.gen} R".encode()
+        # all copied objects are re-emitted at generation 0, so refs are
+        # normalized too (a preserved gen>0 ref would dangle)
+        return f"{obj.num} 0 R".encode()
     if isinstance(obj, Name):
         out = []
         for ch in str(obj).encode("latin-1", "replace"):
@@ -177,7 +179,9 @@ def _ser_obj(obj) -> bytes:
     if isinstance(obj, int):
         return str(obj).encode()
     if isinstance(obj, float):
-        return f"{obj:g}".encode()
+        # %g emits exponent notation, which is not valid PDF real syntax
+        txt = f"{obj:.6f}".rstrip("0").rstrip(".")
+        return (txt or "0").encode()
     if isinstance(obj, (bytes, bytearray)):
         return b"<" + bytes(obj).hex().encode() + b">"
     if isinstance(obj, str):
@@ -185,10 +189,8 @@ def _ser_obj(obj) -> bytes:
     if isinstance(obj, list):
         return b"[" + b" ".join(_ser_obj(v) for v in obj) + b"]"
     if isinstance(obj, dict):
-        body = b" ".join(_ser_obj(__import__(
-            "scribe_js_ray.stages.pdf.objects",
-            fromlist=["Name"]).Name(k)) + b" " + _ser_obj(v)
-            for k, v in obj.items())
+        body = b" ".join(_ser_obj(Name(k)) + b" " + _ser_obj(v)
+                         for k, v in obj.items())
         return b"<< " + body + b" >>"
     if isinstance(obj, StreamObj):
         d = _ser_obj(obj.dict)
@@ -277,8 +279,11 @@ def overlay_pdf_text(original: bytes, pages, text_mode: str = "invis",
         # and add the overlay font to the page Resources.
         node = dict(node)
         contents = node.get("Contents")
-        if isinstance(contents, list):
-            node[Name("Contents")] = list(contents) + [Ref(stream_num, 0)]
+        resolved = pdf.resolve(contents)
+        if isinstance(resolved, list):
+            # /Contents may be an indirect ref TO an array — flatten it,
+            # a nested array ref is invalid
+            node[Name("Contents")] = list(resolved) + [Ref(stream_num, 0)]
         elif contents is None:
             node[Name("Contents")] = [Ref(stream_num, 0)]
         else:
