@@ -144,3 +144,40 @@ def test_extract_document_pdf_overlay_mode():
     text = page_text(re_pages[0])
     # original text survives AND the recognized layer is re-embedded
     assert text.count("Printed page body") >= 1
+
+
+def test_overlay_handles_floats_and_indirect_contents():
+    """Review-3 regressions: tiny floats must serialize fixed-point (no
+    exponent notation) and an indirect /Contents ARRAY must flatten."""
+    from scribe_js_ray.sources.synth_pdf import PdfWriter
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    from scribe_js_ray.sources.synth import hocr_from_text
+    from scribe_js_ray.stages.pdf_export import overlay_pdf_text
+
+    ts = __import__("scribe_js_ray.sources.synth_pdf",
+                    fromlist=["_Typesetter"])._Typesetter()
+    ts.line("Original body words here", font="F1")
+    stream = ts.stream().encode("latin-1")
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    # tiny float in the page dict + /Contents -> indirect ref to an ARRAY
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/UserUnit 0.00005 "
+          b"/Resources << /Font << /F1 5 0 R >> >> /Contents 6 0 R >>")
+    w.add(b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+          + stream + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    w.add(b"[4 0 R]")  # indirect contents array
+    original = w.build()
+    pages0, _ = parse_pdf_document(original)
+    assert "Original body" in page_text(pages0[0])
+
+    ov, _ = parse_hocr_page(hocr_from_text("layer words", 3).decode(), 0)
+    out = overlay_pdf_text(original, [ov], scale=1.0)
+    assert b"5e-05" not in out and b"E-05" not in out
+    re_pages, _ = parse_pdf_document(out)
+    text = page_text(re_pages[0])
+    assert "Original body" in text    # flattened contents kept original
+    assert "layer" in text            # overlay present
