@@ -160,7 +160,16 @@ def write_markdown(pages, reflow_text: bool = False,
         if detect_tables:
             from .combine import _box_overlap
             from .tables import detect_tables_in_page, extract_table_content
-            table_bboxes = list(enumerate(detect_tables_in_page(page)))
+            detected = list(detect_tables_in_page(page))
+            # Ruled-grid regions from the PDF vector paths (M27) render
+            # as tables too, deduped against the text-detected set.
+            from ..model import BBox as _BBox
+            for tb in getattr(page, "table_boxes", None) or []:
+                rb = _BBox(tb["left"], tb["top"], tb["right"],
+                           tb["bottom"])
+                if not any(_box_overlap(rb, d) > 0.5 for d in detected):
+                    detected.append(rb)
+            table_bboxes = list(enumerate(detected))
 
         par_current = page.lines[0].par
         current_style_key = None

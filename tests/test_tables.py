@@ -75,3 +75,28 @@ def test_extract_table_content():
     non_empty = [sum(1 for c in r if c) for r in rows]
     assert all(n >= 3 for n in non_empty)
     assert any("100" in c for c in rows[0])
+
+
+def test_ruled_pdf_table_renders_in_markdown():
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    from scribe_js_ray.stages.exports import write_markdown
+
+    rows = ["1 w"]
+    data = [("alpha", "beta"), ("gamma", "delta"), ("epsilon", "zeta")]
+    for i, (a, b) in enumerate(data):
+        y = 680 - i * 30
+        rows.append(f"BT /F1 10 Tf 110 {y} Td ({a}) Tj ET")
+        rows.append(f"BT /F1 10 Tf 260 {y} Td ({b}) Tj ET")
+    for yy in (650, 680, 712):
+        rows.append(f"100 {yy} m 400 {yy} l S")
+    for xx in (100, 250, 400):
+        rows.append(f"{xx} 590 m {xx} 712 l S")
+    rows.append("BT /F1 12 Tf 72 750 Td "
+                "(Preamble paragraph text with plenty of characters to "
+                "clear the page threshold here) Tj ET")
+    pages, _ = parse_pdf_document(_make_pdf([" ".join(rows)],
+                                            {"F1": "Helvetica"}))
+    assert pages[0].table_boxes  # ruled grid detected
+    md = write_markdown(pages, detect_tables=True)
+    assert "| alpha | beta |" in md.replace("  ", " ")
