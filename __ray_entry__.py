@@ -291,12 +291,27 @@ def _emb_knn_ivf(sf_dir: str):
                          columns=["vec_id", "embedding"])
     # Cell-partitioned index cached per input FILE (path + mtime + size,
     # so a regenerated dataset invalidates the cache): built once, every
-    # query after that reads only its probe cells' files.
+    # query after that reads only its probe cells' files.  The cache root
+    # must be CLUSTER-SHARED storage on a multi-node deployment (set
+    # $SCRIBE_RAY_SCRATCH to a shared mount; the /tmp default is valid
+    # only single-node — probe tasks on other nodes couldn't read it).
+    # Stale tags for the same dataset slug are reaped before building.
     import os
+    import shutil
     st = os.stat(f"{sf_dir}/embeddings.parquet")
     tag = _hl.md5(
         f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
-    index_dir = f"/tmp/scribe_js_ray_ivf_{tag}"
+    scratch = os.environ.get("SCRIBE_RAY_SCRATCH", "/tmp")
+    slug = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"scribe_js_ray_ivf_{slug}_"
+    try:
+        for name in os.listdir(scratch):
+            if name.startswith(prefix) and not name.endswith(tag):
+                shutil.rmtree(os.path.join(scratch, name),
+                              ignore_errors=True)
+    except OSError:
+        pass
+    index_dir = os.path.join(scratch, prefix + tag)
     return knn_top_k_ivf(ds, qvec, k=10, index_dir=index_dir) \
         .select_columns(["vec_id"])
 
@@ -317,11 +332,14 @@ def _emb_near_dup_lsh(sf_dir: str):
 
 
 def _mm_image_features(sf_dir: str):
-    """Multimodal plumbing: deterministic synthetic image binaries (keyed
-    off doc_id) → decode-stub → feature extraction (rows-only check)."""
+    """Multimodal images: deterministic REAL PNG/BMP payloads (keyed off
+    doc_id) → stdlib decode (zlib inflate + PNG filter reconstruction /
+    BMP rows) → thumbnail + vectorized features (rows-only check; pixel
+    exactness is covered by tests/test_codecs.py goldens)."""
     import pyarrow as pa
     import ray.data as rd
 
+    from scribe_js_ray.sources.synth import synth_image_payload
     from scribe_js_ray.stages.multimodal import decode_image_pipeline
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -332,13 +350,13 @@ def _mm_image_features(sf_dir: str):
         return pa.table({
             "image_id": pa.array(ids, pa.int64()),
             "image": pa.array(
-                [d.to_bytes(8, "big") * 16 for d in ids], pa.binary()),
+                [synth_image_payload(d) for d in ids], pa.binary()),
         })
 
     images = docs.map_batches(synth_images, batch_format="pyarrow")
     out = decode_image_pipeline(images, batch_size=8)
-    return out.select_columns(["image_id", "thumb_h", "thumb_w"]) \
-        .sort("image_id")
+    return out.select_columns(
+        ["image_id", "format", "width", "height"]).sort("image_id")
 
 
 def _font_char_metrics(sf_dir: str):
@@ -350,11 +368,13 @@ def _font_char_metrics(sf_dir: str):
 
 
 def _mm_audio_features(sf_dir: str):
-    """Multimodal audio plumbing: deterministic synthetic clips →
-    decode-stub PCM → vectorized features (rows-only check)."""
+    """Multimodal audio: deterministic REAL 16-bit PCM WAV clips →
+    stdlib RIFF/PCM decode → windowed PCM → vectorized features
+    (rows-only check; sample exactness covered by tests/test_codecs.py)."""
     import pyarrow as pa
     import ray.data as rd
 
+    from scribe_js_ray.sources.synth import synth_audio_payload
     from scribe_js_ray.stages.multimodal import decode_audio_pipeline
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -365,12 +385,13 @@ def _mm_audio_features(sf_dir: str):
         return pa.table({
             "audio_id": pa.array(ids, pa.int64()),
             "audio": pa.array(
-                [d.to_bytes(8, "big") * 32 for d in ids], pa.binary()),
+                [synth_audio_payload(d) for d in ids], pa.binary()),
         })
 
     audio = docs.map_batches(synth_audio, batch_format="pyarrow")
     return decode_audio_pipeline(audio) \
-        .select_columns(["audio_id", "features"]).sort("audio_id")
+        .select_columns(["audio_id", "sample_rate", "features"]) \
+        .sort("audio_id")
 
 
 def _mm_video_frames(sf_dir: str):
@@ -384,17 +405,19 @@ def _mm_video_frames(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"]).limit(32)
 
+    from scribe_js_ray.sources.synth import synth_video_payload
+
     def synth_video(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         return pa.table({
             "video_id": pa.array(ids, pa.int64()),
             "video": pa.array(
-                [d.to_bytes(8, "big") * 64 for d in ids], pa.binary()),
+                [synth_video_payload(d) for d in ids], pa.binary()),
         })
 
     vids = docs.map_batches(synth_video, batch_format="pyarrow")
     return sample_video_pipeline(vids) \
-        .select_columns(["video_id", "frame_idx"]) \
+        .select_columns(["video_id", "frame_idx", "src_frame"]) \
         .sort(["video_id", "frame_idx"])
 
 

@@ -826,9 +826,12 @@ def font_char_metrics(pages_ds):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-# ASCII \s to match DuckDB's RE2 semantics; trim(text) strips SPACES
-# only, and the oracle measures nonspace chars over the UNtrimmed text.
-_WS_SPLIT_RE = re.compile(r"\s+", re.ASCII)
+# Explicit class to match DuckDB's RE2 \s, which is [\t\n\f\r ] ONLY —
+# Python's re.ASCII \s additionally matches \x0b (vertical tab), so a
+# document containing \x0b would diverge from the oracle.  trim(text)
+# strips SPACES only, and the oracle measures nonspace chars over the
+# UNtrimmed text.
+_WS_SPLIT_RE = re.compile(r"[\t\n\f\r ]+")
 _HAS_ALPHA_RE = re.compile(r"[A-Za-z]")
 
 

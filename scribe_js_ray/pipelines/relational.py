@@ -533,8 +533,15 @@ def events_running_total(sf_dir: str):
                          columns=["event_id", "user_id", "ts", "value"])
 
     def running_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
         g = g.sort_values(["ts", "event_id"])
-        cents = (g["value"] * 100).round().astype("int64")
+        # DuckDB round() is half-AWAY-from-zero; pandas .round() is
+        # half-to-even — diverges whenever value*100 lands exactly on .5
+        # in float.  Emulate half-away explicitly.
+        v = g["value"].to_numpy() * 100.0
+        cents = pd.Series(
+            (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64"),
+            index=g.index)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "user_id": g["user_id"].to_numpy(),

@@ -394,3 +394,57 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
         pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
         part += 1
     return path
+
+
+# ---------------------------------------------------------------- media
+
+def synth_image_payload(media_id: int) -> bytes:
+    """Deterministic REAL image bytes keyed off the id: even ids → PNG,
+    odd ids → BMP (exercises both stdlib decoders).  The pixel pattern is
+    closed-form in (x, y, media_id) so expected thumbnails/features are
+    computable in tests without any decode."""
+    import numpy as np
+
+    from ..stages.codecs import bmp_encode, png_encode
+    h, w = 24 + (media_id % 3) * 8, 32 + (media_id % 5) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack([
+        (xx * 3 + media_id) % 256,
+        (yy * 5 + media_id * 7) % 256,
+        ((xx ^ yy) + media_id * 13) % 256,
+    ], axis=2).astype(np.uint8)
+    if media_id % 2 == 0:
+        return png_encode(px, filter_type=(media_id // 2) % 5)
+    return bmp_encode(px)
+
+
+def synth_audio_payload(media_id: int) -> bytes:
+    """Deterministic REAL 16-bit PCM WAV: two sinusoids whose frequencies
+    derive from the id, 0.25 s at 8 kHz."""
+    import numpy as np
+
+    from ..stages.codecs import wav_encode
+    rate = 8000
+    t = np.arange(rate // 4, dtype=np.float64) / rate
+    f1 = 200.0 + (media_id % 16) * 50.0
+    f2 = 900.0 + (media_id % 7) * 130.0
+    wave = 0.5 * np.sin(2 * np.pi * f1 * t) + \
+        0.25 * np.sin(2 * np.pi * f2 * t)
+    return wav_encode(wave, sample_rate=rate)
+
+
+def synth_video_payload(media_id: int, n_frames: int = 6) -> bytes:
+    """Deterministic REAL MPNG container: n_frames 8×8 PNG frames whose
+    pattern shifts per frame (so sampled frames provably differ)."""
+    import numpy as np
+
+    from ..stages.codecs import mpng_encode
+    frames = []
+    yy, xx = np.mgrid[0:8, 0:8]
+    for f in range(n_frames):
+        frames.append(np.stack([
+            (xx * 16 + f * 40 + media_id) % 256,
+            (yy * 16 + f * 11) % 256,
+            ((xx + yy) * 8 + media_id * 3 + f * 29) % 256,
+        ], axis=2).astype(np.uint8))
+    return mpng_encode(frames, fps=10)

@@ -1,0 +1,376 @@
+"""Pure-stdlib media codecs: PNG, BMP, WAV-PCM, and an MPNG frame
+container for video-shaped payloads.
+
+No external imaging/audio libraries exist in this environment, so the
+multimodal stages decode with these stdlib-only (``zlib`` + ``struct`` +
+numpy) implementations.  Coverage is the subset a synthetic training-data
+corpus needs — it is a REAL decode (bit-exact pixels/samples, verified by
+round-trip tests in ``tests/test_codecs.py``), not a stub:
+
+- PNG  (decode + encode): 8-bit gray / gray+alpha / RGB / RGBA / palette,
+  all five row filters (None/Sub/Up/Average/Paeth), non-interlaced.
+  Spec: W3C PNG (ISO/IEC 15948).  Reference analog: the render path the
+  reference keeps in ``js/pdf/codecs/`` is out of scope (SURVEY M29); this
+  module exists for the multimodal corpus operators, not PDF rendering.
+- BMP  (decode + encode): BITMAPINFOHEADER, 8 (palette) / 24 / 32-bit
+  uncompressed (BI_RGB), bottom-up or top-down rows.
+- WAV  (decode + encode): RIFF/WAVE PCM, 8-bit unsigned / 16-bit /
+  32-bit signed LE, any channel count (decode averages to mono float32).
+- MPNG (decode + encode): a minimal deterministic frame container
+  (magic + frame table + one PNG per frame) standing in for real video
+  containers, whose codecs cannot be implemented stdlib-only; the
+  per-frame PIXEL decode is the real PNG path above.  Real deployments
+  swap this container parser for pyav/ffmpeg behind the same API.
+
+External-library codecs (JPEG, MP3, H.264, ...) remain gated behind the
+stages' ``real_codecs=True`` flag, which raises until such a library is
+wired in.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type: 0=gray, 2=RGB, 3=palette, 4=gray+A, 6=RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        yield ctype, body
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters → (height, width*bpp) uint8.  None/Up are
+    vectorized; Sub is a per-channel cumsum (mod-256 via uint8 overflow);
+    Average/Paeth are inherently sequential per pixel."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    raw = np.frombuffer(raw, dtype=np.uint8)
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG: truncated image data")
+    rows = raw[:height * (stride + 1)].reshape(height, stride + 1)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].copy()
+        if ftype == 0:                                   # None
+            cur = line
+        elif ftype == 1:                                 # Sub
+            cur = line.reshape(-1, bpp)
+            np.cumsum(cur, axis=0, dtype=np.uint8, out=cur)
+            cur = cur.reshape(-1)
+        elif ftype == 2:                                 # Up
+            cur = line + prev
+        elif ftype == 3:                                 # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:                                 # Paeth
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) uint8.  Palette images expand to RGB;
+    gray stays 1-channel, gray+alpha 2, RGBA 4."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("PNG: bad signature")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"PNG: unsupported bit depth {bit_depth}")
+    if interlace:
+        raise ValueError("PNG: interlaced images unsupported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unsupported color type {color_type}")
+    bpp = _PNG_CHANNELS[color_type]
+    px = _unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    px = px.reshape(height, width, bpp)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("PNG: palette image without PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def png_encode(px: np.ndarray, filter_type: int = 0,
+               compress_level: int = 6) -> bytes:
+    """(h, w[, channels]) uint8 → PNG bytes.  ``filter_type`` applies one
+    row filter to every row (0 default; 1-4 exist so the decoder's filter
+    paths are testable against true encoded input)."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    stride = w * c
+    flat = px.reshape(h, stride)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = flat[y]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += cur.tobytes()
+        elif filter_type == 1:
+            shifted = np.zeros_like(cur)
+            shifted[c:] = cur[:-c]
+            raw += (cur - shifted).tobytes()
+        elif filter_type == 2:
+            raw += (cur - prev).tobytes()
+        elif filter_type == 3:
+            line = bytearray(stride)
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                line[x] = (int(cur[x]) - ((left + int(prev[x])) >> 1)) & 0xFF
+            raw += line
+        elif filter_type == 4:
+            line = bytearray(stride)
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                ul = int(prev[x - c]) if x >= c else 0
+                line[x] = (int(cur[x]) -
+                           _paeth(left, int(prev[x]), ul)) & 0xFF
+            raw += line
+        else:
+            raise ValueError(f"PNG: unknown filter type {filter_type}")
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), compress_level)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + \
+        chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------- BMP
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """BMP bytes → (h, w, 3) uint8 RGB (alpha of 32-bit images dropped)."""
+    if data[:2] != b"BM":
+        raise ValueError("BMP: bad signature")
+    (offbits,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError("BMP: pre-BITMAPINFOHEADER formats unsupported")
+    width, height = struct.unpack("<ii", data[18:26])
+    bpp, = struct.unpack("<H", data[28:30])
+    compression, = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise ValueError(f"BMP: compression {compression} unsupported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"BMP: {bpp}-bit unsupported")
+    top_down = height < 0
+    height = abs(height)
+    palette = None
+    if bpp == 8:
+        n_colors, = struct.unpack("<I", data[46:50])
+        n_colors = n_colors or 256
+        pal_raw = np.frombuffer(
+            data[14 + hdr_size:14 + hdr_size + 4 * n_colors], np.uint8)
+        palette = pal_raw.reshape(-1, 4)[:, :3][:, ::-1]  # BGRA → RGB
+    bytes_pp = bpp // 8
+    row_size = (width * bytes_pp + 3) & ~3
+    px = np.frombuffer(data, np.uint8,
+                       count=row_size * height, offset=offbits)
+    px = px.reshape(height, row_size)[:, :width * bytes_pp]
+    px = px.reshape(height, width, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    if bpp == 8:
+        return np.ascontiguousarray(palette[px[:, :, 0]])
+    return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) → RGB
+
+
+def bmp_encode(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit bottom-up BMP bytes."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("BMP encoder takes RGB input")
+    row_size = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_size), dtype=np.uint8)
+    body[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    body_b = body.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body_b),
+                      2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body_b), 0, 0, 14 + 40)
+    return hdr + dib + body_b
+
+
+# ---------------------------------------------------------------- WAV
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono float32 samples in [-1, 1], sample_rate).
+    Multi-channel input is averaged to mono."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("WAV: bad signature")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = \
+                struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt not in (1, 0xFFFE):  # PCM / extensible-PCM
+                raise ValueError(f"WAV: non-PCM format {audio_fmt}")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            samples = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    if bits == 16:
+        arr = np.frombuffer(samples, "<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        arr = (np.frombuffer(samples, np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    elif bits == 32:
+        arr = np.frombuffer(samples, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"WAV: {bits}-bit unsupported")
+    if n_ch > 1:
+        arr = arr[:len(arr) - len(arr) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return arr.astype(np.float32), rate
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float32 mono samples in [-1, 1] → 16-bit PCM WAV bytes."""
+    pcm = np.clip(np.asarray(samples, np.float64) * 32767.0,
+                  -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + \
+        b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# ---------------------------------------------------------------- MPNG
+
+_MPNG_MAGIC = b"MPNG\x01"
+
+
+def mpng_encode(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """List of (h, w, c) uint8 frames → MPNG container bytes."""
+    payloads = [png_encode(f) for f in frames]
+    out = bytearray(_MPNG_MAGIC)
+    out += struct.pack(">IH", len(payloads), fps)
+    for p in payloads:
+        out += struct.pack(">I", len(p))
+        out += p
+    return bytes(out)
+
+
+def mpng_info(data: bytes) -> tuple[int, int]:
+    """→ (n_frames, fps) without decoding any frame."""
+    if not data.startswith(_MPNG_MAGIC):
+        raise ValueError("MPNG: bad signature")
+    n_frames, fps = struct.unpack(">IH", data[5:11])
+    return n_frames, fps
+
+
+def mpng_decode_frame(data: bytes, idx: int) -> np.ndarray:
+    """Decode ONE frame by index, scanning the frame table (no decode of
+    skipped frames — the point of a seekable container)."""
+    n_frames, _ = mpng_info(data)
+    if not 0 <= idx < n_frames:
+        raise IndexError(f"MPNG: frame {idx} of {n_frames}")
+    pos = 11
+    for i in range(idx):
+        (flen,) = struct.unpack(">I", data[pos:pos + 4])
+        pos += 4 + flen
+    (flen,) = struct.unpack(">I", data[pos:pos + 4])
+    return png_decode(data[pos + 4:pos + 4 + flen])
+
+
+# ------------------------------------------------------------- helpers
+
+def sniff_image_format(data: bytes) -> str | None:
+    if data.startswith(_PNG_SIG):
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff + decode → (h, w, channels) uint8."""
+    kind = sniff_image_format(data)
+    if kind == "png":
+        return png_decode(data)
+    if kind == "bmp":
+        return bmp_decode(data)
+    raise ValueError("unsupported image format (PNG/BMP supported)")
+
+
+def to_rgb(px: np.ndarray) -> np.ndarray:
+    """Any decoded channel layout → (h, w, 3) RGB (gray replicated,
+    alpha dropped)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    c = px.shape[2]
+    if c == 1:
+        return np.repeat(px, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure index arithmetic —
+    identical output on every worker/platform)."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return np.ascontiguousarray(px[ys][:, xs])

@@ -25,8 +25,10 @@ Roles map to par types as in analyzeLayout.js:2175-2181 (heading → 'title').
 - heading-signature style model       (:1573-1629, :2997-3003)
 - footnote separator rules             (:931-990)
 - struct-tree role overlay (H*/BlockQuote/Artifact via MCIDs, M21)
+- concordance pages                    (``_concordance_pages`` below)
 
-Still deferred: concordance pages, the full decideBreak reason taxonomy.
+Still deferred: the full decideBreak reason taxonomy (break *decisions*
+match; the debug ``reason`` strings are a simplified set).
 
 This pass needs all pages of one document together; with doc = row it runs
 per-row inside ``map_batches`` — no shuffle required.

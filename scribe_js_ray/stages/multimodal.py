@@ -2,26 +2,33 @@
 
 Binary payloads ride as opaque ``binary`` columns with typed metadata;
 decode / resize / feature-extract / frame-sample run as actor-pool
-``map_batches`` stages.  The actual codec work is STUBBED (image/audio
-libraries are not available in this environment): each stage either raises
-``NotImplementedError`` (real-codec mode) or produces a deterministic fake
-derived from the payload bytes (test mode, the default) — the Ray-side
-plumbing (schemas, batch sizing, actor signatures, output layout) is real
-and tested.
+``map_batches`` stages.  Decoding is REAL: stdlib-only PNG/BMP/WAV/MPNG
+codecs in ``stages/codecs.py`` (zlib inflate + filter reconstruction,
+verified bit-exact by ``tests/test_codecs.py``).  Only external-library
+formats (JPEG, MP3, H.264, ...) remain gated behind ``real_codecs=True``,
+which raises until such a library is wired in.
+
+A row whose payload fails to decode never kills the job: the stage emits
+a zeroed tensor plus a ``decode_error`` string column (same contract as
+the extraction pipeline's per-document error capture, reference
+``extractTextDir.js:198-242``).
 
 Scale notes: media rows are wide — keep ``batch_size`` small (≤8) and run
 the stage as an actor pool so codec contexts initialize once per actor,
-not per batch.  Output schema is flat Arrow; decoded frames are emitted
-as fixed-shape tensors via ``pyarrow`` FixedSizeList so downstream numpy
-views are zero-copy.
+not per batch.  Pool size defaults to an autoscaling range derived from
+the cluster's CPU count (a hardcoded cap would starve a big node).
+Output schema is flat Arrow; decoded frames are emitted as fixed-shape
+tensors via ``pyarrow`` FixedSizeList so downstream numpy views are
+zero-copy.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
+
+from .codecs import (decode_image, mpng_decode_frame, mpng_info,
+                     resize_nearest, sniff_image_format, to_rgb, wav_decode)
 
 IMAGE_META_SCHEMA = pa.struct([
     ("format", pa.string()),
@@ -31,21 +38,25 @@ IMAGE_META_SCHEMA = pa.struct([
 ])
 
 
-def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
-    """Deterministic stand-in for a real decode: seed a PRNG from the
-    payload digest so identical bytes decode identically on any worker."""
-    seed = int.from_bytes(
-        hashlib.blake2b(payload or b"", digest_size=4).digest(), "big")
-    return np.random.RandomState(seed).randint(
-        0, 256, size=(h, w, c), dtype=np.uint8)
+def _default_concurrency():
+    """Autoscaling actor-pool range sized from the cluster, not a magic
+    number: (1, max(2, CPUs // 2)) so a 32-CPU node can run 16 decode
+    actors while a laptop still starts with one."""
+    try:
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpu = 4
+    return (1, max(2, ncpu // 2))
 
 
 class DecodeImages:
     """payload binary → fixed-size RGB thumbnail tensor + metadata.
 
     Actor-pool stage: ``ds.map_batches(DecodeImages, batch_size=8,
-    concurrency=(2, N))``.  ``real_codecs=True`` raises until an imaging
-    library is wired in (clearly-marked stub per the build contract).
+    concurrency=(1, N))``.  PNG and BMP decode with the stdlib codecs;
+    ``real_codecs=True`` raises until an external imaging library (JPEG
+    etc.) is wired in.
     """
 
     THUMB_H = 32
@@ -54,38 +65,58 @@ class DecodeImages:
 
     def __init__(self, real_codecs: bool = False):
         self.real_codecs = real_codecs
-        # Codec contexts / lookup tables would initialize HERE, once per
+        # Codec contexts / lookup tables initialize HERE, once per
         # actor — not per batch.
         self._px_type = pa.list_(
             pa.uint8(), self.THUMB_H * self.THUMB_W * self.CHANNELS)
 
-    def _decode_one(self, payload: bytes) -> np.ndarray:
+    def _decode_one(self, payload: bytes):
+        """→ (thumb uint8 (H,W,3), format, width, height, channels)."""
         if self.real_codecs:
             raise NotImplementedError(
-                "real image decode requires an imaging library not present "
-                "in this environment; run with real_codecs=False")
-        return _fake_pixels(payload, self.THUMB_H, self.THUMB_W,
-                            self.CHANNELS)
+                "real_codecs=True gates external-library formats (JPEG, "
+                "WebP, ...); no imaging library is present in this "
+                "environment — PNG/BMP decode with real_codecs=False")
+        fmt = sniff_image_format(payload or b"")
+        px = decode_image(payload)
+        h, w = px.shape[:2]
+        c = 1 if px.ndim == 2 else px.shape[2]
+        thumb = resize_nearest(to_rgb(px), self.THUMB_H, self.THUMB_W)
+        return thumb, fmt, w, h, c
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("image").to_pylist()
-        thumbs = np.empty(
-            (len(payloads), self.THUMB_H * self.THUMB_W * self.CHANNELS),
+        n = len(payloads)
+        thumbs = np.zeros(
+            (n, self.THUMB_H * self.THUMB_W * self.CHANNELS),
             dtype=np.uint8)
-        widths, heights = [], []
+        fmts, widths, heights, chans, errs = [], [], [], [], []
         for i, p in enumerate(payloads):
-            px = self._decode_one(p)
-            thumbs[i] = px.reshape(-1)
-            heights.append(px.shape[0])
-            widths.append(px.shape[1])
+            try:
+                thumb, fmt, w, h, c = self._decode_one(p)
+                thumbs[i] = thumb.reshape(-1)
+                fmts.append(fmt)
+                widths.append(w)
+                heights.append(h)
+                chans.append(c)
+                errs.append(None)
+            except NotImplementedError:
+                raise
+            except Exception as e:  # poison payload → error column
+                fmts.append(None)
+                widths.append(0)
+                heights.append(0)
+                chans.append(0)
+                errs.append(f"{type(e).__name__}: {e}")
         out = batch.drop_columns(["image"])
         out = out.append_column("thumb", pa.FixedSizeListArray.from_arrays(
             pa.array(thumbs.reshape(-1), pa.uint8()),
             self.THUMB_H * self.THUMB_W * self.CHANNELS))
-        out = out.append_column("thumb_h", pa.array(
-            [self.THUMB_H] * len(payloads), pa.int32()))
-        out = out.append_column("thumb_w", pa.array(
-            [self.THUMB_W] * len(payloads), pa.int32()))
+        out = out.append_column("format", pa.array(fmts, pa.string()))
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column("n_channels", pa.array(chans, pa.int8()))
+        out = out.append_column("decode_error", pa.array(errs, pa.string()))
         return out
 
 
@@ -118,8 +149,13 @@ class ImageFeatures:
 
 
 class SampleVideoFrames:
-    """video binary → N evenly-spaced frame thumbnails (flat_map-shaped:
-    one output row per sampled frame).  Frame decode stubbed like images."""
+    """video binary (MPNG container) → N evenly-spaced frame thumbnails
+    (flat_map-shaped: one output row per sampled frame).  The container
+    scan seeks to sampled frames without decoding skipped ones; each
+    sampled frame goes through the real PNG decode."""
+
+    FRAME_H = 16
+    FRAME_W = 16
 
     def __init__(self, n_frames: int = 4, real_codecs: bool = False):
         self.n_frames = n_frames
@@ -127,23 +163,42 @@ class SampleVideoFrames:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real_codecs:
-            raise NotImplementedError("real video decode not available")
+            raise NotImplementedError(
+                "real_codecs=True gates external video codecs (H.264, "
+                "VP9, ...) not present in this environment")
         ids = batch.column("video_id").to_pylist()
         payloads = batch.column("video").to_pylist()
-        out_id, out_frame, out_px = [], [], []
+        out_id, out_frame, out_src, out_px, out_err = [], [], [], [], []
+        px_len = self.FRAME_H * self.FRAME_W * 3
         for vid, p in zip(ids, payloads):
-            for f in range(self.n_frames):
+            try:
+                total, _fps = mpng_info(p or b"")
+                # evenly-spaced sample positions over the real timeline
+                src = np.unique(np.linspace(
+                    0, max(total - 1, 0), self.n_frames).round()
+                    .astype(np.int64))
+                for f_out, f_src in enumerate(src):
+                    px = to_rgb(mpng_decode_frame(p, int(f_src)))
+                    px = resize_nearest(px, self.FRAME_H, self.FRAME_W)
+                    out_id.append(vid)
+                    out_frame.append(f_out)
+                    out_src.append(int(f_src))
+                    out_px.append(px.reshape(-1))
+                    out_err.append(None)
+            except Exception as e:
                 out_id.append(vid)
-                out_frame.append(f)
-                out_px.append(_fake_pixels(
-                    (p or b"") + f.to_bytes(2, "big"), 16, 16, 3).reshape(-1))
-        px = np.stack(out_px) if out_px else \
-            np.empty((0, 16 * 16 * 3), np.uint8)
+                out_frame.append(0)
+                out_src.append(0)
+                out_px.append(np.zeros(px_len, np.uint8))
+                out_err.append(f"{type(e).__name__}: {e}")
+        px = np.stack(out_px) if out_px else np.empty((0, px_len), np.uint8)
         return pa.table({
             "video_id": pa.array(out_id, pa.int64()),
             "frame_idx": pa.array(out_frame, pa.int32()),
+            "src_frame": pa.array(out_src, pa.int32()),
             "frame": pa.FixedSizeListArray.from_arrays(
-                pa.array(px.reshape(-1), pa.uint8()), 16 * 16 * 3),
+                pa.array(px.reshape(-1), pa.uint8()), px_len),
+            "decode_error": pa.array(out_err, pa.string()),
         })
 
 
@@ -151,7 +206,7 @@ def decode_image_pipeline(ds, batch_size: int = 8, concurrency=None):
     """images Dataset (id + image binary) → thumbnails + features.
     Small batches (wide rows), actor pools for both stages."""
     if concurrency is None:
-        concurrency = (1, 4)
+        concurrency = _default_concurrency()
     return ds.map_batches(
         DecodeImages, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
@@ -162,46 +217,58 @@ def decode_image_pipeline(ds, batch_size: int = 8, concurrency=None):
 
 
 class DecodeAudio:
-    """audio binary → fixed-length mono PCM window + metadata.
+    """audio binary (WAV-PCM) → fixed-length mono PCM window + metadata.
 
-    Same contract as DecodeImages: actor-pool stage, codec contexts
-    initialize once per actor, real decode stubbed behind
-    ``real_codecs=True`` (audio libraries absent in this environment);
-    the deterministic fake derives the waveform from the payload digest
-    so identical bytes decode identically on any worker."""
+    Same contract as DecodeImages: actor-pool stage, real stdlib WAV
+    decode (8/16/32-bit PCM, channel-averaged to mono), window trimmed or
+    zero-padded to N_SAMPLES; ``real_codecs=True`` gates external codecs
+    (MP3, AAC, ...)."""
 
     N_SAMPLES = 2048
-    SAMPLE_RATE = 16000
 
     def __init__(self, real_codecs: bool = False):
         self.real_codecs = real_codecs
         self._pcm_type = pa.list_(pa.float32(), self.N_SAMPLES)
 
-    def _decode_one(self, payload: bytes) -> np.ndarray:
+    def _decode_one(self, payload: bytes):
+        """→ (float32[N_SAMPLES], sample_rate, n_samples_in_file)."""
         if self.real_codecs:
-            raise NotImplementedError("real audio decode not available")
-        seed = int.from_bytes(
-            hashlib.blake2b(payload or b"", digest_size=4).digest(), "big")
-        rng = np.random.RandomState(seed)
-        # a few seeded sinusoids + noise: featureful, deterministic
-        t = np.arange(self.N_SAMPLES, dtype=np.float32) / self.SAMPLE_RATE
-        freqs = rng.uniform(50, 4000, size=3).astype(np.float32)
-        amps = rng.uniform(0.1, 0.5, size=3).astype(np.float32)
-        wave = sum(a * np.sin(2 * np.pi * f * t)
-                   for a, f in zip(amps, freqs))
-        wave = wave + rng.normal(0, 0.02, self.N_SAMPLES)
-        return wave.astype(np.float32)
+            raise NotImplementedError(
+                "real_codecs=True gates external audio codecs (MP3, AAC, "
+                "...) not present in this environment — WAV-PCM decodes "
+                "with real_codecs=False")
+        samples, rate = wav_decode(payload or b"")
+        total = len(samples)
+        window = np.zeros(self.N_SAMPLES, np.float32)
+        take = min(total, self.N_SAMPLES)
+        window[:take] = samples[:take]
+        return window, rate, total
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("audio").to_pylist()
-        waves = np.stack([self._decode_one(p) for p in payloads]) \
-            if payloads else np.empty((0, self.N_SAMPLES), np.float32)
+        n = len(payloads)
+        waves = np.zeros((n, self.N_SAMPLES), np.float32)
+        rates, totals, errs = [], [], []
+        for i, p in enumerate(payloads):
+            try:
+                window, rate, total = self._decode_one(p)
+                waves[i] = window
+                rates.append(rate)
+                totals.append(total)
+                errs.append(None)
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                rates.append(0)
+                totals.append(0)
+                errs.append(f"{type(e).__name__}: {e}")
         return pa.table({
             "audio_id": batch["audio_id"],
             "pcm": pa.FixedSizeListArray.from_arrays(
                 pa.array(waves.reshape(-1), pa.float32()), self.N_SAMPLES),
-            "sample_rate": pa.array(
-                [self.SAMPLE_RATE] * len(payloads), pa.int32()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(totals, pa.int64()),
+            "decode_error": pa.array(errs, pa.string()),
         })
 
 
@@ -239,7 +306,7 @@ class AudioFeatures:
 def decode_audio_pipeline(ds, batch_size: int = 8, concurrency=None):
     """audio Dataset (audio_id + audio binary) → PCM + features."""
     if concurrency is None:
-        concurrency = (1, 4)
+        concurrency = _default_concurrency()
     return ds.map_batches(
         DecodeAudio, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
@@ -254,7 +321,7 @@ def sample_video_pipeline(ds, n_frames: int = 4, batch_size: int = 4,
     """video Dataset (video_id + video binary) → one row per sampled
     frame (flat_map shape) + per-frame image features."""
     if concurrency is None:
-        concurrency = (1, 4)
+        concurrency = _default_concurrency()
     frames = ds.map_batches(
         SampleVideoFrames, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs={"n_frames": n_frames},
@@ -263,10 +330,12 @@ def sample_video_pipeline(ds, n_frames: int = 4, batch_size: int = 4,
     class _FrameFeatures(ImageFeatures):
         def __call__(self, batch: pa.Table) -> pa.Table:
             renamed = batch.rename_columns(
-                ["video_id", "frame_idx", "thumb"])
+                ["video_id", "frame_idx", "src_frame", "thumb",
+                 "decode_error"])
             out = super().__call__(renamed)
             return out.rename_columns(
-                ["video_id", "frame_idx", "frame", "features"])
+                ["video_id", "frame_idx", "src_frame", "frame",
+                 "decode_error", "features"])
 
     return frames.map_batches(
         _FrameFeatures, batch_format="pyarrow", batch_size=64,

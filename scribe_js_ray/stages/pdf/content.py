@@ -145,7 +145,14 @@ class SimpleFont:
 
     def decode_byte(self, b: int) -> str:
         if self.differences and b in self.differences:
-            return self.differences[b]
+            ch = self.differences[b]
+            # A /Differences glyph name that failed to resolve (subset
+            # names like "g42" → U+FFFD) must not shadow a valid ToUnicode
+            # entry: the reference prefers toUnicodeValue || encodingValue
+            # (parsePdfDoc.js:1863-1866). Fall through to the rest of the
+            # chain only when the Differences resolution is unusable.
+            if ch != "�":
+                return ch
         # A producer-garbage ToUnicode (PUA/U+FFFD-heavy) loses to the
         # embedded font program's own glyph names (M5 broken-ToUnicode).
         if self.to_unicode and not self.to_unicode_broken \

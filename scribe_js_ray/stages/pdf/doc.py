@@ -168,8 +168,13 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
         cp = ord(c.text[0])
         if cp == 32:
             continue
-        is_printable = (33 <= cp <= 127) or \
-            (cp >= 161 and not 0xE000 <= cp <= 0xF8FF)
+        # U+FFFD (replacement char from unmapped glyphs) scores as control
+        # (weight -5), matching scorePageChars parsePdfDoc.js:383-410 which
+        # checks codePoint===65533 in the control bucket — a PDF full of
+        # unmappable glyphs must classify 'image', not 'text'.
+        is_printable = ((33 <= cp <= 127) or
+                        (cp >= 161 and not 0xE000 <= cp <= 0xF8FF)) and \
+            cp != 0xFFFD
         # invisibleTextChars counts only PRINTABLE-class invisible glyphs
         # (reference: printable - printableVis, parsePdfDoc.js:383-410) —
         # PUA/control invisible glyphs must not inflate the OCR score.
@@ -178,7 +183,7 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
                 invisible_chars += 1
             else:
                 printable_vis += 1
-        if cp < 32:
+        if cp < 32 or cp == 0xFFFD:
             control += 1
             if not c.invisible:
                 control_vis += 1
