@@ -1,18 +1,32 @@
-"""Distributed joins for Ray Data (which has no native join in 2.49).
+"""Distributed joins + broadcasts for Ray Data (no native join in 2.49).
 
 ``hash_bucket_join`` — the repartition (shuffle) join: both sides are
 tagged and bucketed by ``hash(key) % n_buckets``, ONE union+groupby
 moves each bucket to one task, and each bucket joins with a vectorized
 pandas merge.  n_buckets bounds per-task memory (bucket ≈ |L|+|R| over
 n_buckets) and keeps the per-group Python overhead to n_buckets calls
-instead of one per key.
+instead of one per key.  ``n_buckets=None`` sizes the bucket count from
+the cluster's CPU count; callers holding MATERIALIZED inputs should pass
+``buckets_for_bytes(l.size_bytes() + r.size_bytes())`` so per-bucket
+memory stays bounded as data grows.
 
-Skew note: a hot key inflates one bucket; salt the key upstream (append
-``key*K + salt`` replicas on the build side) when a key exceeds a
-bucket's memory budget — the classic salted-join recipe.
+Skew: ``salt > 1`` implements the salted-join recipe for hot keys — the
+LEFT (large/probe) side's rows spread across ``salt`` sub-buckets per
+key while the RIGHT (small/build) side replicates into all of them, so
+one hot key occupies ``salt`` tasks instead of one.  Valid for
+inner/left joins (a replicated right row never emits unmatched).
+
+``BroadcastTable`` — the broadcast-side primitive: ``ray.put`` a small
+Arrow table ONCE from the driver; every ``map_batches`` task reads it
+zero-copy from its node's object store (the ObjectRef in the closure is
+bytes, not the table).  Never capture a dict/array of the small side in
+a task closure — at cluster scale that pickles the whole table into
+every task submission.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -22,10 +36,63 @@ _SIDE_COL = "__join_side"
 _BUCKET_COL = "__join_bucket"
 
 
-def hash_bucket_join(left, right, on: str, n_buckets: int = 64,
-                     how: str = "inner"):
+class BroadcastTable:
+    """Driver-side ``ray.put`` of a small Arrow table + vectorized
+    in-task lookup.  Usage::
+
+        bc = BroadcastTable(small_tbl)          # driver, once
+        def attach(batch):                      # inside map_batches
+            names = bc.lookup(batch["key"], "key", "name")
+
+    ``lookup`` maps a key array to the value column via
+    ``pc.index_in`` + ``take`` (missing keys → null)."""
+
+    def __init__(self, table: pa.Table):
+        import ray
+        self._ref = ray.put(table.combine_chunks())
+
+    def get(self) -> pa.Table:
+        import ray
+        return ray.get(self._ref)
+
+    def lookup(self, keys, key_col: str, val_col: str):
+        tbl = self.get()
+        idx = pc.index_in(keys, value_set=tbl[key_col])
+        return pc.take(tbl[val_col], idx)
+
+
+def buckets_for_bytes(nbytes: int, target_bucket_bytes: int = 64 << 20,
+                      lo: int = 16, hi: int = 4096) -> int:
+    """Bucket count so each join task holds ≈target_bucket_bytes, floored
+    at the cluster CPU count so the join never under-parallelizes."""
+    try:
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    want = math.ceil(max(nbytes, 1) / target_bucket_bytes)
+    return max(lo, min(hi, max(ncpu, want)))
+
+
+def _default_buckets() -> int:
+    try:
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(16, min(1024, 2 * ncpu))
+
+
+def hash_bucket_join(left, right, on: str, n_buckets: int | None = None,
+                     how: str = "inner", salt: int = 1):
     """Join two Datasets on an int64 key column; all other column names
     must be distinct between the sides (caller projects beforehand)."""
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+    if salt > 1 and how not in ("inner", "left"):
+        raise ValueError("salted join supports inner/left only "
+                         "(replicated right rows would double-count "
+                         "unmatched outer output)")
 
     l_schema = left.schema()
     r_schema = right.schema()
@@ -51,7 +118,22 @@ def hash_bucket_join(left, right, on: str, n_buckets: int = 64,
             # Fibonacci-hash the key so consecutive ids spread across
             # buckets (plain modulo stripes clustered keys).
             h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            bucket = (h >> np.uint64(40)).astype(np.int64) % n_buckets
+            base = (h >> np.uint64(40)).astype(np.int64) % n_buckets
+            if salt > 1 and side_id == 0:
+                # probe side: spread a hot key's rows round-robin over
+                # its salt sub-buckets
+                sub = np.arange(n, dtype=np.int64) % salt
+                bucket = base * salt + sub
+            elif salt > 1:
+                # build side: replicate each row into every sub-bucket
+                rep = np.repeat(np.arange(n), salt)
+                t = t.take(pa.array(rep))
+                n = t.num_rows
+                sub = np.tile(np.arange(salt, dtype=np.int64),
+                              len(base))
+                bucket = np.repeat(base, salt) * salt + sub
+            else:
+                bucket = base
             cols = {}
             for c in all_cols:
                 cols[c] = t[c] if c == on or c in own_cols \

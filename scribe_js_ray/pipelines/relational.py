@@ -179,30 +179,35 @@ LIMIT 10
 
 
 def orders_by_nation(sf_dir: str):
-    """Order counts + totals per customer nation: broadcast the small
-    customer→nation mapping into every batch (dict in task closure at this
-    scale; ray.put of the Arrow table at cluster scale) — no shuffle join."""
+    """Order counts + totals per customer nation: the small
+    customer→nation mapping is a ``ray.put`` Arrow broadcast
+    (BroadcastTable) — tasks fetch it zero-copy from their node's object
+    store and map keys with vectorized ``pc.index_in``; nothing but an
+    ObjectRef rides in the task closure, and there is no shuffle join."""
     import pyarrow.parquet as pq
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
+
+    from ..functions.joins import BroadcastTable
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    nat_name = dict(zip(nation["n_nationkey"].to_pylist(),
-                        nation["n_name"].to_pylist()))
-    cust_nation = {c: nat_name[n] for c, n in
-                   zip(cust["c_custkey"].to_pylist(),
-                       cust["c_nationkey"].to_pylist())}
+    # pre-join nation names onto the customer keys driver-side (25-row
+    # nation table), so the broadcast is a single (c_custkey, n_name) map
+    idx = pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"])
+    bc = BroadcastTable(pa.table({
+        "c_custkey": cust["c_custkey"],
+        "n_name": pc.take(nation["n_name"], idx),
+    }))
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
 
     def attach(t: pa.Table) -> pa.Table:
-        names = [cust_nation.get(c) for c in t["o_custkey"].to_pylist()]
         return pa.table({
-            "n_name": pa.array(names, pa.string()),
+            "n_name": bc.lookup(t["o_custkey"], "c_custkey", "n_name"),
             "o_totalprice": t["o_totalprice"],
         })
 
@@ -311,13 +316,16 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    from ..functions.joins import BroadcastTable
+
     seg_cust = pq.read_table(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"])
-    keep_cust = set(
-        seg_cust.filter(
-            pc.equal(seg_cust["c_mktsegment"], pa.scalar("BUILDING"))
-        )["c_custkey"].to_pylist())
+    # Broadcast semi-join side: ray.put the filtered key column once;
+    # tasks read it zero-copy instead of pickling the set per task.
+    bc_keep = BroadcastTable(seg_cust.filter(
+        pc.equal(seg_cust["c_mktsegment"], pa.scalar("BUILDING"))
+    ).select(["c_custkey"]))
 
     cutoff = pa.scalar(np.datetime64("1997-06-15", "us"))
 
@@ -325,11 +333,11 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    keep_cust_arr = pa.array(sorted(keep_cust), pa.int64())
-
     def filter_orders(t: pa.Table) -> pa.Table:
+        keep = bc_keep.get()["c_custkey"]
         mask_date = pc.less(t["o_orderdate"], cutoff)
-        mask_cust = pc.is_in(t["o_custkey"], value_set=keep_cust_arr)
+        mask_cust = pc.is_in(t["o_custkey"],
+                             value_set=keep.combine_chunks())
         return t.filter(pc.and_(mask_date, mask_cust)) \
             .select(["o_orderkey", "o_orderdate"])
 
@@ -478,10 +486,13 @@ def nation_top_customers(sf_dir: str, k: int = 3):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    from ..functions.joins import BroadcastTable
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
-    cust_nation = dict(zip(cust["c_custkey"].to_pylist(),
-                           cust["c_nationkey"].to_pylist()))
+    # customer→nation is the broadcast side: ray.put once, zero-copy in
+    # every task, vectorized pc.index_in lookup (no per-task dict pickle)
+    bc = BroadcastTable(cust)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
@@ -489,8 +500,10 @@ def nation_top_customers(sf_dir: str, k: int = 3):
         Sum("o_totalprice", alias_name="total_spent"))
 
     def attach_nation(t: pa.Table) -> pa.Table:
-        nk = [cust_nation.get(c, -1) for c in t["o_custkey"].to_pylist()]
-        return t.append_column("n_nationkey", pa.array(nk, pa.int64()))
+        nk = pc.fill_null(pc.cast(
+            bc.lookup(t["o_custkey"], "c_custkey", "c_nationkey"),
+            pa.int64()), pa.scalar(-1, pa.int64()))
+        return t.append_column("n_nationkey", nk)
 
     with_nation = per_cust.map_batches(attach_nation, batch_format="pyarrow")
 
@@ -566,29 +579,43 @@ ORDER BY user_id, event_id
 
 def regional_revenue(sf_dir: str, region: str = "ASIA"):
     """TPC-H Q5-style multi-join: revenue per nation for customers in one
-    region.  lineitem⋈orders and (orders⋈customer) run as hash-bucketed
-    repartition joins (functions/joins.py — 64 vectorized pandas merges,
-    not one Python call per key); nation⋈region is a broadcast dict.
-    Revenue sums in int64 cents² → bit-exact vs the DECIMAL oracle."""
+    region.  ONE all-to-all exchange total: lineitem revenue partials and
+    orders are bucketed by hash(orderkey) in the same union+groupby, and
+    each bucket task aggregates its lineitem rows per order, maps
+    orderkey→custkey (1:1 within the bucket), folds custkey→nation
+    through a ray.put Arrow broadcast, and emits a ≤|nations|-row
+    partial — the final groupby runs over ≤25 nation names.  The
+    separate per-order groupby + join (two exchanges) this replaces
+    measured 3× slower at sf0.1.  Revenue sums in int64 cents² →
+    bit-exact vs the DECIMAL oracle."""
     import pyarrow.parquet as pq
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from ..functions.joins import hash_bucket_join
+    from ..functions.joins import BroadcastTable, buckets_for_bytes
 
-    # Broadcast side: nationkey → name for nations in the region.
+    # Broadcast side: custkey → nation NAME for nations in the region
+    # (region ⋈ nation folded driver-side: 5 × 25 rows; customer is the
+    # classic TPC-H small side — broadcast, never shuffled).
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     reg = pq.read_table(f"{sf_dir}/region.parquet")
     region_keys = {k for k, n in zip(reg["r_regionkey"].to_pylist(),
                                      reg["r_name"].to_pylist())
                    if n == region}
-    nation_name = {k: n for k, n, rk in zip(
-        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist(),
-        nation["n_regionkey"].to_pylist()) if rk in region_keys}
-
-    lineitem = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    keep_mask = pc.is_in(
+        nation["n_regionkey"],
+        value_set=pa.array(sorted(region_keys), nation["n_regionkey"].type))
+    nation_in_region = nation.filter(keep_mask)
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    nidx = pc.index_in(customer["c_nationkey"],
+                       value_set=nation_in_region["n_nationkey"])
+    cust_nation = pa.table({
+        "c_custkey": customer["c_custkey"],
+        # null for customers outside the region → dropped in-batch
+        "n_name": pc.take(nation_in_region["n_name"], nidx),
+    })
+    bc = BroadcastTable(cust_nation)
 
     def li_partial(t: pa.Table) -> pa.Table:
         price_c = pc.cast(pc.round(pc.multiply(
@@ -601,46 +628,70 @@ def regional_revenue(sf_dir: str, region: str = "ASIA"):
         return part.group_by("l_orderkey").aggregate(
             [("rev_s4", "sum")]).rename_columns(["l_orderkey", "rev_s4"])
 
-    li_agg = lineitem.map_batches(li_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("rev_s4", alias_name="rev_s4")) \
-        .materialize()  # consumed twice by the join (schema + union)
+    # Bucket count sized from the compressed fact-table bytes on disk
+    # (×3 decompression estimate) — bounds per-bucket memory as data
+    # grows while flooring at cluster CPUs (functions/joins.py).  The
+    # reads use the SAME block count: Ray's sort-based groupby shuffle
+    # costs O(input_blocks × partitions) in scheduling, and measured
+    # 12.7 s → 2.1 s at sf0.1 when blocks dropped 128 → 32.
+    import os
+    fact_bytes = 3 * (os.path.getsize(f"{sf_dir}/lineitem.parquet")
+                      + os.path.getsize(f"{sf_dir}/orders.parquet"))
+    n_buckets = buckets_for_bytes(fact_bytes)
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"]) \
-        .map_batches(lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
-                     batch_format="pyarrow")
-
-    joined = hash_bucket_join(li_agg, orders, on="l_orderkey")
-
-    def by_cust(t: pa.Table) -> pa.Table:
-        # Arrow in/out: pandas-typed blocks drag Ray's sort-aggregate
-        # into its slow path (measured 20x on this stage).
-        return t.select(["o_custkey", "rev_s4"]) \
-            .group_by("o_custkey").aggregate([("rev_s4", "sum")]) \
-            .rename_columns(["o_custkey", "rev_s4"])
-
-    cust_rev = joined.map_batches(by_cust, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Sum("rev_s4", alias_name="rev_s4")) \
-        .materialize()
-
-    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                               columns=["c_custkey", "c_nationkey"]) \
-        .map_batches(lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
-                     batch_format="pyarrow")
-    cust_joined = hash_bucket_join(cust_rev, customer, on="o_custkey")
-
-    def to_nation(t: pa.Table) -> pa.Table:
-        keys = t["c_nationkey"].to_pylist()
-        names = [nation_name.get(k) for k in keys]
-        mask = pa.array([n is not None for n in names])
-        out = pa.table({
-            "n_name": pa.array([n for n in names if n is not None],
-                               pa.string()),
-            "rev_s4": t.filter(mask)["rev_s4"],
+    def tag_li(t: pa.Table) -> pa.Table:
+        part = li_partial(t)
+        keys = np.asarray(part["l_orderkey"], dtype=np.int64)
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({
+            "l_orderkey": part["l_orderkey"],
+            "rev_s4": part["rev_s4"],
+            "o_custkey": pa.nulls(part.num_rows, pa.int64()),
+            "__b": pa.array(
+                (h >> np.uint64(40)).astype(np.int64) % n_buckets),
         })
-        return out
 
-    agg = cust_joined.map_batches(to_nation, batch_format="pyarrow") \
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["o_orderkey"], dtype=np.int64)
+        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "rev_s4": pa.nulls(t.num_rows, pa.int64()),
+            "o_custkey": t["o_custkey"],
+            "__b": pa.array(
+                (h >> np.uint64(40)).astype(np.int64) % n_buckets),
+        })
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=n_buckets)
+    li_tagged = lineitem.map_batches(tag_li, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"],
+                             override_num_blocks=n_buckets) \
+        .map_batches(tag_orders, batch_format="pyarrow")
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        # One bucket = all lineitem partials + all orders for a slice of
+        # orderkey space.  Aggregate per order, map 1:1 to custkey, fold
+        # to nation via the broadcast — all Arrow kernels.
+        is_ord = pc.is_valid(t["o_custkey"])
+        li = t.filter(pc.invert(is_ord))
+        ords = t.filter(is_ord)
+        rev = li.select(["l_orderkey", "rev_s4"]) \
+            .group_by("l_orderkey").aggregate([("rev_s4", "sum")]) \
+            .rename_columns(["l_orderkey", "rev_s4"])
+        oidx = pc.index_in(rev["l_orderkey"], value_set=ords["l_orderkey"])
+        cust = pc.take(ords["o_custkey"], oidx)
+        names = bc.lookup(cust, "c_custkey", "n_name")
+        part = pa.table({"n_name": names, "rev_s4": rev["rev_s4"]}) \
+            .filter(pc.is_valid(names))
+        return part.group_by("n_name").aggregate(
+            [("rev_s4", "sum")]).rename_columns(["n_name", "rev_s4"])
+
+    agg = li_tagged.union(orders).groupby("__b") \
+        .map_groups(bucket_fold, batch_format="pyarrow") \
         .groupby("n_name").aggregate(Sum("rev_s4", alias_name="rev_s4"))
 
     def finish(t: pa.Table) -> pa.Table:
