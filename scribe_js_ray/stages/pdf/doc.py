@@ -131,6 +131,29 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
             graphics["underline_rects"], graphics["v_segments"])]
     except Exception:
         page.table_boxes = []
+    # Borderless tables from text alignment (detectPdfTables.js text
+    # candidates, M27): grid regions take precedence — a text candidate
+    # overlapping a ruled grid is dropped (:292-295 grid override).
+    try:
+        from ..text_tables import detect_text_tables
+        for t in detect_text_tables(page):
+            tb = t["bbox"]
+            clash = False
+            for g in page.table_boxes:
+                ox = min(tb["right"], g["right"]) - max(tb["left"],
+                                                        g["left"])
+                oy = min(tb["bottom"], g["bottom"]) - max(tb["top"],
+                                                          g["top"])
+                if ox > 0 and oy > 0:
+                    area = (tb["right"] - tb["left"]) * \
+                        (tb["bottom"] - tb["top"])
+                    if area > 0 and (ox * oy) / area > 0.3:
+                        clash = True
+                        break
+            if not clash:
+                page.table_boxes.append(tb)
+    except Exception:
+        pass
 
     # Form-field value lift + annotation summaries (M28 subset,
     # parsePdfDoc.js:1100-1176).

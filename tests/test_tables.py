@@ -100,3 +100,122 @@ def test_ruled_pdf_table_renders_in_markdown():
     assert pages[0].table_boxes  # ruled grid detected
     md = write_markdown(pages, detect_tables=True)
     assert "| alpha | beta |" in md.replace("  ", " ")
+
+
+# ---------------- borderless (text-alignment) tables: stages/text_tables
+
+
+def _page_with_cell_lines(rows, title=None, width=2000, height=3000,
+                          y0=300, pitch=40):
+    """Page whose table cells are SEPARATE Line objects at shared y
+    (the multi-segment-row shape of detectPdfTables.js Phase 1)."""
+    from scribe_js_ray.model import BBox, Line, Page, Word
+    page = Page(0, width, height)
+    y = y0
+    if title is not None:
+        ln = Line(page, BBox(150, y, 150 + 60 * len(title.split()), y + 24),
+                  [0.0, 0.0])
+        for k, t in enumerate(title.split()):
+            ln.words.append(Word(ln, f"t{k}", t,
+                                 BBox(150 + 60 * k, y, 150 + 60 * k + 50,
+                                      y + 24)))
+        page.lines.append(ln)
+        y += pitch * 2
+    for r, cells in enumerate(rows):
+        xs = [150, 900, 1400, 1800]
+        for c, text in enumerate(cells):
+            x = xs[c]
+            ln = Line(page, BBox(x, y, x, y + 24), [0.0, 0.0])
+            wx = x
+            for k, tok in enumerate(text.split()):
+                ww = 14 * max(len(tok), 3)
+                ln.words.append(Word(ln, f"w{r}_{c}_{k}", tok,
+                                     BBox(wx, y, wx + ww, y + 24)))
+                wx += ww + 8
+            ln.bbox.right = wx - 8
+            page.lines.append(ln)
+        y += pitch
+    return page
+
+
+def test_text_tables_multiline_rows():
+    from scribe_js_ray.stages.text_tables import detect_text_tables
+    rows = [["Alpha", "1,234", "5,678", "9,012"],
+            ["Beta", "2,345", "6,789", "123"],
+            ["Gamma", "3,456", "7,890", "234"],
+            ["Delta", "4,567", "8,901", "345"]]
+    page = _page_with_cell_lines(rows, title="Annual results table")
+    out = detect_text_tables(page)
+    assert len(out) == 1
+    t = out[0]
+    # 4 columns → 3 interior separators between the x-clusters
+    assert len(t["col_separators"]) == 3
+    assert t["method"] == "text"
+    # region covers the data rows, not the title
+    assert t["bbox"]["top"] > page.lines[0].bbox.top
+
+
+def test_text_tables_single_line_rows_right_clustered():
+    """Financial-statement shape: each visual row is ONE line (label +
+    right-clustered numerics), rows within a <300-unit cluster — the
+    dot-leader path of Phase 0 (detectPdfTables.js:83-96)."""
+    from scribe_js_ray.model import BBox, Line, Page, Word
+    from scribe_js_ray.stages.text_tables import detect_text_tables
+    page = Page(0, 2000, 3000)
+    y = 300
+    for r in range(6):
+        toks = [f"item{r}", f"{1000 + r}", f"{2000 + r}", f"{3000 + r}"]
+        ln = Line(page, BBox(150, y, 150, y + 24), [0.0, 0.0])
+        xs = [150, 900, 1400, 1800]
+        for k, (tok, x) in enumerate(zip(toks, xs)):
+            ln.words.append(Word(ln, f"w{r}_{k}", tok,
+                                 BBox(x, y, x + 14 * len(tok), y + 24)))
+        ln.bbox.right = xs[-1] + 14 * len(toks[-1])
+        page.lines.append(ln)
+        y += 40
+    out = detect_text_tables(page)
+    assert len(out) == 1
+
+
+def test_text_tables_reject_prose():
+    from scribe_js_ray.stages.text_tables import detect_text_tables
+    xml = make_alto([[("plain", {}), ("prose", {}), ("words", {}),
+                      ("flowing", {}), ("along", {})] for _ in range(8)])
+    page, _ = parse_alto_page(xml, 0)
+    assert detect_text_tables(page) == []
+
+
+def test_text_tables_reject_narrative_cells():
+    """Address-block style rows (all wide narrative cells) must not
+    become a table (validateCandidate check 6)."""
+    from scribe_js_ray.stages.text_tables import detect_text_tables
+    rows = [["Contact the office", "Write us a letter soon",
+             "Visit the branch today", "Call the number listed"]
+            for _ in range(5)]
+    page = _page_with_cell_lines(rows)
+    assert detect_text_tables(page) == []
+
+
+def test_borderless_pdf_table_renders_in_markdown():
+    """End-to-end: a borderless numeric table in a synthetic PDF lands
+    in page.table_boxes and the markdown export renders a pipe table."""
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    from scribe_js_ray.stages.exports import write_markdown
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+
+    ops = ["BT /F1 12 Tf 72 740 Td (Production volumes by region for "
+           "the preceding fiscal periods) Tj ET"]
+    data = [("North", "1,234", "5,678", "9,012"),
+            ("South", "2,345", "6,789", "1,023"),
+            ("East", "3,456", "7,890", "2,034"),
+            ("West", "4,567", "8,901", "3,045")]
+    xs = (72, 250, 350, 450)
+    for i, cells in enumerate(data):
+        y = 690 - i * 22
+        for x, cell in zip(xs, cells):
+            ops.append(f"BT /F1 10 Tf {x} {y} Td ({cell}) Tj ET")
+    pages, _ = parse_pdf_document(
+        _make_pdf([" ".join(ops)], {"F1": "Helvetica"}))
+    assert pages[0].table_boxes  # borderless region detected
+    md = write_markdown(pages, detect_tables=True)
+    assert "| North | 1,234" in md.replace("  ", " ")
