@@ -138,7 +138,8 @@ def par_is_furniture(par: Optional[Par]) -> bool:
 
 class Page:
     __slots__ = ("n", "width", "height", "angle", "lines", "pars",
-                 "text_source", "rules", "table_boxes", "mcid_roles")
+                 "text_source", "rules", "table_boxes", "mcid_roles",
+                 "marks")
 
     def __init__(self, n: int, width: int, height: int):
         self.n = n
@@ -155,6 +156,9 @@ class Page:
         self.table_boxes: list = []
         # Tagged-PDF struct-tree roles keyed by marked-content id (M21).
         self.mcid_roles: dict = {}
+        # Carried annotation overlays (highlight/underline/strikeout/link
+        # device-space marks); redactions are APPLIED, never carried.
+        self.marks: list = []
 
     @property
     def dims(self):

@@ -74,6 +74,20 @@ def parse_page_annotations(pdf, page_dict: dict) -> list[dict]:
             "hidden": bool(flags & 2 or flags & 32),
             "contents": decode_pdf_string(pdf.resolve(a.get("Contents"))),
         }
+        # Text-markup + redaction geometry: QuadPoints quads (8 numbers
+        # per quad) override /Rect (parsePdfAnnots.js:497-510, :583-588).
+        if subtype in ("Redact", "Highlight", "Underline", "StrikeOut",
+                       "Squiggly", "Link"):
+            qp = pdf.resolve(a.get("QuadPoints"))
+            if isinstance(qp, list) and len(qp) >= 8:
+                entry["quad_points"] = [float(pdf.resolve(x) or 0)
+                                        for x in qp]
+            if subtype == "Link":
+                action = pdf.resolve(a.get("A")) or {}
+                uri = pdf.resolve(action.get("URI")) \
+                    if isinstance(action, dict) else None
+                if uri is not None:
+                    entry["uri"] = decode_pdf_string(uri)
         if subtype == "Widget":
             # field attrs may live on the widget or its /Parent
             parent = pdf.resolve(a.get("Parent")) or {}
@@ -163,6 +177,100 @@ def lift_field_values(page, annotations: list[dict],
             else:
                 page.lines.insert(insert_at, line)
     return printable
+
+
+def _quads_to_device_rects(a: dict, page_height: float,
+                           scale: float) -> list[BBox]:
+    """Annotation geometry → device-space rects (top-left origin, raster
+    scale): one rect per QuadPoints quad, else one from /Rect
+    (pdfRedactToAnnotations, parsePdfAnnots.js:627-675)."""
+    rects = []
+    qp = a.get("quad_points")
+    if qp:
+        for i in range(0, len(qp) - 7, 8):
+            xs = qp[i:i + 8:2]
+            ys = qp[i + 1:i + 8:2]
+            rects.append(BBox(
+                min(xs) * scale, page_height * scale - max(ys) * scale,
+                max(xs) * scale, page_height * scale - min(ys) * scale))
+    else:
+        r = a.get("rect") or [0, 0, 0, 0]
+        llx, urx = min(r[0], r[2]), max(r[0], r[2])
+        lly, ury = min(r[1], r[3]), max(r[1], r[3])
+        if urx > llx and ury > lly:
+            rects.append(BBox(llx * scale,
+                              (page_height - ury) * scale,
+                              urx * scale,
+                              (page_height - lly) * scale))
+    return rects
+
+
+def redaction_rects(annotations: list[dict], page_height: float,
+                    scale: float = 1.0) -> list[BBox]:
+    """Device-space redaction marks from /Redact annotations.  A hidden
+    redaction still applies — a pending mark must remove its content at
+    export regardless of visibility flags (parsePdfAnnots.js:110-111)."""
+    out = []
+    for a in annotations:
+        if a.get("subtype") == "Redact":
+            out.extend(_quads_to_device_rects(a, page_height, scale))
+    return out
+
+
+def apply_redactions(page, rects: list[BBox]) -> int:
+    """Drop every word whose bbox STRICTLY overlaps a redaction rect —
+    all-or-nothing per word, over-redaction beats a leak
+    (export.js:336-353).  Empty lines are removed; returns the number of
+    words dropped."""
+    if not rects:
+        return 0
+    dropped = 0
+    kept_lines = []
+    for line in page.lines:
+        kept = []
+        for w in line.words:
+            b = w.bbox
+            hit = any(b.left < r.right and b.right > r.left and
+                      b.top < r.bottom and b.bottom > r.top
+                      for r in rects)
+            if hit:
+                dropped += 1
+            else:
+                kept.append(w)
+        if kept:
+            if len(kept) != len(line.words):
+                line.words = kept
+                line.bbox = BBox(min(w.bbox.left for w in kept),
+                                 min(w.bbox.top for w in kept),
+                                 max(w.bbox.right for w in kept),
+                                 max(w.bbox.bottom for w in kept))
+            kept_lines.append(line)
+    if dropped:
+        page.lines = kept_lines
+    return dropped
+
+
+def markup_spans(annotations: list[dict], page_height: float,
+                 scale: float = 1.0) -> list[dict]:
+    """Highlight / Underline / StrikeOut / Link annotations → carried
+    device-space marks [{type, bbox, contents, uri?}] (the reference
+    models these as overlay annotations, parsePdfAnnots.js:583-598;
+    /Squiggly stays a passthrough, :115)."""
+    out = []
+    for a in annotations:
+        sub = a.get("subtype")
+        if sub not in ("Highlight", "Underline", "StrikeOut", "Link") \
+                or a.get("hidden"):
+            continue
+        for r in _quads_to_device_rects(a, page_height, scale):
+            mark = {"type": sub.lower(),
+                    "bbox": {"left": r.left, "top": r.top,
+                             "right": r.right, "bottom": r.bottom},
+                    "contents": a.get("contents") or ""}
+            if a.get("uri"):
+                mark["uri"] = a["uri"]
+            out.append(mark)
+    return out
 
 
 def parse_outline(pdf) -> list[dict]:

@@ -109,7 +109,7 @@ class SimpleFont:
                  "to_unicode", "differences", "bold", "italic",
                  "two_byte", "cid_widths", "default_width",
                  "family", "smallcaps", "base_encoding",
-                 "embedded_encoding", "to_unicode_broken")
+                 "embedded_encoding", "to_unicode_broken", "is_type3")
 
     def __init__(self, name, widths_table, first_char=None, widths_arr=None,
                  to_unicode=None, differences=None, two_byte=False,
@@ -142,6 +142,7 @@ class SimpleFont:
         self.embedded_encoding = embedded_encoding
         from .fonts_embedded import to_unicode_is_broken
         self.to_unicode_broken = to_unicode_is_broken(to_unicode)
+        self.is_type3 = False
 
     def decode_byte(self, b: int) -> str:
         if self.differences and b in self.differences:
@@ -192,6 +193,11 @@ class SimpleFont:
                 w = self.widths_arr[idx]
                 if w:
                     return w
+        if self.is_type3:
+            # A Type3 char outside the encoding has no glyph: it
+            # advances nothing, not an average width
+            # (parsePdfFonts.js:2205 defaultWidth = 0).
+            return self.default_width
         from .widths import char_width
         return char_width(self.widths_table, ch)
 
@@ -218,12 +224,141 @@ def parse_tounicode_cmap(data: bytes) -> dict:
     return out
 
 
+# CharProc metrics: "wx wy d0" / "wx wy llx lly urx ury d1" lead the
+# glyph stream (parsePdfFonts.js:544-570 parseGlyphStream).
+_D1_RE = re.compile(
+    r"([\d.+-]+)\s+[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+"
+    r"\s+d1(?![0-9A-Za-z])")
+_D0_RE = re.compile(r"([\d.+-]+)\s+[\d.+-]+\s+d0(?![0-9A-Za-z])")
+# Operators that provably leave no marks (parsePdfFonts.js:391-402) —
+# a CharProc of only these draws nothing, so its glyph maps to a space.
+_NON_MARKING_OPS = frozenset(
+    "d0 d1 d q Q cm gs w J j M ri i g G rg RG k K cs CS sc SC scn SCN "
+    "W W* n BMC BDC EMC MP DP BX EX".split())
+_TEX_GLYPH_RE = re.compile(r"^a(\d+)$")
+_OPS_RE = re.compile(r"[A-Za-z*]+[0-9]?")
+
+
+def _build_type3_font(pdf, d) -> SimpleFont:
+    """Type3 fonts: glyphs are content-stream CharProcs scaled by
+    /FontMatrix (parsePdfFonts.js:409-540 parseType3Font + the
+    augmentation at :2179-2226).  Extraction surface only — advances
+    come from each CharProc's d0/d1 operator (× FontMatrix[0] × 1000 to
+    reach 1/1000-em space), unresolved glyph names fall back to PUA
+    placeholders (U+E000+code, so charCode 32 is never mistaken for a
+    space), and provably-non-marking CharProcs map to ' '.  TeX names
+    like /a192 carry the codepoint in the digits (:1253-1260)."""
+    from .glyphnames import glyph_to_unicode
+    fm = pdf.resolve(d.get("FontMatrix"))
+    fm0 = 0.001
+    if isinstance(fm, list) and fm:
+        try:
+            fm0 = float(pdf.resolve(fm[0]))
+        except (TypeError, ValueError):
+            fm0 = 0.001
+
+    differences: dict[int, str] = {}
+    code_names: dict[int, str] = {}
+    enc = pdf.resolve(d.get("Encoding"))
+    if isinstance(enc, dict) and "Differences" in enc:
+        code = 0
+        for item in pdf.resolve(enc["Differences"]) or []:
+            item = pdf.resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, Name):
+                name = str(item)
+                code_names[code] = name
+                ch = glyph_to_unicode(name)
+                if ch == "�":
+                    tex = _TEX_GLYPH_RE.match(name)
+                    if tex and 0 < int(tex.group(1)) <= 0xFFFF:
+                        ch = chr(int(tex.group(1)))
+                differences[code] = ch
+                code += 1
+
+    to_unicode = None
+    if "ToUnicode" in d:
+        try:
+            to_unicode = parse_tounicode_cmap(pdf.stream_bytes(d["ToUnicode"]))
+        except Exception:
+            to_unicode = None
+    to_unicode = to_unicode or {}
+
+    # Per-spec the /Widths values are glyph-space (× FontMatrix); the
+    # CharProc d0/d1 advance overrides them per encoded glyph, exactly
+    # like the reference (:2187).
+    first_char = pdf.resolve(d.get("FirstChar"))
+    widths = pdf.resolve(d.get("Widths"))
+    widths_arr = [float(pdf.resolve(w) or 0) * fm0 * 1000.0
+                  for w in widths] if isinstance(widths, list) else None
+
+    charprocs = pdf.resolve(d.get("CharProcs"))
+    if isinstance(charprocs, dict):
+        fc = int(first_char) if isinstance(first_char, (int, float)) else 0
+        for cc, gname in code_names.items():
+            if gname not in charprocs:
+                continue
+            try:
+                stream = pdf.stream_bytes(charprocs[gname]) \
+                    .decode("latin-1", "replace")
+            except Exception:
+                # Unreadable CharProc: not provably empty; space-map the
+                # text (reference :478-481 keeps the glyph, text falls
+                # back) but leave the width alone.
+                if cc not in to_unicode and \
+                        differences.get(cc, "�") == "�":
+                    to_unicode[cc] = " "
+                continue
+            m = _D1_RE.search(stream) or _D0_RE.search(stream)
+            if m:
+                try:
+                    wx = float(m.group(1)) * fm0 * 1000.0
+                except ValueError:
+                    wx = 0.0
+                if wx > 0:
+                    if widths_arr is None:
+                        widths_arr = []
+                        fc = 0
+                    idx = cc - fc
+                    if idx >= 0:
+                        while len(widths_arr) <= idx:
+                            widths_arr.append(0.0)
+                        widths_arr[idx] = wx
+            if cc not in to_unicode and \
+                    differences.get(cc, "�") == "�":
+                ops = set(_OPS_RE.findall(re.sub(r"%[^\r\n]*", "", stream)))
+                if ops and ops <= _NON_MARKING_OPS:
+                    to_unicode[cc] = " "
+                else:
+                    # PUA placeholder: scores as non-printable in page
+                    # stats, never as a space/letter.
+                    to_unicode[cc] = chr(0xE000 + cc)
+        first_char_out = fc if widths_arr is not None else None
+    else:
+        first_char_out = int(first_char) \
+            if isinstance(first_char, (int, float)) else None
+
+    name = str(pdf.resolve(d.get("BaseFont"))
+               or pdf.resolve(d.get("Name")) or "Type3")
+    from .widths import base14_widths
+    font = SimpleFont(
+        name, base14_widths("Helvetica"),
+        first_char=first_char_out, widths_arr=widths_arr,
+        to_unicode=to_unicode or None, differences=differences or None,
+        default_width=0.0)
+    font.is_type3 = True
+    return font
+
+
 def build_font(pdf, font_dict) -> SimpleFont:
     from .widths import base14_widths
     d = pdf.resolve(font_dict)
     if not isinstance(d, dict):
         return SimpleFont("Helvetica", base14_widths("Helvetica"))
     subtype = str(d.get("Subtype", ""))
+    if subtype == "Type3":
+        return _build_type3_font(pdf, d)
     base = str(pdf.resolve(d.get("BaseFont")) or "Helvetica")
     if subtype == "Type0":
         # CID fonts: 2-byte Identity-H/V codes, ToUnicode for text,

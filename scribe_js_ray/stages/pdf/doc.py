@@ -176,6 +176,23 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
         if annotations:
             lifted_chars = lift_field_values(page, annotations, height_pt,
                                              scale=scale)
+            # /Redact marks remove overlapping words outright (word-level
+            # all-or-nothing, export.js:336-353); highlight/underline/
+            # strikeout/link overlays are carried as page marks.
+            from .annots import (apply_redactions, markup_spans,
+                                 redaction_rects)
+            rects = redaction_rects(annotations, height_pt, scale=scale)
+            apply_redactions(page, rects)
+            marks = markup_spans(annotations, height_pt, scale=scale)
+            if rects:
+                # An overlay that intersects a redaction leaks its
+                # location/content — drop it (export.js:356-365).
+                marks = [m for m in marks if not any(
+                    m["bbox"]["left"] < r.right and
+                    m["bbox"]["right"] > r.left and
+                    m["bbox"]["top"] < r.bottom and
+                    m["bbox"]["bottom"] > r.top for r in rects)]
+            page.marks = marks
     except Exception:
         annotations = []
 

@@ -223,3 +223,61 @@ def test_stream_filters():
     # (no stdlib LZW encoder; property checked indirectly: decode of a
     # self-consistent widening stream must not raise or truncate — the
     # spec vector above pins the width-bump timing)
+
+
+def _type3_pdf():
+    """Type3 font: TeX-style /aNNN glyph names + an AGL name + an
+    unmapped subset name + a non-marking CharProc, FontMatrix 0.01."""
+    from scribe_js_ray.sources.synth_pdf import PdfWriter, _PAGE_W, _PAGE_H
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+           f"{_PAGE_H}] /Resources << /Font << /F1 5 0 R >> >> "
+           f"/Contents 4 0 R >>").encode())
+    content = b"BT /F1 12 Tf 72 700 Td (HI, \x07) Tj ET"
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    # font obj 5; charprocs dict obj 6; glyph streams 7-11
+    w.add(b"<< /Type /Font /Subtype /Type3 "
+          b"/FontMatrix [0.01 0 0 0.01 0 0] "
+          b"/FontBBox [0 0 75 75] "
+          b"/FirstChar 7 /LastChar 73 "
+          b"/Encoding << /Differences [7 /g7 32 /space 44 /comma "
+          b"72 /a72 73 /a73] >> "
+          b"/CharProcs 6 0 R >>")
+    w.add(b"<< /g7 7 0 R /space 8 0 R /comma 9 0 R /a72 10 0 R "
+          b"/a73 11 0 R >>")
+    glyph = b"50 0 d0 0 0 m 40 60 l S"       # marking, advance 50
+    blank = b"30 0 d0"                        # provably non-marking
+    for body in (glyph, blank, glyph, glyph, glyph):
+        w.add(f"<< /Length {len(body)} >>\nstream\n".encode()
+              + body + b"\nendstream")
+    return w.build()
+
+
+def test_type3_font_text_and_widths():
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    pages, _ = parse_pdf_document(_type3_pdf())
+    words = [w for ln in pages[0].lines for w in ln.words]
+    text = " ".join(w.text for w in words)
+    # TeX /a72 /a73 carry codepoints (H, I); /comma via AGL; the
+    # unmapped subset /g7 becomes a PUA placeholder (never a letter).
+    assert "HI," in text
+    assert chr(0xE000 + 7) in text
+    # advance = 50 (glyph space) x 0.01 FontMatrix x 12pt = 6pt/char
+    h_word = next(w for w in words if w.text.startswith("HI"))
+    first_two = h_word.chars[1].bbox.left - h_word.chars[0].bbox.left \
+        if h_word.chars and len(h_word.chars) >= 2 else None
+    if first_two is not None:
+        assert abs(first_two - 6.0 * pages[0].width / 612) < 1.5
+
+
+def test_type3_nonmarking_charproc_is_space():
+    """The blank /space CharProc (d0 only) must split words, not emit a
+    PUA glyph."""
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    pages, _ = parse_pdf_document(_type3_pdf())
+    words = [w.text for ln in pages[0].lines for w in ln.words]
+    assert any(w.startswith("HI") for w in words)
+    assert not any(chr(0xE000 + 32) in w for w in words)

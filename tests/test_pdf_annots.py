@@ -145,3 +145,87 @@ def test_shared_widget_lifted_once_across_pages():
     texts = [page_text(p) for p in pages]
     assert "OnceOnly" in texts[0]
     assert "OnceOnly" not in texts[1]
+
+
+def _annotated_pdf(annots_entries: str, extra_objs=()):
+    """One page, two text lines, plus raw /Annots entries."""
+    from scribe_js_ray.sources.synth_pdf import PdfWriter, _PAGE_W, _PAGE_H
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+           f"{_PAGE_H}] /Resources << /Font << /F1 5 0 R >> >> "
+           f"/Contents 4 0 R /Annots [{annots_entries}] >>").encode())
+    content = (b"BT /F1 12 Tf 72 700 Td (Public data then SECRET words "
+               b"here) Tj ET "
+               b"BT /F1 12 Tf 72 680 Td (Second line stays intact fully) "
+               b"Tj ET")
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    for body in extra_objs:
+        w.add(body)
+    return w.build()
+
+
+def test_redact_annotation_removes_words():
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    # "SECRET" spans roughly x=170..215 at y≈700 (12pt Helvetica from
+    # x=72); redact rect [165 690 225 712] in PDF user space.
+    data = _annotated_pdf(
+        "6 0 R", [b"<< /Type /Annot /Subtype /Redact "
+                  b"/Rect [165 690 225 712] /F 2 >>"])
+    pages, _ = parse_pdf_document(data)
+    text = " ".join(w.text for ln in pages[0].lines for w in ln.words)
+    assert "SECRET" not in text          # redacted run removed
+    assert "Public" in text              # words outside the rect stay
+    assert "Second line stays intact fully" in text
+    # hidden flag (/F 2) does NOT disable a pending redaction
+
+
+def test_redact_quadpoints_all_or_nothing():
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    # QuadPoints quad clipping only a corner of "SECRET" still drops the
+    # whole word (strict-overlap, all-or-nothing per word).
+    data = _annotated_pdf(
+        "6 0 R", [b"<< /Type /Annot /Subtype /Redact "
+                  b"/Rect [0 0 1 1] "
+                  b"/QuadPoints [170 702 180 702 170 698 180 698] >>"])
+    pages, _ = parse_pdf_document(data)
+    text = " ".join(w.text for ln in pages[0].lines for w in ln.words)
+    assert "SECRET" not in text
+    assert "Public" in text
+
+
+def test_highlight_and_link_marks_carried():
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    data = _annotated_pdf(
+        "6 0 R 7 0 R",
+        [b"<< /Type /Annot /Subtype /Highlight "
+         b"/Rect [72 690 140 712] /Contents (important) >>",
+         b"<< /Type /Annot /Subtype /Link /Rect [72 670 140 690] "
+         b"/A << /S /URI /URI (https://example.test/x) >> >>"])
+    pages, _ = parse_pdf_document(data)
+    kinds = sorted(m["type"] for m in pages[0].marks)
+    assert kinds == ["highlight", "link"]
+    hl = next(m for m in pages[0].marks if m["type"] == "highlight")
+    assert hl["contents"] == "important"
+    link = next(m for m in pages[0].marks if m["type"] == "link")
+    assert link["uri"] == "https://example.test/x"
+    # no text was removed
+    text = " ".join(w.text for ln in pages[0].lines for w in ln.words)
+    assert "SECRET" in text
+
+
+def test_overlay_over_redaction_is_dropped():
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    data = _annotated_pdf(
+        "6 0 R 7 0 R",
+        [b"<< /Type /Annot /Subtype /Redact /Rect [165 690 225 712] >>",
+         b"<< /Type /Annot /Subtype /Highlight /Rect [160 690 230 712] "
+         b"/Contents (leaks location) >>"])
+    pages, _ = parse_pdf_document(data)
+    assert pages[0].marks == []          # overlay over the mark dropped
+    text = " ".join(w.text for ln in pages[0].lines for w in ln.words)
+    assert "SECRET" not in text
