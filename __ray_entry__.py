@@ -52,6 +52,45 @@ def _extract_corpus_markdown(sf_dir: str):
     return out.select_columns(["url", "extracted_text"]).sort("url")
 
 
+def _scribe_session_roundtrip(sf_dir: str):
+    """Reference `.scribe` interop (S10, import.js:168-365): parse a
+    sample of docs, write each as a segmented+gzipped reference-format
+    .scribe session, read it back, and emit text — proving byte-stable
+    round-trip through the reference's interchange format (rows-only
+    check; byte-identity asserted per row in the `match` column)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.sources.synth import hocr_from_text
+    from scribe_js_ray.stages.emit import write_text
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe, write_scribe
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).limit(64)
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids, n_pages, match = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            page, _ = parse_hocr_page(
+                hocr_from_text(text or "x", doc_id).decode(), 0)
+            before = write_text([page])
+            blob = write_scribe([page], segmented=True, gzip_out=True)
+            after = write_text(parse_scribe(blob))
+            ids.append(doc_id)
+            n_pages.append(1)
+            match.append(before == after)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pages": pa.array(n_pages, pa.int32()),
+            "match": pa.array(match, pa.bool_()),
+        })
+
+    return docs.map_batches(roundtrip, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 def _ocr_consensus(sf_dir: str):
     """Two synthetic OCR layers per doc (base with an injected typo +
     two clean comparators) → distributed consensus vote (J1/J2)."""
@@ -455,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_consensus": _ocr_consensus,
         "eval_word_accuracy": _eval_word_accuracy,
         "font_char_metrics": _font_char_metrics,
+        "scribe_session_roundtrip": _scribe_session_roundtrip,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,
@@ -482,7 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_bpe_tokens": _doc_bpe_tokens,
         "doc_rolling_fp": _doc_rolling_fp,
-        # multimodal plumbing (decode stub + features)
+        # multimodal (real stdlib PNG/BMP/WAV/MPNG decode + features)
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
@@ -528,6 +568,44 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))
                        AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # bit-exact SimHash: per-bit majority vote over token-md5 top-8
+        # bytes (MSB = bit 63), folded back into a signed int64
+        "doc_simhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                       trim(regexp_replace(lower(text),
+                                           '[^a-z0-9]+', ' ', 'g')),
+                       ' ')) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)
+                         AS h
+              FROM toks WHERE tok <> ''
+            ), bits AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM th CROSS JOIN
+                   (SELECT unnest(generate_series(0, 63)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ), sims AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN vote > 0
+                         THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                         ELSE 0 END) AS u
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN COALESCE(s.u, 0)
+                                  >= CAST(9223372036854775808 AS HUGEINT)
+                        THEN COALESCE(s.u, 0)
+                             - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE COALESCE(s.u, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sims s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "doc_quality": """
             SELECT doc_id,

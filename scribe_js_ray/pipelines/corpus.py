@@ -205,6 +205,9 @@ def minhash_duplicate_pairs(ds, bucket_cap: int = _LSH_BUCKET_CAP):
 
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over token md5s (md5 rather than blake2b so the
+    DuckDB oracle can reproduce the exact bits: per-bit majority vote of
+    the top-8 md5 bytes, MSB = bit 63)."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     out = []
@@ -212,10 +215,8 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
         toks = _NONALNUM_RE.sub(" ", (text or "").lower()).split()
         acc = np.zeros(64, dtype=np.int64)
         for tok in toks:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+            h = hashlib.md5(tok.encode()).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8))
             acc += bits.astype(np.int64) * 2 - 1
         sim = 0
         for bit in (acc > 0).astype(np.int64):

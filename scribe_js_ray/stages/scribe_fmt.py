@@ -1,0 +1,202 @@
+"""Reference ``.scribe`` session-format interop (read + write).
+
+The reference persists sessions as JSON in two layouts
+(``js/import/import.js:168-365`` restore, ``js/export/export.js:190-220``
+segmented writer), optionally gzipped (sniffed by the 1F 8B magic):
+
+- whole-file: one JSON object ``{"ocr": [<page>...], ...}``
+- segmented (GB-scale files): first line a header
+  ``{"scribeSegments": 1, "pageCount": N, ...}``, then one
+  ``{"i": n, "ocr": <page>}`` record per line — readable without ever
+  holding the whole document as one string.
+
+Pages are the circular-ref-stripped OcrPage JSON
+(``ocrObjects.js:1033-1101 removeCircularRefsOcr``): ``par.lineIds`` +
+``line.parId`` replace the object cycles, bboxes are
+``{left, top, right, bottom}``, fields are camelCase (``ascHeight``,
+``xHeight``, ``smallCaps``, ``textSource``).
+
+This module maps that shape to/from this repo's Page model so users can
+migrate reference sessions in and write sessions the reference can open.
+The repo's own (columnar parquet) session format stays in
+``serialize.py`` — this is the interchange path, not the native one.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from ..model import BBox, Char, Line, Page, Par, Word
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_SEG_HEAD = b'{"scribeSegments"'
+
+
+def _bbox_json(b: BBox) -> dict:
+    return {"left": float(b.left), "top": float(b.top),
+            "right": float(b.right), "bottom": float(b.bottom)}
+
+
+def _page_json(page: Page) -> dict:
+    par_ids = {id(p): f"par_{page.n + 1}_{i + 1}"
+               for i, p in enumerate(page.pars)}
+    par_lines: dict[str, list[str]] = {pid: [] for pid in par_ids.values()}
+    lines = []
+    for li, ln in enumerate(page.lines):
+        line_id = f"line_{page.n + 1}_{li + 1}"
+        words = []
+        for wi, w in enumerate(ln.words):
+            wd = {
+                "id": f"word_{page.n + 1}_{li + 1}_{wi + 1}",
+                "text": w.text,
+                "bbox": _bbox_json(w.bbox),
+                "style": {
+                    "font": w.style.font, "size": w.style.size,
+                    "bold": bool(w.style.bold),
+                    "italic": bool(w.style.italic),
+                    "underline": bool(w.style.underline),
+                    "smallCaps": bool(w.style.small_caps),
+                    "sup": bool(w.style.sup),
+                    "dropcap": bool(w.style.dropcap),
+                    "color": w.style.color,
+                },
+                "conf": int(w.conf), "lang": w.lang,
+            }
+            if w.line_num:
+                wd["lineNum"] = True
+            if w.chars:
+                wd["chars"] = [{"text": c.text, "bbox": _bbox_json(c.bbox)}
+                               for c in w.chars]
+            words.append(wd)
+        ld = {
+            "id": line_id,
+            "bbox": _bbox_json(ln.bbox),
+            "baseline": [float(x) for x in ln.baseline],
+            "ascHeight": float(ln.asc_height)
+            if ln.asc_height is not None else None,
+            "xHeight": float(ln.x_height)
+            if ln.x_height is not None else None,
+            "orientation": int(ln.orientation or 0),
+            "words": words,
+        }
+        pid = par_ids.get(id(ln.par))
+        if pid is not None:
+            ld["parId"] = pid
+            par_lines[pid].append(line_id)
+        lines.append(ld)
+    pars = []
+    for i, p in enumerate(page.pars):
+        pid = par_ids[id(p)]
+        pars.append({"id": pid, "bbox": _bbox_json(p.bbox),
+                     "type": p.type, "reason": p.reason or "",
+                     "lineIds": par_lines[pid]})
+    return {
+        "n": page.n,
+        "dims": {"width": page.width, "height": page.height},
+        "angle": float(page.angle or 0.0),
+        "textSource": page.text_source,
+        "lines": lines,
+        "pars": pars,
+    }
+
+
+def write_scribe(pages: list[Page], segmented: bool = True,
+                 gzip_out: bool = False) -> bytes:
+    """Page trees → reference-format ``.scribe`` bytes."""
+    if segmented:
+        chunks = [json.dumps({"scribeSegments": 1,
+                              "pageCount": len(pages)})]
+        for i, page in enumerate(pages):
+            chunks.append("\n" + json.dumps(
+                {"i": i, "ocr": _page_json(page) if page else None}))
+        data = "".join(chunks).encode("utf-8")
+    else:
+        data = json.dumps(
+            {"ocr": [_page_json(p) if p else None for p in pages]}
+        ).encode("utf-8")
+    return gzip.compress(data) if gzip_out else data
+
+
+def _bbox_of(d) -> BBox:
+    d = d or {}
+    return BBox(float(d.get("left", 0)), float(d.get("top", 0)),
+                float(d.get("right", 0)), float(d.get("bottom", 0)))
+
+
+def _page_from_json(pd: dict) -> Page:
+    dims = pd.get("dims") or {}
+    page = Page(int(pd.get("n", 0)),
+                int(dims.get("width", 0)), int(dims.get("height", 0)))
+    page.angle = float(pd.get("angle") or 0.0)
+    page.text_source = pd.get("textSource")
+    pars_by_id: dict[str, Par] = {}
+    for p in pd.get("pars") or []:
+        par = Par(page, _bbox_of(p.get("bbox")))
+        par.type = p.get("type") or "body"
+        par.reason = p.get("reason") or ""
+        page.pars.append(par)
+        if p.get("id"):
+            pars_by_id[p["id"]] = par
+    for ld in pd.get("lines") or []:
+        line = Line(page, _bbox_of(ld.get("bbox")),
+                    ld.get("baseline") or [0.0, 0.0],
+                    ld.get("ascHeight"), ld.get("xHeight"))
+        line.orientation = int(ld.get("orientation") or 0)
+        par = pars_by_id.get(ld.get("parId"))
+        if par is not None:
+            line.par = par
+            par.lines.append(line)
+        for wi, wd in enumerate(ld.get("words") or []):
+            word = Word(line, wd.get("id") or f"w{wi}",
+                        wd.get("text") or "", _bbox_of(wd.get("bbox")))
+            st = wd.get("style") or {}
+            word.style.font = st.get("font")
+            word.style.size = st.get("size")
+            word.style.bold = bool(st.get("bold"))
+            word.style.italic = bool(st.get("italic"))
+            word.style.underline = bool(st.get("underline"))
+            word.style.small_caps = bool(st.get("smallCaps"))
+            word.style.sup = bool(st.get("sup"))
+            word.style.dropcap = bool(st.get("dropcap"))
+            word.style.color = st.get("color")
+            conf = wd.get("conf")
+            word.conf = int(conf) if conf is not None else 100
+            word.lang = wd.get("lang")
+            word.line_num = bool(wd.get("lineNum"))
+            chars = wd.get("chars")
+            if chars:
+                word.chars = [Char(c.get("text") or "",
+                                   _bbox_of(c.get("bbox")))
+                              for c in chars]
+            line.words.append(word)
+        page.lines.append(line)
+    return page
+
+
+def parse_scribe(data: bytes) -> list[Page]:
+    """Reference ``.scribe`` bytes (plain or gzip, whole or segmented)
+    → Page trees.  Segmented files are split on newline BYTES before
+    decoding — 0x0A cannot occur inside a multi-byte UTF-8 character
+    (import.js:246-283), so GB-scale files never join into one string."""
+    if data[:2] == _GZIP_MAGIC:
+        data = gzip.decompress(data)
+    if not data.lstrip()[:32].startswith(_SEG_HEAD):
+        obj = json.loads(data.decode("utf-8"))
+        return [(_page_from_json(p) if p else Page(i, 0, 0))
+                for i, p in enumerate(obj.get("ocr") or [])]
+    lines = data.split(b"\n")
+    header = json.loads(lines[0].decode("utf-8"))
+    n = int(header.get("pageCount") or 0)
+    pages: list[Page | None] = [None] * n
+    for raw in lines[1:]:
+        raw = raw.strip()
+        if not raw:
+            continue
+        rec = json.loads(raw.decode("utf-8"))
+        i = int(rec.get("i", -1))
+        if 0 <= i < n:
+            pages[i] = _page_from_json(rec["ocr"]) if rec.get("ocr") \
+                else None
+    return [(p if p is not None else Page(i, 0, 0))
+            for i, p in enumerate(pages)]

@@ -82,3 +82,78 @@ def test_rules_and_table_boxes_roundtrip():
     restored = py_to_pages(pages_to_py([page]))[0]
     assert restored.rules == page.rules
     assert restored.table_boxes == page.table_boxes
+
+
+# ------------- reference .scribe format interop (stages/scribe_fmt.py)
+
+
+def _fixture_pages():
+    import random
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    page, _ = parse_hocr_page(make_hocr_paragraphs(random.Random(7)), 0)
+    return [page]
+
+
+def _pages_text(pages):
+    from scribe_js_ray.stages.emit import write_text
+    return write_text(pages, reflow_text=False)
+
+
+def test_scribe_roundtrip_segmented_gzip():
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe, write_scribe
+    pages = _fixture_pages()
+    data = write_scribe(pages, segmented=True, gzip_out=True)
+    assert data[:2] == b"\x1f\x8b"          # gzip magic
+    back = parse_scribe(data)
+    assert len(back) == len(pages)
+    assert _pages_text(back) == _pages_text(pages)   # byte-identical text
+
+
+def test_scribe_roundtrip_whole_file():
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe, write_scribe
+    pages = _fixture_pages()
+    data = write_scribe(pages, segmented=False)
+    assert data.startswith(b"{")
+    back = parse_scribe(data)
+    assert _pages_text(back) == _pages_text(pages)
+
+
+def test_scribe_format_shape_matches_reference():
+    """The written JSON uses the reference's serialized OcrPage shape:
+    camelCase fields, {left,top,right,bottom} bboxes, parId/lineIds
+    instead of circular refs (ocrObjects.js:1033-1101)."""
+    import json
+    from scribe_js_ray.stages.scribe_fmt import write_scribe
+    pages = _fixture_pages()
+    data = write_scribe(pages, segmented=True)
+    lines = data.split(b"\n")
+    header = json.loads(lines[0])
+    assert header["scribeSegments"] == 1
+    assert header["pageCount"] == len(pages)
+    rec = json.loads(lines[1])
+    assert rec["i"] == 0
+    page = rec["ocr"]
+    assert set(page["dims"]) == {"width", "height"}
+    line = page["lines"][0]
+    assert "bbox" in line and "left" in line["bbox"]
+    word = line["words"][0]
+    assert "smallCaps" in word["style"]
+    if page["pars"]:
+        assert "lineIds" in page["pars"][0]
+        assert line.get("parId") == page["pars"][0]["id"] or "parId" in line
+
+
+def test_scribe_styles_and_pars_survive():
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe, write_scribe
+    pages = _fixture_pages()
+    # tag a style so we can see it survive
+    pages[0].lines[0].words[0].style.bold = True
+    pages[0].lines[0].words[0].style.small_caps = True
+    back = parse_scribe(write_scribe(pages))
+    w = back[0].lines[0].words[0]
+    assert w.style.bold and w.style.small_caps
+    assert len(back[0].pars) == len(pages[0].pars)
+    # par membership restored (line.par backref)
+    if pages[0].pars:
+        assert back[0].lines[0].par is not None
