@@ -343,14 +343,19 @@ def _emb_knn_ivf(sf_dir: str):
     scratch = os.environ.get("SCRIBE_RAY_SCRATCH", "/tmp")
     slug = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     prefix = f"scribe_js_ray_ivf_{slug}_"
-    try:
-        for name in os.listdir(scratch):
-            if name.startswith(prefix) and not name.endswith(tag):
-                shutil.rmtree(os.path.join(scratch, name),
-                              ignore_errors=True)
-    except OSError:
-        pass
     index_dir = os.path.join(scratch, prefix + tag)
+    # Reap stale tags only when this tag's index does not exist yet —
+    # i.e. the dataset was regenerated and we are about to rebuild.
+    # Reaping on every query would race a concurrent reader whose older
+    # process is mid-probe on the previous tag (review r3 finding).
+    if not os.path.isdir(index_dir):
+        try:
+            for name in os.listdir(scratch):
+                if name.startswith(prefix) and not name.endswith(tag):
+                    shutil.rmtree(os.path.join(scratch, name),
+                                  ignore_errors=True)
+        except OSError:
+            pass
     return knn_top_k_ivf(ds, qvec, k=10, index_dir=index_dir) \
         .select_columns(["vec_id"])
 
@@ -567,6 +572,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))
                        AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(array_length(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]{1,3}|[^ \\t\\n\\f\\rA-Za-z0-9]'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         # bit-exact SimHash: per-bit majority vote over token-md5 top-8

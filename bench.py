@@ -164,10 +164,21 @@ def _hw_ceiling(pairs=(8, 32), docs_per_task: int = 500) -> dict:
 
 
 def _ray_up(num_cpus: int) -> None:
+    import logging
+
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, ignore_reinit_error=True)
+    # Ray's sort-based Aggregate emits EMPTY RefBundles for partitions
+    # that received no groups (e.g. 25 nation groups over 64 partitions)
+    # and warns "different schema ... new schema: ." for each — our UDFs
+    # always emit fully-typed tables (see typed-empty returns in
+    # pipelines/corpus.py), so the warning is Ray-internal noise that
+    # would otherwise pollute the bench artifact.
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
 
 def run_scaling(sf_dir: str, repeat: int, trials: int) -> dict:

@@ -61,26 +61,35 @@ class BroadcastTable:
         return pc.take(tbl[val_col], idx)
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count, tolerant of an uninitialized Ray (the single
+    shared probe — used by bucket sizing here and the multimodal
+    actor-pool defaults)."""
+    try:
+        import ray
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
+def bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Fibonacci-hash bucket assignment for int64 keys — the ONE bucket
+    function every hash-partitioned exchange in this repo must share
+    (a divergent copy would silently break key co-location)."""
+    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return (h >> np.uint64(40)).astype(np.int64) % n_buckets
+
+
 def buckets_for_bytes(nbytes: int, target_bucket_bytes: int = 64 << 20,
                       lo: int = 16, hi: int = 4096) -> int:
     """Bucket count so each join task holds ≈target_bucket_bytes, floored
     at the cluster CPU count so the join never under-parallelizes."""
-    try:
-        import ray
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
     want = math.ceil(max(nbytes, 1) / target_bucket_bytes)
-    return max(lo, min(hi, max(ncpu, want)))
+    return max(lo, min(hi, max(cluster_cpus(), want)))
 
 
 def _default_buckets() -> int:
-    try:
-        import ray
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    return max(16, min(1024, 2 * ncpu))
+    return max(16, min(1024, 2 * cluster_cpus()))
 
 
 def hash_bucket_join(left, right, on: str, n_buckets: int | None = None,
@@ -115,10 +124,9 @@ def hash_bucket_join(left, right, on: str, n_buckets: int | None = None,
         def tag(t: pa.Table) -> pa.Table:
             n = t.num_rows
             keys = np.asarray(t[on], dtype=np.int64)
-            # Fibonacci-hash the key so consecutive ids spread across
-            # buckets (plain modulo stripes clustered keys).
-            h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            base = (h >> np.uint64(40)).astype(np.int64) % n_buckets
+            # Fibonacci hash spreads consecutive ids across buckets
+            # (plain modulo stripes clustered keys).
+            base = bucket_of(keys, n_buckets)
             if salt > 1 and side_id == 0:
                 # probe side: spread a hot key's rows round-robin over
                 # its salt sub-buckets

@@ -716,8 +716,10 @@ def knn_top_k_ivf(ds, query_vec, k: int = 10, n_cells: int = 16,
 # extra text analysis: BPE-ish tokens, rolling-hash fingerprint
 
 
+# Explicit whitespace class = DuckDB RE2's \s ([\t\n\f\r ] — no \x0b),
+# so the doc_bpe_tokens oracle reproduces counts bit-for-bit.
 _BPE_RE = re.compile(
-    r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+    r"[A-Za-z]+|[0-9]{1,3}|[^ \t\n\f\rA-Za-z0-9]")
 
 
 def add_bpe_token_counts(batch: pa.Table) -> pa.Table:

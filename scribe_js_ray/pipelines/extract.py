@@ -128,6 +128,14 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                                    drop_furniture)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type=doc_type)
+        elif kind == "scribe":
+            # Reference .scribe session restore (S10): pages come in
+            # already parsed/laid out — straight to emit.
+            from ..stages.scribe_fmt import parse_scribe
+            pages = parse_scribe(payload)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
+            out.update(extracted_text=txt, spans=spans,
+                       n_pages=len(pages), doc_type="ocr")
         elif kind in ("hocr", "alto", "abbyy", "stext"):
             pages = _parse_paged_payload(kind, payload)
             analyze_layout(pages)

@@ -639,27 +639,25 @@ def regional_revenue(sf_dir: str, region: str = "ASIA"):
                       + os.path.getsize(f"{sf_dir}/orders.parquet"))
     n_buckets = buckets_for_bytes(fact_bytes)
 
+    from ..functions.joins import bucket_of
+
     def tag_li(t: pa.Table) -> pa.Table:
         part = li_partial(t)
         keys = np.asarray(part["l_orderkey"], dtype=np.int64)
-        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         return pa.table({
             "l_orderkey": part["l_orderkey"],
             "rev_s4": part["rev_s4"],
             "o_custkey": pa.nulls(part.num_rows, pa.int64()),
-            "__b": pa.array(
-                (h >> np.uint64(40)).astype(np.int64) % n_buckets),
+            "__b": pa.array(bucket_of(keys, n_buckets)),
         })
 
     def tag_orders(t: pa.Table) -> pa.Table:
         keys = np.asarray(t["o_orderkey"], dtype=np.int64)
-        h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         return pa.table({
             "l_orderkey": t["o_orderkey"],
             "rev_s4": pa.nulls(t.num_rows, pa.int64()),
             "o_custkey": t["o_custkey"],
-            "__b": pa.array(
-                (h >> np.uint64(40)).astype(np.int64) % n_buckets),
+            "__b": pa.array(bucket_of(keys, n_buckets)),
         })
 
     lineitem = rd.read_parquet(

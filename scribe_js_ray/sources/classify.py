@@ -33,11 +33,33 @@ _AZURE_AR_RE = re.compile(rb"\"analyzeResult\"", re.I)
 _AZURE_MODEL_RE = re.compile(rb"\"modelId\"", re.I)
 
 
+_SCRIBE_SEG_HEAD = b'{"scribeSegments"'
+
+
+def _scribe_sniff(payload: bytes) -> bool:
+    """Reference .scribe session payloads (import.js:183-206): gzip is
+    sniffed by magic and the decompressed head checked; plain JSON by
+    the segmented header or a leading "ocr" page array."""
+    head = payload[:64]
+    if payload[:2] == b"\x1f\x8b":
+        import zlib
+        try:
+            head = zlib.decompressobj(wbits=31).decompress(
+                payload[:4096], 64)
+        except Exception:
+            return False
+    stripped = head.lstrip()
+    return stripped.startswith(_SCRIBE_SEG_HEAD) or \
+        bool(re.match(rb'\{\s*"ocr"\s*:\s*\[', stripped))
+
+
 def classify_payload(payload: bytes, text: str = "") -> str:
     if payload is None or len(payload) == 0:
         return "text" if text else "empty"
     if payload[:5] == b"%PDF-":
         return "pdf"
+    if _scribe_sniff(payload):
+        return "scribe"
     if payload[:4] == b"PK\x03\x04":
         if b"word/document.xml" in payload:
             return "docx"

@@ -160,15 +160,17 @@ def write_markdown(pages, reflow_text: bool = False,
         if detect_tables:
             from .combine import _box_overlap
             from .tables import detect_tables_in_page, extract_table_content
-            detected = list(detect_tables_in_page(page))
-            # Ruled-grid regions from the PDF vector paths (M27) render
-            # as tables too, deduped against the text-detected set.
+            # (bbox, detector-provided col separators or None)
+            detected = [(d, None) for d in detect_tables_in_page(page)]
+            # Ruled-grid + borderless regions from the PDF parse (M27)
+            # render as tables too, deduped against the OCR-detected set;
+            # they carry the detector's column separators.
             from ..model import BBox as _BBox
             for tb in getattr(page, "table_boxes", None) or []:
                 rb = _BBox(tb["left"], tb["top"], tb["right"],
                            tb["bottom"])
-                if not any(_box_overlap(rb, d) > 0.5 for d in detected):
-                    detected.append(rb)
+                if not any(_box_overlap(rb, d) > 0.5 for d, _ in detected):
+                    detected.append((rb, tb.get("col_separators")))
             table_bboxes = list(enumerate(detected))
 
         par_current = page.lines[0].par
@@ -187,15 +189,16 @@ def write_markdown(pages, reflow_text: bool = False,
         for h, line in enumerate(page.lines):
             if table_bboxes:
                 inside = None
-                for ti, tb in table_bboxes:
+                for ti, (tb, seps) in table_bboxes:
                     if _box_overlap(line.bbox, tb) > 0.5:
-                        inside = (ti, tb)
+                        inside = (ti, tb, seps)
                         break
                 if inside is not None:
-                    ti, tb = inside
+                    ti, tb, seps = inside
                     if ti not in tables_rendered:
                         tables_rendered.add(ti)
-                        rows = extract_table_content(page, tb)
+                        rows = extract_table_content(
+                            page, tb, col_separators=seps)
                         if rows:
                             if not is_first_content:
                                 md.append("\n\n")
@@ -427,6 +430,21 @@ def write_html(pages, reflow_text: bool = True) -> str:
         pars = page.pars if page.pars else []
         emitted = set()
 
+        # Carried annotation overlays (pdf/annots.py markup_spans):
+        # highlight→<mark>, link→<a href>; a word is wrapped when its
+        # bbox center falls inside the mark's device-space rect.
+        marks = getattr(page, "marks", None) or []
+
+        def mark_of(word):
+            cx = (word.bbox.left + word.bbox.right) / 2
+            cy = (word.bbox.top + word.bbox.bottom) / 2
+            for m in marks:
+                b = m["bbox"]
+                if b["left"] <= cx <= b["right"] and \
+                        b["top"] <= cy <= b["bottom"]:
+                    return m
+            return None
+
         def emit_line_words(line):
             parts = []
             for w in line.words:
@@ -437,6 +455,12 @@ def write_html(pages, reflow_text: bool = True) -> str:
                     t = f"<b>{t}</b>"
                 if w.style.italic:
                     t = f"<i>{t}</i>"
+                m = mark_of(w) if marks else None
+                if m is not None:
+                    if m["type"] == "link" and m.get("uri"):
+                        t = (f'<a href="{escape_xml(m["uri"])}">{t}</a>')
+                    elif m["type"] == "highlight":
+                        t = f"<mark>{t}</mark>"
                 parts.append(t)
             return " ".join(parts)
 

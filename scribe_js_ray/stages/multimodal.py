@@ -42,12 +42,8 @@ def _default_concurrency():
     """Autoscaling actor-pool range sized from the cluster, not a magic
     number: (1, max(2, CPUs // 2)) so a 32-CPU node can run 16 decode
     actors while a laptop still starts with one."""
-    try:
-        import ray
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        ncpu = 4
-    return (1, max(2, ncpu // 2))
+    from ..functions.joins import cluster_cpus
+    return (1, max(2, cluster_cpus(default=4) // 2))
 
 
 class DecodeImages:

@@ -53,63 +53,73 @@ def _field_type(ft: str, ff: int) -> str:
 
 
 def parse_page_annotations(pdf, page_dict: dict) -> list[dict]:
-    """Page /Annots → flat summaries (type/subtype/rect/contents/value)."""
+    """Page /Annots → flat summaries (type/subtype/rect/contents/value).
+    Per-annotation isolation: ONE malformed annotation must never drop
+    the rest of the array — a pending /Redact elsewhere in it still has
+    to remove its content (parsePdfAnnots.js:110-111)."""
     out = []
     annots = pdf.resolve(page_dict.get("Annots"))
     if not isinstance(annots, list):
         return out
     for a_ref in annots:
-        obj_num = a_ref.num if isinstance(a_ref, Ref) else None
-        a = pdf.resolve(a_ref)
-        if not isinstance(a, dict):
+        try:
+            out.extend(_parse_one_annotation(pdf, a_ref))
+        except Exception:
             continue
-        subtype = str(pdf.resolve(a.get("Subtype")) or "")
-        rect = [float(pdf.resolve(x) or 0)
-                for x in (pdf.resolve(a.get("Rect")) or [0, 0, 0, 0])]
-        flags = int(pdf.resolve(a.get("F")) or 0)
-        entry = {
-            "subtype": subtype,
-            "rect": rect,
-            "obj_num": obj_num,
-            "hidden": bool(flags & 2 or flags & 32),
-            "contents": decode_pdf_string(pdf.resolve(a.get("Contents"))),
-        }
-        # Text-markup + redaction geometry: QuadPoints quads (8 numbers
-        # per quad) override /Rect (parsePdfAnnots.js:497-510, :583-588).
-        if subtype in ("Redact", "Highlight", "Underline", "StrikeOut",
-                       "Squiggly", "Link"):
-            qp = pdf.resolve(a.get("QuadPoints"))
-            if isinstance(qp, list) and len(qp) >= 8:
-                entry["quad_points"] = [float(pdf.resolve(x) or 0)
-                                        for x in qp]
-            if subtype == "Link":
-                action = pdf.resolve(a.get("A")) or {}
-                uri = pdf.resolve(action.get("URI")) \
-                    if isinstance(action, dict) else None
-                if uri is not None:
-                    entry["uri"] = decode_pdf_string(uri)
-        if subtype == "Widget":
-            # field attrs may live on the widget or its /Parent
-            parent = pdf.resolve(a.get("Parent")) or {}
-            ft = str(pdf.resolve(a.get("FT")) or
-                     pdf.resolve(parent.get("FT")) or "")
-            ff = int(pdf.resolve(a.get("Ff")) or
-                     pdf.resolve(parent.get("Ff")) or 0)
-            value = pdf.resolve(a.get("V"))
-            if value is None:
-                value = pdf.resolve(parent.get("V"))
-            entry.update({
-                "type": "field",
-                "field_type": _field_type(ft, ff),
-                "ft": ft,
-                "name": decode_pdf_string(pdf.resolve(a.get("T")) or
-                                          pdf.resolve(parent.get("T"))),
-                "value": decode_pdf_string(value),
-            })
-        else:
-            entry["type"] = subtype.lower() or "annotation"
-        out.append(entry)
     return out
+
+
+def _parse_one_annotation(pdf, a_ref) -> list[dict]:
+    obj_num = a_ref.num if isinstance(a_ref, Ref) else None
+    a = pdf.resolve(a_ref)
+    if not isinstance(a, dict):
+        return []
+    subtype = str(pdf.resolve(a.get("Subtype")) or "")
+    rect = [float(pdf.resolve(x) or 0)
+            for x in (pdf.resolve(a.get("Rect")) or [0, 0, 0, 0])]
+    flags = int(pdf.resolve(a.get("F")) or 0)
+    entry = {
+        "subtype": subtype,
+        "rect": rect,
+        "obj_num": obj_num,
+        "hidden": bool(flags & 2 or flags & 32),
+        "contents": decode_pdf_string(pdf.resolve(a.get("Contents"))),
+    }
+    # Text-markup + redaction geometry: QuadPoints quads (8 numbers
+    # per quad) override /Rect (parsePdfAnnots.js:497-510, :583-588).
+    if subtype in ("Redact", "Highlight", "Underline", "StrikeOut",
+                   "Squiggly", "Link"):
+        qp = pdf.resolve(a.get("QuadPoints"))
+        if isinstance(qp, list) and len(qp) >= 8:
+            entry["quad_points"] = [float(pdf.resolve(x) or 0)
+                                    for x in qp]
+        if subtype == "Link":
+            action = pdf.resolve(a.get("A")) or {}
+            uri = pdf.resolve(action.get("URI")) \
+                if isinstance(action, dict) else None
+            if uri is not None:
+                entry["uri"] = decode_pdf_string(uri)
+    if subtype == "Widget":
+        # field attrs may live on the widget or its /Parent
+        parent = pdf.resolve(a.get("Parent")) or {}
+        ft = str(pdf.resolve(a.get("FT")) or
+                 pdf.resolve(parent.get("FT")) or "")
+        ff = int(pdf.resolve(a.get("Ff")) or
+                 pdf.resolve(parent.get("Ff")) or 0)
+        value = pdf.resolve(a.get("V"))
+        if value is None:
+            value = pdf.resolve(parent.get("V"))
+        entry.update({
+            "type": "field",
+            "field_type": _field_type(ft, ff),
+            "ft": ft,
+            "name": decode_pdf_string(pdf.resolve(a.get("T")) or
+                                      pdf.resolve(parent.get("T"))),
+            "value": decode_pdf_string(value),
+        })
+    else:
+        entry["type"] = subtype.lower() or "annotation"
+    return [entry]
 
 
 def lift_field_values(page, annotations: list[dict],

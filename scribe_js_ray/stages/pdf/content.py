@@ -348,6 +348,12 @@ def _build_type3_font(pdf, d) -> SimpleFont:
         to_unicode=to_unicode or None, differences=differences or None,
         default_width=0.0)
     font.is_type3 = True
+    # The PUA placeholders above are INTENTIONAL (one per unresolvable
+    # CharProc), not a producer-garbage ToUnicode: without this a
+    # Symbol-/Dingbats-named Type3 font would trip to_unicode_is_broken
+    # and let the builtin symbolic base encoding decode unmapped glyphs
+    # as printable Greek/dingbat letters.
+    font.to_unicode_broken = False
     return font
 
 

@@ -127,8 +127,14 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
                   for r in graphics["underline_rects"]
                   if not r.get("is_underline")]
     try:
-        page.table_boxes = [t["bbox"] for t in detect_ruled_tables(
-            graphics["underline_rects"], graphics["v_segments"])]
+        # table_boxes entries carry col_separators + method alongside the
+        # bbox keys so exports reuse the detector's column evidence
+        # instead of re-deriving it from the bbox alone.
+        page.table_boxes = [
+            dict(t["bbox"], col_separators=t["col_separators"],
+                 method="ruled")
+            for t in detect_ruled_tables(
+                graphics["underline_rects"], graphics["v_segments"])]
     except Exception:
         page.table_boxes = []
     # Borderless tables from text alignment (detectPdfTables.js text
@@ -137,7 +143,8 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     try:
         from ..text_tables import detect_text_tables
         for t in detect_text_tables(page):
-            tb = t["bbox"]
+            tb = dict(t["bbox"], col_separators=t["col_separators"],
+                      method="text")
             clash = False
             for g in page.table_boxes:
                 ox = min(tb["right"], g["right"]) - max(tb["left"],
@@ -158,8 +165,9 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     # Form-field value lift + annotation summaries (M28 subset,
     # parsePdfDoc.js:1100-1176).
     lifted_chars = 0
+    annotations = []
     try:
-        from .annots import lift_field_values, parse_page_annotations
+        from .annots import parse_page_annotations
         annotations = parse_page_annotations(pdf, node)
         # D3: a widget shared by reference across several pages lifts its
         # value once — doc-level dedup by annotation object number.
@@ -173,12 +181,23 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
                     seen_annots.add(num)
                 fresh.append(a)
             annotations = fresh
+    except Exception:
+        annotations = []
+    try:
         if annotations:
+            from .annots import lift_field_values
             lifted_chars = lift_field_values(page, annotations, height_pt,
                                              scale=scale)
-            # /Redact marks remove overlapping words outright (word-level
-            # all-or-nothing, export.js:336-353); highlight/underline/
-            # strikeout/link overlays are carried as page marks.
+    except Exception:
+        pass
+    # /Redact marks remove overlapping words outright (word-level
+    # all-or-nothing, export.js:336-353); highlight/underline/strikeout/
+    # link overlays are carried as page marks.  Own try/except: a
+    # failure in field lifting above must NEVER skip redaction —
+    # "a pending mark must remove its content regardless"
+    # (parsePdfAnnots.js:110-111; over-redaction beats a leak).
+    try:
+        if annotations:
             from .annots import (apply_redactions, markup_spans,
                                  redaction_rects)
             rects = redaction_rects(annotations, height_pt, scale=scale)
@@ -194,7 +213,7 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
                     m["bbox"]["bottom"] > r.top for r in rects)]
             page.marks = marks
     except Exception:
-        annotations = []
+        pass
 
     # Per-page char-class stats for doc-type detection
     # (parsePdfDoc.js:630-656 pageStats): printable = cp 33-127 or >=161

@@ -40,7 +40,20 @@ _PAR_T = pa.struct([("bbox", _BBOX_T), ("type", pa.string()),
 _RULE_T = pa.struct([("y", pa.float64()), ("left", pa.float64()),
                      ("right", pa.float64())])
 _TBOX_T = pa.struct([("left", pa.float64()), ("top", pa.float64()),
-                     ("right", pa.float64()), ("bottom", pa.float64())])
+                     ("right", pa.float64()), ("bottom", pa.float64()),
+                     ("col_separators", pa.list_(pa.float64())),
+                     ("method", pa.string())])
+_TBOX_PLAIN_T = pa.struct([("left", pa.float64()), ("top", pa.float64()),
+                           ("right", pa.float64()),
+                           ("bottom", pa.float64())])
+# r3: annotation overlays (highlight/underline/strikeout/link marks with
+# contents + link URIs, pdf/annots.py markup_spans)
+_MARK_T = pa.struct([
+    ("type", pa.string()),
+    ("bbox", _TBOX_PLAIN_T),
+    ("contents", pa.string()),
+    ("uri", pa.string()),
+])
 PAGE_T = pa.struct([
     ("n", pa.int32()), ("width", pa.int32()), ("height", pa.int32()),
     ("angle", pa.float64()), ("text_source", pa.string()),
@@ -49,6 +62,7 @@ PAGE_T = pa.struct([
     # (ocrObjects.js:22-34) must survive a save/restore or re-running
     # layout on the restored tree diverges.
     ("rules", pa.list_(_RULE_T)), ("table_boxes", pa.list_(_TBOX_T)),
+    ("marks", pa.list_(_MARK_T)),
 ])
 PAGES_T = pa.list_(PAGE_T)
 
@@ -103,8 +117,20 @@ def pages_to_py(pages: list[Page]) -> list[dict]:
             "table_boxes": [{"left": float(t["left"]),
                              "top": float(t["top"]),
                              "right": float(t["right"]),
-                             "bottom": float(t["bottom"])}
+                             "bottom": float(t["bottom"]),
+                             "col_separators": [
+                                 float(s) for s in
+                                 (t.get("col_separators") or [])],
+                             "method": t.get("method")}
                             for t in (page.table_boxes or [])],
+            "marks": [{"type": m["type"],
+                       "bbox": {"left": float(m["bbox"]["left"]),
+                                "top": float(m["bbox"]["top"]),
+                                "right": float(m["bbox"]["right"]),
+                                "bottom": float(m["bbox"]["bottom"])},
+                       "contents": m.get("contents") or "",
+                       "uri": m.get("uri")}
+                      for m in (getattr(page, "marks", None) or [])],
         })
     return out
 
@@ -118,6 +144,13 @@ def py_to_pages(page_dicts: list[dict]) -> list[Page]:
         page.text_source = d.get("text_source")
         page.rules = [dict(r) for r in d.get("rules") or []]
         page.table_boxes = [dict(t) for t in d.get("table_boxes") or []]
+        page.marks = []
+        for m in d.get("marks") or []:
+            mark = {"type": m["type"], "bbox": dict(m["bbox"]),
+                    "contents": m.get("contents") or ""}
+            if m.get("uri"):
+                mark["uri"] = m["uri"]
+            page.marks.append(mark)
         for pd in d["pars"] or []:
             b = pd["bbox"]
             par = Par(page, BBox(b["l"], b["t"], b["r"], b["b"]))

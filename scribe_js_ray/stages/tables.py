@@ -208,9 +208,13 @@ def detect_tables_in_page(page: Page) -> list[BBox]:
         for table in tables]
 
 
-def extract_table_content(page: Page, table_bbox: BBox):
+def extract_table_content(page: Page, table_bbox: BBox,
+                          col_separators=None):
     """Table bbox → rows of column-ordered cell texts (simplified
-    extractTables.js surface: row = line group, column = bound cluster)."""
+    extractTables.js surface: row = line group, column = bound cluster).
+    ``col_separators`` (from the ruled-grid or text-alignment detector)
+    take precedence over re-derived bounds — the detector saw the whole
+    region's alignment evidence, the re-derivation only this bbox."""
     from .combine import _box_overlap
 
     lines = [ln for ln in page.lines
@@ -220,7 +224,12 @@ def extract_table_content(page: Page, table_bbox: BBox):
     split_lines = []
     for ln in lines:
         split_lines.extend(split_line_aggressively(ln))
-    bounds = calc_column_bounds([ln.bbox for ln in split_lines])
+    if col_separators:
+        edges = [table_bbox.left] + sorted(col_separators) + \
+            [table_bbox.right]
+        bounds = list(zip(edges[:-1], edges[1:]))
+    else:
+        bounds = calc_column_bounds([ln.bbox for ln in split_lines])
 
     rows: list[dict] = []
     for ln in sorted(split_lines, key=lambda x: x.bbox.top):

@@ -271,3 +271,28 @@ def test_stext_full_pipeline_roundtrip(ray_session):
     assert out.loc["u1", "extracted_text"] == "Abbyy doc"
     assert out.loc["u2", "extracted_text"] == "Stext doc"
     assert (out["error"] == "").all()
+
+
+def test_scribe_payload_classified_and_extracted():
+    """A reference-format .scribe payload routes through the extract
+    pipeline (sortInputFiles .scribe branch, import.js:77-142)."""
+    import random
+    from scribe_js_ray.pipelines.extract import extract_document
+    from scribe_js_ray.sources.classify import classify_payload
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.stages.emit import write_text
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    from scribe_js_ray.stages.scribe_fmt import write_scribe
+
+    page, _ = parse_hocr_page(make_hocr_paragraphs(random.Random(3)), 0)
+    expected = write_text([page])
+    for gz in (False, True):
+        blob = write_scribe([page], segmented=True, gzip_out=gz)
+        assert classify_payload(blob) == "scribe"
+        out = extract_document("u", blob, "", "en", reflow=False)
+        assert out["error"] == ""
+        assert out["payload_kind"] == "scribe"
+        assert out["extracted_text"] == expected
+    # whole-file (non-segmented) form sniffs too
+    assert classify_payload(write_scribe([page], segmented=False)) \
+        == "scribe"

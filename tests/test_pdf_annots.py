@@ -229,3 +229,19 @@ def test_overlay_over_redaction_is_dropped():
     assert pages[0].marks == []          # overlay over the mark dropped
     text = " ".join(w.text for ln in pages[0].lines for w in ln.words)
     assert "SECRET" not in text
+
+
+def test_html_export_renders_marks():
+    """Highlight → <mark>, link → <a href> in the semantic HTML export."""
+    from scribe_js_ray.stages.exports import write_html
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    data = _annotated_pdf(
+        "6 0 R 7 0 R",
+        [b"<< /Type /Annot /Subtype /Highlight "
+         b"/Rect [72 690 107 712] >>",
+         b"<< /Type /Annot /Subtype /Link /Rect [160 690 230 712] "
+         b"/A << /S /URI /URI (https://example.test/x) >> >>"])
+    pages, _ = parse_pdf_document(data)
+    html = write_html(pages)
+    assert "<mark>Public</mark>" in html
+    assert '<a href="https://example.test/x">SECRET</a>' in html

@@ -81,7 +81,10 @@ def test_rules_and_table_boxes_roundtrip():
                          "right": 500.0, "bottom": 400.0}]
     restored = py_to_pages(pages_to_py([page]))[0]
     assert restored.rules == page.rules
-    assert restored.table_boxes == page.table_boxes
+    # r3: table_boxes gained col_separators/method keys; the original
+    # 4-float geometry must survive exactly
+    for got, want in zip(restored.table_boxes, page.table_boxes):
+        assert {k: got[k] for k in want} == want
 
 
 # ------------- reference .scribe format interop (stages/scribe_fmt.py)
@@ -157,3 +160,45 @@ def test_scribe_styles_and_pars_survive():
     # par membership restored (line.par backref)
     if pages[0].pars:
         assert back[0].lines[0].par is not None
+
+
+def test_marks_and_separators_roundtrip():
+    """r3 model additions (annotation marks, table col_separators) must
+    survive the native save/restore like rules/table_boxes do."""
+    from scribe_js_ray.model import Page
+    from scribe_js_ray.stages.serialize import pages_to_py, py_to_pages
+    page = Page(0, 612, 792)
+    page.table_boxes = [{"left": 10.0, "top": 20.0, "right": 300.0,
+                         "bottom": 120.0, "col_separators": [80.0, 190.0],
+                         "method": "text"}]
+    page.marks = [{"type": "link",
+                   "bbox": {"left": 1.0, "top": 2.0,
+                            "right": 3.0, "bottom": 4.0},
+                   "contents": "", "uri": "https://example.test/a"},
+                  {"type": "highlight",
+                   "bbox": {"left": 5.0, "top": 6.0,
+                            "right": 7.0, "bottom": 8.0},
+                   "contents": "note"}]
+    restored = py_to_pages(pages_to_py([page]))[0]
+    assert restored.table_boxes[0]["col_separators"] == [80.0, 190.0]
+    assert restored.table_boxes[0]["method"] == "text"
+    assert restored.marks[0]["uri"] == "https://example.test/a"
+    assert restored.marks[1]["type"] == "highlight"
+    assert restored.marks[1]["contents"] == "note"
+    assert "uri" not in restored.marks[1]
+
+
+def test_redaction_survives_malformed_sibling_annotation():
+    """A malformed widget annotation must not disable a /Redact in the
+    same /Annots array (review r3 finding: shared failure domain)."""
+    from tests.test_pdf_annots import _annotated_pdf
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    data = _annotated_pdf(
+        "6 0 R 7 0 R",
+        [b"<< /Type /Annot /Subtype /Widget /FT /Tx /V (v) "
+         b"/Rect [0 (bogus) 1 1] >>",      # malformed rect entry
+         b"<< /Type /Annot /Subtype /Redact /Rect [165 690 225 712] >>"])
+    pages, _ = parse_pdf_document(data)
+    text = " ".join(w.text for ln in pages[0].lines for w in ln.words)
+    assert "SECRET" not in text
+    assert "Public" in text
