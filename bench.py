@@ -293,8 +293,12 @@ def main() -> None:
     if os.environ.get("GRAFT_SKIP_SCALING") != "1" \
             and _sf_of(args.sf_dir) >= 0.1:
         try:
+            # single trial per level by default (the full best-of-N
+            # protocol lives in `--scaling`); keeps the default bench
+            # run under ~8 min wall while staying ≥60 s per level
+            embed_trials = int(os.environ.get("GRAFT_EMBED_TRIALS", "1"))
             out["scaling"] = run_scaling(args.sf_dir, args.repeat,
-                                         args.trials)
+                                         embed_trials)
         except Exception as exc:
             out["scaling"] = f"error: {type(exc).__name__}: {exc}"[:200]
     print(json.dumps(out))
