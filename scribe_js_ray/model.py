@@ -139,7 +139,7 @@ def par_is_furniture(par: Optional[Par]) -> bool:
 class Page:
     __slots__ = ("n", "width", "height", "angle", "lines", "pars",
                  "text_source", "rules", "table_boxes", "mcid_roles",
-                 "marks")
+                 "mcid_elems", "marks")
 
     def __init__(self, n: int, width: int, height: int):
         self.n = n
@@ -156,6 +156,8 @@ class Page:
         self.table_boxes: list = []
         # Tagged-PDF struct-tree roles keyed by marked-content id (M21).
         self.mcid_roles: dict = {}
+        # mcid → paragraph-element instance id (decideBreak structId)
+        self.mcid_elems: dict = {}
         # Carried annotation overlays (highlight/underline/strikeout/link
         # device-space marks); redactions are APPLIED, never carried.
         self.marks: list = []

@@ -77,8 +77,8 @@ class _Feat:
                  "top_frac", "bottom_frac", "role", "size_ratio", "line_num",
                  "folio", "ln_split", "enumerator", "endnote",
                  "footnote_block", "hang_marker", "orientation", "in_table",
-                 "struct_role", "artifact_frac", "bold", "family",
-                 "sig_key", "below_nchar")
+                 "struct_role", "struct_elem", "artifact_frac", "bold",
+                 "family", "sig_key", "below_nchar")
 
     def __init__(self):
         self.role = "body"
@@ -93,6 +93,7 @@ class _Feat:
         self.orientation = 0
         self.in_table = False
         self.struct_role = None
+        self.struct_elem = None
         self.artifact_frac = 0.0
         self.bold = 0.0
         self.family = ""
@@ -189,6 +190,20 @@ def _features(pages) -> list:
                     if best_w / f.n_char >= 0.6:
                         f.struct_role = best_tag
                 f.artifact_frac = n_art / f.n_char if f.n_char else 0.0
+                # Owning paragraph-element instance (decideBreak
+                # structId): dominant elem id under the same 60% bar.
+                mcid_elems = getattr(page, "mcid_elems", None) or {}
+                if mcid_elems:
+                    el_w: dict = {}
+                    for w in line.words:
+                        el = mcid_elems.get(getattr(w, "mcid", None))
+                        if el is not None:
+                            el_w[el] = el_w.get(el, 0) + (len(w.text) or 1)
+                    if el_w and f.n_char:
+                        best_el, best_w = max(el_w.items(),
+                                              key=lambda kv: kv[1])
+                        if best_w / f.n_char >= 0.6:
+                            f.struct_elem = best_el
             elif any(getattr(w, "artifact", False) for w in line.words):
                 n_art = sum(len(w.text) or 1 for w in line.words
                             if getattr(w, "artifact", False))
@@ -1192,6 +1207,89 @@ _ROLE_TO_TYPE = {
 }
 
 
+# Geometric break reasons that may split even inside one structure
+# element — breaks that cannot occur mid-paragraph in wrapped prose
+# (decideBreak isStrongBreak, analyzeLayout.js:2380-2391, mapped onto
+# this repo's reflow reason strings).
+_STRONG_BREAKS = {
+    "separator rule", "bullet/list item", "superscript/footnote",
+    "large space (relative)", "large space (absolute)",
+    "large space (first line)", "new column", "orientation change",
+    "no overlap", "hanging marker/list item",
+}
+
+
+def _apply_struct_elements(pages, feats) -> None:
+    """Struct-element paragraph overlay (decideBreak struct branch,
+    analyzeLayout.js:2307-2371): on tagged pages, when adjacent lines
+    both carry a trustworthy owning element,
+
+    - the SAME element means one paragraph — merge a geometric split
+      back unless its reason is a strong break (producer grouping beats
+      geometric over-splitting, which is what the tags exist to fix);
+    - DIFFERENT elements mark a producer-authored boundary — split a
+      geometric merge unless the second line reads as a sentence
+      continuation (starts lowercase after an unterminated line).
+
+    Scope-honest subset: the element-faithful / indent-regime
+    refinements (:2337-2357) are not modeled; role-boundary splits are
+    preserved by never merging across differing par types."""
+    elem_of = {id(f.line): f.struct_elem for f in feats
+               if f.struct_elem is not None}
+    if not elem_of:
+        return
+    feat_of = {id(f.line): f for f in feats}
+    for page in pages:
+        if not page.pars:
+            continue
+        # 1) split inside pars at element boundaries
+        new_pars = []
+        for par in page.pars:
+            groups = [[par.lines[0]]] if par.lines else []
+            for prev_ln, ln in zip(par.lines, par.lines[1:]):
+                ea, eb = elem_of.get(id(prev_ln)), elem_of.get(id(ln))
+                split = ea is not None and eb is not None and ea != eb
+                if split:
+                    fb = feat_of.get(id(ln))
+                    fa = feat_of.get(id(prev_ln))
+                    if fb is not None and fa is not None and \
+                            fb.starts_lower and not fa.ends_terminal:
+                        split = False  # struct continuation
+                if split:
+                    groups.append([ln])
+                else:
+                    groups[-1].append(ln)
+            if len(groups) <= 1:
+                new_pars.append(par)
+                continue
+            for gi, lns in enumerate(groups):
+                np_ = Par(page, bbox_union([x.bbox for x in lns]))
+                np_.lines = lns
+                np_.type = par.type
+                np_.reason = par.reason if gi == 0 else "struct element"
+                for x in lns:
+                    x.par = np_
+                new_pars.append(np_)
+        # 2) merge adjacent pars whose boundary lines share an element
+        merged: list = []
+        for par in new_pars:
+            if merged and par.lines and merged[-1].lines:
+                prev = merged[-1]
+                ea = elem_of.get(id(prev.lines[-1]))
+                eb = elem_of.get(id(par.lines[0]))
+                if ea is not None and ea == eb \
+                        and prev.type == par.type \
+                        and par.reason not in _STRONG_BREAKS:
+                    prev.lines.extend(par.lines)
+                    for x in par.lines:
+                        x.par = prev
+                    prev.bbox = bbox_union([x.bbox for x in prev.lines])
+                    prev.reason = prev.reason or "struct element (same)"
+                    continue
+            merged.append(par)
+        page.pars = merged
+
+
 def analyze_layout(pages: list, outline_titles=None) -> None:
     """Assign paragraphs + semantic roles across all pages of one document.
 
@@ -1346,6 +1444,8 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
                         ln.par = np_
                     new_pars.append(np_)
             page.pars = new_pars
+
+    _apply_struct_elements(pages, feats)
 
     # Blockquote re-tag: a body paragraph of >=2 lines inset symmetrically
     # from BOTH doc body margins (analyzeLayout.js:2212-2237).  Hanging-

@@ -298,9 +298,10 @@ def parse_pdf_document(data: bytes, with_outline: bool = False):
     # Tagged-PDF structure tree → per-page mcid role maps (M21).
     try:
         from .structtree import parse_struct_tree
-        struct_roles = parse_struct_tree(pdf)
+        struct_roles, struct_elems = parse_struct_tree(pdf,
+                                                       with_elems=True)
     except Exception:
-        struct_roles = {}
+        struct_roles, struct_elems = {}, {}
     pages = []
     stats = []
     seen_annots: set = set()
@@ -308,6 +309,7 @@ def parse_pdf_document(data: bytes, with_outline: bool = False):
         page, st = parse_pdf_page(pdf, info, n, seen_annots=seen_annots)
         if struct_roles and info.get("_ref_num") is not None:
             page.mcid_roles = struct_roles.get(info["_ref_num"], {})
+            page.mcid_elems = struct_elems.get(info["_ref_num"], {})
         pages.append(page)
         stats.append(st)
     if with_outline:

@@ -8,7 +8,11 @@ enclosing SEMANTIC element tag (H1-H6/H, P, LI/Lbl/LBody, BlockQuote,
 TD/TH/Table, Figure, TOC/TOCI, Caption).
 
 Output: ``{page_obj_num: {mcid: tag}}`` — the caller joins on the page's
-object number and each word's mcid.
+object number and each word's mcid.  With ``with_elems=True`` a second
+map ``{page_obj_num: {mcid: elem_id}}`` identifies the nearest enclosing
+PARAGRAPH-LEVEL element instance (decideBreak's ``structId``,
+analyzeLayout.js:2307-2371: same element → one paragraph, different
+elements → a producer-authored boundary).
 """
 
 from __future__ import annotations
@@ -24,8 +28,16 @@ _MEANINGFUL = {
     "Artifact", "Note", "Reference", "BibEntry",
 }
 
+# Element kinds whose INSTANCE identity defines a paragraph (the
+# reference's structId granularity): block-level text containers.
+_PARA_ELEMS = {
+    "H", "H1", "H2", "H3", "H4", "H5", "H6", "Title",
+    "P", "LI", "Lbl", "LBody", "BlockQuote", "Quote",
+    "TOCI", "Caption", "Note", "BibEntry",
+}
 
-def parse_struct_tree(pdf) -> dict:
+
+def parse_struct_tree(pdf, with_elems: bool = False):
     root = pdf.resolve(pdf.trailer.get("Root"))
     if not isinstance(root, dict):
         return {}
@@ -47,22 +59,27 @@ def parse_struct_tree(pdf) -> dict:
         return tag
 
     out: dict = {}
+    out_elems: dict = {}
+    next_elem = [0]
 
-    def record(page_num, mcid, tag):
+    def record(page_num, mcid, tag, elem):
         if page_num is None or mcid is None:
             return
         out.setdefault(page_num, {})[mcid] = tag
+        if elem is not None:
+            out_elems.setdefault(page_num, {})[mcid] = elem
 
-    def walk(node, inherited_tag, inherited_pg, depth=0):
+    def walk(node, inherited_tag, inherited_pg, inherited_elem, depth=0):
         if depth > 64:
             return
         node = pdf.resolve(node)
         if isinstance(node, list):
             for kid in node:
-                walk(kid, inherited_tag, inherited_pg, depth + 1)
+                walk(kid, inherited_tag, inherited_pg, inherited_elem,
+                     depth + 1)
             return
         if isinstance(node, (int, float)):
-            record(inherited_pg, int(node), inherited_tag)
+            record(inherited_pg, int(node), inherited_tag, inherited_elem)
             return
         if not isinstance(node, dict):
             return
@@ -72,24 +89,31 @@ def parse_struct_tree(pdf) -> dict:
             pgn = pg.num if isinstance(pg, Ref) else inherited_pg
             mcid = pdf.resolve(node.get("MCID"))
             if isinstance(mcid, (int, float)):
-                record(pgn, int(mcid), inherited_tag)
+                record(pgn, int(mcid), inherited_tag, inherited_elem)
             return
         if ntype == "OBJR":
             return
         tag = inherited_tag
+        elem = inherited_elem
         s = node.get("S")
         if s is not None:
             c = canon(str(pdf.resolve(s)))
             if c in _MEANINGFUL:
                 tag = c
+            if c in _PARA_ELEMS:
+                # a fresh INSTANCE id per paragraph-level element node —
+                # two sibling /P elements get distinct ids even though
+                # their tag is identical (decideBreak structId)
+                next_elem[0] += 1
+                elem = next_elem[0]
         pg = node.get("Pg")
         pgn = pg.num if isinstance(pg, Ref) else inherited_pg
         k = node.get("K")
         if k is not None:
-            walk(k, tag, pgn, depth + 1)
+            walk(k, tag, pgn, elem, depth + 1)
 
     try:
-        walk(st.get("K"), None, None)
+        walk(st.get("K"), None, None, None)
     except Exception:
-        return {}
-    return out
+        return ({}, {}) if with_elems else {}
+    return (out, out_elems) if with_elems else out
