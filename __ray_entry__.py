@@ -219,6 +219,22 @@ def _doc_exact_dedup(sf_dir: str):
     return exact_dedup_survivors(ds).sort("doc_id")
 
 
+def _doc_dedup_keep(sf_dir: str):
+    """Dedup keep list: MinHash+LSH pairs → connected components → keep
+    the minimum doc_id per cluster plus every unclustered doc (rows-only
+    check; the cluster graph is not SQL-expressible)."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import (dedup_keep_list,
+                                                minhash_duplicate_pairs)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = minhash_duplicate_pairs(docs)
+    return dedup_keep_list(docs.select_columns(["doc_id"]), pairs) \
+        .select_columns(["doc_id"]).sort("doc_id")
+
+
 def _doc_lang_id(sf_dir: str):
     import ray.data as rd
 
@@ -520,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _doc_quality,
         "doc_quality_filter": _doc_quality_filter,
         "doc_dup_clusters": _doc_dup_clusters,
+        "doc_dedup_keep": _doc_dedup_keep,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_lang_id": _doc_lang_id,
         "doc_minhash_pairs": _doc_minhash_pairs,

@@ -977,3 +977,59 @@ def dup_clusters(ds, max_iter: int = 15):
     """MinHash near-dup pairs → connected-component cluster ids."""
     return connected_components(minhash_duplicate_pairs(ds),
                                 max_iter=max_iter)
+
+
+def dedup_keep_list(docs_ds, pairs_ds, drop_broadcast_cap: int = 5_000_000):
+    """Near-dup dedup KEEP list: the canonical output of the whole dedup
+    suite — from near-dup pairs, keep exactly one representative (the
+    minimum doc_id) per connected component plus every unclustered doc.
+
+    Shape: clusters from ``connected_components``; per-cluster min via
+    ONE tiny groupby over cluster labels; the resulting DROP set (dup
+    members minus representatives — a small fraction of the corpus by
+    construction) broadcasts via ray.put and filters the docs stream
+    with vectorized ``pc.is_in``.  Above ``drop_broadcast_cap`` drops,
+    fall back to a hash-bucket anti join (same exchange as the join
+    primitive) instead of broadcasting."""
+    from ..functions.joins import BroadcastTable, hash_bucket_join
+
+    clusters = connected_components(pairs_ds).materialize()
+
+    def non_reps(t: pa.Table) -> pa.Table:
+        return pa.table({"drop_id": t.filter(
+            pc.not_equal(t["doc_id"], t["cluster"]))["doc_id"]})
+
+    # cluster label IS the component's min member id (min-label
+    # propagation / min-rooted union-find), so the representative needs
+    # no extra groupby: members != label are exactly the drops.
+    drops = clusters.map_batches(non_reps,
+                                 batch_format="pyarrow").materialize()
+    n_drop = drops.count()
+
+    if n_drop <= drop_broadcast_cap:
+        parts = list(drops.iter_batches(batch_format="pyarrow"))
+        drop_tbl = pa.concat_tables(parts) if parts else \
+            pa.table({"drop_id": pa.array([], pa.int64())})
+        bc = BroadcastTable(drop_tbl)
+
+        def keep(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["doc_id"],
+                            value_set=bc.get()["drop_id"].combine_chunks())
+            return t.filter(pc.invert(mask))
+
+        return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+    # Huge drop set: anti join via the shared bucket exchange — left
+    # outer join on the drop ids, keep rows with no match.
+    tagged = drops.map_batches(
+        lambda t: pa.table({"doc_id": t["drop_id"],
+                            "__dropped": pa.array([True] * t.num_rows)}),
+        batch_format="pyarrow")
+    joined = hash_bucket_join(docs_ds, tagged, on="doc_id", how="left")
+
+    def strip(t: pa.Table) -> pa.Table:
+        # unmatched (kept) rows have a null __dropped from the left join
+        return t.filter(pc.is_null(t["__dropped"])) \
+            .drop_columns(["__dropped"])
+
+    return joined.map_batches(strip, batch_format="pyarrow")

@@ -376,7 +376,11 @@ def build_font(pdf, font_dict) -> SimpleFont:
             except Exception:
                 tu = None
         enc_name = str(pdf.resolve(d.get("Encoding")) or "")
-        two_byte = enc_name.startswith("Identity")
+        # Identity-H/V, plus predefined Unicode CMaps where the 2-byte
+        # charCode IS the BMP codepoint (parsePdfFonts.js:2230-2243
+        # unicodeCMap) — decode_byte's identity fallback is then exact.
+        two_byte = enc_name.startswith("Identity") or \
+            bool(re.search(r"UTF16|UCS2", enc_name))
         cid_widths = None
         default_width = 1000.0
         desc = pdf.resolve(d.get("DescendantFonts"))

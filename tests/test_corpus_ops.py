@@ -236,3 +236,54 @@ def test_connected_components_paths_agree(ray_session):
                                        broadcast_cap=0).to_pandas()
     assert list(fast["doc_id"]) == list(dist["doc_id"])
     assert list(fast["cluster"]) == list(dist["cluster"])
+
+
+def test_dedup_keep_list_broadcast_path(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dedup_keep_list
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64())}))
+    # components {1,3,5} and {7,8}; 0,2,4,6,9 unclustered
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 3, 7], pa.int64()),
+        "doc_b": pa.array([3, 5, 8], pa.int64()),
+    }))
+    kept = sorted(dedup_keep_list(docs, pairs).to_pandas()["doc_id"])
+    assert kept == [0, 1, 2, 4, 6, 7, 9]  # min per cluster + singles
+
+
+def test_dedup_keep_list_anti_join_path(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dedup_keep_list
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([0, 2], pa.int64()),
+        "doc_b": pa.array([4, 3], pa.int64()),
+    }))
+    kept = sorted(dedup_keep_list(docs, pairs,
+                                  drop_broadcast_cap=0)
+                  .to_pandas()["doc_id"])
+    assert kept == [0, 1, 2, 5]
+
+
+def test_dedup_keep_list_no_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dedup_keep_list
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 6], pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    }))
+    kept = sorted(dedup_keep_list(docs, pairs).to_pandas()["doc_id"])
+    assert kept == [5, 6]

@@ -281,3 +281,28 @@ def test_type3_nonmarking_charproc_is_space():
     words = [w.text for ln in pages[0].lines for w in ln.words]
     assert any(w.startswith("HI") for w in words)
     assert not any(chr(0xE000 + 32) in w for w in words)
+
+
+def test_type0_utf16_predefined_cmap():
+    """A Type0 font with a predefined UTF16 /Encoding decodes 2-byte
+    charcodes as their BMP codepoints without a ToUnicode CMap
+    (parsePdfFonts.js:2230-2243 unicodeCMap)."""
+    from scribe_js_ray.sources.synth_pdf import PdfWriter, _PAGE_W, _PAGE_H
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+           f"{_PAGE_H}] /Resources << /Font << /F1 5 0 R >> >> "
+           f"/Contents 4 0 R >>").encode())
+    # "Hi!" as UTF-16BE bytes inside the string
+    content = b"BT /F1 12 Tf 72 700 Td (\x00H\x00i\x00!) Tj ET"
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type0 /BaseFont /UniFont "
+          b"/Encoding /UniGB-UTF16-H /DescendantFonts [6 0 R] >>")
+    w.add(b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /UniFont "
+          b"/DW 500 >>")
+    pages, _ = parse_pdf_document(w.build())
+    text = " ".join(wd.text for ln in pages[0].lines for wd in ln.words)
+    assert "Hi!" in text
