@@ -287,9 +287,10 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """float32 mono samples in [-1, 1] → 16-bit PCM WAV bytes."""
-    pcm = np.clip(np.asarray(samples, np.float64) * 32767.0,
-                  -32768, 32767).astype("<i2").tobytes()
+    """float32 mono samples in [-1, 1] → 16-bit PCM WAV bytes (rounded
+    quantization, not truncation — half the worst-case error)."""
+    pcm = np.round(np.clip(np.asarray(samples, np.float64) * 32767.0,
+                           -32768, 32767)).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + \
         b"data" + struct.pack("<I", len(pcm)) + pcm

@@ -139,3 +139,52 @@ def test_pdf_mutation_fuzz_never_escapes(data):
     res = extract_document("fuzz", bytes(pdf), "", "")
     assert isinstance(res["extracted_text"], str)
     assert isinstance(res["error"], str)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 24), st.integers(2, 24), st.sampled_from([1, 2, 3, 4]),
+       st.sampled_from([0, 1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(h, w, channels, filter_type, seed):
+    """Any image, any channel layout, any row filter → bit-exact PNG
+    round-trip through the stdlib codec."""
+    import numpy as np
+
+    from scribe_js_ray.stages.codecs import png_decode, png_encode
+    px = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, channels), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(px, filter_type)), px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(-1.0, 1.0, allow_nan=False), min_size=1,
+                max_size=200),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(samples, rate):
+    """Any float window round-trips through 16-bit WAV within one
+    quantization step."""
+    import numpy as np
+
+    from scribe_js_ray.stages.codecs import wav_decode, wav_encode
+    out, r = wav_decode(wav_encode(np.array(samples, np.float32), rate))
+    assert r == rate
+    assert np.allclose(out, np.clip(samples, -1, 32767 / 32768),
+                       atol=1.5 / 32768)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_media_decoders_never_escape(data):
+    """Garbage bytes must raise ValueError-family errors (caught by the
+    stages' error column), never escape as other exceptions."""
+    from scribe_js_ray.stages.codecs import (bmp_decode, decode_image,
+                                             mpng_info, png_decode,
+                                             wav_decode)
+    for fn in (png_decode, bmp_decode, wav_decode, mpng_info,
+               decode_image):
+        try:
+            fn(data)
+        except (ValueError, IndexError, struct_error):
+            pass
+
+
+from struct import error as struct_error  # noqa: E402
