@@ -31,7 +31,8 @@ def _cmd_extract(args) -> int:
             files_per_shard=args.files_per_shard,
             large_doc_bytes=args.large_doc_bytes,
             batch_size=args.batch_size,
-            force=args.force)
+            force=args.force,
+            emit_format=args.emit)
         print(json.dumps(summary))
         return 0
     finally:
@@ -59,6 +60,10 @@ def main(argv=None) -> int:
     ex.add_argument("--batch-size", type=int, default=32)
     ex.add_argument("--force", action="store_true",
                     help="reprocess shards even if their manifest is ok")
+    ex.add_argument("--emit", default="text",
+                    choices=["text", "markdown", "hocr", "alto", "html",
+                             "docx", "xlsx", "pdf", "scribe"],
+                    help="output format (exportData dispatch analog)")
     ex.set_defaults(fn=_cmd_extract)
 
     gp = sub.add_parser("gen-pages", help="write a synthetic pages table")

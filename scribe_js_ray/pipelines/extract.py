@@ -78,8 +78,11 @@ def _parse_paged_payload(kind: str, payload: bytes):
 
 
 def _emit(pages, emit_format, reflow, drop_furniture):
-    """Page trees → (text, spans) in the requested output format."""
-    if emit_format not in ("text", "markdown", "hocr", "pdf"):
+    """Page trees → (text, spans) in the requested output format — the
+    exportData dispatch (export.js:630-729); binary formats ride the
+    string column via a latin-1 round-trip."""
+    if emit_format not in ("text", "markdown", "hocr", "alto", "html",
+                           "docx", "xlsx", "pdf", "scribe"):
         # pdf_overlay is handled in the pdf branch only; anything else
         # must fail into the error column rather than silently emitting
         # plain text
@@ -90,6 +93,39 @@ def _emit(pages, emit_format, reflow, drop_furniture):
     if emit_format == "hocr":
         from ..stages.exports import write_hocr
         return write_hocr(pages), []
+    if emit_format == "alto":
+        from ..stages.exports import write_alto
+        return write_alto(pages), []
+    if emit_format == "html":
+        from ..stages.exports import write_html
+        return write_html(pages, reflow_text=reflow), []
+    if emit_format == "docx":
+        from ..stages.docx import write_docx
+        return write_docx(pages).decode("latin-1"), []
+    if emit_format == "xlsx":
+        # writeTabular: detected data-table regions → sheet rows
+        from ..model import BBox
+        from ..stages.docx import write_xlsx
+        from ..stages.tables import (detect_tables_in_page,
+                                     extract_table_content)
+        rows: list = []
+        for page in pages:
+            seen: list = []
+            for tb in getattr(page, "table_boxes", None) or []:
+                bb = BBox(tb["left"], tb["top"], tb["right"],
+                          tb["bottom"])
+                seen.append(bb)
+                rows.extend(extract_table_content(
+                    page, bb, col_separators=tb.get("col_separators")))
+            for bb in detect_tables_in_page(page):
+                if not any(bb.left < s.right and bb.right > s.left and
+                           bb.top < s.bottom and bb.bottom > s.top
+                           for s in seen):
+                    rows.extend(extract_table_content(page, bb))
+        return write_xlsx(rows).decode("latin-1"), []
+    if emit_format == "scribe":
+        from ..stages.scribe_fmt import write_scribe
+        return write_scribe(pages).decode("utf-8"), []
     if emit_format == "pdf":
         from ..stages.pdf_export import write_pdf
         # binary export: latin-1 round-trip keeps it a string column

@@ -90,7 +90,8 @@ def _collect_output_metrics(shard_dir: str) -> tuple[int, int]:
 
 def run_extract_shard(files: list[str], shard_dir: str,
                       large_doc_bytes: int = DEFAULT_LARGE_DOC_BYTES,
-                      batch_size: int = 32, concurrency=None) -> dict:
+                      batch_size: int = 32, concurrency=None,
+                      emit_format: str = "text") -> dict:
     """One shard: read → size-split → extract (both branches share the
     same batch transform; ``concurrency`` caps task parallelism in
     either compute mode) → union → write.  Returns metric counters."""
@@ -103,10 +104,12 @@ def run_extract_shard(files: list[str], shard_dir: str,
     small = ds.filter(expr=f"payload_bytes <= {large_doc_bytes}")
     large = ds.filter(expr=f"payload_bytes > {large_doc_bytes}")
     out_small = build_extract_pipeline(small, batch_size=batch_size,
-                                       concurrency=concurrency)
+                                       concurrency=concurrency,
+                                       emit_format=emit_format)
     # Long-tail branch: one document per task so stragglers parallelize.
     out_large = build_extract_pipeline(large, batch_size=1,
-                                       concurrency=concurrency)
+                                       concurrency=concurrency,
+                                       emit_format=emit_format)
     out = out_small.union(out_large)
     out.write_parquet(shard_dir)
     rows, text_bytes = _collect_output_metrics(shard_dir)
@@ -122,7 +125,8 @@ def run_extract_job(input_glob: str, output_dir: str,
                     files_per_shard: int = 1,
                     large_doc_bytes: int = DEFAULT_LARGE_DOC_BYTES,
                     batch_size: int = 32, concurrency=None,
-                    force: bool = False) -> dict:
+                    force: bool = False,
+                    emit_format: str = "text") -> dict:
     """Sharded, resumable corpus extraction.  Returns a job summary."""
     import shutil
 
@@ -146,7 +150,8 @@ def run_extract_job(input_glob: str, output_dir: str,
         t0 = time.perf_counter()
         metrics = run_extract_shard(
             shard["files"], shard_dir, large_doc_bytes=large_doc_bytes,
-            batch_size=batch_size, concurrency=concurrency)
+            batch_size=batch_size, concurrency=concurrency,
+            emit_format=emit_format)
         manifest = {
             "status": "ok",
             "shard_id": sid,

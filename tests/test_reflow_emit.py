@@ -153,3 +153,32 @@ def test_preserve_spacing_columns():
     text2, _ = write_text_spans([page], reflow_text=True,
                                 preserve_spacing=True)
     assert text2 == text
+
+
+def test_emit_dispatch_all_formats():
+    """exportData dispatch (S7): every emit format produces non-empty
+    output for a parsed page; binary formats round the latin-1 column
+    trip back to valid containers."""
+    import random
+    from scribe_js_ray.pipelines.extract import _emit
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+
+    page, _ = parse_hocr_page(make_hocr_paragraphs(random.Random(11)), 0)
+    pages = [page]
+    for fmt, sig in [("text", None), ("markdown", None), ("hocr", "<"),
+                     ("alto", "<"), ("html", "<!DOCTYPE"),
+                     ("docx", "PK\x03\x04"), ("xlsx", "PK\x03\x04"),
+                     ("scribe", '{"scribeSegments"')]:
+        out, _spans = _emit(pages, fmt, True, True)
+        assert out, fmt
+        if sig:
+            assert out.startswith(sig), fmt
+    # .scribe emit round-trips through the reference-format reader
+    from scribe_js_ray.stages.emit import write_text
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe
+    blob, _ = _emit(pages, "scribe", True, True)
+    assert write_text(parse_scribe(blob.encode())) == write_text(pages)
+    import pytest
+    with pytest.raises(ValueError):
+        _emit(pages, "nope", True, True)
