@@ -524,6 +524,189 @@ def extract_column_separators(cand, lines) -> list[float]:
             for i in range(len(bounds) - 1)]
 
 
+def _is_data_value_token(t: str) -> bool:
+    return _is_num_token(t) and bool(_HAS_DIGIT_RE.search(t)) and \
+        not re.match(r"^(?:19|20)\d\d$", t)
+
+
+def detect_headers(cand, lines):
+    """Header-band detection above the first data row
+    (detectPdfTables.js:2470-2725 detectHeaders): walk non-data lines
+    upward grouping by y, pick the densest all-text row's cell centers
+    as column anchors (or the stacked 2-cell cross-row rule), filter
+    anchors by data-row alignment, and report the header band
+    [band_top, first_data_row) with a strong/weak confidence."""
+    rows = cand["rows"]
+    if not rows:
+        return None
+    ys = sorted(r["y"] for r in rows)
+    avg_row_h = 50.0
+    if len(ys) > 1:
+        spacings = sorted(ys[i] - ys[i - 1] for i in range(1, len(ys)))
+        avg_row_h = spacings[len(spacings) // 2]
+    first_y = ys[0]
+    lookback = first_y - avg_row_h * 10
+    in_table = {j for r in rows for j in r["idx"]}
+    bbox = cand["bbox"]
+
+    above = [(i, ln) for i, ln in enumerate(lines)
+             if i not in in_table and lookback <= ln.bbox.top < first_y
+             and ln.bbox.right >= bbox.left and ln.bbox.left <= bbox.right]
+    if not above:
+        return None
+
+    y_groups: list[dict] = []
+    for i, ln in above:
+        for g in y_groups:
+            if abs(g["y"] - ln.bbox.top) < 5:
+                g["items"].append(ln)
+                break
+        else:
+            y_groups.append({"y": ln.bbox.top, "items": [ln]})
+
+    def extract_cells(items):
+        words = [w for ln in items for w in ln.words]
+        if not words:
+            return []
+        words.sort(key=lambda w: w.bbox.left)
+        avg_h = sum(w.bbox.bottom - w.bbox.top for w in words) / len(words)
+        # looser than data rows: header phrases are often wide-spaced
+        gap_threshold = avg_h * 0.6
+        cells = [{"left": words[0].bbox.left, "right": words[0].bbox.right,
+                  "words": [words[0]]}]
+        for w in words[1:]:
+            if w.bbox.left - cells[-1]["right"] < gap_threshold:
+                cells[-1]["right"] = max(cells[-1]["right"], w.bbox.right)
+                cells[-1]["words"].append(w)
+            else:
+                cells.append({"left": w.bbox.left, "right": w.bbox.right,
+                              "words": [w]})
+        return cells
+
+    y_groups.sort(key=lambda g: -g["y"])  # near-data upward
+    annotated = []
+    for g in y_groups:
+        cells = extract_cells(g["items"])
+        alpha = data = 0
+        for c in cells:
+            for w in c["words"]:
+                if _is_data_value_token(w.text):
+                    data += 1
+                elif _HAS_LETTER_RE.search(w.text):
+                    alpha += 1
+        annotated.append({"y": g["y"], "cells": cells,
+                          "all_text": data == 0,
+                          "mostly_text": alpha > data})
+
+    best = None
+    for a in annotated:
+        if a["all_text"] and len(a["cells"]) >= 3 and \
+                (best is None or len(a["cells"]) > len(best["cells"])):
+            best = a
+
+    def count_alpha(cell):
+        return sum(1 for w in cell["words"]
+                   if _HAS_LETTER_RE.search(w.text))
+
+    def header_like(a):
+        if len(a["cells"]) >= 2:
+            return a["all_text"]
+        if len(a["cells"]) == 1:
+            return a["mostly_text"] and count_alpha(a["cells"][0]) <= 4
+        return False
+
+    band_top = first_y
+    last_y = first_y
+    for a in annotated:
+        if not header_like(a):
+            continue
+        if last_y - a["y"] > avg_row_h * 2:
+            break
+        band_top = a["y"]
+        last_y = a["y"]
+
+    # Rule 2: stacked 2-cell headers sharing x-positions across rows.
+    from_stacked = False
+    best_cells = best["cells"] if best else None
+    if best_cells is None:
+        two_cell = [a for a in annotated
+                    if a["all_text"] and len(a["cells"]) == 2]
+        if len(two_cell) >= 2:
+            x_tol = (bbox.right - bbox.left) * 0.15
+            ref = two_cell[0]["cells"]
+            ref_lc = (ref[0]["left"] + ref[0]["right"]) / 2
+            ref_rc = (ref[1]["left"] + ref[1]["right"]) / 2
+            sum_l = sum_r = match = 0
+            for a in two_cell:
+                lc = (a["cells"][0]["left"] + a["cells"][0]["right"]) / 2
+                rc = (a["cells"][1]["left"] + a["cells"][1]["right"]) / 2
+                if abs(lc - ref_lc) < x_tol and abs(rc - ref_rc) < x_tol:
+                    sum_l += lc
+                    sum_r += rc
+                    match += 1
+            if match >= 2:
+                from_stacked = True
+                best_cells = [
+                    {"left": sum_l / match - 50,
+                     "right": sum_l / match + 50, "words": []},
+                    {"left": sum_r / match - 50,
+                     "right": sum_r / match + 50, "words": []},
+                ]
+
+    if best_cells is None:
+        if band_top >= first_y:
+            return None
+        return {"column_anchors": [], "band_top": band_top,
+                "band_bottom": first_y, "confidence": "weak"}
+
+    # keep only cells aligned with some data-row word center
+    aligned = []
+    for c in best_cells:
+        hit = False
+        for r in rows:
+            for j in r["idx"]:
+                for w in lines[j].words:
+                    wc = (w.bbox.left + w.bbox.right) / 2
+                    if c["left"] - 5 <= wc <= c["right"] + 5:
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                break
+        if hit:
+            aligned.append(c)
+    anchors = [(c["left"] + c["right"]) / 2 for c in aligned]
+    min_anchors = 2 if from_stacked else 4
+    confidence = "strong" if (len(anchors) >= min_anchors and
+                              len(aligned) >= len(best_cells) * 0.5) \
+        else "weak"
+    return {"column_anchors": anchors, "band_top": band_top,
+            "band_bottom": first_y, "confidence": confidence}
+
+
+def _header_separators(headers, cand, lines):
+    """Strong header anchors → candidate separators at anchor midpoints,
+    plus a synthesized label-column separator when data extends clearly
+    left of the first anchor (extractStructure:2742-2781)."""
+    if not headers or headers["confidence"] != "strong" \
+            or len(headers["column_anchors"]) < 2:
+        return None
+    anchors = sorted(headers["column_anchors"])
+    seps = [(anchors[i] + anchors[i + 1]) / 2
+            for i in range(len(anchors) - 1)]
+    left_guard = anchors[0] - 10
+    has_label = any(lines[j].bbox.right < left_guard
+                    for r in cand["rows"] for j in r["idx"])
+    if has_label:
+        half = (anchors[1] - anchors[0]) / 2
+        label_sep = anchors[0] - half
+        if label_sep > cand["bbox"].left + 5 and \
+                anchors[0] - cand["bbox"].left > half * 2:
+            seps.insert(0, label_sep)
+    return sorted(seps)
+
+
 def detect_text_tables(page) -> list[dict]:
     """Page → borderless table regions [{bbox, col_separators, method}]
     (the text-candidate path of detectPdfTables.js detectTableRegions)."""
@@ -538,9 +721,24 @@ def detect_text_tables(page) -> list[dict]:
         if not validate_candidate(cand, lines):
             continue
         seps = extract_column_separators(cand, lines)
+        headers = detect_headers(cand, lines)
+        hseps = _header_separators(headers, cand, lines)
+        if hseps is not None:
+            # Header-anchor override (extractStructure:3049-3060): take
+            # the header's separators when word clustering under-counts
+            # (sparse tables) or over-splits by ≥2×.
+            sparse_under = len(hseps) > len(seps) and len(seps) < 3
+            over_split = 2 <= len(hseps) <= len(seps) * 0.5
+            if sparse_under or over_split:
+                seps = hseps
         b = cand["bbox"]
+        top = b.top
+        if headers and headers["band_top"] < top:
+            # Extend the region over the header band so header rows
+            # render inside the table (refineTableTop analog).
+            top = headers["band_top"]
         out.append({
-            "bbox": {"left": b.left, "top": b.top,
+            "bbox": {"left": b.left, "top": top,
                      "right": b.right, "bottom": b.bottom},
             "col_separators": seps,
             "method": "text",

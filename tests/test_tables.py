@@ -120,7 +120,7 @@ def _page_with_cell_lines(rows, title=None, width=2000, height=3000,
                                  BBox(150 + 60 * k, y, 150 + 60 * k + 50,
                                       y + 24)))
         page.lines.append(ln)
-        y += pitch * 2
+        y += pitch * 3
     for r, cells in enumerate(rows):
         xs = [150, 900, 1400, 1800]
         for c, text in enumerate(cells):
@@ -219,3 +219,51 @@ def test_borderless_pdf_table_renders_in_markdown():
     assert pages[0].table_boxes  # borderless region detected
     md = write_markdown(pages, detect_tables=True)
     assert "| North | 1,234" in md.replace("  ", " ")
+
+
+def test_header_band_detected_and_rendered():
+    """A 4-cell all-text header row above the data band is detected with
+    strong confidence, the region extends over it, and the markdown
+    export renders it as the pipe-table header."""
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    from scribe_js_ray.stages.exports import write_markdown
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    from scribe_js_ray.stages.text_tables import detect_headers, \
+        detect_text_tables, find_table_like_rows, \
+        group_rows_into_candidates, validate_candidate
+
+    ops = ["BT /F1 12 Tf 72 750 Td (A preamble paragraph of prose that "
+           "sits well above the data region) Tj ET"]
+    # stacked 2-cell headers over the two numeric columns (Rule 2,
+    # detectPdfTables.js:2609-2664) — 2-cell textual rows are NOT
+    # table-like, so they sit above the candidate
+    for y, (ha, hb) in ((716, ("Alpha", "Beta")),
+                        (704, ("Units", "Units"))):
+        ops.append(f"BT /F1 9 Tf 250 {y} Td ({ha}) Tj ET")
+        ops.append(f"BT /F1 9 Tf 350 {y} Td ({hb}) Tj ET")
+    data = [("North", "1,234", "5,678"),
+            ("South", "2,345", "6,789"),
+            ("East", "3,456", "7,890"),
+            ("West", "4,567", "8,901")]
+    xs = (72, 250, 350)
+    for i, cells in enumerate(data):
+        y = 690 - i * 22
+        for x, cell in zip(xs, cells):
+            ops.append(f"BT /F1 10 Tf {x} {y} Td ({cell}) Tj ET")
+    pages, _ = parse_pdf_document(
+        _make_pdf([" ".join(ops)], {"F1": "Helvetica"}))
+    page = pages[0]
+    tl = find_table_like_rows(page.lines)
+    cands = group_rows_into_candidates(tl, page.lines, page.height)
+    cand = next(c for c in cands if validate_candidate(c, page.lines))
+    h = detect_headers(cand, page.lines)
+    assert h is not None and h["confidence"] == "strong"
+    assert len(h["column_anchors"]) == 2   # stacked-rule anchors
+    regions = detect_text_tables(page)
+    assert regions
+    # region extends over the header band
+    assert regions[0]["bbox"]["top"] <= h["band_top"] + 1
+    md = write_markdown(pages, detect_tables=True)
+    flat = md.replace("  ", " ")
+    assert "Alpha | Beta" in flat          # header rows inside the table
+    assert "| North | 1,234" in flat
