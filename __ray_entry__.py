@@ -527,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": rel.events_sessionize,
         "events_asof_purchase": rel.events_asof_purchase,
         "events_running_total": rel.events_running_total,
+        "events_distinct_users": rel.events_distinct_users,
         "nation_top_customers": rel.nation_top_customers,
         "regional_revenue": rel.regional_revenue,
         # documents corpus ops
@@ -571,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_asof_purchase": rel.EVENTS_ASOF_SQL,
         "events_running_total": rel.EVENTS_RUNNING_SQL,
+        "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "regional_revenue": rel.REGIONAL_REVENUE_SQL,
         "doc_stats_by_lang": """

@@ -610,12 +610,59 @@ def _ivf_planes(n_cells: int, dim: int) -> np.ndarray:
 
 
 _IVF_MARKER = "_IVF_DONE"
+_IVF_CENTROIDS = "_centroids.parquet"
 
 
-def build_ivf_index(ds, index_dir: str, n_cells: int = 16, dim: int = 64):
-    """One-time IVF index build: assign every vector to its nearest coarse
-    centroid and write Parquet PARTITIONED BY cell.  The cell is thereby a
-    physical partition key — probes read only their cells' files.
+def train_ivf_centroids(ds, n_cells: int = 16, dim: int = 64,
+                        sample: int = 65536, iters: int = 10) -> np.ndarray:
+    """Spherical k-means (Lloyd) on a bounded sample — the faiss-style
+    train-on-sample path: at corpus scale the trainer never sees more
+    than ``sample`` vectors, then ONE full pass assigns everything.
+    Deterministic: init = the fixed random planes, sample = the stream's
+    first rows.  Empty cells keep their previous direction."""
+    mats = []
+    for b in ds.limit(sample).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            mats.append(_emb_matrix(b["embedding"]))
+    cents = _ivf_planes(n_cells, dim).copy()
+    if not mats:
+        return cents
+    x = _norm_rows(np.vstack(mats))
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _norm_rows(cents)
+    return cents
+
+
+def load_ivf_centroids(index_dir: str, n_cells: int,
+                       dim: int) -> np.ndarray:
+    """Centroids persisted WITH the index (probes must score cells with
+    the exact centroids the build assigned by, or pruning silently
+    probes the wrong partitions); fixed-plane fallback for pre-trained
+    indexes."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = os.path.join(index_dir, _IVF_CENTROIDS)
+    if not os.path.isfile(path):
+        return _ivf_planes(n_cells, dim)
+    t = pq.read_table(path)
+    cents = _emb_matrix(t["centroid"])
+    order = np.argsort(np.asarray(t["cell"], dtype=np.int64))
+    return np.ascontiguousarray(cents[order])
+
+
+def build_ivf_index(ds, index_dir: str, n_cells: int = 16, dim: int = 64,
+                    train: bool = True):
+    """One-time IVF index build: k-means-refine the coarse centroids on
+    a sample (``train=False`` keeps the fixed random planes), assign
+    every vector to its nearest centroid and write Parquet PARTITIONED
+    BY cell.  The cell is thereby a physical partition key — probes read
+    only their cells' files.  Centroids are persisted inside the index.
 
     The build is ATOMIC: it writes into a staging dir and renames it into
     place with a done-marker, so a crashed or concurrent build can never
@@ -624,7 +671,10 @@ def build_ivf_index(ds, index_dir: str, n_cells: int = 16, dim: int = 64):
     import shutil
     import tempfile
 
-    planes = _ivf_planes(n_cells, dim)
+    import pyarrow.parquet as pq
+
+    planes = train_ivf_centroids(ds, n_cells, dim) if train \
+        else _ivf_planes(n_cells, dim)
 
     def assign(batch: pa.Table) -> pa.Table:
         matn = _norm_rows(_emb_matrix(batch["embedding"]))
@@ -637,6 +687,11 @@ def build_ivf_index(ds, index_dir: str, n_cells: int = 16, dim: int = 64):
     try:
         ds.map_batches(assign, batch_format="pyarrow") \
             .write_parquet(staging, partition_cols=["cell"])
+        pq.write_table(pa.table({
+            "cell": pa.array(range(n_cells), pa.int32()),
+            "centroid": pa.array([row.tolist() for row in planes],
+                                 pa.list_(pa.float64())),
+        }), os.path.join(staging, _IVF_CENTROIDS))
         with open(os.path.join(staging, _IVF_MARKER), "w") as fh:
             fh.write(f"n_cells={n_cells} dim={dim}\n")
         if os.path.isdir(index_dir):
@@ -677,7 +732,6 @@ def knn_top_k_ivf(ds, query_vec, k: int = 10, n_cells: int = 16,
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
-    planes = _ivf_planes(n_cells, dim)
 
     # Only a COMPLETE index (done-marker present) is trusted; anything
     # else — partial crash debris, an empty dir — is rebuilt atomically.
@@ -688,6 +742,8 @@ def knn_top_k_ivf(ds, query_vec, k: int = 10, n_cells: int = 16,
             atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
         build_ivf_index(ds, index_dir, n_cells=n_cells, dim=dim)
 
+    # probe with the index's OWN centroids (k-means-trained at build)
+    planes = load_ivf_centroids(index_dir, n_cells, dim)
     q_sims = planes @ qn
     probe_cells = np.argsort(-q_sims)[:n_probe].tolist()
     dirs = [os.path.join(index_dir, f"cell={c}") for c in probe_cells]

@@ -552,6 +552,41 @@ ORDER BY n_nationkey, total_spent DESC, o_custkey
 """
 
 
+def events_distinct_users(sf_dir: str):
+    """Distributed exact distinct-count: per-batch dedup collapses the
+    stream BEFORE the exchange (the partial/combiner rule), then one
+    groupby over the surviving keys and a driver-side count of a
+    key-only dataset.  The shuffle moves at most one row per distinct
+    key per block — never the raw events."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(
+            t["user_id"].combine_chunks())})
+
+    uniq = ds.map_batches(batch_unique, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Count(alias_name="_n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"n_users": pa.array([t.num_rows], pa.int64())})
+
+    # per-block counts → one tiny sum (never materializes the keys)
+    counts = uniq.map_batches(finalize, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    out = counts.aggregate(Sum("n_users", alias_name="n_users"))
+    import pandas as pd
+    return pd.DataFrame({"n_users": [out["n_users"]]})
+
+
+EVENTS_DISTINCT_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+"""
+
+
 def events_running_total(sf_dir: str):
     """Windowed aggregate (custom operator — Ray Data has no window
     functions): per-user running total of event value in event-time

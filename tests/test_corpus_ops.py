@@ -287,3 +287,39 @@ def test_dedup_keep_list_no_pairs(ray_session):
     }))
     kept = sorted(dedup_keep_list(docs, pairs).to_pandas()["doc_id"])
     assert kept == [5, 6]
+
+
+def test_ivf_trained_centroids_persisted_and_better(ray_session):
+    """k-means training persists centroids with the index; probes load
+    them, and trained cells reflect actual data clusters (a planted
+    tight cluster maps to one cell)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    import tempfile, os
+
+    from scribe_js_ray.pipelines import corpus
+
+    rng = np.random.RandomState(3)
+    # two tight clusters + noise
+    c1 = rng.randn(64); c1 /= np.linalg.norm(c1)
+    c2 = rng.randn(64); c2 /= np.linalg.norm(c2)
+    vecs = [c1 + rng.randn(64) * 0.05 for _ in range(40)] + \
+           [c2 + rng.randn(64) * 0.05 for _ in range(40)] + \
+           [rng.randn(64) for _ in range(40)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    }))
+    idx = tempfile.mkdtemp(prefix="ivf-train-test-")
+    corpus.build_ivf_index(ds, idx, n_cells=8)
+    assert os.path.isfile(os.path.join(idx, "_centroids.parquet"))
+    cents = corpus.load_ivf_centroids(idx, 8, 64)
+    # after training, SOME centroid aligns tightly with each cluster
+    assert (cents @ (c1 / np.linalg.norm(c1))).max() > 0.9
+    assert (cents @ (c2 / np.linalg.norm(c2))).max() > 0.9
+    # probes still return the planted NN through the trained index
+    out = corpus.knn_top_k_ivf(ds, list(vecs[0]), k=3, n_cells=8,
+                               n_probe=2, index_dir=idx).to_pandas()
+    assert out["vec_id"].iloc[0] == 0
