@@ -219,6 +219,19 @@ def _doc_exact_dedup(sf_dir: str):
     return exact_dedup_survivors(ds).sort("doc_id")
 
 
+def _doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (duplicated-line character mass
+    — the classic web-boilerplate detector), oracle-checked bit-exact."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_repetition_signals
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_repetition_signals,
+                          batch_format="pyarrow").sort("doc_id")
+
+
 def _doc_dedup_keep(sf_dir: str):
     """Dedup keep list: MinHash+LSH pairs → connected components → keep
     the minimum doc_id per cluster plus every unclustered doc (rows-only
@@ -538,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": _doc_quality_filter,
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_dedup_keep": _doc_dedup_keep,
+        "doc_repetition": _doc_repetition,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_lang_id": _doc_lang_id,
         "doc_minhash_pairs": _doc_minhash_pairs,
@@ -599,6 +613,26 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]{1,3}|[^ \\t\\n\\f\\rA-Za-z0-9]'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "doc_repetition": """
+            WITH ln AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), counted AS (
+              SELECT doc_id, line, length(line) AS len, count(*) AS n
+              FROM ln GROUP BY doc_id, line
+            )
+            SELECT d.doc_id,
+                   COALESCE(CAST(SUM(CASE WHEN n > 1 THEN len * n
+                                     ELSE 0 END) AS BIGINT), 0)
+                       AS dup_line_chars,
+                   COALESCE(CAST(SUM(len * n) AS BIGINT), 0)
+                       AS total_line_chars,
+                   COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_lines,
+                   COALESCE(CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END)
+                                 AS BIGINT), 0) AS n_dup_lines
+            FROM documents d LEFT JOIN counted c USING (doc_id)
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         # bit-exact SimHash: per-bit majority vote over token-md5 top-8
         # bytes (MSB = bit 63), folded back into a signed int64

@@ -1089,3 +1089,29 @@ def dedup_keep_list(docs_ds, pairs_ds, drop_broadcast_cap: int = 5_000_000):
             .drop_columns(["__dropped"])
 
     return joined.map_batches(strip, batch_format="pyarrow")
+
+
+def add_repetition_signals(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 quality rules):
+    characters inside duplicated lines vs total line characters, plus
+    line counts — integer counters so the verdicts hash-match the SQL
+    oracle bit-for-bit.  The classic boilerplate detector for web text
+    (navigation bars and footers repeat verbatim line-for-line)."""
+    from collections import Counter
+    out_dup, out_tot, out_nl, out_ndl = [], [], [], []
+    for text in batch["text"].to_pylist():
+        lines = (text or "").split("\n")
+        counts = Counter(lines)
+        dup = sum(len(ln) * n for ln, n in counts.items() if n > 1)
+        tot = sum(len(ln) * n for ln, n in counts.items())
+        out_dup.append(dup)
+        out_tot.append(tot)
+        out_nl.append(len(lines))
+        out_ndl.append(sum(n for n in counts.values() if n > 1))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "dup_line_chars": pa.array(out_dup, pa.int64()),
+        "total_line_chars": pa.array(out_tot, pa.int64()),
+        "n_lines": pa.array(out_nl, pa.int64()),
+        "n_dup_lines": pa.array(out_ndl, pa.int64()),
+    })
