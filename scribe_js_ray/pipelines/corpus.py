@@ -1040,11 +1040,12 @@ def dedup_keep_list(docs_ds, pairs_ds, drop_broadcast_cap: int = 5_000_000):
     suite — from near-dup pairs, keep exactly one representative (the
     minimum doc_id) per connected component plus every unclustered doc.
 
-    Shape: clusters from ``connected_components``; per-cluster min via
-    ONE tiny groupby over cluster labels; the resulting DROP set (dup
-    members minus representatives — a small fraction of the corpus by
-    construction) broadcasts via ray.put and filters the docs stream
-    with vectorized ``pc.is_in``.  Above ``drop_broadcast_cap`` drops,
+    Shape: clusters from ``connected_components``, whose label IS the
+    component's minimum member id (min-rooted union-find / min-label
+    propagation), so the drops are simply members != label — no extra
+    groupby; the DROP set (dup members minus representatives — a small
+    fraction of the corpus by construction) broadcasts via ray.put and
+    filters the docs stream with vectorized ``pc.is_in``.  Above ``drop_broadcast_cap`` drops,
     fall back to a hash-bucket anti join (same exchange as the join
     primitive) instead of broadcasting."""
     from ..functions.joins import BroadcastTable, hash_bucket_join

@@ -110,17 +110,18 @@ def _emit(pages, emit_format, reflow, drop_furniture):
                                      extract_table_content)
         rows: list = []
         for page in pages:
-            seen: list = []
-            for tb in getattr(page, "table_boxes", None) or []:
-                bb = BBox(tb["left"], tb["top"], tb["right"],
-                          tb["bottom"])
-                seen.append(bb)
+            boxes = getattr(page, "table_boxes", None) or []
+            for tb in boxes:
                 rows.extend(extract_table_content(
-                    page, bb, col_separators=tb.get("col_separators")))
-            for bb in detect_tables_in_page(page):
-                if not any(bb.left < s.right and bb.right > s.left and
-                           bb.top < s.bottom and bb.bottom > s.top
-                           for s in seen):
+                    page,
+                    BBox(tb["left"], tb["top"], tb["right"],
+                         tb["bottom"]),
+                    col_separators=tb.get("col_separators")))
+            if not boxes:
+                # pages that never went through the layout stamping
+                # (text/docx branches) fall back to the OCR detector;
+                # stamped pages already carry every qualifying region
+                for bb in detect_tables_in_page(page):
                     rows.extend(extract_table_content(page, bb))
         return write_xlsx(rows).decode("latin-1"), []
     if emit_format == "scribe":

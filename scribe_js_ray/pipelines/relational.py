@@ -579,7 +579,10 @@ def events_distinct_users(sf_dir: str):
     from ray.data.aggregate import Sum
     out = counts.aggregate(Sum("n_users", alias_name="n_users"))
     import pandas as pd
-    return pd.DataFrame({"n_users": [out["n_users"]]})
+    # empty input: Dataset.aggregate returns None; the oracle still
+    # emits one n_users=0 row
+    n = out["n_users"] if out else 0
+    return pd.DataFrame({"n_users": [n]})
 
 
 EVENTS_DISTINCT_SQL = """

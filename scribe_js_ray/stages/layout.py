@@ -1251,9 +1251,16 @@ def _apply_struct_elements(pages, feats) -> None:
                 split = ea is not None and eb is not None and ea != eb
                 if split:
                     fb = feat_of.get(id(ln))
-                    fa = feat_of.get(id(prev_ln))
-                    if fb is not None and fa is not None and \
-                            fb.starts_lower and not fa.ends_terminal:
+                    # A lowercase start continues the previous sentence
+                    # regardless of its punctuation (the reference's
+                    # default struct path merges on startsLower ALONE,
+                    # analyzeLayout.js:2369) — except a lowercase
+                    # close-paren enumerator ("a)", "i)"), which is a
+                    # real sibling list item (:2358-2360).
+                    if fb is not None and fb.starts_lower and not (
+                            fb.enumerator and
+                            str(fb.enumerator.get("raw", ""))
+                            .endswith(")")):
                         split = False  # struct continuation
                 if split:
                     groups.append([ln])

@@ -38,12 +38,13 @@ _PARA_ELEMS = {
 
 
 def parse_struct_tree(pdf, with_elems: bool = False):
+    empty = ({}, {}) if with_elems else {}
     root = pdf.resolve(pdf.trailer.get("Root"))
     if not isinstance(root, dict):
-        return {}
+        return empty
     st = pdf.resolve(root.get("StructTreeRoot"))
     if not isinstance(st, dict):
-        return {}
+        return empty
     role_map = pdf.resolve(st.get("RoleMap")) or {}
 
     def canon(tag: str, depth=0) -> str:

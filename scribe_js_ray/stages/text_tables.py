@@ -733,10 +733,14 @@ def detect_text_tables(page) -> list[dict]:
                 seps = hseps
         b = cand["bbox"]
         top = b.top
-        if headers and headers["band_top"] < top:
+        if headers and headers["confidence"] == "strong" \
+                and headers["band_top"] < top:
             # Extend the region over the header band so header rows
-            # render inside the table (refineTableTop analog).
-            top = headers["band_top"]
+            # render inside the table — STRONG confidence only; a weak
+            # band (e.g. a stray short prose line) falls through and the
+            # text stays body copy (refineTableTop,
+            # detectPdfTables.js:3095-3123, incl. its 5pt margin).
+            top = headers["band_top"] - 5
         out.append({
             "bbox": {"left": b.left, "top": top,
                      "right": b.right, "bottom": b.bottom},
