@@ -399,13 +399,14 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
 # ---------------------------------------------------------------- media
 
 def synth_image_payload(media_id: int) -> bytes:
-    """Deterministic REAL image bytes keyed off the id: even ids → PNG,
-    odd ids → BMP (exercises both stdlib decoders).  The pixel pattern is
-    closed-form in (x, y, media_id) so expected thumbnails/features are
-    computable in tests without any decode."""
+    """Deterministic REAL image bytes keyed off the id: ids cycle
+    PNG → BMP → GIF (exercising all three stdlib decoders).  The pixel
+    pattern is closed-form in (x, y, media_id) so expected thumbnails/
+    features are computable in tests without any decode; the GIF variant
+    quantizes to a coarse palette so its round-trip stays lossless."""
     import numpy as np
 
-    from ..stages.codecs import bmp_encode, png_encode
+    from ..stages.codecs import bmp_encode, gif_encode, png_encode
     h, w = 24 + (media_id % 3) * 8, 32 + (media_id % 5) * 8
     yy, xx = np.mgrid[0:h, 0:w]
     px = np.stack([
@@ -413,9 +414,12 @@ def synth_image_payload(media_id: int) -> bytes:
         (yy * 5 + media_id * 7) % 256,
         ((xx ^ yy) + media_id * 13) % 256,
     ], axis=2).astype(np.uint8)
-    if media_id % 2 == 0:
-        return png_encode(px, filter_type=(media_id // 2) % 5)
-    return bmp_encode(px)
+    kind = media_id % 3
+    if kind == 0:
+        return png_encode(px, filter_type=(media_id // 3) % 5)
+    if kind == 1:
+        return bmp_encode(px)
+    return gif_encode(px & 0xC0)  # 2 bits/channel → ≤64 colors
 
 
 def synth_audio_payload(media_id: int) -> bytes:

@@ -16,6 +16,9 @@ round-trip tests in ``tests/test_codecs.py``), not a stub:
   uncompressed (BI_RGB), bottom-up or top-down rows.
 - WAV  (decode + encode): RIFF/WAVE PCM, 8-bit unsigned / 16-bit /
   32-bit signed LE, any channel count (decode averages to mono float32).
+- GIF  (decode + encode): 87a/89a, LZW both directions, global/local
+  color tables, interlace, multi-frame animation (lossless round-trip
+  for <=256-color content).
 - MPNG (decode + encode): a minimal deterministic frame container
   (magic + frame table + one PNG per frame) standing in for real video
   containers, whose codecs cannot be implemented stdlib-only; the
@@ -342,6 +345,8 @@ def sniff_image_format(data: bytes) -> str | None:
         return "png"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -352,7 +357,9 @@ def decode_image(data: bytes) -> np.ndarray:
         return png_decode(data)
     if kind == "bmp":
         return bmp_decode(data)
-    raise ValueError("unsupported image format (PNG/BMP supported)")
+    if kind == "gif":
+        return gif_decode(data)
+    raise ValueError("unsupported image format (PNG/BMP/GIF supported)")
 
 
 def to_rgb(px: np.ndarray) -> np.ndarray:
@@ -375,3 +382,217 @@ def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return np.ascontiguousarray(px[ys][:, xs])
+
+
+# ---------------------------------------------------------------- GIF
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width,
+    clear/EOI codes, dictionary rebuilt on clear."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader, LSB first
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width):
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return eoi
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            if byte >> ((bitpos + i) & 7) & 1:
+                v |= 1 << i
+        bitpos += width
+        return v
+
+    def reset():
+        return ({i: [i] for i in range(clear)}, min_code_size + 1,
+                eoi + 1)
+
+    table, width, next_code = reset()
+    prev: list[int] | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table, width, next_code = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("GIF: corrupt LZW stream")
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code, width):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    prev: tuple = ()
+    for idx in indices:
+        cand = prev + (idx,)
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        prev = (idx,)
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_decode_frames(data: bytes) -> list[np.ndarray]:
+    """GIF87a/89a bytes → list of (h, w, 3) uint8 RGB frames.  Supports
+    global/local color tables, interlace, and multi-frame (animated)
+    streams; disposal semantics are simplified to draw-over-previous."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(-1, 3)
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        fx, fy, fw, fh, lflags = struct.unpack("<HHHHB",
+                                               data[pos + 1:pos + 10])
+        pos += 10
+        ct = gct
+        if lflags & 0x80:
+            n = 2 << (lflags & 7)
+            ct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF: no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1:pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx = np.array(_lzw_decode(bytes(lzw), min_code),
+                       np.uint16)[:fw * fh]
+        if len(idx) < fw * fh:
+            idx = np.pad(idx, (0, fw * fh - len(idx)))
+        px = idx.reshape(fh, fw)
+        if lflags & 0x40:  # interlaced rows
+            deinterlaced = np.empty_like(px)
+            order = list(range(0, fh, 8)) + list(range(4, fh, 8)) + \
+                list(range(2, fh, 4)) + list(range(1, fh, 2))
+            deinterlaced[order] = px[:len(order)]
+            px = deinterlaced
+        canvas = canvas.copy()
+        canvas[fy:fy + fh, fx:fx + fw] = ct[np.clip(px, 0, len(ct) - 1)]
+        frames.append(canvas)
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return frames
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First frame only (the still-image surface of decode_image)."""
+    return gif_decode_frames(data)[0]
+
+
+def gif_encode(frames, fps: int = 10) -> bytes:
+    """List of (h, w, 3) uint8 frames (≤256 distinct colors across all
+    frames → lossless) → GIF89a bytes."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    frames = [np.ascontiguousarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    flat = np.vstack([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF encoder: >256 distinct colors "
+                         "(quantize first)")
+    depth = max(1, (len(palette) - 1).bit_length())
+    table_n = 1 << depth
+    pal = np.zeros((table_n, 3), np.uint8)
+    pal[:len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    delay = max(1, round(100 / fps))
+    n_px = h * w
+    offset = 0
+    for f in frames:
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        min_code = max(2, depth)
+        out.append(min_code)
+        data = _lzw_encode(
+            inverse[offset:offset + n_px].astype(np.int64).tolist(),
+            min_code)
+        offset += n_px
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def gif_frame_count(data: bytes) -> int:
+    return len(gif_decode_frames(data))

@@ -27,8 +27,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .codecs import (decode_image, mpng_decode_frame, mpng_info,
-                     resize_nearest, sniff_image_format, to_rgb, wav_decode)
+from .codecs import (decode_image, gif_decode_frames, mpng_decode_frame,
+                     mpng_info, resize_nearest, sniff_image_format, to_rgb,
+                     wav_decode)
 
 IMAGE_META_SCHEMA = pa.struct([
     ("format", pa.string()),
@@ -168,13 +169,23 @@ class SampleVideoFrames:
         px_len = self.FRAME_H * self.FRAME_W * 3
         for vid, p in zip(ids, payloads):
             try:
-                total, _fps = mpng_info(p or b"")
+                gif_frames = None
+                if (p or b"")[:6] in (b"GIF87a", b"GIF89a"):
+                    # real animated-GIF container: all frames decode in
+                    # one LZW pass (no per-frame seek table)
+                    gif_frames = gif_decode_frames(p)
+                    total = len(gif_frames)
+                else:
+                    total, _fps = mpng_info(p or b"")
                 # evenly-spaced sample positions over the real timeline
                 src = np.unique(np.linspace(
                     0, max(total - 1, 0), self.n_frames).round()
                     .astype(np.int64))
                 for f_out, f_src in enumerate(src):
-                    px = to_rgb(mpng_decode_frame(p, int(f_src)))
+                    frame = gif_frames[int(f_src)] \
+                        if gif_frames is not None \
+                        else mpng_decode_frame(p, int(f_src))
+                    px = to_rgb(frame)
                     px = resize_nearest(px, self.FRAME_H, self.FRAME_W)
                     out_id.append(vid)
                     out_frame.append(f_out)

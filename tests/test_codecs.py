@@ -192,3 +192,68 @@ def test_resize_nearest_exact():
     up = resize_nearest(px, 2, 2)
     # (0,0)→src(0,0)=0, (0,1)→src(0,2)=2, (1,0)→src(2,0)=8, (1,1)→10
     assert up[:, :, 0].tolist() == [[0, 2], [8, 10]]
+
+
+# ---------------------------------------------------------------- GIF
+
+def test_gif_round_trip_single_frame():
+    from scribe_js_ray.stages.codecs import gif_decode, gif_encode
+    # 6x8, 5 distinct colors → lossless
+    px = np.zeros((6, 8, 3), np.uint8)
+    px[0] = [255, 0, 0]
+    px[1] = [0, 255, 0]
+    px[2] = [0, 0, 255]
+    px[3] = [10, 20, 30]
+    assert np.array_equal(gif_decode(gif_encode(px)), px)
+
+
+def test_gif_round_trip_animation():
+    from scribe_js_ray.stages.codecs import (gif_decode_frames, gif_encode,
+                                             gif_frame_count)
+    frames = [np.full((4, 5, 3), c, np.uint8) for c in (0, 85, 170, 255)]
+    data = gif_encode(frames, fps=5)
+    assert data[:6] == b"GIF89a"
+    assert gif_frame_count(data) == 4
+    for got, want in zip(gif_decode_frames(data), frames):
+        assert np.array_equal(got, want)
+
+
+def test_gif_many_colors_lzw_widths():
+    from scribe_js_ray.stages.codecs import gif_decode, gif_encode
+    # 256 distinct colors exercises the full LZW code-width ramp
+    vals = np.arange(256, dtype=np.uint8)
+    px = np.stack([vals, vals[::-1], (vals * 7) % 256],
+                  axis=1).reshape(16, 16, 3)
+    assert np.array_equal(gif_decode(gif_encode(px)), px)
+
+
+def test_gif_rejects_too_many_colors():
+    from scribe_js_ray.stages.codecs import gif_encode
+    px = _rand_px(32, 32, 3)  # ~1024 distinct colors
+    with pytest.raises(ValueError):
+        gif_encode(px)
+
+
+def test_gif_sniffed_by_decode_image():
+    from scribe_js_ray.stages.codecs import (decode_image, gif_encode,
+                                             sniff_image_format)
+    px = np.full((3, 3, 3), 7, np.uint8)
+    data = gif_encode(px)
+    assert sniff_image_format(data) == "gif"
+    assert np.array_equal(decode_image(data), px)
+
+
+def test_gif_video_frame_sampling():
+    import pyarrow as pa
+    from scribe_js_ray.stages.codecs import gif_encode
+    from scribe_js_ray.stages.multimodal import SampleVideoFrames
+    frames = [np.full((8, 8, 3), c, np.uint8) for c in (10, 60, 110, 160,
+                                                        210, 250)]
+    out = SampleVideoFrames(n_frames=3)(pa.table({
+        "video_id": pa.array([1], pa.int64()),
+        "video": pa.array([gif_encode(frames)], pa.binary()),
+    }))
+    assert out["src_frame"].to_pylist() == [0, 2, 5]  # even spacing over 6
+    px0 = np.asarray(out["frame"][0].as_py(), np.uint8)
+    px2 = np.asarray(out["frame"][2].as_py(), np.uint8)
+    assert (px0 == 10).all() and (px2 == 250).all()

@@ -39,8 +39,8 @@ def test_decode_pipeline_schema_and_determinism(ray_session):
         assert np.allclose(np.asarray(o1["features"][i]),
                            np.asarray(o2["features"][i]))
     assert len(o1["features"][0]) == ImageFeatures.DIM
-    # format sniffing: even ids PNG, odd ids BMP (synth contract)
-    assert list(o1["format"]) == ["png", "bmp"] * 3
+    # format sniffing: ids cycle png/bmp/gif (synth contract)
+    assert list(o1["format"]) == ["png", "bmp", "gif"] * 2
 
 
 def test_decode_images_exact_pixels():

@@ -177,10 +177,10 @@ def test_media_decoders_never_escape(data):
     """Garbage bytes must raise ValueError-family errors (caught by the
     stages' error column), never escape as other exceptions."""
     from scribe_js_ray.stages.codecs import (bmp_decode, decode_image,
-                                             mpng_info, png_decode,
-                                             wav_decode)
-    for fn in (png_decode, bmp_decode, wav_decode, mpng_info,
-               decode_image):
+                                             gif_decode, mpng_info,
+                                             png_decode, wav_decode)
+    for fn in (png_decode, bmp_decode, gif_decode, wav_decode,
+               mpng_info, decode_image):
         try:
             fn(data)
         except (ValueError, IndexError, struct_error):
