@@ -400,13 +400,14 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
 
 def synth_image_payload(media_id: int) -> bytes:
     """Deterministic REAL image bytes keyed off the id: ids cycle
-    PNG → BMP → GIF (exercising all three stdlib decoders).  The pixel
+    PNG → BMP → GIF → JPEG (exercising all four stdlib decoders).  The pixel
     pattern is closed-form in (x, y, media_id) so expected thumbnails/
     features are computable in tests without any decode; the GIF variant
     quantizes to a coarse palette so its round-trip stays lossless."""
     import numpy as np
 
     from ..stages.codecs import bmp_encode, gif_encode, png_encode
+    from ..stages.jpeg import jpeg_encode
     h, w = 24 + (media_id % 3) * 8, 32 + (media_id % 5) * 8
     yy, xx = np.mgrid[0:h, 0:w]
     px = np.stack([
@@ -414,12 +415,14 @@ def synth_image_payload(media_id: int) -> bytes:
         (yy * 5 + media_id * 7) % 256,
         ((xx ^ yy) + media_id * 13) % 256,
     ], axis=2).astype(np.uint8)
-    kind = media_id % 3
+    kind = media_id % 4
     if kind == 0:
-        return png_encode(px, filter_type=(media_id // 3) % 5)
+        return png_encode(px, filter_type=(media_id // 4) % 5)
     if kind == 1:
         return bmp_encode(px)
-    return gif_encode(px & 0xC0)  # 2 bits/channel → ≤64 colors
+    if kind == 2:
+        return gif_encode(px & 0xC0)  # 2 bits/channel → ≤64 colors
+    return jpeg_encode(px, quality=85, subsample=media_id % 8 == 7)
 
 
 def synth_audio_payload(media_id: int) -> bytes:

@@ -25,7 +25,11 @@ round-trip tests in ``tests/test_codecs.py``), not a stub:
   per-frame PIXEL decode is the real PNG path above.  Real deployments
   swap this container parser for pyav/ffmpeg behind the same API.
 
-External-library codecs (JPEG, MP3, H.264, ...) remain gated behind the
+- JPEG (decode + encode, ``stages/jpeg.py``): baseline sequential DCT,
+  Annex K tables, 4:4:4 + 4:2:0, restart markers; lossy — tested by
+  DC-exactness and PSNR bounds rather than bit-identity.
+
+External-library codecs (MP3, H.264, WebP, ...) remain gated behind the
 stages' ``real_codecs=True`` flag, which raises until such a library is
 wired in.
 """
@@ -347,6 +351,8 @@ def sniff_image_format(data: bytes) -> str | None:
         return "bmp"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -359,7 +365,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return bmp_decode(data)
     if kind == "gif":
         return gif_decode(data)
-    raise ValueError("unsupported image format (PNG/BMP/GIF supported)")
+    if kind == "jpeg":
+        from .jpeg import jpeg_decode
+        return jpeg_decode(data)
+    raise ValueError(
+        "unsupported image format (PNG/BMP/GIF/JPEG supported)")
 
 
 def to_rgb(px: np.ndarray) -> np.ndarray:

@@ -2,11 +2,12 @@
 
 Binary payloads ride as opaque ``binary`` columns with typed metadata;
 decode / resize / feature-extract / frame-sample run as actor-pool
-``map_batches`` stages.  Decoding is REAL: stdlib-only PNG/BMP/WAV/MPNG
-codecs in ``stages/codecs.py`` (zlib inflate + filter reconstruction,
-verified bit-exact by ``tests/test_codecs.py``).  Only external-library
-formats (JPEG, MP3, H.264, ...) remain gated behind ``real_codecs=True``,
-which raises until such a library is wired in.
+``map_batches`` stages.  Decoding is REAL: stdlib-only PNG/BMP/GIF/JPEG/
+WAV/MPNG codecs in ``stages/codecs.py`` + ``stages/jpeg.py`` (zlib
+inflate, LZW, baseline DCT+Huffman — verified by round-trip tests in
+``tests/test_codecs.py``).  Only external-library formats (WebP, MP3,
+H.264, ...) remain gated behind ``real_codecs=True``, which raises until
+such a library is wired in.
 
 A row whose payload fails to decode never kills the job: the stage emits
 a zeroed tensor plus a ``decode_error`` string column (same contract as
@@ -51,9 +52,9 @@ class DecodeImages:
     """payload binary → fixed-size RGB thumbnail tensor + metadata.
 
     Actor-pool stage: ``ds.map_batches(DecodeImages, batch_size=8,
-    concurrency=(1, N))``.  PNG and BMP decode with the stdlib codecs;
-    ``real_codecs=True`` raises until an external imaging library (JPEG
-    etc.) is wired in.
+    concurrency=(1, N))``.  PNG/BMP/GIF/JPEG decode with the stdlib
+    codecs; ``real_codecs=True`` raises until an external imaging
+    library (WebP etc.) is wired in.
     """
 
     THUMB_H = 32
@@ -71,9 +72,10 @@ class DecodeImages:
         """→ (thumb uint8 (H,W,3), format, width, height, channels)."""
         if self.real_codecs:
             raise NotImplementedError(
-                "real_codecs=True gates external-library formats (JPEG, "
-                "WebP, ...); no imaging library is present in this "
-                "environment — PNG/BMP decode with real_codecs=False")
+                "real_codecs=True gates external-library formats (WebP, "
+                "AVIF, ...); no imaging library is present in this "
+                "environment — PNG/BMP/GIF/JPEG decode with "
+                "real_codecs=False")
         fmt = sniff_image_format(payload or b"")
         px = decode_image(payload)
         h, w = px.shape[:2]
@@ -146,10 +148,10 @@ class ImageFeatures:
 
 
 class SampleVideoFrames:
-    """video binary (MPNG container) → N evenly-spaced frame thumbnails
-    (flat_map-shaped: one output row per sampled frame).  The container
-    scan seeks to sampled frames without decoding skipped ones; each
-    sampled frame goes through the real PNG decode."""
+    """video binary (MPNG container or animated GIF) → N evenly-spaced
+    frame thumbnails (flat_map-shaped: one output row per sampled
+    frame).  MPNG seeks to sampled frames without decoding skipped
+    ones; GIF decodes its frame sequence in one LZW pass."""
 
     FRAME_H = 16
     FRAME_W = 16

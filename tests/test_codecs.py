@@ -257,3 +257,59 @@ def test_gif_video_frame_sampling():
     px0 = np.asarray(out["frame"][0].as_py(), np.uint8)
     px2 = np.asarray(out["frame"][2].as_py(), np.uint8)
     assert (px0 == 10).all() and (px2 == 250).all()
+
+
+# ---------------------------------------------------------------- JPEG
+
+def test_jpeg_solid_color_near_exact():
+    from scribe_js_ray.stages.jpeg import jpeg_decode, jpeg_encode
+    px = np.full((16, 16, 3), 120, np.uint8)
+    out = jpeg_decode(jpeg_encode(px, quality=90))
+    assert np.abs(out.astype(int) - 120).max() <= 1
+
+
+@pytest.mark.parametrize("quality,subsample,floor", [
+    (50, False, 35.0), (85, False, 40.0), (85, True, 35.0)])
+def test_jpeg_round_trip_psnr(quality, subsample, floor):
+    from scribe_js_ray.stages.jpeg import jpeg_decode, jpeg_encode
+    yy, xx = np.mgrid[0:32, 0:48]
+    px = np.stack([xx * 5 % 256, yy * 7 % 256, (xx + yy) * 3 % 256],
+                  axis=2).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(px, quality=quality,
+                                  subsample=subsample))
+    assert out.shape == px.shape
+    mse = np.mean((out.astype(float) - px.astype(float)) ** 2)
+    psnr = 10 * np.log10(255 ** 2 / mse)
+    assert psnr > floor
+
+
+def test_jpeg_odd_dimensions_and_gray():
+    from scribe_js_ray.stages.jpeg import jpeg_decode, jpeg_encode
+    px = _rand_px(13, 21, 3)  # non-multiple-of-8/16 dims
+    out = jpeg_decode(jpeg_encode(px, quality=95, subsample=True))
+    assert out.shape == (13, 21, 3)
+    g = (np.arange(24 * 24) % 256).reshape(24, 24).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(g, quality=90))
+    assert out.shape == (24, 24, 3)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from scribe_js_ray.stages.jpeg import jpeg_decode, jpeg_encode
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+    data = bytearray(jpeg_encode(np.zeros((8, 8, 3), np.uint8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(data))
+
+
+def test_jpeg_sniffed_by_decode_image():
+    from scribe_js_ray.stages.codecs import decode_image, sniff_image_format
+    from scribe_js_ray.stages.jpeg import jpeg_encode
+    px = np.full((9, 9, 3), 200, np.uint8)
+    data = jpeg_encode(px)
+    assert sniff_image_format(data) == "jpeg"
+    out = decode_image(data)
+    assert out.shape == (9, 9, 3)
+    assert np.abs(out.astype(int) - 200).max() <= 1
