@@ -14,8 +14,9 @@ round-trip tests in ``tests/test_codecs.py``), not a stub:
   module exists for the multimodal corpus operators, not PDF rendering.
 - BMP  (decode + encode): BITMAPINFOHEADER, 8 (palette) / 24 / 32-bit
   uncompressed (BI_RGB), bottom-up or top-down rows.
-- WAV  (decode + encode): RIFF/WAVE PCM, 8-bit unsigned / 16-bit /
-  32-bit signed LE, any channel count (decode averages to mono float32).
+- WAV  (decode + encode): RIFF/WAVE PCM 8/16/32-bit plus G.711
+  mu-law/A-law companding, any channel count (decode averages to mono
+  float32).
 - GIF  (decode + encode): 87a/89a, LZW both directions, global/local
   color tables, interlace, multi-frame animation (lossless round-trip
   for <=256-color content).
@@ -255,6 +256,39 @@ def bmp_encode(px: np.ndarray) -> bytes:
 
 # ---------------------------------------------------------------- WAV
 
+def _build_mulaw() -> np.ndarray:
+    """ITU-T G.711 mu-law expansion table (256 → int16)."""
+    out = np.empty(256, np.int16)
+    for i in range(256):
+        u = ~i & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = ((mant << 3) + 0x84 << exp) - 0x84
+        out[i] = -mag if sign else mag
+    return out
+
+
+def _build_alaw() -> np.ndarray:
+    """ITU-T G.711 A-law expansion table (256 → int16)."""
+    out = np.empty(256, np.int16)
+    for i in range(256):
+        a = i ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        if exp == 0:
+            mag = (mant << 4) + 8
+        else:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        out[i] = -mag if sign else mag
+    return out
+
+
+_MULAW_TABLE = _build_mulaw()
+_ALAW_TABLE = _build_alaw()
+
+
 def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (mono float32 samples in [-1, 1], sample_rate).
     Multi-channel input is averaged to mono."""
@@ -270,16 +304,22 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             audio_fmt, n_ch, rate, _br, _ba, bits = \
                 struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt not in (1, 0xFFFE):  # PCM / extensible-PCM
-                raise ValueError(f"WAV: non-PCM format {audio_fmt}")
-            fmt = (n_ch, rate, bits)
+            # 1 = PCM, 6 = A-law, 7 = mu-law (G.711), 0xFFFE = extensible
+            if audio_fmt not in (1, 6, 7, 0xFFFE):
+                raise ValueError(f"WAV: unsupported format {audio_fmt}")
+            fmt = (audio_fmt, n_ch, rate, bits)
         elif cid == b"data":
             samples = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or samples is None:
         raise ValueError("WAV: missing fmt/data chunk")
-    n_ch, rate, bits = fmt
-    if bits == 16:
+    audio_fmt, n_ch, rate, bits = fmt
+    if audio_fmt in (6, 7):
+        # G.711 companded 8-bit: expand via the 256-entry tables
+        table = _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
+        arr = table[np.frombuffer(samples, np.uint8)].astype(
+            np.float32) / 32768.0
+    elif bits == 16:
         arr = np.frombuffer(samples, "<i2").astype(np.float32) / 32768.0
     elif bits == 8:
         arr = (np.frombuffer(samples, np.uint8).astype(np.float32)

@@ -313,3 +313,25 @@ def test_jpeg_sniffed_by_decode_image():
     out = decode_image(data)
     assert out.shape == (9, 9, 3)
     assert np.abs(out.astype(int) - 200).max() <= 1
+
+
+def test_wav_mulaw_alaw():
+    """G.711 companded WAVs decode through the expansion tables:
+    mu-law 0xFF == +0, and a known mu-law byte hits its table value."""
+    from scribe_js_ray.stages.codecs import wav_decode
+
+    def g711_wav(fmt_code, payload):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE" +
+                b"fmt " + struct.pack("<I", 16) + fmt +
+                b"data" + struct.pack("<I", len(payload)) + payload)
+
+    out, rate = wav_decode(g711_wav(7, bytes([0xFF, 0x7F, 0x80])))
+    assert rate == 8000
+    assert out[0] == 0.0                     # mu-law 0xFF → 0
+    assert abs(out[1]) < 0.01                # near-zero negative code
+    assert out[2] > 0.9                      # loudest positive code
+    out, _ = wav_decode(g711_wav(6, bytes([0x55, 0xD5])))
+    assert abs(out[0]) < 0.01                # A-law 0x55 → ±8 (tiny)
+    assert abs(out[1]) < 0.01
+    assert (out[0] < 0) != (out[1] < 0)      # opposite signs
