@@ -405,10 +405,10 @@ def _emb_near_dup_lsh(sf_dir: str):
 
 
 def _mm_image_features(sf_dir: str):
-    """Multimodal images: deterministic REAL PNG/BMP payloads (keyed off
-    doc_id) → stdlib decode (zlib inflate + PNG filter reconstruction /
-    BMP rows) → thumbnail + vectorized features (rows-only check; pixel
-    exactness is covered by tests/test_codecs.py goldens)."""
+    """Multimodal images: deterministic REAL PNG/BMP/GIF/JPEG payloads
+    (keyed off doc_id) → stdlib decode (zlib inflate, LZW, baseline
+    DCT+Huffman) → thumbnail + vectorized features (rows-only check;
+    pixel exactness is covered by tests/test_codecs.py goldens)."""
     import pyarrow as pa
     import ray.data as rd
 

@@ -400,10 +400,11 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
 
 def synth_image_payload(media_id: int) -> bytes:
     """Deterministic REAL image bytes keyed off the id: ids cycle
-    PNG → BMP → GIF → JPEG (exercising all four stdlib decoders).  The pixel
-    pattern is closed-form in (x, y, media_id) so expected thumbnails/
-    features are computable in tests without any decode; the GIF variant
-    quantizes to a coarse palette so its round-trip stays lossless."""
+    PNG → BMP → GIF → JPEG (exercising all four stdlib decoders).  The
+    pixel pattern is closed-form in (x, y, media_id); PNG/BMP payloads
+    decode to it exactly, the GIF variant quantizes to a coarse palette
+    (lossless round-trip of the quantized pixels), and JPEG is lossy —
+    exact-pixel assertions must use PNG/BMP ids only."""
     import numpy as np
 
     from ..stages.codecs import bmp_encode, gif_encode, png_encode

@@ -270,7 +270,9 @@ def _build_mulaw() -> np.ndarray:
 
 
 def _build_alaw() -> np.ndarray:
-    """ITU-T G.711 A-law expansion table (256 → int16)."""
+    """ITU-T G.711 A-law expansion table (256 → int16).  NOTE the A-law
+    sign convention is inverted vs mu-law: a SET sign bit means
+    POSITIVE (ITU G.711 / sun g711.c alaw2linear)."""
     out = np.empty(256, np.int16)
     for i in range(256):
         a = i ^ 0x55
@@ -281,7 +283,7 @@ def _build_alaw() -> np.ndarray:
             mag = (mant << 4) + 8
         else:
             mag = ((mant << 4) + 0x108) << (exp - 1)
-        out[i] = -mag if sign else mag
+        out[i] = mag if sign else -mag
     return out
 
 
@@ -439,6 +441,10 @@ def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     """GIF-variant LZW (GIF89a spec appendix F): variable code width,
     clear/EOI codes, dictionary rebuilt on clear."""
+    if not 1 <= min_code_size <= 11:
+        # spec range is 2-8; anything larger is corrupt and would
+        # allocate a 2^n-entry dictionary (hang/OOM, review r3)
+        raise ValueError(f"GIF: bad LZW code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -473,6 +479,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         if code == eoi:
             break
         if prev is None:
+            if code not in table:
+                raise ValueError("GIF: corrupt LZW stream")
             entry = table[code]
         elif code in table:
             entry = table[code]
@@ -535,13 +543,18 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def gif_decode_frames(data: bytes) -> list[np.ndarray]:
+def gif_decode_frames(data: bytes,
+                      max_frames: int | None = None) -> list[np.ndarray]:
     """GIF87a/89a bytes → list of (h, w, 3) uint8 RGB frames.  Supports
-    global/local color tables, interlace, and multi-frame (animated)
-    streams; disposal semantics are simplified to draw-over-previous."""
+    global/local color tables, interlace, GCE transparency (transparent
+    pixels leave the canvas untouched) and multi-frame (animated)
+    streams; disposal semantics are simplified to draw-over-previous.
+    ``max_frames`` stops decoding early (the still-image fast path)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    if not (0 < sw <= 16384 and 0 < sh <= 16384):
+        raise ValueError("GIF: unreasonable dimensions")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -550,20 +563,27 @@ def gif_decode_frames(data: bytes) -> list[np.ndarray]:
         pos += 3 * n
     frames: list[np.ndarray] = []
     canvas = np.zeros((sh, sw, 3), np.uint8)
+    transparent = None
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: skip sub-blocks
-            pos += 2
-            while pos < len(data) and data[pos]:
-                pos += 1 + data[pos]
-            pos += 1
+        if b0 == 0x21:  # extension
+            ext_label = data[pos + 1] if pos + 1 < len(data) else 0
+            p = pos + 2
+            if ext_label == 0xF9 and p < len(data) and data[p] >= 4:
+                gce_flags = data[p + 1]
+                transparent = data[p + 4] if gce_flags & 1 else None
+            while p < len(data) and data[p]:
+                p += 1 + data[p]
+            pos = p + 1
             continue
         if b0 != 0x2C:
             raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
         fx, fy, fw, fh, lflags = struct.unpack("<HHHHB",
                                                data[pos + 1:pos + 10])
+        if fw == 0 or fh == 0 or fx + fw > sw or fy + fh > sh:
+            raise ValueError("GIF: image block outside logical screen")
         pos += 10
         ct = gct
         if lflags & 0x80:
@@ -592,16 +612,26 @@ def gif_decode_frames(data: bytes) -> list[np.ndarray]:
             deinterlaced[order] = px[:len(order)]
             px = deinterlaced
         canvas = canvas.copy()
-        canvas[fy:fy + fh, fx:fx + fw] = ct[np.clip(px, 0, len(ct) - 1)]
+        rgb = ct[np.clip(px, 0, len(ct) - 1)]
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        if transparent is not None:
+            opaque = px != transparent
+            region[opaque] = rgb[opaque]
+        else:
+            region[:] = rgb
+        transparent = None  # GCE applies to ONE following image
         frames.append(canvas)
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
     if not frames:
         raise ValueError("GIF: no image data")
     return frames
 
 
 def gif_decode(data: bytes) -> np.ndarray:
-    """First frame only (the still-image surface of decode_image)."""
-    return gif_decode_frames(data)[0]
+    """First frame only (the still-image surface of decode_image) —
+    stops after one image block instead of decoding the animation."""
+    return gif_decode_frames(data, max_frames=1)[0]
 
 
 def gif_encode(frames, fps: int = 10) -> bytes:
@@ -611,6 +641,8 @@ def gif_encode(frames, fps: int = 10) -> bytes:
         frames = [frames]
     frames = [np.ascontiguousarray(f, np.uint8) for f in frames]
     h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("GIF encoder: frames must share one shape")
     flat = np.vstack([f.reshape(-1, 3) for f in frames])
     palette, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:

@@ -166,7 +166,11 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # mask consumed high bits or the bigint grows with the stream
+        # and every shift becomes O(stream) (review r3)
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def receive(self, n: int) -> int:
         v = 0
@@ -204,7 +208,19 @@ def _extend(v: int, n: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+    Corrupt streams always raise ValueError (the stages' error-column
+    contract): structural exceptions are normalized here."""
+    try:
+        return _jpeg_decode_impl(data)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(
+            f"JPEG: corrupt stream ({type(exc).__name__})") from exc
+
+
+def _jpeg_decode_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad signature")
     pos = 2
@@ -251,11 +267,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
+            if not (0 < h <= 16384 and 0 < w <= 16384) or \
+                    not 1 <= nc <= 4:
+                raise ValueError("JPEG: unreasonable frame header")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
-                              "tq": tq})
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("JPEG: bad sampling factors")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -266,10 +287,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # spec-legal non-interleaved scans (one per component)
+                # would silently mis-decode under interleaved MCU
+                # geometry — reject like SOF2 (review r3)
+                raise ValueError("JPEG: non-interleaved scans "
+                                 "unsupported")
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i:3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next((c for c in frame["comps"]
+                             if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError("JPEG: scan references unknown "
+                                     "component")
                 scan.append({"comp": comp, "dc": tdta >> 4,
                              "ac": tdta & 15})
             pos += seglen
@@ -366,6 +397,7 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             b = (self.acc >> self.nbits) & 0xFF
+            self.acc &= (1 << self.nbits) - 1  # keep the bigint small
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing

@@ -179,8 +179,9 @@ def test_media_decoders_never_escape(data):
     from scribe_js_ray.stages.codecs import (bmp_decode, decode_image,
                                              gif_decode, mpng_info,
                                              png_decode, wav_decode)
-    for fn in (png_decode, bmp_decode, gif_decode, wav_decode,
-               mpng_info, decode_image):
+    from scribe_js_ray.stages.jpeg import jpeg_decode
+    for fn in (png_decode, bmp_decode, gif_decode, jpeg_decode,
+               wav_decode, mpng_info, decode_image):
         try:
             fn(data)
         except (ValueError, IndexError, struct_error):
@@ -188,3 +189,28 @@ def test_media_decoders_never_escape(data):
 
 
 from struct import error as struct_error  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 255), st.integers(0, 2**32 - 1))
+def test_valid_prefix_corruption_never_escapes(offset, delta, seed):
+    """Flip one byte ANYWHERE in a valid GIF/JPEG stream: decode must
+    either succeed or raise ValueError — never hang-class dictionary
+    blowups, KeyError, or StopIteration (review r3 fuzz findings)."""
+    import numpy as np
+
+    from scribe_js_ray.stages.codecs import gif_decode
+    from scribe_js_ray.stages.codecs import gif_encode
+    from scribe_js_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+    px = np.random.RandomState(seed).randint(
+        0, 4, size=(16, 16, 3)).astype(np.uint8) * 80
+    for enc, dec in ((gif_encode, gif_decode),
+                     (lambda p: jpeg_encode(p, quality=70), jpeg_decode)):
+        data = bytearray(enc(px))
+        i = offset % len(data)
+        data[i] = (data[i] + delta) % 256
+        try:
+            dec(bytes(data))
+        except ValueError:
+            pass
