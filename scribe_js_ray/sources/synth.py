@@ -400,14 +400,15 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42,
 
 def synth_image_payload(media_id: int) -> bytes:
     """Deterministic REAL image bytes keyed off the id: ids cycle
-    PNG → BMP → GIF → JPEG (exercising all four stdlib decoders).  The
+    PNG → BMP → GIF → JPEG → TIFF (exercising all five stdlib decoders).  The
     pixel pattern is closed-form in (x, y, media_id); PNG/BMP payloads
     decode to it exactly, the GIF variant quantizes to a coarse palette
     (lossless round-trip of the quantized pixels), and JPEG is lossy —
     exact-pixel assertions must use PNG/BMP ids only."""
     import numpy as np
 
-    from ..stages.codecs import bmp_encode, gif_encode, png_encode
+    from ..stages.codecs import (bmp_encode, gif_encode, png_encode,
+                                 tiff_encode)
     from ..stages.jpeg import jpeg_encode
     h, w = 24 + (media_id % 3) * 8, 32 + (media_id % 5) * 8
     yy, xx = np.mgrid[0:h, 0:w]
@@ -416,14 +417,16 @@ def synth_image_payload(media_id: int) -> bytes:
         (yy * 5 + media_id * 7) % 256,
         ((xx ^ yy) + media_id * 13) % 256,
     ], axis=2).astype(np.uint8)
-    kind = media_id % 4
+    kind = media_id % 5
     if kind == 0:
-        return png_encode(px, filter_type=(media_id // 4) % 5)
+        return png_encode(px, filter_type=(media_id // 5) % 5)
     if kind == 1:
         return bmp_encode(px)
     if kind == 2:
         return gif_encode(px & 0xC0)  # 2 bits/channel → ≤64 colors
-    return jpeg_encode(px, quality=85, subsample=media_id % 8 == 7)
+    if kind == 3:
+        return jpeg_encode(px, quality=85, subsample=media_id % 10 == 8)
+    return tiff_encode(px, "packbits" if media_id % 2 else "none")
 
 
 def synth_audio_payload(media_id: int) -> bytes:

@@ -26,6 +26,9 @@ round-trip tests in ``tests/test_codecs.py``), not a stub:
   per-frame PIXEL decode is the real PNG path above.  Real deployments
   swap this container parser for pyav/ffmpeg behind the same API.
 
+- TIFF (decode + encode): first-IFD strips, none/LZW/PackBits
+  compression, gray/RGB/palette photometrics, horizontal-differencing
+  predictor (LZW shared with the PDF filter stack).
 - JPEG (decode + encode, ``stages/jpeg.py``): baseline sequential DCT,
   Annex K tables, 4:4:4 + 4:2:0, restart markers; lossy — tested by
   DC-exactness and PSNR bounds rather than bit-identity.
@@ -395,6 +398,8 @@ def sniff_image_format(data: bytes) -> str | None:
         return "gif"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -410,8 +415,10 @@ def decode_image(data: bytes) -> np.ndarray:
     if kind == "jpeg":
         from .jpeg import jpeg_decode
         return jpeg_decode(data)
+    if kind == "tiff":
+        return tiff_decode(data)
     raise ValueError(
-        "unsupported image format (PNG/BMP/GIF/JPEG supported)")
+        "unsupported image format (PNG/BMP/GIF/JPEG/TIFF supported)")
 
 
 def to_rgb(px: np.ndarray) -> np.ndarray:
@@ -678,3 +685,200 @@ def gif_encode(frames, fps: int = 10) -> bytes:
 
 def gif_frame_count(data: bytes) -> int:
     return len(gif_decode_frames(data))
+
+
+# ---------------------------------------------------------------- TIFF
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Baseline TIFF → (h, w, channels) uint8: both byte orders, first
+    IFD, strips, 8-bit samples, compression 1 (none) / 5 (LZW, the
+    MSB-first early-change variant shared with the PDF filter stack) /
+    32773 (PackBits), photometric 0/1 (gray, incl. inverted), 2 (RGB),
+    3 (palette), optional horizontal differencing predictor (tag 317).
+    Tiled/16-bit TIFFs and corrupt structure raise ValueError."""
+    try:
+        return _tiff_decode_impl(data)
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(
+            f"TIFF: corrupt stream ({type(exc).__name__})") from exc
+
+
+def _tiff_decode_impl(data: bytes) -> np.ndarray:
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("TIFF: bad signature")
+
+    def u16(off):
+        return struct.unpack(bo + "H", data[off:off + 2])[0]
+
+    def u32(off):
+        return struct.unpack(bo + "I", data[off:off + 4])[0]
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        e = ifd + 2 + i * 12
+        tag, typ = u16(e), u16(e + 2)
+        count = u32(e + 4)
+        if typ not in type_size:
+            continue
+        sz = type_size[typ]
+        off = e + 8 if sz * count <= 4 else u32(e + 8)
+        vals = []
+        for k in range(count):
+            p = off + k * sz
+            vals.append(data[p] if sz == 1 else
+                        (u16(p) if sz == 2 else u32(p)))
+        tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    if not w or not h or w > 16384 or h > 16384:
+        raise ValueError("TIFF: bad dimensions")
+    if 322 in tags or 323 in tags:
+        raise ValueError("TIFF: tiled layout unsupported")
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise ValueError("TIFF: only 8-bit samples supported")
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    predictor = one(317, 1)
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets:
+        raise ValueError("TIFF: missing strip offsets")
+    if not counts:
+        counts = [len(data) - offsets[0]]
+
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = data[off:off + cnt]
+        if compression == 1:
+            raw += strip
+        elif compression == 5:
+            from .pdf.objects import lzw_decode
+            raw += lzw_decode(strip, early_change=1)
+        elif compression == 32773:                 # PackBits
+            p = 0
+            while p < len(strip):
+                n = strip[p]
+                p += 1
+                if n < 128:
+                    raw += strip[p:p + n + 1]
+                    p += n + 1
+                elif n > 128:
+                    raw += bytes([strip[p]]) * (257 - n)
+                    p += 1
+        else:
+            raise ValueError(f"TIFF: compression {compression} "
+                             "unsupported")
+    need = h * w * spp
+    if len(raw) < need:
+        raise ValueError("TIFF: truncated image data")
+    px = np.frombuffer(bytes(raw), np.uint8, need).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: undo per row with a cumulative sum
+        px = np.cumsum(px.astype(np.uint16), axis=1).astype(np.uint8)
+    if photometric == 0:                            # white-is-zero
+        px = 255 - px
+    elif photometric == 3:                          # palette
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("TIFF: palette image without color map")
+        pal = (np.array(cmap[:3 * 256], np.uint32)
+               .reshape(3, 256).T >> 8).astype(np.uint8)
+        px = pal[px[:, :, 0]]
+    return np.ascontiguousarray(px)
+
+
+def tiff_encode(px: np.ndarray, compression: str = "packbits") -> bytes:
+    """(h, w[, channels]) uint8 → little-endian single-strip TIFF
+    (compression "none" or "packbits")."""
+    px = np.ascontiguousarray(px, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, spp = px.shape
+    flat = px.tobytes()
+    if compression == "packbits":
+        comp_code = 32773
+        body = bytearray()
+        i = 0
+        n = len(flat)
+        while i < n:
+            # literal run up to 128 (simple encoder: no repeat packing
+            # except exact byte runs >= 3)
+            run = 1
+            while i + run < n and run < 128 and \
+                    flat[i + run] == flat[i]:
+                run += 1
+            if run >= 3:
+                body.append(257 - run)
+                body.append(flat[i])
+                i += run
+                continue
+            lit_start = i
+            i += 1
+            while i < n and i - lit_start < 128:
+                r = 1
+                while i + r < n and r < 3 and flat[i + r] == flat[i]:
+                    r += 1
+                if r >= 3:
+                    break
+                i += 1
+            body.append(i - lit_start - 1)
+            body += flat[lit_start:i]
+        strip = bytes(body)
+    else:
+        comp_code = 1
+        strip = flat
+    photometric = 1 if spp == 1 else 2
+
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, spp, None),
+        (259, 3, 1, comp_code), (262, 3, 1, photometric),
+        (273, 4, 1, None), (277, 3, 1, spp), (278, 3, 1, h),
+        (279, 4, 1, len(strip)),
+    ]
+    # layout: header(8) + IFD + extra values + strip
+    ifd_size = 2 + len(entries) * 12 + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_size
+    fields = []
+    for tag, typ, count, val in entries:
+        if tag == 258:
+            if spp == 1:
+                fields.append((tag, typ, 1, 8))
+            elif spp <= 2:
+                fields.append((tag, typ, spp, 8 | (8 << 16)))
+            else:
+                fields.append((tag, typ, count, extra_base + len(extra)))
+                for _ in range(spp):
+                    extra += struct.pack("<H", 8)
+        elif tag == 273:
+            fields.append((tag, typ, 1, 0))  # patched below
+        else:
+            fields.append((tag, typ, count, val))
+    strip_off = extra_base + len(extra)
+    fields = [(t, ty, c, strip_off if t == 273 else v)
+              for t, ty, c, v in fields]
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(fields))
+    for tag, typ, count, val in fields:
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # next IFD
+    out += extra
+    out += strip
+    return bytes(out)

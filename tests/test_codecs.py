@@ -335,3 +335,68 @@ def test_wav_mulaw_alaw():
     assert abs(out[0]) < 0.01                # A-law 0x55 → ±8 (tiny)
     assert abs(out[1]) < 0.01
     assert (out[0] < 0) != (out[1] < 0)      # opposite signs
+
+
+# ---------------------------------------------------------------- TIFF
+
+@pytest.mark.parametrize("comp", ["none", "packbits"])
+def test_tiff_round_trip(comp):
+    from scribe_js_ray.stages.codecs import tiff_decode, tiff_encode
+    px = _rand_px(13, 17, 3, seed=3)
+    assert np.array_equal(tiff_decode(tiff_encode(px, comp)), px)
+    g = _rand_px(9, 9, 1, seed=4)[:, :, 0]
+    assert np.array_equal(tiff_decode(tiff_encode(g, comp))[:, :, 0], g)
+
+
+def test_tiff_packbits_repeat_runs():
+    from scribe_js_ray.stages.codecs import tiff_decode, tiff_encode
+    px = np.full((16, 16, 3), 42, np.uint8)
+    data = tiff_encode(px, "packbits")
+    assert len(data) < 16 * 16 * 3 // 2     # runs actually compress
+    assert np.array_equal(tiff_decode(data), px)
+
+
+def test_tiff_big_endian_and_white_is_zero():
+    """Hand-built MM (big-endian) gray TIFF with photometric 0
+    (white-is-zero) inverts on decode."""
+    import struct as st
+    from scribe_js_ray.stages.codecs import tiff_decode
+    strip = bytes([0, 128, 255, 64])  # 2x2 gray
+    entries = [(256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 8),
+               (259, 3, 1, 1), (262, 3, 1, 0), (273, 4, 1, 0),
+               (277, 3, 1, 1), (278, 3, 1, 2), (279, 4, 1, 4)]
+    ifd_size = 2 + len(entries) * 12 + 4
+    strip_off = 8 + ifd_size
+    out = bytearray(b"MM\x00*" + st.pack(">I", 8))
+    out += st.pack(">H", len(entries))
+    for tag, typ, count, val in entries:
+        out += st.pack(">HHI", tag, typ, count)
+        if typ == 3:
+            out += st.pack(">HH", val, 0)
+        else:
+            out += st.pack(">I", strip_off if tag == 273 else val)
+    out += st.pack(">I", 0)
+    out += strip
+    px = tiff_decode(bytes(out))
+    assert px[:, :, 0].reshape(-1).tolist() == [255, 127, 0, 191]
+
+
+def test_tiff_sniffed_by_decode_image():
+    from scribe_js_ray.stages.codecs import (decode_image, sniff_image_format,
+                                             tiff_encode)
+    px = _rand_px(5, 7, 3, seed=9)
+    data = tiff_encode(px)
+    assert sniff_image_format(data) == "tiff"
+    assert np.array_equal(decode_image(data), px)
+
+
+def test_tiff_rejects_garbage_and_tiled():
+    from scribe_js_ray.stages.codecs import tiff_decode, tiff_encode
+    with pytest.raises(ValueError):
+        tiff_decode(b"II*\x00garbage")
+    data = bytearray(tiff_encode(np.zeros((4, 4, 3), np.uint8)))
+    # corrupting the tag id of entry 0 (width, 256) to 322 (TileWidth)
+    import struct as st
+    st.pack_into("<H", data, 10, 322)
+    with pytest.raises(ValueError):
+        tiff_decode(bytes(data))

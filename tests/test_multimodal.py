@@ -13,7 +13,7 @@ from scribe_js_ray.stages.multimodal import (
     decode_image_pipeline)
 
 
-def _images_ds(n=8):
+def _images_ds(n=10):
     import ray.data as rd
     return rd.from_arrow(pa.table({
         "image_id": pa.array(range(n), pa.int64()),
@@ -28,19 +28,19 @@ def test_decode_pipeline_schema_and_determinism(ray_session):
     assert set(out1.columns) == {"image_id", "thumb", "format", "width",
                                  "height", "n_channels", "decode_error",
                                  "features"}
-    assert len(out1) == 8
+    assert len(out1) == 10
     # identical payload bytes decode identically regardless of batching
     o1 = out1.sort_values("image_id", ignore_index=True)
     o2 = out2.sort_values("image_id", ignore_index=True)
-    for i in range(8):
+    for i in range(10):
         assert o1["decode_error"][i] is None
         assert np.array_equal(np.asarray(o1["thumb"][i]),
                               np.asarray(o2["thumb"][i]))
         assert np.allclose(np.asarray(o1["features"][i]),
                            np.asarray(o2["features"][i]))
     assert len(o1["features"][0]) == ImageFeatures.DIM
-    # format sniffing: ids cycle png/bmp/gif/jpeg (synth contract)
-    assert list(o1["format"]) == ["png", "bmp", "gif", "jpeg"] * 2
+    # format sniffing: ids cycle png/bmp/gif/jpeg/tiff (synth contract)
+    assert list(o1["format"]) == ["png", "bmp", "gif", "jpeg", "tiff"] * 2
 
 
 def test_decode_images_exact_pixels():

@@ -178,10 +178,11 @@ def test_media_decoders_never_escape(data):
     stages' error column), never escape as other exceptions."""
     from scribe_js_ray.stages.codecs import (bmp_decode, decode_image,
                                              gif_decode, mpng_info,
-                                             png_decode, wav_decode)
+                                             png_decode, tiff_decode,
+                                             wav_decode)
     from scribe_js_ray.stages.jpeg import jpeg_decode
     for fn in (png_decode, bmp_decode, gif_decode, jpeg_decode,
-               wav_decode, mpng_info, decode_image):
+               tiff_decode, wav_decode, mpng_info, decode_image):
         try:
             fn(data)
         except (ValueError, IndexError, struct_error):
