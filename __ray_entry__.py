@@ -232,6 +232,18 @@ def _doc_repetition(sf_dir: str):
                           batch_format="pyarrow").sort("doc_id")
 
 
+def _doc_top_bigram(sf_dir: str):
+    """Gopher top-2-gram repetition signal, oracle-checked bit-exact."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_topngram_signals
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_topngram_signals,
+                          batch_format="pyarrow").sort("doc_id")
+
+
 def _doc_dedup_keep(sf_dir: str):
     """Dedup keep list: MinHash+LSH pairs → connected components → keep
     the minimum doc_id per cluster plus every unclustered doc (rows-only
@@ -552,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": _doc_dup_clusters,
         "doc_dedup_keep": _doc_dedup_keep,
         "doc_repetition": _doc_repetition,
+        "doc_top_bigram": _doc_top_bigram,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_lang_id": _doc_lang_id,
         "doc_minhash_pairs": _doc_minhash_pairs,
@@ -633,6 +646,46 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT), 0) AS n_dup_lines
             FROM documents d LEFT JOIN counted c USING (doc_id)
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "doc_top_bigram": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')), ' ') AS arr
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, arr,
+                     unnest(generate_series(1, len(arr) - 1)) AS i
+              FROM toks WHERE len(arr) >= 2 AND arr[1] <> ''
+            ), bg AS (
+              SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bigram,
+                     length(arr[i]) + length(arr[i + 1]) AS bl
+              FROM pos
+            ), cnt AS (
+              SELECT doc_id, bigram, bl, count(*) AS n
+              FROM bg GROUP BY doc_id, bigram, bl
+            ), top AS (
+              SELECT doc_id,
+                     max_by(CAST(n * bl AS BIGINT),
+                            lpad(CAST(n AS VARCHAR), 12, '0') || '|'
+                                || bigram) AS top_bigram_chars
+              FROM cnt GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id,
+                     CAST(SUM(length(t.tok)) AS BIGINT)
+                         AS total_token_chars
+              FROM (SELECT doc_id, unnest(arr) AS tok FROM toks) t
+              WHERE t.tok <> ''
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(tp.top_bigram_chars, 0) AS top_bigram_chars,
+                   COALESCE(tt.total_token_chars, 0)
+                       AS total_token_chars
+            FROM documents d
+            LEFT JOIN top tp USING (doc_id)
+            LEFT JOIN totals tt USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # bit-exact SimHash: per-bit majority vote over token-md5 top-8
         # bytes (MSB = bit 63), folded back into a signed int64

@@ -1116,3 +1116,32 @@ def add_repetition_signals(batch: pa.Table) -> pa.Table:
         "n_lines": pa.array(out_nl, pa.int64()),
         "n_dup_lines": pa.array(out_ndl, pa.int64()),
     })
+
+
+_LOWER_NONALNUM_RE = re.compile(r"[^a-z0-9]+")
+
+
+def add_topngram_signals(batch: pa.Table) -> pa.Table:
+    """Gopher top-2-gram repetition: characters covered by the single
+    most frequent token bigram vs total token characters (boilerplate
+    phrases like 'click here' dominate junk pages).  Tie-break = highest
+    count then lexicographically greatest bigram, reproduced exactly by
+    the SQL oracle's padded-count string key."""
+    from collections import Counter
+    out_top, out_tot = [], []
+    for text in batch["text"].to_pylist():
+        toks = _LOWER_NONALNUM_RE.sub(" ", (text or "").lower()).split()
+        total = sum(len(t) for t in toks)
+        top = 0
+        if len(toks) >= 2:
+            counts = Counter(toks[i] + " " + toks[i + 1]
+                             for i in range(len(toks) - 1))
+            bigram, n = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+            top = n * (len(bigram) - 1)
+        out_top.append(top)
+        out_tot.append(total)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "top_bigram_chars": pa.array(out_top, pa.int64()),
+        "total_token_chars": pa.array(out_tot, pa.int64()),
+    })
