@@ -7,8 +7,10 @@ numpy) implementations.  Coverage is the subset a synthetic training-data
 corpus needs — it is a REAL decode (bit-exact pixels/samples, verified by
 round-trip tests in ``tests/test_codecs.py``), not a stub:
 
-- PNG  (decode + encode): 8-bit gray / gray+alpha / RGB / RGBA / palette,
-  all five row filters (None/Sub/Up/Average/Paeth), non-interlaced.
+- PNG  (decode + encode): gray / gray+alpha / RGB / RGBA / palette,
+  bit depths 1/2/4/8/16 (sub-byte unpacked, 16-bit high-byte
+  downscale), all five row filters (None/Sub/Up/Average/Paeth),
+  non-interlaced.
   Spec: W3C PNG (ISO/IEC 15948).  Reference analog: the render path the
   reference keeps in ``js/pdf/codecs/`` is out of scope (SURVEY M29); this
   module exists for the multimodal corpus operators, not PDF rendering.
@@ -74,10 +76,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    """Reverse PNG row filters → (height, width*bpp) uint8.  None/Up are
-    vectorized; Sub is a per-channel cumsum (mod-256 via uint8 overflow);
-    Average/Paeth are inherently sequential per pixel."""
-    stride = width * bpp
+    """Reverse PNG row filters → (height, width*bpp) uint8 (8-bit
+    samples; byte stride = pixel stride)."""
+    return _unfilter_bytes(raw, width * bpp, height, bpp)
+
+
+def _unfilter_bytes(raw: bytes, stride: int, height: int,
+                    bpp: int) -> np.ndarray:
+    """Reverse PNG row filters over BYTE rows of ``stride`` with filter
+    displacement ``bpp`` bytes (spec: bpp = ceil(bits-per-pixel / 8),
+    min 1).  None/Up are vectorized; Sub is a per-channel cumsum
+    (mod-256 via uint8 overflow); Average/Paeth are inherently
+    sequential per pixel."""
     out = np.zeros((height, stride), dtype=np.uint8)
     raw = np.frombuffer(raw, dtype=np.uint8)
     if len(raw) < height * (stride + 1):
@@ -132,15 +142,38 @@ def png_decode(data: bytes) -> np.ndarray:
             idat += body
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if bit_depth != 8:
-        raise ValueError(f"PNG: unsupported bit depth {bit_depth}")
+    if not (0 < width <= 16384 and 0 < height <= 16384):
+        raise ValueError("PNG: unreasonable dimensions")
     if interlace:
         raise ValueError("PNG: interlaced images unsupported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"PNG: unsupported color type {color_type}")
-    bpp = _PNG_CHANNELS[color_type]
-    px = _unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
-    px = px.reshape(height, width, bpp)
+    nch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    if bit_depth == 8:
+        px = _unfilter(raw, width, height, nch).reshape(
+            height, width, nch)
+    elif bit_depth == 16:
+        # filters operate on BYTES (bpp = 2×channels); take the high
+        # byte after reconstruction — the faithful 16→8 downscale
+        wide = _unfilter_bytes(raw, width * nch * 2, height, nch * 2)
+        px = wide.reshape(height, width, nch, 2)[:, :, :, 0].copy()
+    elif bit_depth in (1, 2, 4):
+        if color_type not in (0, 3):
+            raise ValueError(
+                f"PNG: bit depth {bit_depth} only for gray/palette")
+        stride = (width * bit_depth + 7) // 8
+        rows = _unfilter_bytes(raw, stride, height, 1)
+        bits = np.unpackbits(rows, axis=1)[:, :width * bit_depth]
+        vals = bits.reshape(height, width, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        idx = (vals * weights).sum(axis=2).astype(np.uint8)
+        if color_type == 0:
+            # scale sub-byte gray to full range (1→255, 2→85, 4→17)
+            idx = (idx * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+        px = idx[:, :, None]
+    else:
+        raise ValueError(f"PNG: unsupported bit depth {bit_depth}")
     if color_type == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")

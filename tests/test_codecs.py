@@ -400,3 +400,39 @@ def test_tiff_rejects_garbage_and_tiled():
     st.pack_into("<H", data, 10, 322)
     with pytest.raises(ValueError):
         tiff_decode(bytes(data))
+
+
+def test_png_sub_byte_and_16bit_depths():
+    """1-bit gray, 4-bit palette and 16-bit gray PNGs decode (scanned
+    documents are commonly 1-bit; the 16-bit path takes the high byte)."""
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + \
+            struct.pack(">I", crc)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 1-bit gray 10x2 alternating
+    ihdr = struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0)
+    raw = b"\x00" + bytes([0b10101010, 0b10000000]) + \
+        b"\x00" + bytes([0b01010101, 0b01000000])
+    px = png_decode(sig + chunk(b"IHDR", ihdr) +
+                    chunk(b"IDAT", zlib.compress(raw)) +
+                    chunk(b"IEND", b""))
+    assert px[0, :, 0].tolist() == [255, 0] * 5
+    assert px[1, :, 0].tolist() == [0, 255] * 5
+    # 4-bit palette 4x1
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 4, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    raw = b"\x00" + bytes([0x01, 0x23])
+    px = png_decode(sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte) +
+                    chunk(b"IDAT", zlib.compress(raw)) +
+                    chunk(b"IEND", b""))
+    assert px[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                              [255, 255, 255]]
+    # 16-bit gray: high bytes survive
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 16, 0, 0, 0, 0)
+    raw = b"\x00" + bytes([0x12, 0x34, 0xFF, 0x00, 0x00, 0x01])
+    px = png_decode(sig + chunk(b"IHDR", ihdr) +
+                    chunk(b"IDAT", zlib.compress(raw)) +
+                    chunk(b"IEND", b""))
+    assert px[0, :, 0].tolist() == [0x12, 0xFF, 0x00]
