@@ -650,8 +650,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_bigram": """
             WITH toks AS (
               SELECT doc_id,
-                     regexp_split_to_array(trim(regexp_replace(lower(text),
-                         '[^a-z0-9]+', ' ', 'g')), ' ') AS arr
+                     regexp_split_to_array(trim(lower(regexp_replace(text,
+                         '[^a-zA-Z0-9]+', ' ', 'g'))), ' ') AS arr
               FROM documents
             ), pos AS (
               SELECT doc_id, arr,
@@ -693,8 +693,8 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      unnest(regexp_split_to_array(
-                       trim(regexp_replace(lower(text),
-                                           '[^a-z0-9]+', ' ', 'g')),
+                       trim(lower(regexp_replace(text,
+                                           '[^a-zA-Z0-9]+', ' ', 'g'))),
                        ' ')) AS tok
               FROM documents
             ), th AS (

@@ -212,7 +212,9 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
     out = []
     for text in texts:
-        toks = _NONALNUM_RE.sub(" ", (text or "").lower()).split()
+        # strip-then-lower: keeps Python lower() == DuckDB lower() on
+        # the surviving ASCII (U+0130 etc. removed first)
+        toks = _NONALNUM_RE.sub(" ", text or "").lower().split()
         acc = np.zeros(64, dtype=np.int64)
         for tok in toks:
             h = hashlib.md5(tok.encode()).digest()[:8]
@@ -1118,9 +1120,6 @@ def add_repetition_signals(batch: pa.Table) -> pa.Table:
     })
 
 
-_LOWER_NONALNUM_RE = re.compile(r"[^a-z0-9]+")
-
-
 def add_topngram_signals(batch: pa.Table) -> pa.Table:
     """Gopher top-2-gram repetition: characters covered by the single
     most frequent token bigram vs total token characters (boilerplate
@@ -1130,7 +1129,10 @@ def add_topngram_signals(batch: pa.Table) -> pa.Table:
     from collections import Counter
     out_top, out_tot = [], []
     for text in batch["text"].to_pylist():
-        toks = _LOWER_NONALNUM_RE.sub(" ", (text or "").lower()).split()
+        # strip-then-lower: lowercasing AFTER removing non-ASCII keeps
+        # Python's full-case lower() byte-identical to DuckDB's
+        # simple-case lower() (U+0130 diverges the other way, review r3)
+        toks = _NONALNUM_RE.sub(" ", text or "").lower().split()
         total = sum(len(t) for t in toks)
         top = 0
         if len(toks) >= 2:

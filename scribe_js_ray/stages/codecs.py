@@ -154,6 +154,8 @@ def png_decode(data: bytes) -> np.ndarray:
         px = _unfilter(raw, width, height, nch).reshape(
             height, width, nch)
     elif bit_depth == 16:
+        if color_type == 3:
+            raise ValueError("PNG: 16-bit palette images are invalid")
         # filters operate on BYTES (bpp = 2×channels); take the high
         # byte after reconstruction — the faithful 16→8 downscale
         wide = _unfilter_bytes(raw, width * nch * 2, height, nch * 2)
@@ -764,6 +766,11 @@ def _tiff_decode_impl(data: bytes) -> np.ndarray:
             continue
         sz = type_size[typ]
         off = e + 8 if sz * count <= 4 else u32(e + 8)
+        # bounds + cap BEFORE materializing: crafted counts otherwise do
+        # O(entries × filesize) Python work — a decode-actor DoS
+        # (review r3; no legitimate baseline tag needs >2^20 values)
+        if off + sz * count > len(data) or count > (1 << 20):
+            raise ValueError("TIFF: tag value out of bounds")
         vals = []
         for k in range(count):
             p = off + k * sz
@@ -787,12 +794,18 @@ def _tiff_decode_impl(data: bytes) -> np.ndarray:
     photometric = one(262, 1)
     spp = one(277, 1)
     predictor = one(317, 1)
-    rows_per_strip = one(278, h)
+    if one(284, 1) != 1:
+        # planar (RRR...GGG...BBB) data would silently decode with
+        # scrambled channels under the interleaved reshape below
+        raise ValueError("TIFF: planar configuration unsupported")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets:
         raise ValueError("TIFF: missing strip offsets")
     if not counts:
+        if len(offsets) > 1:
+            raise ValueError("TIFF: multi-strip file without "
+                             "StripByteCounts")
         counts = [len(data) - offsets[0]]
 
     raw = bytearray()
@@ -843,6 +856,9 @@ def tiff_encode(px: np.ndarray, compression: str = "packbits") -> bytes:
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
+    if spp not in (1, 3):
+        raise ValueError("TIFF encoder: 1 (gray) or 3 (RGB) channels "
+                         "only — other layouts need ExtraSamples tags")
     flat = px.tobytes()
     if compression == "packbits":
         comp_code = 32773

@@ -436,3 +436,50 @@ def test_png_sub_byte_and_16bit_depths():
                     chunk(b"IDAT", zlib.compress(raw)) +
                     chunk(b"IEND", b""))
     assert px[0, :, 0].tolist() == [0x12, 0xFF, 0x00]
+
+
+def test_tiff_lzw_strip_decodes():
+    """Hand-built compression-5 (TIFF LZW, MSB-first early-change)
+    strip: Clear, 4 literals, EOI in 9-bit codes."""
+    import struct as st
+    from scribe_js_ray.stages.codecs import tiff_decode
+
+    codes = [256, 65, 66, 67, 68, 257]
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    strip = bytes(out)
+    entries = [(256, 3, 1, 4), (257, 3, 1, 1), (258, 3, 1, 8),
+               (259, 3, 1, 5), (262, 3, 1, 1), (273, 4, 1, 0),
+               (277, 3, 1, 1), (278, 3, 1, 1), (279, 4, 1, len(strip))]
+    ifd_size = 2 + len(entries) * 12 + 4
+    strip_off = 8 + ifd_size
+    data = bytearray(b"II*\x00" + st.pack("<I", 8))
+    data += st.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        data += st.pack("<HHI", tag, typ, count)
+        data += st.pack("<I", strip_off if tag == 273 else val)
+    data += st.pack("<I", 0)
+    data += strip
+    px = tiff_decode(bytes(data))
+    assert px[0, :, 0].tolist() == [65, 66, 67, 68]
+
+
+def test_tiff_rejects_planar_and_oversized_tags():
+    import struct as st
+    from scribe_js_ray.stages.codecs import tiff_decode, tiff_encode
+    base = bytearray(tiff_encode(np.zeros((4, 4, 3), np.uint8)))
+    # corrupt entry 0's count field to a huge value → bounds error,
+    # fast, instead of a multi-second value-materialization loop
+    st.pack_into("<I", base, 8 + 2 + 4, 0x7FFFFFFF)
+    with pytest.raises(ValueError):
+        tiff_decode(bytes(base))
+    with pytest.raises(ValueError):
+        tiff_encode(np.zeros((4, 4, 2), np.uint8))  # gray+alpha
