@@ -10,7 +10,7 @@ round-trip tests in ``tests/test_codecs.py``), not a stub:
 - PNG  (decode + encode): gray / gray+alpha / RGB / RGBA / palette,
   bit depths 1/2/4/8/16 (sub-byte unpacked, 16-bit high-byte
   downscale), all five row filters (None/Sub/Up/Average/Paeth),
-  non-interlaced.
+  Adam7 interlace (8-bit).
   Spec: W3C PNG (ISO/IEC 15948).  Reference analog: the render path the
   reference keeps in ``js/pdf/codecs/`` is out of scope (SURVEY M29); this
   module exists for the multimodal corpus operators, not PDF rendering.
@@ -123,6 +123,29 @@ def _unfilter_bytes(raw: bytes, stride: int, height: int,
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _deinterlace_adam7(raw: bytes, width: int, height: int,
+                       nch: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images concatenated in
+    the stream, scattered back onto the full grid (8-bit samples)."""
+    out = np.zeros((height, width, nch), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        span = ph * (pw * nch + 1)
+        sub = _unfilter(raw[pos:pos + span], pw, ph, nch)
+        pos += span
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+    return out
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, channels) uint8.  Palette images expand to RGB;
     gray stays 1-channel, gray+alpha 2, RGBA 4."""
@@ -144,13 +167,15 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("PNG: missing IHDR")
     if not (0 < width <= 16384 and 0 < height <= 16384):
         raise ValueError("PNG: unreasonable dimensions")
-    if interlace:
-        raise ValueError("PNG: interlaced images unsupported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"PNG: unsupported color type {color_type}")
     nch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    if bit_depth == 8:
+    if interlace:
+        if interlace != 1 or bit_depth != 8:
+            raise ValueError("PNG: unsupported interlace method")
+        px = _deinterlace_adam7(raw, width, height, nch)
+    elif bit_depth == 8:
         px = _unfilter(raw, width, height, nch).reshape(
             height, width, nch)
     elif bit_depth == 16:

@@ -483,3 +483,30 @@ def test_tiff_rejects_planar_and_oversized_tags():
         tiff_decode(bytes(base))
     with pytest.raises(ValueError):
         tiff_encode(np.zeros((4, 4, 2), np.uint8))  # gray+alpha
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: interleave a known image with the spec's pass grid in the
+    test, decode, and require exact reconstruction."""
+    ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    px = _rand_px(13, 11, 3, seed=21)
+    h, w, c = px.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)            # filter None per sub-image row
+            raw += row.tobytes()
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + \
+            struct.pack(">I", crc)
+
+    data = b"\x89PNG\r\n\x1a\n" + \
+        chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)) + \
+        chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    assert np.array_equal(png_decode(data), px)
