@@ -356,7 +356,7 @@ def _emb_near_dup(sf_dir: str):
     return emb_near_dup_pairs(ds, threshold=0.42)
 
 
-def _emb_knn_ivf(sf_dir: str):
+def _emb_knn_ivf(sf_dir: str, n_probe: int = 4):
     import hashlib as _hl
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -397,8 +397,16 @@ def _emb_knn_ivf(sf_dir: str):
                                   ignore_errors=True)
         except OSError:
             pass
-    return knn_top_k_ivf(ds, qvec, k=10, index_dir=index_dir) \
-        .select_columns(["vec_id"])
+    return knn_top_k_ivf(ds, qvec, k=10, n_probe=n_probe,
+                         index_dir=index_dir).select_columns(["vec_id"])
+
+
+def _emb_knn_ivf_full(sf_dir: str):
+    """IVF probing ALL cells: recall = 100% by construction, so the
+    result equals brute-force kNN and the ``emb_knn_top10`` SQL oracle
+    checks the whole IVF machinery (build, partitioned layout, persisted
+    centroids, probe-side scoring) bit-exactly."""
+    return _emb_knn_ivf(sf_dir, n_probe=16)
 
 
 def _emb_near_dup_lsh(sf_dir: str):
@@ -580,15 +588,211 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_counts": _emb_label_counts,
         "emb_knn_top10": _emb_knn_top10,
         "emb_knn_ivf": _emb_knn_ivf,
+        "emb_knn_ivf_full": _emb_knn_ivf_full,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
     }
 
 
+def _minhash_sql_ctes() -> str:
+    """Shared CTE prefix reproducing ``minhash_duplicate_pairs`` in pure
+    SQL, bit-exactly: 5-token shingles over the lowercased alnum
+    skeleton, base hash = top 4 md5 bytes, 64 permutations
+    (a·h + b) mod 2^31-1 with the runtime (a, b) constants interpolated
+    as a VALUES list, 16 bands of 4 keyed by md5 of the '|'-joined
+    decimal minima, and the hot-bucket star cap."""
+    from scribe_js_ray.pipelines.corpus import (_LSH_BUCKET_CAP, _MH_A,
+                                                _MH_B)
+    perms = ",".join(
+        f"({j},{int(a)},{int(b)})"
+        for j, (a, b) in enumerate(zip(_MH_A, _MH_B)))
+    return f"""
+      perms(j, a, b) AS (VALUES {perms}),
+      mh_toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(regexp_replace(text,
+                   '[^a-zA-Z0-9]+', ' ', 'g'))), ' ') AS arr
+        FROM documents
+      ), mh_sh AS (
+        SELECT DISTINCT doc_id,
+               arr[i]||' '||arr[i+1]||' '||arr[i+2]||' '||arr[i+3]
+                   ||' '||arr[i+4] AS shingle
+        FROM (SELECT doc_id, arr,
+                     unnest(generate_series(1, len(arr)-4)) AS i
+              FROM mh_toks WHERE len(arr) >= 5 AND arr[1] <> '')
+        UNION
+        SELECT DISTINCT doc_id, array_to_string(arr, ' ')
+        FROM mh_toks WHERE len(arr) BETWEEN 1 AND 4 AND arr[1] <> ''
+      ), mh_sig AS (
+        SELECT doc_id, p.j,
+               min((p.a * CAST(('0x' || substr(md5(shingle), 1, 8))
+                               AS UBIGINT) + p.b) % 2147483647) AS m
+        FROM mh_sh CROSS JOIN perms p
+        GROUP BY doc_id, p.j
+      ), mh_bands AS (
+        SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+               md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY j))
+                   AS band_key
+        FROM mh_sig GROUP BY doc_id, j // 4
+      ), mh_bsz AS (
+        SELECT band, band_key, count(*) AS n, min(doc_id) AS mn
+        FROM mh_bands GROUP BY band, band_key
+      ), mh_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mh_bands a
+        JOIN mh_bands b ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+        JOIN mh_bsz s ON s.band = a.band AND s.band_key = a.band_key
+        WHERE s.n <= {_LSH_BUCKET_CAP} OR a.doc_id = s.mn
+      )"""
+
+
+# bidirectional edge list + transitive closure over the MinHash pairs —
+# the SQL analog of connected_components' min-label propagation (the
+# closure is tiny: LSH pairs only, never the corpus)
+_CLUSTER_SQL_CTES = """
+      , mh_edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM mh_cand
+        UNION SELECT doc_b, doc_a FROM mh_cand
+      ), mh_reach AS (
+        SELECT src, dst FROM mh_edges
+        UNION
+        SELECT r.src, e.dst FROM mh_reach r
+        JOIN mh_edges e ON r.dst = e.src
+      ), mh_labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        FROM mh_reach GROUP BY src
+      )"""
+
+
+def _lang_id_sql() -> str:
+    """Bit-exact ``add_lang_pred``: first decisive non-ASCII script char
+    wins (han → chi_sim, cyrillic → rus), else English stopword rate
+    ≥ 0.1 over trim-spaces + RE2-``\\s``-split tokens."""
+    from scribe_js_ray.pipelines.corpus import _EN_STOPWORDS
+    stop = ",".join(f"'{w}'" for w in sorted(_EN_STOPWORDS))
+    han = (r"\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}\x{20000}-\x{2A6DF}"
+           r"\x{2A700}-\x{2B73F}\x{2B740}-\x{2B81F}\x{2B820}-\x{2CEAF}"
+           r"\x{F900}-\x{FAFF}\x{2F800}-\x{2FA1F}")
+    cyr = r"\x{0400}-\x{052F}\x{1C80}\x{1C81}"
+    return f"""
+        WITH scr AS (
+          SELECT doc_id, text,
+                 regexp_extract(text, '[{han}{cyr}]') AS first_hit
+          FROM documents
+        ), tk AS (
+          SELECT doc_id, first_hit,
+                 regexp_split_to_array(trim(lower(text), ' '),
+                                       '[\\t\\n\\f\\r ]+') AS arr
+          FROM scr
+        )
+        SELECT doc_id,
+               CASE WHEN first_hit <> ''
+                         AND regexp_matches(first_hit, '[{han}]')
+                    THEN 'chi_sim'
+                    WHEN first_hit <> '' THEN 'rus'
+                    WHEN CAST(len(list_filter(arr,
+                              w -> trim(w, '.,!?;:"''()') IN ({stop})))
+                          AS DOUBLE) / len(arr) >= 0.1 THEN 'eng'
+                    ELSE 'und' END AS lang_pred
+        FROM tk ORDER BY doc_id
+    """
+
+
+def _rolling_fp_sql(window: int = 16, base: int = 1000003) -> str:
+    """Bit-exact ``add_rolling_fingerprint``: min over all ``window``-byte
+    rolling polynomial hashes mod 2^64, top bit cleared.  Valid because
+    the documents table is pure ASCII (codepoint == utf-8 byte) with
+    every doc ≥ ``window`` chars — the short-doc blake2b branch never
+    fires (asserted against the testdata generator's 44-char floor)."""
+    pw = ",".join(f"({j},{pow(base, window - 1 - j, 1 << 64)})"
+                  for j in range(window))
+    return f"""
+        WITH pw(j, p) AS (VALUES {pw}),
+        ch AS (
+          SELECT doc_id, unnest(generate_series(1, length(text))) AS i,
+                 text
+          FROM documents
+        ), chb AS (
+          SELECT doc_id, i, unicode(substr(text, i, 1)) AS b FROM ch
+        ), terms AS (
+          SELECT c.doc_id, c.i - p.j AS w,
+                 (CAST(c.b AS HUGEINT) * p.p)
+                     % 18446744073709551616 AS term
+          FROM chb c JOIN pw p ON c.i - p.j >= 1
+        ), hs AS (
+          SELECT doc_id, w, SUM(term) % 18446744073709551616 AS h
+          FROM terms GROUP BY doc_id, w HAVING count(*) = {window}
+        ), mn AS (SELECT doc_id, min(h) AS mh FROM hs GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(mn.mh % 9223372036854775808 AS BIGINT) AS roll_fp
+        FROM documents d JOIN mn USING (doc_id) ORDER BY d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from scribe_js_ray.pipelines import relational as rel
 
+    mh = _minhash_sql_ctes()
     return {
+        "doc_minhash_pairs": f"""
+            WITH {mh}
+            SELECT doc_a, doc_b FROM mh_cand ORDER BY doc_a, doc_b
+        """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE {mh}{_CLUSTER_SQL_CTES}
+            SELECT doc_id, cluster FROM mh_labels ORDER BY doc_id
+        """,
+        "doc_dedup_keep": f"""
+            WITH RECURSIVE {mh}{_CLUSTER_SQL_CTES}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN
+                  (SELECT doc_id FROM mh_labels WHERE doc_id <> cluster)
+            ORDER BY doc_id
+        """,
+        "doc_ngram_jaccard": f"""
+            WITH {mh}, grams AS (
+              SELECT DISTINCT doc_id,
+                     arr[i]||' '||arr[i+1]||' '||arr[i+2] AS g
+              FROM (SELECT doc_id, arr,
+                           unnest(generate_series(1, len(arr)-2)) AS i
+                    FROM mh_toks WHERE len(arr) >= 3 AND arr[1] <> '')
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(arr, ' ')
+              FROM mh_toks WHERE len(arr) BETWEEN 1 AND 2
+                                 AND arr[1] <> ''
+            ), gsz AS (
+              SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+              SELECT p.doc_a, p.doc_b, count(*) AS i
+              FROM mh_cand p
+              JOIN grams ga ON ga.doc_id = p.doc_a
+              JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+              GROUP BY p.doc_a, p.doc_b
+            ), jac AS (
+              SELECT p.doc_a, p.doc_b,
+                     CAST(COALESCE(i.i, 0) AS DOUBLE)
+                         / (na.n + nb.n - COALESCE(i.i, 0)) AS j
+              FROM mh_cand p
+              JOIN gsz na ON na.doc_id = p.doc_a
+              JOIN gsz nb ON nb.doc_id = p.doc_b
+              LEFT JOIN inter i ON i.doc_a = p.doc_a
+                               AND i.doc_b = p.doc_b
+            )
+            SELECT doc_a, doc_b, round(j, 6) AS jaccard
+            FROM jac WHERE j >= 0.8 ORDER BY doc_a, doc_b
+        """,
+        "doc_lang_id": _lang_id_sql(),
+        "doc_rolling_fp": _rolling_fp_sql(),
+        "emb_knn_ivf_full": """
+            SELECT e.vec_id
+            FROM embeddings e,
+                 (SELECT embedding AS q FROM embeddings
+                  WHERE vec_id = 0) qq
+            ORDER BY list_cosine_similarity(e.embedding, qq.q) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
         "q1_pricing_summary": rel.Q1_SQL,
         "top_revenue_orders": rel.TOP_REVENUE_SQL,
         "orders_by_nation": rel.ORDERS_BY_NATION_SQL,
