@@ -40,6 +40,7 @@ import re
 
 from ...functions.textnorm import calc_lang, replace_ligatures
 from ...model import BBox, Char, Line, Page, Word
+from .colorfns import color_to_rgb, rgb_to_hex
 
 ASC_FRAC = 0.75     # glyph box above baseline (font-descriptor analog)
 DESC_FRAC = 0.25    # glyph box below baseline
@@ -108,7 +109,8 @@ class _G:
     """Mutable working glyph in top-down page coordinates."""
     __slots__ = ("text", "x", "y", "width", "size", "font", "family",
                  "bold", "italic", "smallcaps", "invisible", "orientation",
-                 "dir_x", "dir_y", "perp", "artifact", "mcid")
+                 "dir_x", "dir_y", "perp", "artifact", "mcid", "alpha",
+                 "color")
 
     def __init__(self, c, height):
         self.text = c.text
@@ -128,6 +130,8 @@ class _G:
         self.perp = None
         self.artifact = getattr(c, "artifact", False)
         self.mcid = getattr(c, "mcid", None)
+        self.alpha = getattr(c, "alpha", 1.0)
+        self.color = getattr(c, "color", None)
 
     @property
     def py(self):
@@ -955,6 +959,18 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             word.style.font = first_alpha.family
             word.style.bold = first_alpha.bold
             word.style.italic = first_alpha.italic
+            # Fill color → hex; opacity 0 for Tr-3 else the draw-time
+            # fill alpha (parsePdfDoc.js:3104-3112).  Alpha-0 text is
+            # KEPT (like Tr-3: it is the OCR layer extraction must
+            # read); opacity marks it hidden downstream.
+            if first_alpha.color is not None:
+                rgb = color_to_rgb(first_alpha.color)
+                if rgb is not None:
+                    word.style.color = rgb_to_hex(rgb)
+            if first_alpha.invisible:
+                word.style.opacity = 0
+            else:
+                word.style.opacity = first_alpha.alpha
             if w.sup:
                 word.style.size = round(wc[0].size * scale, 3)
                 word.style.sup = True
@@ -1013,6 +1029,20 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
                             <= base_y + sz * 0.35 \
                             and rect["left"] >= l_left - overhang \
                             and rect["right"] <= l_right + overhang:
+                        # Color gate: a saturated rule whose hue differs
+                        # from the text is a decorative rule, not an
+                        # underline; grayscale rules and dark-on-dark
+                        # pairs are exempt (parsePdfDoc.js:3155-3167).
+                        r_rgb = color_to_rgb(rect.get("color"))
+                        c_rgb = color_to_rgb(wc[0].color)
+                        if r_rgb is not None and c_rgb is not None:
+                            rect_gray = max(r_rgb) - min(r_rgb) < 0.1
+                            both_dark = all(v < 0.3 for v in r_rgb) and \
+                                all(v < 0.3 for v in c_rgb)
+                            if not both_dark and not rect_gray and any(
+                                    abs(rv - cv) > 0.1
+                                    for rv, cv in zip(r_rgb, c_rgb)):
+                                continue
                         word.style.underline = True
                         rect["is_underline"] = True
                         break

@@ -30,11 +30,13 @@ class PositionedChar:
 
     __slots__ = ("text", "x", "y", "width", "font_size", "font", "bold",
                  "italic", "invisible", "orientation", "dir_x", "dir_y",
-                 "family", "smallcaps", "artifact", "mcid")
+                 "family", "smallcaps", "artifact", "mcid", "alpha",
+                 "color")
 
     def __init__(self, text, x, y, width, font_size, font, bold, italic,
                  invisible, orientation=0, dir_x=1.0, dir_y=0.0,
-                 family=None, smallcaps=False, artifact=False, mcid=None):
+                 family=None, smallcaps=False, artifact=False, mcid=None,
+                 alpha=1.0, color=None):
         self.text = text
         self.x = x
         self.y = y
@@ -51,6 +53,13 @@ class PositionedChar:
         self.smallcaps = smallcaps
         self.artifact = artifact
         self.mcid = mcid
+        # Non-stroking alpha (ExtGState /ca via `gs`) and raw fill color
+        # (1/3/4 components, or resolved 0-1 RGB for tint spaces) at
+        # show time — parsePdfDoc.js:1784-1785 char tagging.  alpha == 0
+        # suppresses the word's native-text (editable) entry and sets
+        # style.opacity; color feeds style.color + underline matching.
+        self.alpha = alpha
+        self.color = color
 
 
 def _mat_mul(a, b):
@@ -482,13 +491,58 @@ def build_font(pdf, font_dict) -> SimpleFont:
         base_encoding=base_encoding, embedded_encoding=embedded)
 
 
+def parse_ext_gstates(pdf, resources) -> dict:
+    """/ExtGState → {name: fill_alpha-or-None} from a page or form
+    Resources dict (parsePdfDoc.js:77-132 parseFillAlphaExtGStates;
+    only /ca — the non-stroking alpha — is read)."""
+    out = {}
+    if not isinstance(resources, dict):
+        return out
+    gs_dict = pdf.resolve(resources.get("ExtGState"))
+    if not isinstance(gs_dict, dict):
+        return out
+    for name, body in gs_dict.items():
+        body = pdf.resolve(body)
+        if isinstance(body, StreamObj):
+            body = body.dict
+        if not isinstance(body, dict):
+            continue
+        ca = pdf.resolve(body.get("ca"))
+        out[str(name)] = float(ca) if isinstance(ca, (int, float)) else None
+    return out
+
+
+def parse_text_color_spaces(pdf, resources) -> dict:
+    """/ColorSpace Separation/DeviceN entries → {name: parsed tint CS}
+    (parsePdfDoc.js:273-324 parseTextColorSpaces); these are the spaces
+    a text fill can select via ``cs`` + ``scn``."""
+    out = {}
+    if not isinstance(resources, dict):
+        return out
+    cs_dict = pdf.resolve(resources.get("ColorSpace"))
+    if not isinstance(cs_dict, dict):
+        return out
+    from .colorfns import parse_tint_color_space
+    for name, cs in cs_dict.items():
+        try:
+            parsed = parse_tint_color_space(pdf, cs)
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            out[str(name)] = parsed
+    return out
+
+
 class TextInterpreter:
     """Executes one page's content stream(s), emitting PositionedChars."""
 
-    def __init__(self, pdf, fonts: dict, base_ctm):
+    def __init__(self, pdf, fonts: dict, base_ctm,
+                 ext_gstates=None, color_spaces=None):
         self.pdf = pdf
         self.fonts = fonts
         self.base_ctm = base_ctm
+        self.ext_gstates = ext_gstates or {}
+        self.color_spaces = color_spaces or {}
         self.chars: list[PositionedChar] = []
         # Image placements as |CTM|-derived areas (parsePdfDoc.js:664-780
         # image-placement merge → largestImageFrac page stat).
@@ -509,6 +563,12 @@ class TextInterpreter:
         h_scale = 1.0
         rise = 0.0
         render_mode = 0
+        # Fill (non-stroking) color state: raw components from g/rg/k,
+        # or tint-resolved 0-1 RGB from cs+scn; fill_alpha from
+        # ExtGState /ca via `gs` (parsePdfDoc.js:1393-1397).
+        text_color = (0.0,)
+        fill_tint = None
+        fill_alpha = 1.0
         tm = (1, 0, 0, 1, 0, 0)
         tlm = tm
         # Marked-content stack: (/Artifact nesting depth, current MCID)
@@ -565,7 +625,8 @@ class TextInterpreter:
                         invisible, orientation=orient,
                         dir_x=sdx, dir_y=sdy,
                         family=font.family, smallcaps=font.smallcaps,
-                        artifact=artifact, mcid=mcid))
+                        artifact=artifact, mcid=mcid,
+                        alpha=fill_alpha, color=text_color))
                 rx += adv * m0
                 ry += adv * m1
                 total_adv += adv
@@ -575,10 +636,19 @@ class TextInterpreter:
                              else tokenize_content(content)):
             try:
                 if op == "q":
-                    gs_stack.append(ctm)
+                    # Full graphics-state save: text state, font, fill
+                    # color/alpha are graphics-state parameters too
+                    # (parsePdfDoc.js:1448-1479 q/Q push/pop set).
+                    gs_stack.append((ctm, render_mode, char_spacing,
+                                     word_spacing, h_scale, leading, rise,
+                                     font, font_size, text_color,
+                                     fill_tint, fill_alpha))
                 elif op == "Q":
                     if gs_stack:
-                        ctm = gs_stack.pop()
+                        saved = gs_stack.pop()
+                        (ctm, render_mode, char_spacing, word_spacing,
+                         h_scale, leading, rise, font, font_size,
+                         text_color, fill_tint, fill_alpha) = saved
                 elif op == "cm" and len(operands) == 6:
                     ctm = _mat_mul(tuple(float(v) for v in operands), ctm)
                 elif op == "BT":
@@ -645,6 +715,36 @@ class TextInterpreter:
                     tm = tlm
                     if isinstance(operands[2], bytes):
                         show_string(operands[2])
+                elif op in ("g", "rg", "k"):
+                    # Device fill color; deselects any named tint space
+                    # (parsePdfDoc.js:1692-1697).
+                    text_color = tuple(float(v) for v in operands
+                                       if isinstance(v, (int, float)))
+                    fill_tint = None
+                elif op == "cs" and operands:
+                    fill_tint = self.color_spaces.get(str(operands[-1]))
+                elif op in ("sc", "scn"):
+                    # Tint components → 0-1 RGB through the Separation/
+                    # DeviceN transform when the arity matches; raw
+                    # components otherwise (parsePdfDoc.js:1719-1731).
+                    comps = [float(v) for v in operands
+                             if isinstance(v, (int, float))]
+                    resolved = None
+                    if fill_tint is not None and \
+                            len(comps) == fill_tint["n_inputs"]:
+                        from .colorfns import tint_components_to_rgb
+                        rgb = tint_components_to_rgb(fill_tint, comps)
+                        if rgb is not None:
+                            resolved = (rgb[0] / 255, rgb[1] / 255,
+                                        rgb[2] / 255)
+                    text_color = resolved if resolved is not None \
+                        else tuple(comps)
+                elif op == "gs" and operands:
+                    # ExtGState: only a present /ca updates the alpha
+                    # (parsePdfDoc.js:1754-1768).
+                    ca = self.ext_gstates.get(str(operands[-1]))
+                    if ca is not None:
+                        fill_alpha = ca
                 elif op == "TJ" and operands and isinstance(operands[0], list):
                     for item in operands[0]:
                         if isinstance(item, bytes):
@@ -677,8 +777,17 @@ class TextInterpreter:
         for k, v in fdict.items():
             fonts[str(k)] = build_font(pdf, v)
         xobjs = pdf.resolve(res.get("XObject")) or {}
+        # Form-local /ExtGState and /ColorSpace entries shadow the
+        # parent's; fill alpha itself resets to 1 inside the form
+        # (parsePdfDoc.js:348-366 merged maps + executeTextOperators'
+        # fillAlpha init).
+        gstates = dict(self.ext_gstates)
+        gstates.update(parse_ext_gstates(pdf, res))
+        cspaces = dict(self.color_spaces)
+        cspaces.update(parse_text_color_spaces(pdf, res))
         sub = TextInterpreter(pdf, fonts,
-                              _mat_mul(tuple(float(v) for v in matrix), ctm))
+                              _mat_mul(tuple(float(v) for v in matrix), ctm),
+                              ext_gstates=gstates, color_spaces=cspaces)
         try:
             sub.run(pdf.stream_bytes(xo), xobjects=xobjs, depth=depth + 1)
         except Exception:

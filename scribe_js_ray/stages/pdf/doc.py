@@ -99,7 +99,16 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     from .paths import GRAPHICS_HEAVY_STREAM_BYTES
     shared_tokens = list(tokenize_content(content)) \
         if len(content) <= GRAPHICS_HEAVY_STREAM_BYTES else None
-    interp = TextInterpreter(pdf, fonts, base)
+    # /ExtGState fill-alpha map + Separation/DeviceN tint spaces: text
+    # hidden via alpha-0 (or drawn in a tint-resolved color) is tagged
+    # per char, feeding style.opacity/color and native-text suppression
+    # (parsePdfDoc.js:574-576).
+    from .content import parse_ext_gstates, parse_text_color_spaces
+    ext_gstates = parse_ext_gstates(pdf, res)
+    color_spaces = parse_text_color_spaces(pdf, res)
+    interp = TextInterpreter(pdf, fonts, base,
+                             ext_gstates=ext_gstates,
+                             color_spaces=color_spaces)
     interp.run(content, xobjects=xobjects, tokens=shared_tokens)
 
     scale = min(DEFAULT_DPI_SCALE,

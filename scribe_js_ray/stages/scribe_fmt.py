@@ -60,6 +60,7 @@ def _page_json(page: Page) -> dict:
                     "sup": bool(w.style.sup),
                     "dropcap": bool(w.style.dropcap),
                     "color": w.style.color,
+                    "opacity": w.style.opacity,
                 },
                 "conf": int(w.conf), "lang": w.lang,
             }
@@ -160,6 +161,8 @@ def _page_from_json(pd: dict) -> Page:
             word.style.sup = bool(st.get("sup"))
             word.style.dropcap = bool(st.get("dropcap"))
             word.style.color = st.get("color")
+            op = st.get("opacity")
+            word.style.opacity = op if op is not None else 1
             conf = wd.get("conf")
             word.conf = int(conf) if conf is not None else 100
             word.lang = wd.get("lang")
