@@ -117,7 +117,8 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     # Vector paths → underline/rule rects, checkbox squares, column
     # rulings (M28; parsePdfDoc.js:843-1008).  Heavy streams skip this
     # (the 2 MB guard lives in execute_path_operators).
-    graphics = {"underline_rects": [], "fill_squares": [], "v_segments": []}
+    graphics = {"underline_rects": [], "fill_squares": [], "v_segments": [],
+                "band_fills": []}
     try:
         from .paths import (detect_ruled_tables, execute_path_operators,
                             harvest_page_graphics)
@@ -168,6 +169,46 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
                         break
             if not clash:
                 page.table_boxes.append(tb)
+    except Exception:
+        pass
+    # Row-band shading signals (detectPdfTables.js:282-357, 440-445):
+    # a wide banded region extends an overlapping detected table to the
+    # band extent; an unattached region with 8+ bands IS a table (one
+    # that coheres by row shading, not column-aligned text) with column
+    # separators read from the dominant fill-cell anchors.
+    try:
+        from .paths import extract_row_band_regions
+        heights = sorted(
+            (ln.bbox.bottom - ln.bbox.top) / scale
+            for ln in page.lines
+            if 2 < (ln.bbox.bottom - ln.bbox.top) / scale < 100)
+        body_h = heights[len(heights) // 2] if heights else 30.0
+        for rbr in extract_row_band_regions(
+                graphics["band_fills"], body_h, scale):
+            if rbr["right"] - rbr["left"] < page.width * 0.3:
+                continue
+            attached = False
+            for tb in page.table_boxes:
+                ox = min(tb["right"], rbr["right"]) - \
+                    max(tb["left"], rbr["left"])
+                oy = min(tb["bottom"], rbr["bottom"]) - \
+                    max(tb["top"], rbr["top"])
+                area = (tb["right"] - tb["left"]) * \
+                    (tb["bottom"] - tb["top"])
+                if ox > 0 and oy > 0 and area > 0 \
+                        and (ox * oy) / area > 0.3:
+                    tb["left"] = min(tb["left"], rbr["left"])
+                    tb["top"] = min(tb["top"], rbr["top"])
+                    tb["right"] = max(tb["right"], rbr["right"])
+                    tb["bottom"] = max(tb["bottom"], rbr["bottom"])
+                    attached = True
+                    break
+            if not attached and len(rbr["row_ys"]) >= 8:
+                page.table_boxes.append({
+                    "left": rbr["left"], "top": rbr["top"],
+                    "right": rbr["right"], "bottom": rbr["bottom"],
+                    "col_separators": rbr["col_xs"],
+                    "method": "row-band"})
     except Exception:
         pass
 

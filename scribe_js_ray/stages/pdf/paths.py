@@ -280,9 +280,283 @@ def harvest_page_graphics(paths: list[PaintedPath], height_pt: float,
             prev["stroke"] = prev["stroke"] or sq["stroke"]
         else:
             by_key[key] = sq
+    _reconstitute_dashed_lines(paths, height_pt, scale,
+                               underline_rects, v_segments)
+
     return {"underline_rects": underline_rects,
             "fill_squares": list(by_key.values()),
-            "v_segments": v_segments}
+            "v_segments": v_segments,
+            "band_fills": _collect_band_fills(paths, height_pt, scale)}
+
+
+def _group_by_position(items, key, tol):
+    """Cluster items whose ``key`` value sits within ``tol`` of the
+    group's first member (detectPdfTables.js:1869-1883)."""
+    groups: list[list] = []
+    for item in items:
+        for g in groups:
+            if abs(item[key] - g[0][key]) <= tol:
+                g.append(item)
+                break
+        else:
+            groups.append([item])
+    return groups
+
+
+def _reconstitute_dashed_lines(paths, height_pt, scale,
+                               underline_rects, v_segments):
+    """Rebuild dashed/dotted rules drawn as many discrete short stroked
+    segments (detectPdfTables.js:1784-1862): 5+ collinear 2-point
+    segments (position within 2pt) whose median gap is in [0, 2) merge
+    into one full-length rule, feeding the ruled-grid detector the same
+    way a solid line would."""
+    v_cand, h_cand = [], []
+    for path in paths:
+        if not path.stroke:
+            continue
+        cmds = path.commands
+        if len(cmds) != 2 or cmds[0][0] != "M" or cmds[1][0] != "L":
+            continue
+        x1, y1 = cmds[0][1][0]
+        x2, y2 = cmds[1][1][0]
+        w, h = abs(x2 - x1), abs(y2 - y1)
+        if w < 2 and 1 < h <= 10:
+            v_cand.append({"x": (x1 + x2) / 2, "y1": min(y1, y2),
+                           "y2": max(y1, y2)})
+        elif h < 2 and 1 < w <= 30:
+            h_cand.append({"y": (y1 + y2) / 2, "x1": min(x1, x2),
+                           "x2": max(x1, x2)})
+
+    page_h_px = height_pt * scale
+
+    if len(v_cand) >= 5:
+        for group in _group_by_position(v_cand, "x", 2):
+            if len(group) < 5:
+                continue
+            group.sort(key=lambda g: g["y1"])
+            gaps = sorted(group[i]["y1"] - group[i - 1]["y2"]
+                          for i in range(1, len(group)))
+            median_gap = gaps[len(gaps) // 2]
+            if median_gap < 0 or median_gap >= 2:
+                continue
+            min_y = group[0]["y1"]
+            max_y = group[-1]["y2"]
+            avg_x = sum(g["x"] for g in group) / len(group)
+            top = (height_pt - max_y) * scale
+            bottom = (height_pt - min_y) * scale
+            if bottom - top > page_h_px * 0.8:   # page-spanning margin
+                continue
+            v_segments.append({"x": avg_x * scale,
+                               "top": top, "bottom": bottom})
+
+    if len(h_cand) >= 5:
+        for group in _group_by_position(h_cand, "y", 2):
+            if len(group) < 5:
+                continue
+            group.sort(key=lambda g: g["x1"])
+            gaps = sorted(group[i]["x1"] - group[i - 1]["x2"]
+                          for i in range(1, len(group)))
+            median_gap = gaps[len(gaps) // 2]
+            if median_gap < 0 or median_gap >= 2:
+                continue
+            y_px = (height_pt
+                    - sum(g["y"] for g in group) / len(group)) * scale
+            if y_px < page_h_px * 0.05 or y_px > page_h_px * 0.95:
+                continue
+            underline_rects.append({
+                "left": group[0]["x1"] * scale,
+                "right": group[-1]["x2"] * scale,
+                "y": y_px, "color": [0.0], "is_underline": False})
+
+
+def _is_band_color(color) -> bool:
+    """Achromatic, or light (every RGB component ≥ 0.5) — the fills that
+    shade table rows (detectPdfTables.js:1174-1180)."""
+    if not color:
+        return True
+    if len(color) == 1:
+        return True
+    if len(color) == 3:
+        if max(color) - min(color) < 0.15:
+            return True
+        return all(v >= 0.5 for v in color)
+    if len(color) == 4:
+        return color[0] < 0.15 and color[1] < 0.15 and color[2] < 0.15
+    return True
+
+
+def _collect_band_fills(paths, height_pt, scale) -> list[dict]:
+    """Candidate row-shading fills in display space, with pts sizes kept
+    for the adaptive (body-line-height) filter applied after page
+    assembly (detectPdfTables.js:1292-1352, 1401-1412).  Batched fill
+    paths holding many M-L-L-L-Z sub-rectangles (alternating-row
+    shading drawn as ONE path) decompose into per-cell rects."""
+    out = []
+
+    def add(min_x, min_y, max_x, max_y):
+        w, h = max_x - min_x, max_y - min_y
+        if w < 5 or h < 1 or h > 200:
+            return
+        out.append({"left": min_x * scale,
+                    "top": (height_pt - max_y) * scale,
+                    "right": max_x * scale,
+                    "bottom": (height_pt - min_y) * scale,
+                    "w_pt": w, "h_pt": h})
+
+    for path in paths:
+        if not path.fill or not _is_band_color(path.fill_color):
+            continue
+        cmds = path.commands
+        pts_all = [p for _, pts in cmds for p in pts]
+        if not pts_all:
+            continue
+        # Batched sub-rect decomposition: runs of M-L-L-L-Z axis rects.
+        sub_rects = []
+        if len(cmds) >= 10:
+            k = 0
+            while k + 4 < len(cmds):
+                if cmds[k][0] != "M":
+                    k += 1
+                    continue
+                if (cmds[k + 1][0] != "L" or cmds[k + 2][0] != "L"
+                        or cmds[k + 3][0] != "L" or cmds[k + 4][0] != "Z"):
+                    k += 1
+                    continue
+                p0 = cmds[k][1][0]
+                p1 = cmds[k + 1][1][0]
+                p2 = cmds[k + 2][1][0]
+                p3 = cmds[k + 3][1][0]
+                tol = 0.01
+                horiz_first = (abs(p0[1] - p1[1]) < tol
+                               and abs(p2[1] - p3[1]) < tol
+                               and abs(p0[0] - p3[0]) < tol
+                               and abs(p1[0] - p2[0]) < tol)
+                vert_first = (abs(p0[0] - p1[0]) < tol
+                              and abs(p2[0] - p3[0]) < tol
+                              and abs(p0[1] - p3[1]) < tol
+                              and abs(p1[1] - p2[1]) < tol)
+                if not horiz_first and not vert_first:
+                    k += 1
+                    continue
+                xs = [p0[0], p1[0], p2[0], p3[0]]
+                ys = [p0[1], p1[1], p2[1], p3[1]]
+                sub_rects.append((min(xs), min(ys), max(xs), max(ys)))
+                k += 5
+        if len(sub_rects) >= 2:
+            for r in sub_rects:
+                add(*r)
+        else:
+            xs = [p[0] for p in pts_all]
+            ys = [p[1] for p in pts_all]
+            add(min(xs), min(ys), max(xs), max(ys))
+    return out
+
+
+def extract_row_band_regions(band_fills, body_h_pt: float,
+                             scale: float = 1.0) -> list[dict]:
+    """Row-band structure from shading fills
+    (detectPdfTables.js:1550-1703 extractRowBandStructure): group fills
+    by y-interval (tol 2), merge touching cells into disjoint ranges,
+    keep bands wider than 50, cluster bands into contiguous regions
+    (gap ≤ max(2×band height, 10), x-overlap), then accept regions of
+    3+ bands whose per-cell left/right anchors repeat in ≥ half the
+    bands — the dominant anchors yield the column separators (midpoints
+    of adjacent right/left pairs).
+
+    ``body_h_pt``: median text line height in pts; a fill only counts as
+    a row band when its pts size fits the adaptive window
+    (w > body_h, 0.3×body_h < h < 5×body_h — :1326-1329)."""
+    min_h = body_h_pt if body_h_pt > 0 else 30.0
+    fills = [f for f in band_fills
+             if f["w_pt"] > min_h
+             and min_h * 0.3 < f["h_pt"] < min_h * 5]
+    if len(fills) < 3:
+        return []
+
+    # Step 1: y-interval groups (display space, tol 2).
+    y_groups: list[dict] = []
+    for f in fills:
+        for g in y_groups:
+            if abs(g["top"] - f["top"]) < 2 and \
+                    abs(g["bottom"] - f["bottom"]) < 2:
+                g["items"].append(f)
+                break
+        else:
+            y_groups.append({"top": f["top"], "bottom": f["bottom"],
+                             "items": [f]})
+
+    # Step 2: merged disjoint ranges + raw per-cell extents per band.
+    bands = []
+    for g in y_groups:
+        g["items"].sort(key=lambda f: f["left"])
+        ranges: list[list] = []
+        cells = []
+        for f in g["items"]:
+            cells.append((f["left"], f["right"]))
+            if ranges and f["left"] <= ranges[-1][1] + 0.5:
+                ranges[-1][1] = max(ranges[-1][1], f["right"])
+            else:
+                ranges.append([f["left"], f["right"]])
+        if not ranges or ranges[-1][1] - ranges[0][0] <= 50:
+            continue
+        bands.append({"top": g["top"], "bottom": g["bottom"],
+                      "ranges": ranges, "cells": cells})
+    if len(bands) < 3:
+        return []
+
+    # Step 3: contiguous vertical regions.
+    bands.sort(key=lambda b: b["top"])
+    regions: list[list] = []
+    for b in bands:
+        b_left = b["ranges"][0][0]
+        b_right = b["ranges"][-1][1]
+        for r in regions:
+            last = r[-1]
+            last_h = last["bottom"] - last["top"]
+            vert_close = b["top"] - last["bottom"] <= max(last_h * 2, 10)
+            h_overlap = b_right > last["ranges"][0][0] and \
+                b_left < last["ranges"][-1][1]
+            if vert_close and h_overlap:
+                r.append(b)
+                break
+        else:
+            regions.append([b])
+
+    # Step 4: dominant-anchor column inference.
+    def cluster(values, tol=3.0):
+        values.sort()
+        clusters: list[dict] = []
+        for v in values:
+            if clusters and v - clusters[-1]["mean"] < tol:
+                clusters[-1]["values"].append(v)
+                clusters[-1]["mean"] = (sum(clusters[-1]["values"])
+                                        / len(clusters[-1]["values"]))
+            else:
+                clusters.append({"values": [v], "mean": v})
+        return clusters
+
+    results = []
+    for region in regions:
+        if len(region) < 3:
+            continue
+        lefts = [c[0] for b in region for c in b["cells"]]
+        rights = [c[1] for b in region for c in b["cells"]]
+        min_count = -(-len(region) // 2)     # ceil
+        dom_l = sorted(c["mean"] for c in cluster(lefts)
+                       if len(c["values"]) >= min_count)
+        dom_r = sorted(c["mean"] for c in cluster(rights)
+                       if len(c["values"]) >= min_count)
+        if not dom_l:
+            continue
+        col_xs = [(dom_r[i] + dom_l[i + 1]) / 2
+                  for i in range(len(dom_l) - 1) if i < len(dom_r)]
+        results.append({
+            "left": dom_l[0], "right": dom_r[-1] if dom_r else dom_l[-1],
+            "top": region[0]["top"], "bottom": region[-1]["bottom"],
+            "col_xs": col_xs,
+            "row_ys": [(b["top"], b["bottom"]) for b in region],
+        })
+    return results
 
 
 def detect_ruled_tables(underline_rects, v_segments, min_cols: int = 2,

@@ -156,3 +156,131 @@ def test_footnote_rule_marks_note_region():
                          for w in ln.words)
     assert "note" in note_text
     assert "body paragraph" not in note_text
+
+
+# ---------------- dashed-line reconstruction + row-band fills
+# (detectPdfTables.js:1784-1862 reconstituteDashedLines,
+#  :1550-1703 extractRowBandStructure)
+
+
+def _dashes_h(y, x0, x1, seg=18.0, gap=1.5):
+    out = []
+    x = x0
+    while x + seg <= x1:
+        out.append(f"{x:.1f} {y} m {x + seg:.1f} {y} l S")
+        x += seg + gap
+    return out
+
+
+def _dashes_v(x, y0, y1, seg=9.0, gap=1.0):
+    out = []
+    y = y0
+    while y + seg <= y1:
+        out.append(f"{x} {y:.1f} m {x} {y + seg:.1f} l S")
+        y += seg + gap
+    return out
+
+
+def test_dashed_grid_detected_as_table():
+    """A grid drawn entirely as dashed segments (each below the solid
+    size thresholds) reconstitutes into full rules and detects as a
+    ruled table, like the solid-line fixture."""
+    rows = ["1 w"]
+    data = [("alpha", "beta"), ("gamma", "delta"), ("epsilon", "zeta")]
+    for i, (a, b) in enumerate(data):
+        y = 680 - i * 30
+        rows.append(f"BT /F1 10 Tf 110 {y} Td ({a}) Tj ET")
+        rows.append(f"BT /F1 10 Tf 260 {y} Td ({b}) Tj ET")
+    for yy in (650, 680, 712):
+        rows.extend(_dashes_h(yy, 100, 400))
+    for xx in (100, 250, 400):
+        rows.extend(_dashes_v(xx, 590, 712))
+    rows.append("BT /F1 12 Tf 72 750 Td "
+                "(Preamble paragraph text with plenty of characters to "
+                "clear the page threshold here) Tj ET")
+    page = _page(" ".join(rows))
+    assert page.table_boxes
+    from scribe_js_ray.stages.exports import write_markdown
+    md = write_markdown([page], detect_tables=True)
+    assert "| alpha | beta |" in md.replace("  ", " ")
+
+
+def test_sparse_dashes_not_reconstituted():
+    """Fewer than 5 collinear segments, or wide gaps, must not invent a
+    rule (the 5-segment / median-gap<2 signature)."""
+    rows = ["1 w"]
+    # 4 segments only
+    rows.extend(_dashes_h(650, 100, 180))
+    # 8 segments but 12pt gaps (dotted leader spacing, not a dash)
+    rows.extend(_dashes_h(600, 100, 360, seg=18.0, gap=12.0))
+    rows.append("BT /F1 12 Tf 72 750 Td "
+                "(Prose page with dots and a few dashes but no table "
+                "grid anywhere) Tj ET")
+    page = _page(" ".join(rows))
+    assert not page.table_boxes
+
+
+def test_row_band_shading_synthesizes_table():
+    """8 shaded bands of 3 cell fills each with no column-aligned text
+    → a synthesized row-band table box whose column separators come
+    from the fill anchors (detectPdfTables.js:440-445)."""
+    rows = []
+    rows.append("BT /F1 12 Tf 72 750 Td "
+                "(Heading paragraph text with plenty of printable "
+                "characters to clear the gate) Tj ET")
+    cells = [(100, 200), (210, 310), (320, 420)]
+    for i in range(8):
+        y = 680 - i * 16
+        for x0, x1 in cells:
+            rows.append(f"0.9 g {x0} {y} {x1 - x0} 12 re f")
+    page = _page(" ".join(rows))
+    bands = [t for t in page.table_boxes if t.get("method") == "row-band"]
+    assert bands
+    assert len(bands[0]["col_separators"]) == 2
+
+
+def test_row_band_extends_text_table():
+    """Alternating shading under a text-detected table attaches the
+    band region and extends the table bbox to the band extent
+    (detectPdfTables.js:352-383 single-region attach)."""
+    rows = []
+    rows.append("BT /F1 12 Tf 72 750 Td "
+                "(Heading paragraph text with plenty of printable "
+                "characters to clear the gate) Tj ET")
+    cells = [(100, 200), (210, 310), (320, 420)]
+    for i in range(8):
+        y = 680 - i * 16
+        if i % 2 == 0:     # alternating shading
+            for x0, x1 in cells:
+                rows.append(f"0.9 g {x0} {y} {x1 - x0} 12 re f")
+        for c, (x0, _) in enumerate(cells):
+            rows.append(f"BT /F1 9 Tf {x0 + 2} {y + 3} Td "
+                        f"(v{i}c{c}) Tj ET")
+    page = _page(" ".join(rows))
+    assert page.table_boxes
+    tb = page.table_boxes[0]
+    scale = 300.0 / 72.0
+    # bbox reaches the fill edges (100pt / 420pt), beyond the text
+    # extent (text starts at x0+2 and ends well before each cell right)
+    assert tb["left"] <= 100 * scale + 0.1
+    assert tb["right"] >= 420 * scale - 0.1
+
+
+def test_extract_row_band_regions_unit():
+    from scribe_js_ray.stages.pdf.paths import extract_row_band_regions
+    fills = []
+    for i in range(5):
+        top = 100 + i * 20
+        for left, right in ((50, 150), (160, 260), (270, 370)):
+            fills.append({"left": left, "right": right, "top": top,
+                          "bottom": top + 14, "w_pt": right - left,
+                          "h_pt": 14})
+    regions = extract_row_band_regions(fills, body_h_pt=14.0)
+    assert len(regions) == 1
+    r = regions[0]
+    assert len(r["row_ys"]) == 5
+    assert r["col_xs"] == [155.0, 265.0]
+    assert r["left"] == 50 and r["right"] == 370
+    # fills too large for the adaptive window are ignored
+    big = [dict(f, h_pt=200.0) for f in fills]
+    assert extract_row_band_regions(big, body_h_pt=14.0) == []
