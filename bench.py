@@ -302,11 +302,11 @@ def main() -> None:
     if os.environ.get("GRAFT_SKIP_SCALING") != "1" \
             and _sf_of(args.sf_dir) >= 0.1:
         try:
-            # best-of-2 per level by default (VERDICT r3 #1): one trial
+            # best-of-3 per level by default (VERDICT r3 #1): one trial
             # is noise-dominated on this shared host — best-of-N at
-            # ≥60 s/level is what has printed ≥0.8 raw.  Costs ~4 min
+            # ≥60 s/level is what has printed ≥0.8 raw.  Costs ~8 min
             # extra wall; GRAFT_EMBED_TRIALS=1 for quick iteration.
-            embed_trials = int(os.environ.get("GRAFT_EMBED_TRIALS", "2"))
+            embed_trials = int(os.environ.get("GRAFT_EMBED_TRIALS", "3"))
             out["scaling"] = run_scaling(args.sf_dir, args.repeat,
                                          embed_trials)
         except Exception as exc:
