@@ -142,7 +142,7 @@ def par_is_furniture(par: Optional[Par]) -> bool:
 class Page:
     __slots__ = ("n", "width", "height", "angle", "lines", "pars",
                  "text_source", "rules", "table_boxes", "mcid_roles",
-                 "mcid_elems", "marks")
+                 "mcid_elems", "marks", "font_programs")
 
     def __init__(self, n: int, width: int, height: int):
         self.n = n
@@ -164,6 +164,10 @@ class Page:
         # Carried annotation overlays (highlight/underline/strikeout/link
         # device-space marks); redactions are APPLIED, never carried.
         self.marks: list = []
+        # Source-document TrueType programs by family name, for the PDF
+        # export's glyph-outline re-embedding (never serialized into
+        # .scribe — in-task only, like the reference's DocFonts).
+        self.font_programs: dict = {}
 
     @property
     def dims(self):

@@ -118,7 +118,8 @@ class SimpleFont:
                  "to_unicode", "differences", "bold", "italic",
                  "two_byte", "cid_widths", "default_width",
                  "family", "smallcaps", "base_encoding",
-                 "embedded_encoding", "to_unicode_broken", "is_type3")
+                 "embedded_encoding", "to_unicode_broken", "is_type3",
+                 "embedded_bytes")
 
     def __init__(self, name, widths_table, first_char=None, widths_arr=None,
                  to_unicode=None, differences=None, two_byte=False,
@@ -149,6 +150,10 @@ class SimpleFont:
             base_encoding = builtin_encoding_for_font(base)
         self.base_encoding = base_encoding
         self.embedded_encoding = embedded_encoding
+        # Raw /FontFile2 TrueType program, kept so the PDF export can
+        # re-embed the document's own glyph outlines (the rawFontBytes
+        # path of writePdfFonts.js:292 createEmbeddedFontType0).
+        self.embedded_bytes = None
         from .fonts_embedded import to_unicode_is_broken
         self.to_unicode_broken = to_unicode_is_broken(to_unicode)
         self.is_type3 = False
@@ -424,9 +429,21 @@ def build_font(pdf, font_dict) -> SimpleFont:
                             i += 3
                         else:
                             break
-        return SimpleFont(base, base14_widths(base), to_unicode=tu,
+        font = SimpleFont(base, base14_widths(base), to_unicode=tu,
                           two_byte=two_byte, cid_widths=cid_widths,
                           default_width=default_width)
+        # Descendant CIDFontType2's /FontFile2 — kept for re-embedding.
+        if isinstance(desc, list) and desc:
+            cidfont = pdf.resolve(desc[0])
+            if isinstance(cidfont, dict):
+                fd = pdf.resolve(cidfont.get("FontDescriptor"))
+                if isinstance(fd, dict) and "FontFile2" in fd:
+                    try:
+                        font.embedded_bytes = pdf.stream_bytes(
+                            fd["FontFile2"])
+                    except Exception:
+                        pass
+        return font
     first_char = pdf.resolve(d.get("FirstChar"))
     widths = pdf.resolve(d.get("Widths"))
     widths_arr = [float(pdf.resolve(w) or 0) for w in widths] \
@@ -462,6 +479,7 @@ def build_font(pdf, font_dict) -> SimpleFont:
     # the recovery path for subset fonts without (or with broken)
     # ToUnicode (M5; reference parsePdfFonts.js:695 + font-parser).
     embedded = None
+    embedded_bytes = None
     desc = pdf.resolve(d.get("FontDescriptor"))
     if isinstance(desc, dict):
         from .fonts_embedded import parse_cff_encoding, parse_type1_encoding
@@ -474,8 +492,8 @@ def build_font(pdf, font_dict) -> SimpleFont:
                     pdf.stream_bytes(desc["FontFile"]))
             elif "FontFile2" in desc:
                 from .fonts_embedded import parse_truetype_encoding
-                embedded = parse_truetype_encoding(
-                    pdf.stream_bytes(desc["FontFile2"]))
+                embedded_bytes = pdf.stream_bytes(desc["FontFile2"])
+                embedded = parse_truetype_encoding(embedded_bytes)
         except Exception:
             embedded = None
     # Precedence merge (ISO 32000-1 §9.6.6): explicit /Encoding entries
@@ -484,11 +502,13 @@ def build_font(pdf, font_dict) -> SimpleFont:
     if embedded and base_encoding:
         embedded = {**embedded, **base_encoding}
         base_encoding = None
-    return SimpleFont(
+    font = SimpleFont(
         base, base14_widths(base),
         first_char=int(first_char) if isinstance(first_char, (int, float)) else None,
         widths_arr=widths_arr, to_unicode=to_unicode, differences=differences,
         base_encoding=base_encoding, embedded_encoding=embedded)
+    font.embedded_bytes = embedded_bytes
+    return font
 
 
 def parse_ext_gstates(pdf, resources) -> dict:

@@ -130,6 +130,12 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
 
     page = group_chars_into_page(interp.chars, n, width_pt, height_pt, scale,
                                  underline_rects=graphics["underline_rects"])
+    # Source TrueType programs by family: the export's glyph-outline
+    # re-embedding source (subsetPdf.js carries the original font files;
+    # writePdfFonts.js:292 rawFontBytes).  First program per family wins.
+    for f in fonts.values():
+        if f.embedded_bytes and f.family not in page.font_programs:
+            page.font_programs[f.family] = f.embedded_bytes
     # Unconsumed thin rules become paragraph separators; ruled grids
     # become table regions that suppress furniture rules inside them
     # (ocrObjects.js:22-34 rules/tableBoxes).

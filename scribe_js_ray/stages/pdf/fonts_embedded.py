@@ -543,3 +543,139 @@ def to_unicode_is_broken(to_unicode: dict) -> bool:
         if 0xE000 <= cp <= 0xF8FF or cp == 0xFFFD:
             broken += 1
     return broken >= 3 and broken >= mapped * 0.5
+
+
+def truetype_metrics(data: bytes) -> dict | None:
+    """Full-range metrics of a TrueType program for re-embedding on
+    export (the raw-bytes path of the reference's
+    ``createEmbeddedFontType0``, writePdfFonts.js:292-380): unicode→GID
+    from a (3,1)/(0,3) cmap (formats 4/6/12), per-GID advances from
+    hhea/hmtx normalized to /1000 units, FontDescriptor numbers from
+    head/OS-2/post, and the PostScript name (name ID 6)."""
+    try:
+        if len(data) < 12 or data[:4] not in (b"\x00\x01\x00\x00", b"true"):
+            return None
+        num_tables = struct.unpack_from(">H", data, 4)[0]
+        tables = {}
+        for i in range(num_tables):
+            off = 12 + 16 * i
+            if off + 16 > len(data):
+                return None
+            tables[data[off:off + 4]] = struct.unpack_from(
+                ">II", data, off + 8)
+        for need in (b"cmap", b"head", b"hhea", b"hmtx", b"maxp"):
+            if need not in tables:
+                return None
+
+        head = tables[b"head"][0]
+        units_per_em = struct.unpack_from(">H", data, head + 18)[0] or 1000
+        bbox = struct.unpack_from(">4h", data, head + 36)
+        maxp = tables[b"maxp"][0]
+        n_glyphs = struct.unpack_from(">H", data, maxp + 4)[0]
+        hhea = tables[b"hhea"][0]
+        ascent, descent = struct.unpack_from(">hh", data, hhea + 4)
+        n_hmetrics = struct.unpack_from(">H", data, hhea + 34)[0]
+        hmtx = tables[b"hmtx"][0]
+        scale = 1000.0 / units_per_em
+        advances = []
+        last = 0
+        for gi in range(n_glyphs):
+            if gi < n_hmetrics:
+                last = struct.unpack_from(">H", data, hmtx + 4 * gi)[0]
+            advances.append(int(round(last * scale)))
+
+        # Unicode cmap, full range (unlike parse_truetype_encoding's
+        # byte-window recovery path).
+        c_off = tables[b"cmap"][0]
+        n_sub = struct.unpack_from(">H", data, c_off + 2)[0]
+        best = None
+        for i in range(n_sub):
+            pid, eid, sub_off = struct.unpack_from(
+                ">HHI", data, c_off + 4 + 8 * i)
+            pri = {(3, 10): 0, (0, 4): 0, (3, 1): 1, (0, 3): 1}.get(
+                (pid, eid))
+            if pri is not None and (best is None or pri < best[0]):
+                best = (pri, c_off + sub_off)
+        if best is None:
+            return None
+        sub = best[1]
+        fmt = struct.unpack_from(">H", data, sub)[0]
+        uni_to_gid: dict[int, int] = {}
+        if fmt == 4:
+            seg_x2 = struct.unpack_from(">H", data, sub + 6)[0]
+            segs = seg_x2 // 2
+            if segs > 8192:
+                return None
+            ends = struct.unpack_from(f">{segs}H", data, sub + 14)
+            starts = struct.unpack_from(f">{segs}H", data, sub + 16 + seg_x2)
+            deltas = struct.unpack_from(f">{segs}h", data,
+                                        sub + 16 + 2 * seg_x2)
+            ro_base = sub + 16 + 3 * seg_x2
+            range_offs = struct.unpack_from(f">{segs}H", data, ro_base)
+            for k in range(segs):
+                if starts[k] == 0xFFFF:
+                    continue
+                for code in range(starts[k], min(ends[k], 0xFFFD) + 1):
+                    if range_offs[k] == 0:
+                        gid = (code + deltas[k]) & 0xFFFF
+                    else:
+                        gi_off = (ro_base + 2 * k + range_offs[k]
+                                  + 2 * (code - starts[k]))
+                        if gi_off + 2 > len(data):
+                            continue
+                        gid = struct.unpack_from(">H", data, gi_off)[0]
+                        if gid:
+                            gid = (gid + deltas[k]) & 0xFFFF
+                    if gid:
+                        uni_to_gid[code] = gid
+        elif fmt == 6:
+            first, count = struct.unpack_from(">HH", data, sub + 6)
+            gids = struct.unpack_from(f">{count}H", data, sub + 10)
+            for i, gid in enumerate(gids):
+                if gid:
+                    uni_to_gid[first + i] = gid
+        elif fmt == 12:
+            n_groups = struct.unpack_from(">I", data, sub + 12)[0]
+            for gi in range(min(n_groups, 100000)):
+                s0, e0, g0 = struct.unpack_from(
+                    ">III", data, sub + 16 + 12 * gi)
+                for code in range(s0, min(e0, s0 + 10000) + 1):
+                    uni_to_gid[code] = g0 + (code - s0)
+        if not uni_to_gid:
+            return None
+
+        ps_name = None
+        nm = tables.get(b"name")
+        if nm:
+            n_off = nm[0]
+            count, str_off = struct.unpack_from(">HH", data, n_off + 2)
+            for i in range(count):
+                rec = n_off + 6 + 12 * i
+                pid, eid, _lang, nid, ln, so = struct.unpack_from(
+                    ">6H", data, rec)
+                if nid == 6:
+                    raw = data[n_off + str_off + so:
+                               n_off + str_off + so + ln]
+                    ps_name = (raw.decode("utf-16-be", "replace")
+                               if pid in (0, 3) else
+                               raw.decode("latin-1", "replace"))
+                    break
+        italic_angle = 0.0
+        po = tables.get(b"post")
+        if po:
+            raw_angle = struct.unpack_from(">i", data, po[0] + 4)[0]
+            italic_angle = raw_angle / 65536.0
+
+        return {
+            "uni_to_gid": uni_to_gid,
+            "advances": advances,
+            "n_glyphs": n_glyphs,
+            "units_per_em": units_per_em,
+            "bbox": [int(round(v * scale)) for v in bbox],
+            "ascent": int(round(ascent * scale)),
+            "descent": int(round(descent * scale)),
+            "ps_name": ps_name,
+            "italic_angle": italic_angle,
+        }
+    except Exception:
+        return None

@@ -60,8 +60,68 @@ def _esc_winansi(s: str) -> bytes:
     return bytes(out)
 
 
-def write_pdf(pages, text_mode: str = "ebook") -> bytes:
-    """pages: list of model Pages → PDF bytes."""
+class _EmbFont:
+    """One source TrueType program being re-embedded (the rawFontBytes
+    Type0 path of writePdfFonts.js:292 createEmbeddedFontType0)."""
+
+    __slots__ = ("family", "data", "metrics", "tag", "used_gids")
+
+    def __init__(self, family, data, metrics, tag):
+        self.family = family
+        self.data = data
+        self.metrics = metrics
+        self.tag = tag
+        self.used_gids: dict[int, str] = {}    # gid → unicode shown
+
+    def encode(self, text: str):
+        """GID hex string for ``text``, or None if any char is missing
+        from the program's cmap (word falls back to base-14)."""
+        gids = []
+        u2g = self.metrics["uni_to_gid"]
+        for ch in text:
+            gid = u2g.get(ord(ch))
+            if gid is None:
+                return None
+            gids.append(gid)
+        for gid, ch in zip(gids, text):
+            self.used_gids.setdefault(gid, ch)
+        return "<" + "".join(f"{g:04X}" for g in gids) + ">"
+
+
+def _ps_name_of(emb: _EmbFont) -> str:
+    name = emb.metrics.get("ps_name") or emb.family or "Embedded"
+    return "".join(c for c in name if 0x21 <= ord(c) <= 0x7E
+                   and c not in "()<>[]{}/%#") or "Embedded"
+
+
+def _to_unicode_cmap(used_gids: dict[int, str]) -> bytes:
+    """bfchar ToUnicode CMap for the used GIDs (createToUnicode
+    analog)."""
+    entries = "\n".join(
+        f"<{gid:04X}> <{ord(ch):04X}>"
+        for gid, ch in sorted(used_gids.items()))
+    return (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        "/Supplement 0 >> def\n"
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(used_gids)} beginbfchar\n{entries}\nendbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+        "end\nend\n").encode("latin-1")
+
+
+def write_pdf(pages, text_mode: str = "ebook",
+              embed_fonts: bool = True) -> bytes:
+    """pages: list of model Pages → PDF bytes.
+
+    ``embed_fonts``: when the source document carried TrueType programs
+    (``page.font_programs``), words whose family matches are written as
+    Identity-H GID strings against a re-embedded /FontFile2 — the
+    exported PDF renders with the document's own glyph outlines
+    (convertTextRegionsToPaths.js / writePdfFonts.js parity surface);
+    everything else falls back to base-14 text."""
     if text_mode not in ("ebook", "invis"):
         raise ValueError(f"unsupported text_mode: {text_mode}")
     objects: list[bytes] = []
@@ -82,10 +142,30 @@ def write_pdf(pages, text_mode: str = "ebook") -> bytes:
             used_fonts[base] = f"F{len(used_fonts) + 1}"
         return used_fonts[base]
 
-    page_obj_ids = []
+    emb_fonts: dict[str, _EmbFont] = {}   # family -> embedded record
+    emb_failed: set = set()
+
+    def emb_for(page, family):
+        if not embed_fonts or not family:
+            return None
+        rec = emb_fonts.get(family)
+        if rec is not None or family in emb_failed:
+            return rec
+        data = (getattr(page, "font_programs", None) or {}).get(family)
+        if data is None:
+            return None
+        from .pdf.fonts_embedded import truetype_metrics
+        metrics = truetype_metrics(data)
+        if metrics is None:
+            emb_failed.add(family)
+            return None
+        rec = _EmbFont(family, data, metrics,
+                       f"EF{len(emb_fonts) + 1}")
+        emb_fonts[family] = rec
+        return rec
+
     page_bodies = []
     for page in pages:
-        w_px = max(int(round(page.width or 612)), 1)
         h_px = max(int(round(page.height or 792)), 1)
         parts = ["BT"]
         if text_mode == "invis":
@@ -96,31 +176,45 @@ def write_pdf(pages, text_mode: str = "ebook") -> bytes:
                 size = word.style.size or \
                     ((line.asc_height or 9) / 0.75)
                 size = max(round(float(size), 2), 1)
-                base = _font_key(word)
-                tag = tag_for(base)
                 x = round(word.bbox.left, 2)
                 y = round(h_px - base_y, 2)
+                emb = emb_for(page, word.style.font)
+                shown = emb.encode(word.text) if emb is not None else None
+                if shown is not None:
+                    parts.append(f"/{emb.tag} {size:g} Tf")
+                    parts.append(f"1 0 0 1 {x:g} {y:g} Tm")
+                    parts.append(f"{shown} Tj")
+                    continue
+                base = _font_key(word)
+                tag = tag_for(base)
                 txt = _esc_winansi(word.text).decode("latin-1")
                 parts.append(f"/{tag} {size:g} Tf")
                 parts.append(f"1 0 0 1 {x:g} {y:g} Tm")
                 parts.append(f"({txt}) Tj")
         parts.append("ET")
         page_bodies.append(("\n".join(parts)).encode("latin-1"),)
-        page_obj_ids.append(None)  # assigned after font count known
 
     first_page_obj = 3
     font_obj_start = first_page_obj + 2 * n_pages
-    # Pre-assign font tags by scanning already done via tag_for above.
+    # Base-14 fonts: 1 object each.  Embedded fonts: 5 objects each —
+    # Type0 dict, CIDFontType2 (W inline), FontDescriptor, FontFile2
+    # stream, ToUnicode stream (writePdfFonts.js object layout).
+    emb_list = list(emb_fonts.values())
+    emb_obj_start = font_obj_start + len(used_fonts)
     font_refs = " ".join(
         f"/{tag} {font_obj_start + i} 0 R"
         for i, (base, tag) in enumerate(used_fonts.items()))
+    emb_refs = " ".join(
+        f"/{e.tag} {emb_obj_start + 5 * i} 0 R"
+        for i, e in enumerate(emb_list))
+    all_refs = " ".join(x for x in (font_refs, emb_refs) if x)
 
     for i, page in enumerate(pages):
         w_px = max(int(round(page.width or 612)), 1)
         h_px = max(int(round(page.height or 792)), 1)
         page_id = add(
             (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w_px} {h_px}] "
-             f"/Resources << /Font << {font_refs} >> >> "
+             f"/Resources << /Font << {all_refs} >> >> "
              f"/Contents {first_page_obj + 2 * i + 1} 0 R >>").encode())
         assert page_id == first_page_obj + 2 * i
         comp = zlib.compress(page_bodies[i])
@@ -131,6 +225,44 @@ def write_pdf(pages, text_mode: str = "ebook") -> bytes:
         fid = add(f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} "
                   f"/Encoding /WinAnsiEncoding >>".encode())
         assert fid == font_obj_start + i
+    for i, e in enumerate(emb_list):
+        m = e.metrics
+        base = _ps_name_of(e)
+        o_type0 = emb_obj_start + 5 * i
+        o_cid = o_type0 + 1
+        o_desc = o_type0 + 2
+        o_file = o_type0 + 3
+        o_tu = o_type0 + 4
+        fid = add((f"<< /Type /Font /Subtype /Type0 /BaseFont /{base} "
+                   f"/Encoding /Identity-H /DescendantFonts [{o_cid} 0 R] "
+                   f"/ToUnicode {o_tu} 0 R >>").encode())
+        assert fid == o_type0
+        w_entries = " ".join(
+            f"{gid} [{m['advances'][gid] if gid < len(m['advances']) else 500}]"
+            for gid in sorted(e.used_gids))
+        add((f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /{base} "
+             f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+             f"/Supplement 0 >> /FontDescriptor {o_desc} 0 R "
+             f"/CIDToGIDMap /Identity /DW 1000 "
+             f"/W [ {w_entries} ] >>").encode())
+        bb = m["bbox"]
+        add((f"<< /Type /FontDescriptor /FontName /{base} /Flags 32 "
+             f"/FontBBox [{bb[0]} {bb[1]} {bb[2]} {bb[3]}] "
+             f"/ItalicAngle {m['italic_angle']:g} "
+             f"/Ascent {m['ascent']} /Descent {m['descent']} "
+             f"/CapHeight {m['ascent']} /StemV 80 "
+             f"/FontFile2 {o_file} 0 R >>").encode())
+        comp = zlib.compress(e.data)
+        add(b"<< /Length " + str(len(comp)).encode()
+            + b" /Filter /FlateDecode /Length1 "
+            + str(len(e.data)).encode()
+            + b" >>\nstream\n" + comp + b"\nendstream")
+        tu = _to_unicode_cmap(e.used_gids)
+        comp = zlib.compress(tu)
+        tid = add(b"<< /Length " + str(len(comp)).encode()
+                  + b" /Filter /FlateDecode >>\nstream\n" + comp
+                  + b"\nendstream")
+        assert tid == o_tu
 
     kids = " ".join(f"{first_page_obj + 2 * i} 0 R" for i in range(n_pages))
     objects[1] = (f"<< /Type /Pages /Kids [{kids}] "
