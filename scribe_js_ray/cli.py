@@ -39,6 +39,41 @@ def _cmd_extract(args) -> int:
         ray.shutdown()
 
 
+def _parse_page_spec(spec: str, n_pages: int) -> list[int]:
+    """"all", "0,2", "1-3,5" → page index list."""
+    if spec.strip().lower() == "all":
+        return list(range(n_pages))
+    out: list[int] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if "-" in part:
+            a, b = part.split("-", 1)
+            out.extend(range(int(a), int(b) + 1))
+        elif part:
+            out.append(int(part))
+    return out
+
+
+def _cmd_pdf_subset(args) -> int:
+    """Page-subset / metadata-scrub rebuild (subsetPdf.js:1056 /
+    stripMetadataPdf:1105 utility surface).  Single-file; no Ray."""
+    from .stages.pdf.doc import _walk_pages
+    from .stages.pdf.objects import PdfFile
+    from .stages.pdf.subset import subset_pdf
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    n_pages = len(_walk_pages(PdfFile(data)))
+    indices = _parse_page_spec(args.pages, n_pages)
+    out = subset_pdf(data, indices, scrub=args.scrub)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(json.dumps({"input_pages": n_pages, "kept_pages": len(indices),
+                      "scrubbed": bool(args.scrub),
+                      "bytes": len(out), "output": args.output}))
+    return 0
+
+
 def _cmd_gen_pages(args) -> int:
     from .sources.synth import write_pages_parquet
 
@@ -65,6 +100,16 @@ def main(argv=None) -> int:
                              "docx", "xlsx", "pdf", "scribe"],
                     help="output format (exportData dispatch analog)")
     ex.set_defaults(fn=_cmd_extract)
+
+    ps = sub.add_parser("pdf-subset",
+                        help="extract pages from / scrub metadata of a PDF")
+    ps.add_argument("--input", required=True, help="source PDF path")
+    ps.add_argument("--output", required=True, help="output PDF path")
+    ps.add_argument("--pages", default="all",
+                    help='page indices, e.g. "0,2-4" (default: all)')
+    ps.add_argument("--scrub", action="store_true",
+                    help="strip identifying metadata (stripMetadataPdf)")
+    ps.set_defaults(fn=_cmd_pdf_subset)
 
     gp = sub.add_parser("gen-pages", help="write a synthetic pages table")
     gp.add_argument("--output", required=True)
