@@ -679,3 +679,195 @@ def truetype_metrics(data: bytes) -> dict | None:
         }
     except Exception:
         return None
+
+
+class GlyphSource:
+    """TrueType glyf-outline reader for text→vector-path conversion
+    (the glyph-resolution core of the reference's
+    convertTextRegionsToPaths.js:175 loadGlyphsForOutlines /
+    opentype parseGlyfTable).  Outlines come back as path commands in
+    FONT UNITS: ("m",x,y) ("l",x,y) ("q",cx,cy,x,y) ("z",).
+    Quadratic segments are kept quadratic here; the PDF writer lifts
+    them to cubics (PDF has no native quadratic operator —
+    convertTextRegionsToPaths.js:364)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.ok = False
+        try:
+            if len(data) < 12 or \
+                    data[:4] not in (b"\x00\x01\x00\x00", b"true"):
+                return
+            n = struct.unpack_from(">H", data, 4)[0]
+            tables = {}
+            for i in range(n):
+                off = 12 + 16 * i
+                tables[data[off:off + 4]] = struct.unpack_from(
+                    ">II", data, off + 8)
+            for need in (b"head", b"maxp", b"loca", b"glyf"):
+                if need not in tables:
+                    return
+            head = tables[b"head"][0]
+            self.units_per_em = struct.unpack_from(
+                ">H", data, head + 18)[0] or 1000
+            loc_fmt = struct.unpack_from(">h", data, head + 50)[0]
+            maxp = tables[b"maxp"][0]
+            self.n_glyphs = struct.unpack_from(">H", data, maxp + 4)[0]
+            lo, ln = tables[b"loca"]
+            if loc_fmt == 0:
+                raw = struct.unpack_from(
+                    f">{self.n_glyphs + 1}H", data, lo)
+                self.loca = [v * 2 for v in raw]
+            else:
+                self.loca = list(struct.unpack_from(
+                    f">{self.n_glyphs + 1}I", data, lo))
+            self.glyf_off = tables[b"glyf"][0]
+            self._cache: dict[int, list] = {}
+            self.ok = True
+        except Exception:
+            self.ok = False
+
+    def outline(self, gid: int, _depth: int = 0) -> list | None:
+        """Path commands for one glyph, or None (missing/malformed).
+        An empty glyph (e.g. space) returns []."""
+        if not self.ok or not 0 <= gid < self.n_glyphs or _depth > 4:
+            return None
+        if gid in self._cache:
+            return self._cache[gid]
+        try:
+            start = self.glyf_off + self.loca[gid]
+            end = self.glyf_off + self.loca[gid + 1]
+            if end <= start:
+                self._cache[gid] = []
+                return []
+            d = self.data
+            n_contours = struct.unpack_from(">h", d, start)[0]
+            if n_contours < 0:
+                cmds = self._composite(start + 10, _depth)
+            else:
+                cmds = self._simple(start + 10, n_contours)
+            self._cache[gid] = cmds
+            return cmds
+        except Exception:
+            self._cache[gid] = None
+            return None
+
+    def _simple(self, pos: int, n_contours: int) -> list:
+        d = self.data
+        ends = struct.unpack_from(f">{n_contours}H", d, pos)
+        pos += 2 * n_contours
+        n_pts = (ends[-1] + 1) if ends else 0
+        ins_len = struct.unpack_from(">H", d, pos)[0]
+        pos += 2 + ins_len
+        flags = []
+        while len(flags) < n_pts:
+            f = d[pos]
+            pos += 1
+            flags.append(f)
+            if f & 0x08:                      # REPEAT
+                for _ in range(d[pos]):
+                    flags.append(f)
+                pos += 1
+        flags = flags[:n_pts]
+        xs, x = [], 0
+        for f in flags:
+            if f & 0x02:                      # X_SHORT
+                dx = d[pos]
+                pos += 1
+                x += dx if f & 0x10 else -dx
+            elif not f & 0x10:
+                x += struct.unpack_from(">h", d, pos)[0]
+                pos += 2
+            xs.append(x)
+        ys, y = [], 0
+        for f in flags:
+            if f & 0x04:                      # Y_SHORT
+                dy = d[pos]
+                pos += 1
+                y += dy if f & 0x20 else -dy
+            elif not f & 0x20:
+                y += struct.unpack_from(">h", d, pos)[0]
+                pos += 2
+            ys.append(y)
+        on = [bool(f & 0x01) for f in flags]
+
+        cmds = []
+        c0 = 0
+        for ce in ends:
+            pts = [(xs[i], ys[i], on[i]) for i in range(c0, ce + 1)]
+            c0 = ce + 1
+            if not pts:
+                continue
+            # Rotate so the contour starts on-curve (synthesizing a
+            # midpoint start when every point is off-curve).
+            si = next((i for i, p in enumerate(pts) if p[2]), None)
+            if si is None:
+                mx = (pts[0][0] + pts[-1][0]) / 2.0
+                my = (pts[0][1] + pts[-1][1]) / 2.0
+                pts = [(mx, my, True)] + pts
+            else:
+                pts = pts[si:] + pts[:si]
+            cmds.append(("m", pts[0][0], pts[0][1]))
+            i = 1
+            n = len(pts)
+            while i <= n:
+                px, py, pon = pts[i % n]
+                if pon:
+                    cmds.append(("l", px, py))
+                    i += 1
+                    continue
+                nx, ny, non = pts[(i + 1) % n]
+                if not non:                   # implied on-curve midpoint
+                    nx, ny = (px + nx) / 2.0, (py + ny) / 2.0
+                    cmds.append(("q", px, py, nx, ny))
+                    i += 1
+                else:
+                    cmds.append(("q", px, py, nx, ny))
+                    i += 2
+                if i >= n and cmds[-1][0] == "q" and \
+                        (cmds[-1][3], cmds[-1][4]) == \
+                        (pts[0][0], pts[0][1]):
+                    break
+            cmds.append(("z",))
+        return cmds
+
+    def _composite(self, pos: int, depth: int) -> list:
+        d = self.data
+        cmds: list = []
+        while True:
+            flags, comp_gid = struct.unpack_from(">HH", d, pos)
+            pos += 4
+            if flags & 0x0001:                # ARGS ARE WORDS
+                a1, a2 = struct.unpack_from(">hh", d, pos)
+                pos += 4
+            else:
+                a1, a2 = struct.unpack_from(">bb", d, pos)
+                pos += 2
+            sx = sy = 1.0
+            s01 = s10 = 0.0
+            if flags & 0x0008:                # WE_HAVE_A_SCALE
+                sx = sy = struct.unpack_from(">h", d, pos)[0] / 16384.0
+                pos += 2
+            elif flags & 0x0040:              # X_AND_Y_SCALE
+                sx, sy = (v / 16384.0 for v in
+                          struct.unpack_from(">hh", d, pos))
+                pos += 4
+            elif flags & 0x0080:              # TWO_BY_TWO
+                sx, s01, s10, sy = (v / 16384.0 for v in
+                                    struct.unpack_from(">hhhh", d, pos))
+                pos += 8
+            dx, dy = (a1, a2) if flags & 0x0002 else (0, 0)
+            sub = self.outline(comp_gid, depth + 1)
+            for c in sub or []:
+                if c[0] == "z":
+                    cmds.append(c)
+                    continue
+                coords = []
+                for k in range(1, len(c), 2):
+                    x0, y0 = c[k], c[k + 1]
+                    coords.extend((x0 * sx + y0 * s10 + dx,
+                                   x0 * s01 + y0 * sy + dy))
+                cmds.append((c[0], *coords))
+            if not flags & 0x0020:            # MORE_COMPONENTS
+                break
+        return cmds

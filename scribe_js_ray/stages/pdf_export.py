@@ -112,8 +112,65 @@ def _to_unicode_cmap(used_gids: dict[int, str]) -> bytes:
         "end\nend\n").encode("latin-1")
 
 
+def _bbox_intersects(b, region) -> bool:
+    rl, rt, rr, rb = region
+    return not (b.right < rl or b.left > rr or b.bottom < rt
+                or b.top > rb)
+
+
+def _glyph_path_ops(src, metrics, text: str, x: float, y: float,
+                    size: float) -> list[str] | None:
+    """Filled vector-path operators for ``text`` at baseline (x, y) —
+    the glyph-to-path core of convertTextRegionsToPaths.js
+    (pathCommandsToOps:368: quadratics lifted to cubics because PDF
+    has no native quadratic operator; nonzero fill)."""
+    upm = src.units_per_em or 1000
+    s = size / upm
+    u2g = metrics["uni_to_gid"]
+    pen = x
+    ops: list[str] = []
+    any_marks = False
+    for ch in text:
+        gid = u2g.get(ord(ch))
+        if gid is None:
+            return None
+        outline = src.outline(gid)
+        if outline is None:
+            return None
+        cx = cy = 0.0
+        for cmd in outline:
+            if cmd[0] == "m":
+                cx, cy = cmd[1], cmd[2]
+                ops.append(f"{pen + cx * s:.2f} {y + cy * s:.2f} m")
+            elif cmd[0] == "l":
+                cx, cy = cmd[1], cmd[2]
+                ops.append(f"{pen + cx * s:.2f} {y + cy * s:.2f} l")
+            elif cmd[0] == "q":
+                qx, qy, ex, ey = cmd[1:]
+                c1x = cx + 2.0 / 3.0 * (qx - cx)
+                c1y = cy + 2.0 / 3.0 * (qy - cy)
+                c2x = ex + 2.0 / 3.0 * (qx - ex)
+                c2y = ey + 2.0 / 3.0 * (qy - ey)
+                ops.append(
+                    f"{pen + c1x * s:.2f} {y + c1y * s:.2f} "
+                    f"{pen + c2x * s:.2f} {y + c2y * s:.2f} "
+                    f"{pen + ex * s:.2f} {y + ey * s:.2f} c")
+                cx, cy = ex, ey
+            elif cmd[0] == "z":
+                ops.append("h")
+                any_marks = True
+        adv = metrics["advances"][gid] if gid < len(
+            metrics["advances"]) else 500
+        pen += adv * size / 1000.0
+    if any_marks:
+        ops.append("f")
+    return ops
+
+
 def write_pdf(pages, text_mode: str = "ebook",
-              embed_fonts: bool = True) -> bytes:
+              embed_fonts: bool = True,
+              path_regions: dict | None = None,
+              path_pages: set | None = None) -> bytes:
     """pages: list of model Pages → PDF bytes.
 
     ``embed_fonts``: when the source document carried TrueType programs
@@ -121,7 +178,15 @@ def write_pdf(pages, text_mode: str = "ebook",
     Identity-H GID strings against a re-embedded /FontFile2 — the
     exported PDF renders with the document's own glyph outlines
     (convertTextRegionsToPaths.js / writePdfFonts.js parity surface);
-    everything else falls back to base-14 text."""
+    everything else falls back to base-14 text.
+
+    ``path_regions`` ({page_index: [(l, t, r, b), ...]} in page pixel
+    coords) and ``path_pages`` (page indices): words intersecting a
+    region (or on a listed page) are drawn as FILLED VECTOR PATHS from
+    the source font's glyf outlines instead of text operators — they
+    no longer extract as text, matching the reference's
+    convertRegionsToPaths / convertFullPages rebuild options
+    (subsetPdf.js:332-333, convertTextRegionsToPaths.js:538)."""
     if text_mode not in ("ebook", "invis"):
         raise ValueError(f"unsupported text_mode: {text_mode}")
     objects: list[bytes] = []
@@ -164,9 +229,22 @@ def write_pdf(pages, text_mode: str = "ebook",
         emb_fonts[family] = rec
         return rec
 
+    glyph_srcs: dict[str, object] = {}    # family -> GlyphSource|None
+
+    def glyph_src_for(page, family):
+        if family not in glyph_srcs:
+            from .pdf.fonts_embedded import GlyphSource
+            data = (getattr(page, "font_programs", None) or {}).get(family)
+            src = GlyphSource(data) if data else None
+            glyph_srcs[family] = src if src is not None and src.ok \
+                else None
+        return glyph_srcs[family]
+
     page_bodies = []
-    for page in pages:
+    for page_idx, page in enumerate(pages):
         h_px = max(int(round(page.height or 792)), 1)
+        regions = (path_regions or {}).get(page_idx) or []
+        whole_page = bool(path_pages and page_idx in path_pages)
         parts = ["BT"]
         if text_mode == "invis":
             parts.append("3 Tr")
@@ -179,6 +257,23 @@ def write_pdf(pages, text_mode: str = "ebook",
                 x = round(word.bbox.left, 2)
                 y = round(h_px - base_y, 2)
                 emb = emb_for(page, word.style.font)
+                if (whole_page or any(
+                        _bbox_intersects(word.bbox, r)
+                        for r in regions)) and emb is not None:
+                    src = glyph_src_for(page, word.style.font)
+                    ops = _glyph_path_ops(
+                        src, emb.metrics, word.text, x, y, size) \
+                        if src is not None else None
+                    if ops is not None:
+                        # Path ops are illegal inside a text object:
+                        # close it, draw, reopen (the bounceFlushInBT
+                        # move, convertTextRegionsToPaths.js:762).
+                        parts.append("ET")
+                        parts.extend(ops)
+                        parts.append("BT")
+                        if text_mode == "invis":
+                            parts.append("3 Tr")
+                        continue
                 shown = emb.encode(word.text) if emb is not None else None
                 if shown is not None:
                     parts.append(f"/{emb.tag} {size:g} Tf")
@@ -199,7 +294,9 @@ def write_pdf(pages, text_mode: str = "ebook",
     # Base-14 fonts: 1 object each.  Embedded fonts: 5 objects each —
     # Type0 dict, CIDFontType2 (W inline), FontDescriptor, FontFile2
     # stream, ToUnicode stream (writePdfFonts.js object layout).
-    emb_list = list(emb_fonts.values())
+    # A family whose every word was path-converted never shows text:
+    # no used GIDs, so the font objects would be dead weight.
+    emb_list = [e for e in emb_fonts.values() if e.used_gids]
     emb_obj_start = font_obj_start + len(used_fonts)
     font_refs = " ".join(
         f"/{tag} {font_obj_start + i} 0 R"
