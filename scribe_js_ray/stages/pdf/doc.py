@@ -153,6 +153,31 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
                 graphics["underline_rects"], graphics["v_segments"])]
     except Exception:
         page.table_boxes = []
+    # Header-rule anchored tables (detectPdfTables.js:3354): a y-band
+    # of 3+ disjoint column rules (financial-statement separators)
+    # anchors a header scan up and a data scan down.
+    try:
+        from .paths import detect_header_rule_tables
+        for t in detect_header_rule_tables(
+                graphics["underline_rects"], page):
+            tb = dict(t["bbox"], col_separators=t["col_separators"],
+                      method="header-rule")
+            clash = False
+            for g in page.table_boxes:
+                ox = min(tb["right"], g["right"]) - max(tb["left"],
+                                                        g["left"])
+                oy = min(tb["bottom"], g["bottom"]) - max(tb["top"],
+                                                          g["top"])
+                if ox > 0 and oy > 0:
+                    area = (tb["right"] - tb["left"]) * \
+                        (tb["bottom"] - tb["top"])
+                    if area > 0 and (ox * oy) / area > 0.3:
+                        clash = True
+                        break
+            if not clash:
+                page.table_boxes.append(tb)
+    except Exception:
+        pass
     # Borderless tables from text alignment (detectPdfTables.js text
     # candidates, M27): grid regions take precedence — a text candidate
     # overlapping a ruled grid is dropped (:292-295 grid override).

@@ -18,6 +18,8 @@ path parsing entirely (parsePdfDoc.js:35 GRAPHICS_HEAVY_STREAM_BYTES).
 
 from __future__ import annotations
 
+import re
+
 from .content import _mat_mul, tokenize_content
 from .objects import StreamObj
 
@@ -609,3 +611,158 @@ def detect_ruled_tables(underline_rects, v_segments, min_cols: int = 2,
             "col_separators": cols[1:-1],
             "method": "ruled"})
     return tables
+
+
+def detect_header_rule_tables(underline_rects, page) -> list[dict]:
+    """Tables anchored to a "ruling row" — a y-band of 3+ horizontal
+    rules with mutually disjoint x-extents (one per column, the classic
+    financial-statement header separator).  Decision surface of
+    detectPdfTables.js:3354 detectHeaderRuleTables:
+
+    - y-band grouping (±3), ≥3 disjoint segments spanning ≥30% of page
+      width; subset-geometry bands (subtotal rules) fold into the
+      primary above them
+    - upward header scan bounded by the previous primary's rule, gap
+      limit 1.5× median header spacing (min 45)
+    - downward data scan bounded by the next primary's header top, gap
+      limit 2.5× median early-row spacing (min 80)
+    - numeric validation: ≥5 rows hitting 2+ distinct columns with
+      numeric words AND some non-label column numeric in ≥50% of rows
+    """
+    from ..text_tables import group_lines_into_rows
+    lines = page.lines
+    if not lines or not underline_rects:
+        return []
+
+    groups: list[dict] = []
+    for hl in underline_rects:
+        for g in groups:
+            if abs(g["y"] - hl["y"]) <= 3:
+                g["segs"].append(hl)
+                g["y"] = sum(s["y"] for s in g["segs"]) / len(g["segs"])
+                break
+        else:
+            groups.append({"y": hl["y"], "segs": [hl]})
+
+    ruling = []
+    for g in groups:
+        if len(g["segs"]) < 3:
+            continue
+        segs = sorted(g["segs"], key=lambda s: s["left"])
+        if any(segs[i]["left"] < segs[i - 1]["right"] - 1
+               for i in range(1, len(segs))):
+            continue
+        if segs[-1]["right"] - segs[0]["left"] < page.width * 0.3:
+            continue
+        ruling.append({"y": g["y"],
+                       "cols": [(s["left"], s["right"]) for s in segs]})
+    if not ruling:
+        return []
+    ruling.sort(key=lambda r: r["y"])
+
+    def subset_of(sub, primary, tol=5):
+        return all(any(abs(c[0] - pc[0]) < tol and abs(c[1] - pc[1]) < tol
+                       for pc in primary["cols"]) for c in sub["cols"])
+
+    primaries = []
+    for r in ruling:
+        if not any(subset_of(r, p["rule"]) for p in primaries):
+            left = r["cols"][0][0]
+            right = r["cols"][-1][1]
+            primaries.append({
+                "rule": r, "left": left, "right": right,
+                "slack": max(20.0, (right - left) * 0.02),
+                "header_top": r["y"], "header_idx": []})
+
+    # Pass 1: upward header scan.
+    for pi, p in enumerate(primaries):
+        upper = primaries[pi - 1]["rule"]["y"] + 5 if pi > 0 else 0
+        above = [(i, ln) for i, ln in enumerate(lines)
+                 if ln.bbox.bottom <= p["rule"]["y"]
+                 and ln.bbox.bottom >= upper
+                 and ln.bbox.left >= p["left"] - p["slack"]
+                 and ln.bbox.right <= p["right"] + p["slack"]]
+        above.sort(key=lambda t: -t[1].bbox.top)
+        tops = sorted((ln.bbox.top for _, ln in above[:8]), reverse=True)
+        spac = sorted(tops[i - 1] - tops[i] for i in range(1, len(tops)))
+        med = spac[len(spac) // 2] if spac else 30.0
+        gap_limit = max(med * 1.5, 45.0)
+        prev_top = p["rule"]["y"]
+        for i, ln in above:
+            if prev_top - ln.bbox.top > gap_limit:
+                break
+            p["header_idx"].append(i)
+            p["header_top"] = ln.bbox.top
+            prev_top = ln.bbox.top
+
+    # Pass 2: downward data scan + numeric validation.
+    results = []
+    for pi, p in enumerate(primaries):
+        lower = primaries[pi + 1]["header_top"] - 1 \
+            if pi + 1 < len(primaries) else page.height
+        below = [(i, ln) for i, ln in enumerate(lines)
+                 if ln.bbox.top >= p["rule"]["y"]
+                 and ln.bbox.top <= lower
+                 and ln.bbox.left >= p["left"] - p["slack"]
+                 and ln.bbox.right <= p["right"] + p["slack"]]
+        below.sort(key=lambda t: t[1].bbox.top)
+        if len(below) < 2:
+            continue
+        early = sorted(below[i][1].bbox.top - below[i - 1][1].bbox.top
+                       for i in range(1, min(len(below), 6)))
+        med = early[len(early) // 2] if early else 30.0
+        data_gap_limit = max(med * 2.5, 80.0)
+        data_idx = []
+        prev_top = p["rule"]["y"]
+        for i, ln in below:
+            if data_idx and ln.bbox.top - prev_top > data_gap_limit:
+                break
+            data_idx.append(i)
+            prev_top = ln.bbox.top
+        if len(data_idx) < 2:
+            continue
+        data_idx.extend(p["header_idx"])
+
+        cols = p["rule"]["cols"]
+        col_seps = [(cols[i - 1][1] + cols[i][0]) / 2.0
+                    for i in range(1, len(cols))]
+        bottom = max(p["rule"]["y"],
+                     max(lines[i].bbox.bottom for i in data_idx))
+        region = [lines[i] for i in data_idx]
+        rows = group_lines_into_rows(region)
+        if len(rows) < 3:
+            continue
+
+        bounds = [p["left"], *col_seps, p["right"]]
+        n_cols = len(bounds) - 1
+        col_hits = [0] * n_cols
+        multi_col_rows = 0
+        for row in rows:
+            hit = set()
+            for j in row["idx"]:
+                for w in region[j].words:
+                    t = w.text
+                    if not re.search(r"\d", t) or \
+                            not re.fullmatch(r"[\d,$%.()+-]+", t):
+                        continue
+                    cx = (w.bbox.left + w.bbox.right) / 2.0
+                    for ci in range(n_cols):
+                        if bounds[ci] <= cx < bounds[ci + 1]:
+                            hit.add(ci)
+                            break
+            if len(hit) >= 2:
+                multi_col_rows += 1
+            for ci in hit:
+                col_hits[ci] += 1
+        if multi_col_rows < 5:
+            continue
+        if not any(col_hits[ci] >= len(rows) * 0.5
+                   for ci in range(1, n_cols)):
+            continue
+
+        results.append({
+            "bbox": {"left": p["left"], "right": p["right"],
+                     "top": p["header_top"], "bottom": bottom},
+            "col_separators": col_seps,
+            "method": "header-rule"})
+    return results

@@ -24,9 +24,9 @@ ruled-grid detector (``pdf/paths.py``): furniture suppression in
 ``analyzeLayout`` (reference ``ocrObjects.js:28-34``) and pipe-table
 rendering in the markdown export.
 
-Out-of-scope here (path/fill-based signals handled elsewhere or not
-ported): strict vector grids (pdf/paths.py covers them), row-band fills,
-header-anchor separators, dashed-line reconstruction.
+Path/fill-based signals live in ``pdf/paths.py``: strict vector grids,
+row-band fills, dashed-line reconstruction, and header-rule anchored
+tables (``detect_header_rule_tables``).
 """
 
 from __future__ import annotations

@@ -284,3 +284,52 @@ def test_extract_row_band_regions_unit():
     # fills too large for the adaptive window are ignored
     big = [dict(f, h_pt=200.0) for f in fills]
     assert extract_row_band_regions(big, body_h_pt=14.0) == []
+
+
+def test_header_rule_table_detected():
+    """A financial-statement ruling row — 3 disjoint column rules in
+    one y-band — anchors a table: header scanned up, data down
+    (detectPdfTables.js:3354 detectHeaderRuleTables)."""
+    ops = ["BT /F1 11 Tf 80 710 Td (Statement of Operations) Tj ET",
+           "BT /F1 11 Tf 80 696 Td (Item) Tj ET",
+           "BT /F1 11 Tf 240 696 Td (FY23) Tj ET",
+           "BT /F1 11 Tf 400 696 Td (FY24) Tj ET",
+           "1 w 72 682 m 180 682 l S",
+           "1 w 220 682 m 330 682 l S",
+           "1 w 370 682 m 480 682 l S"]
+    labels = ["Revenue", "Cost", "Gross", "Opex", "Other", "Tax", "Net"]
+    for i, lab in enumerate(labels):
+        y = 668 - 14 * i
+        ops.append(f"BT /F1 11 Tf 80 {y} Td ({lab}) Tj ET")
+        ops.append(f"BT /F1 11 Tf 240 {y} Td (1,{100 + i:03d}) Tj ET")
+        ops.append(f"BT /F1 11 Tf 400 {y} Td (2,{200 + i:03d}) Tj ET")
+    page = _page(" ".join(ops))
+    hdr = [t for t in page.table_boxes if t.get("method") == "header-rule"]
+    assert len(hdr) == 1
+    t = hdr[0]
+    assert len(t["col_separators"]) == 2
+    s = 300 / 72
+    assert abs(t["col_separators"][0] - 200 * s) < 2 * s
+    assert abs(t["col_separators"][1] - 350 * s) < 2 * s
+    # Header rows above the rule are inside the region.
+    assert t["top"] < 682 * s and t["bottom"] > t["top"]
+
+
+def test_header_rule_rejects_prose_below_decorative_rules():
+    """Three disjoint decorative rules over prose (at most one number
+    per row) must NOT become a table — the numeric-column validation
+    rejects it."""
+    ops = ["1 w 72 682 m 180 682 l S",
+           "1 w 220 682 m 330 682 l S",
+           "1 w 370 682 m 480 682 l S"]
+    prose = ["The quarter closed without notable items to report",
+             "and operations continued in the ordinary course of",
+             "business with 1 exception noted by the committee",
+             "which is described in the following paragraphs of",
+             "this report and in the accompanying notes thereto",
+             "prepared according to the standards of the board"]
+    for i, ln in enumerate(prose):
+        ops.append(f"BT /F1 11 Tf 80 {668 - 14 * i} Td ({ln}) Tj ET")
+    page = _page(" ".join(ops))
+    assert not [t for t in page.table_boxes
+                if t.get("method") == "header-rule"]
