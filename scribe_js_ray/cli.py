@@ -74,6 +74,22 @@ def _cmd_pdf_subset(args) -> int:
     return 0
 
 
+def _cmd_pdf_merge(args) -> int:
+    """Concatenate PDFs (mergePdfs.js:118 utility surface)."""
+    from .stages.pdf.subset import merge_pdfs
+
+    inputs = []
+    for path in args.inputs:
+        with open(path, "rb") as f:
+            inputs.append(f.read())
+    out = merge_pdfs(inputs)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    print(json.dumps({"inputs": len(inputs), "bytes": len(out),
+                      "output": args.output}))
+    return 0
+
+
 def _cmd_gen_pages(args) -> int:
     from .sources.synth import write_pages_parquet
 
@@ -110,6 +126,11 @@ def main(argv=None) -> int:
     ps.add_argument("--scrub", action="store_true",
                     help="strip identifying metadata (stripMetadataPdf)")
     ps.set_defaults(fn=_cmd_pdf_subset)
+
+    pm = sub.add_parser("pdf-merge", help="concatenate PDFs into one")
+    pm.add_argument("inputs", nargs="+", help="source PDFs in merge order")
+    pm.add_argument("--output", required=True, help="output PDF path")
+    pm.set_defaults(fn=_cmd_pdf_merge)
 
     gp = sub.add_parser("gen-pages", help="write a synthetic pages table")
     gp.add_argument("--output", required=True)

@@ -490,3 +490,148 @@ def strip_metadata_pdf(data: bytes, scrub_opts: dict | None = None) -> bytes:
     n = len(_walk_pages(pdf))
     return subset_pdf(data, list(range(n)), scrub=True,
                       scrub_opts=scrub_opts)
+
+
+def _remap(obj, num_map: dict):
+    """Deep-rewrite indirect refs through an old→new map (mergePdfs.js
+    rewriteIndirectRefs); unmapped refs pass through untouched."""
+    if isinstance(obj, Ref):
+        new = num_map.get(obj.num)
+        return Ref(new, obj.gen) if new is not None else obj
+    if isinstance(obj, list):
+        return [_remap(v, num_map) for v in obj]
+    if isinstance(obj, StreamObj):
+        return StreamObj(_remap(obj.dict, num_map), obj.raw)
+    if isinstance(obj, dict):
+        return {k: _remap(v, num_map) for k, v in obj.items()}
+    return obj
+
+
+def merge_pdfs(inputs: list[bytes]) -> bytes:
+    """Concatenate the pages of several PDFs into one
+    (/root/reference/js/export/pdf/mergePdfs.js:118): every source's
+    page-reachable objects are renumbered into one space (pages first,
+    contiguous; the old page trees orphan), /Parent re-pointed at the
+    new pages root, metadata and /OCProperties carried from the FIRST
+    source only, and undefined-but-referenced numbers backfilled with
+    null objects.  The /ID pair is fresh — a merge is a new document,
+    not a revision of any input."""
+    from .doc import _walk_pages
+    if not inputs:
+        raise ValueError("merge_pdfs: inputs must be a non-empty list")
+
+    catalog_num, pages_root_num = 1, 2
+    next_num = 3
+    out_objs: list[tuple[int, bytes]] = []
+    kid_refs: list[Ref] = []
+    first_info = None
+    first_ocprops = None
+
+    for si, data in enumerate(inputs):
+        pdf = PdfFile(data)
+        pages = _walk_pages(pdf)
+        if not pages:
+            raise ValueError("merge_pdfs: an input PDF has zero pages")
+        tree_nums = _page_tree_nums(pdf)
+
+        # Materialized page dicts (inherited attrs pulled down so the
+        # orphaned source tree is not needed), then their copy set.
+        page_dicts = []
+        for info in pages:
+            node = dict(info["_node"])
+            for key in ("Resources", "MediaBox", "CropBox", "Rotate"):
+                if key not in node and key in info:
+                    node[Name(key)] = info[key]
+            node[Name("Parent")] = Ref(pages_root_num)
+            page_dicts.append(node)
+
+        copy_set: set = set()
+        queue: list = []
+        for node in page_dicts:
+            refs: set = set()
+            _refs_in(node, refs)
+            queue.extend(refs)
+        while queue:
+            num = queue.pop()
+            if num in copy_set or num in tree_nums:
+                continue
+            copy_set.add(num)
+            refs = set()
+            _refs_in(pdf.get_object(num), refs)
+            queue.extend(r for r in refs
+                         if r not in copy_set and r not in tree_nums)
+
+        num_map: dict[int, int] = {}
+        for info in pages:          # pages first: contiguous output
+            if info["_ref_num"] is not None:
+                num_map[info["_ref_num"]] = next_num
+                next_num += 1
+        page_nums = set(num_map)
+        for old in sorted(copy_set - page_nums):
+            num_map[old] = next_num
+            next_num += 1
+
+        for info, node in zip(pages, page_dicts):
+            old = info["_ref_num"]
+            if old is not None:
+                new = num_map[old]
+            else:
+                new = next_num
+                next_num += 1
+            out_objs.append((new, serialize_obj(_remap(node, num_map))))
+            kid_refs.append(Ref(new))
+        for old in sorted(copy_set - page_nums):
+            obj = pdf.get_object(old)
+            # A source can reference numbers its xref never defines;
+            # the spec's value for an undefined ref is null.
+            out_objs.append((num_map[old],
+                             serialize_obj(_remap(obj, num_map))))
+
+        if si == 0:
+            info_d = pdf.resolve(pdf.trailer.get("Info"))
+            if isinstance(info_d, dict) and info_d:
+                first_info = _remap(info_d, num_map)
+            root = pdf.resolve(pdf.trailer.get("Root"))
+            if isinstance(root, dict) and "OCProperties" in root:
+                ocp = root["OCProperties"]
+                if isinstance(ocp, Ref):
+                    first_ocprops = Ref(num_map.get(ocp.num, ocp.num))
+                else:
+                    first_ocprops = _remap(pdf.resolve(ocp), num_map)
+
+    catalog = {Name("Type"): Name("Catalog"),
+               Name("Pages"): Ref(pages_root_num)}
+    if first_ocprops is not None:
+        catalog[Name("OCProperties")] = first_ocprops
+    out_objs.append((catalog_num, serialize_obj(catalog)))
+    out_objs.append((pages_root_num, serialize_obj(
+        {Name("Type"): Name("Pages"), Name("Kids"): kid_refs,
+         Name("Count"): len(kid_refs)})))
+    info_ref = None
+    if first_info is not None:
+        info_ref = next_num
+        next_num += 1
+        out_objs.append((info_ref, serialize_obj(first_info)))
+
+    parts = [b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"]
+    pos = sum(len(p) for p in parts)
+    offsets = {}
+    for num, body in sorted(out_objs):
+        offsets[num] = pos
+        chunk = f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        parts.append(chunk)
+        pos += len(chunk)
+    size = max(offsets) + 1
+    xref = [b"xref\n", f"0 {size}\n".encode(), b"0000000000 65535 f \n"]
+    for n in range(1, size):
+        xref.append(f"{offsets[n]:010d} 00000 n \n".encode()
+                    if n in offsets else b"0000000000 65535 f \n")
+    fresh_id = hashlib.md5(b"".join(parts)).digest()
+    trailer = {Name("Size"): size, Name("Root"): Ref(catalog_num),
+               Name("ID"): [fresh_id, fresh_id]}
+    if info_ref:
+        trailer[Name("Info")] = Ref(info_ref)
+    parts.extend(xref)
+    parts.append(b"trailer\n" + serialize_obj(trailer)
+                 + f"\nstartxref\n{pos}\n%%EOF\n".encode())
+    return b"".join(parts)

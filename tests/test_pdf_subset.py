@@ -158,3 +158,58 @@ def test_out_of_range_and_empty_indices_raise():
         subset_pdf(src, [])
     with pytest.raises(IndexError):
         subset_pdf(src, [5])
+
+
+def _second_pdf() -> bytes:
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    data = b"BT /F1 11 Tf 72 700 Td (delta other doc) Tj ET"
+    w.add(b"<< /Length " + str(len(data)).encode() + b" >>\nstream\n"
+          + data + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    return w.build()
+
+
+def test_merge_concatenates_pages_in_input_order():
+    from scribe_js_ray.stages.pdf.subset import merge_pdfs
+    out = merge_pdfs([_fixture(), _second_pdf()])
+    assert _page_text(out) == ["alpha page one", "bravo page two",
+                               "charlie page three", "delta other doc"]
+    out2 = merge_pdfs([_second_pdf(), _second_pdf()])
+    assert _page_text(out2) == ["delta other doc", "delta other doc"]
+
+
+def test_merge_keeps_first_sources_info_only():
+    from scribe_js_ray.stages.pdf.subset import merge_pdfs
+    out = merge_pdfs([_fixture(), _second_pdf()])
+    pdf = PdfFile(out)
+    info = pdf.resolve(pdf.trailer.get("Info"))
+    assert info and info.get("Author") == b"Jordan"
+    out2 = merge_pdfs([_second_pdf(), _fixture()])
+    pdf2 = PdfFile(out2)
+    assert pdf2.resolve(pdf2.trailer.get("Info")) is None
+
+
+def test_merge_rewrites_cross_refs_per_source():
+    """Both sources' font objects must resolve post-renumbering."""
+    from scribe_js_ray.stages.pdf.doc import _walk_pages
+    from scribe_js_ray.stages.pdf.subset import merge_pdfs
+    out = merge_pdfs([_second_pdf(), _second_pdf(), _second_pdf()])
+    pdf = PdfFile(out)
+    pages = _walk_pages(pdf)
+    assert len(pages) == 3
+    for info in pages:
+        fonts = pdf.resolve(pdf.resolve(info["Resources"]).get("Font"))
+        f1 = pdf.resolve(fonts.get("F1"))
+        assert str(f1.get("BaseFont")) == "Helvetica"
+
+
+def test_merge_empty_inputs_raise():
+    import pytest
+    from scribe_js_ray.stages.pdf.subset import merge_pdfs
+    with pytest.raises(ValueError):
+        merge_pdfs([])
