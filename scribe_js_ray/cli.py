@@ -138,6 +138,14 @@ def main(argv=None) -> int:
     gp.add_argument("--seed", type=int, default=42)
     gp.set_defaults(fn=_cmd_gen_pages)
 
+    tl = sub.add_parser(
+        "tools", help="document tool registry (MCP-surface analog): "
+                      "tools list | tools call <name> [--json '{...}']")
+    tl.add_argument("tool_args", nargs=argparse.REMAINDER)
+    tl.set_defaults(fn=lambda a: __import__(
+        "scribe_js_ray.tools", fromlist=["main_tools"]
+    ).main_tools(a.tool_args))
+
     args = ap.parse_args(argv)
     return args.fn(args)
 
