@@ -325,10 +325,14 @@ def _page_tree_nums(pdf: PdfFile) -> set:
 # -- the rebuild ----------------------------------------------------------
 
 def subset_pdf(data: bytes, page_indices: list[int], scrub: bool = False,
-               scrub_opts: dict | None = None) -> bytes:
+               scrub_opts: dict | None = None,
+               extra_annots: dict | None = None) -> bytes:
     """Produce a new PDF containing only ``page_indices`` of the input
     (subsetPdf.js:1056).  ``scrub`` sanitizes identifying metadata
-    (stripMetadataPdf semantics)."""
+    (stripMetadataPdf semantics).  ``extra_annots`` maps a SOURCE page
+    index to parsed annotation dicts appended to that page's /Annots
+    (the markup-annotation injection path of the reference's
+    annotated download, writePdfAnnots.js)."""
     from .doc import _walk_pages
     opts = {"stripStructTree": False, "stripPageLabels": False,
             "stripViewerPrefs": False, "dropOCProperties": False,
@@ -350,6 +354,7 @@ def subset_pdf(data: bytes, page_indices: list[int], scrub: bool = False,
                  if pages[i]["_ref_num"] is not None}
     tree_nums = _page_tree_nums(pdf)
     state: dict = {}
+    next_extra = info_num + 1
 
     # Rewritten kept pages, original object numbers preserved.
     out_objs: list[tuple[int, bytes]] = []
@@ -373,11 +378,22 @@ def subset_pdf(data: bytes, page_indices: list[int], scrub: bool = False,
                 node[Name("Annots")] = kept_annots
             else:
                 node.pop("Annots", None)
+        extra = (extra_annots or {}).get(i) or []
+        if extra:
+            refs = []
+            for a in extra:
+                out_objs.append((next_extra, serialize_obj(a)))
+                refs.append(Ref(next_extra))
+                next_extra += 1
+            cur = pdf.resolve(node.get("Annots"))
+            node[Name("Annots")] = (list(cur) if isinstance(cur, list)
+                                    else []) + refs
         if scrub:
             node = _scrub_dict(pdf, node, state)
         num = info["_ref_num"]
         if num is None:  # page stored only inline (rare): allocate
-            num = info_num + 1 + len(out_objs)
+            num = next_extra
+            next_extra += 1
         out_objs.append((num, serialize_obj(node)))
         trace_roots.append(node)
 

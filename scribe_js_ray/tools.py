@@ -26,8 +26,12 @@ Semantics mirrored from the reference handlers:
   ``pipelines/runner.py``; this tool is the reference's driver-side
   loop for interactive use)
 
-Out of scope with the render/OCR paths: ``recognize``, ``render_page``,
-``create_highlighted_pdf`` (raster appearance).
+- ``create_highlighted_pdf``: markup annots (Highlight/Underline/
+  StrikeOut with per-line QuadPoints) injected into an identity or
+  page-selected rebuild (``stages/pdf/highlights.py``)
+
+Out of scope with the render/OCR paths: ``recognize``, ``render_page``
+(raster appearance).
 """
 
 from __future__ import annotations
@@ -270,6 +274,22 @@ def merge_pdfs_tool(files: list, outputPath: str) -> dict:
             "pageCount": total_pages, "bytes": len(out)}
 
 
+def create_highlighted_pdf_tool(file: str, outputPath: str,
+                                highlights: list,
+                                pages: list | None = None) -> dict:
+    from .stages.pdf.highlights import create_highlighted_pdf
+    path = os.path.abspath(file)
+    if not os.path.exists(path):
+        return {"error": f"File not found: {path}"}
+    with open(path, "rb") as f:
+        data = f.read()
+    out, stats = create_highlighted_pdf(data, highlights, pages=pages)
+    out_path = os.path.abspath(outputPath)
+    with open(out_path, "wb") as f:
+        f.write(out)
+    return {"outputPath": out_path, **stats}
+
+
 def define_tables(page: int, tables: list, file: str | None = None,
                   dataFile: str | None = None) -> dict:
     try:
@@ -420,6 +440,30 @@ TOOLS = [
          {"files": {"type": "array"},
           "outputPath": {"type": "string"}},
          ["files", "outputPath"])},
+    {"name": "create_highlighted_pdf",
+     "description": "Create a PDF with specified passages highlighted, "
+                    "underlined, or struck through. Each highlight "
+                    "names a page and either startLine/endLine (with "
+                    "optional narrowing text) or a quote-only text "
+                    "searched across the page.",
+     "inputSchema": _schema(
+         {"file": {"type": "string"},
+          "outputPath": {"type": "string"},
+          "highlights": {"type": "array", "items": {
+              "type": "object",
+              "properties": {
+                  "page": {"type": "integer"},
+                  "startLine": {"type": "integer"},
+                  "endLine": {"type": "integer"},
+                  "text": {"type": "string"},
+                  "markup": {"type": "string",
+                             "enum": ["highlight", "underline",
+                                      "strikeout"]},
+                  "color": {"type": "string"},
+                  "comment": {"type": "string"}},
+              "required": ["page"]}},
+          "pages": {"type": "array", "items": {"type": "integer"}}},
+         ["file", "outputPath", "highlights"])},
     {"name": "define_tables",
      "description": "Define tables on a page with pre-structured cell "
                     "content; overwrites existing tables for the page.",
@@ -455,6 +499,7 @@ _HANDLERS = {
     "list_documents": list_documents,
     "load_document": load_document,
     "extract_document_text": extract_document_text,
+    "create_highlighted_pdf": create_highlighted_pdf_tool,
     "subset_pdf": subset_pdf_tool,
     "merge_pdfs": merge_pdfs_tool,
     "define_tables": define_tables,
