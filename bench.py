@@ -149,16 +149,46 @@ def _mp_work(args):
     return time.perf_counter() - t0
 
 
+def _pin_to(n: int) -> None:
+    """Restrict this process (and every child it forks/spawns) to ``n``
+    cores.  ``ray.init(num_cpus=8)`` caps the *scheduler* at 8 concurrent
+    tasks, but worker processes, the raylet and helper threads still
+    spread over all physical cores — so an "8-CPU" run borrows idle host
+    capacity a real 8-core cluster node would not have, deflating the
+    8→32 ratio independently of the pipeline (the r1-r3 interpretation
+    note in BASELINE.md).  Affinity pinning makes the N-CPU level emulate
+    an N-core node faithfully.  GRAFT_NO_PIN=1 restores the old
+    behavior."""
+    if os.environ.get("GRAFT_NO_PIN") == "1":
+        return
+    if not hasattr(os, "sched_setaffinity"):
+        return
+    allowed = sorted(os.sched_getaffinity(0))
+    if len(allowed) > n:
+        os.sched_setaffinity(0, set(allowed[:n]))
+
+
 def _hw_ceiling(pairs=(8, 32), docs_per_task: int = 500) -> dict:
     import multiprocessing as mp
     out = {}
+    full = (sorted(os.sched_getaffinity(0))
+            if hasattr(os, "sched_getaffinity") else None)
     for k in pairs:
-        with mp.Pool(k) as pool:
-            pool.map(_mp_work, [(i, 10) for i in range(k)])  # warm
-            t0 = time.perf_counter()
-            pool.map(_mp_work, [(i * 37, docs_per_task)
-                                for i in range(k * 3)])
-            wall = time.perf_counter() - t0
+        # Pin the pool to k cores (workers inherit affinity at fork) so
+        # the probe measures a k-core node, same protocol as the Ray
+        # levels; restore the full mask for the next level.
+        if full is not None and os.environ.get("GRAFT_NO_PIN") != "1":
+            os.sched_setaffinity(0, set(full[:k]))
+        try:
+            with mp.Pool(k) as pool:
+                pool.map(_mp_work, [(i, 10) for i in range(k)])  # warm
+                t0 = time.perf_counter()
+                pool.map(_mp_work, [(i * 37, docs_per_task)
+                                    for i in range(k * 3)])
+                wall = time.perf_counter() - t0
+        finally:
+            if full is not None:
+                os.sched_setaffinity(0, set(full))
         out[k] = k * 3 * docs_per_task / wall
     return out
 
@@ -267,6 +297,10 @@ def main() -> None:
         print(json.dumps(run_scaling(args.sf_dir, args.repeat, args.trials)))
         return
 
+    if args.headline_only:
+        # Scaling-trial subprocess: emulate an N-core cluster node (see
+        # _pin_to) before Ray starts so raylet/workers inherit the mask.
+        _pin_to(num_cpus)
     _ray_up(num_cpus)
     try:
         head = run_headline(args.sf_dir,

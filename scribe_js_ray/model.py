@@ -82,7 +82,7 @@ class Char:
 
 class Word:
     __slots__ = ("text", "bbox", "style", "lang", "conf", "chars", "line",
-                 "line_num", "id", "mcid", "artifact")
+                 "line_num", "id", "mcid", "artifact", "text_alt")
 
     def __init__(self, line: "Line", wid: str, text: str, bbox: BBox):
         self.line = line
@@ -99,6 +99,9 @@ class Word:
         # Marked-content id + /Artifact flag (PDF path only, M21).
         self.mcid = None
         self.artifact = False
+        # Higher-confidence alternative recognition (textAlt,
+        # ocrObjects.js word field; set by the blocks import).
+        self.text_alt = None
 
 
 class Line:

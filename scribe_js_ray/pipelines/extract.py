@@ -195,6 +195,17 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
+        elif kind == "tess_blocks":
+            # Tesseract block-JSON (one recognized page per payload,
+            # convertPageBlocks.js) — same layout/emit path as the
+            # XML OCR formats.
+            from ..stages.blocks import parse_blocks_page
+            raw = payload.decode("utf-8", "replace")
+            pages = [parse_blocks_page(raw, 0)]
+            analyze_layout(pages)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
+            out.update(extracted_text=txt, spans=spans,
+                       n_pages=len(pages), doc_type="ocr")
         elif kind == "html":
             raw = payload.decode("utf-8", "replace")
             txt, spans, _ = extract_html_document(raw)

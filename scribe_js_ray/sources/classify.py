@@ -28,6 +28,8 @@ _GV_PAGES_RE = re.compile(rb"\"pages\"", re.I)
 _GV_FTA_RE = re.compile(rb"\"fullTextAnnotation\"", re.I)
 _GDAI_ANCHOR_RE = re.compile(rb"\"textAnchor\"", re.I)
 _GDAI_TOKENS_RE = re.compile(rb"\"tokens\"", re.I)
+_TESS_BLOCKS_RE = re.compile(rb"\"rowAttributes\"")
+_TESS_PARS_RE = re.compile(rb"\"paragraphs\"")
 _AZURE_RE = re.compile(rb"\"createdDateTime\"", re.I)
 _AZURE_AR_RE = re.compile(rb"\"analyzeResult\"", re.I)
 _AZURE_MODEL_RE = re.compile(rb"\"modelId\"", re.I)
@@ -85,6 +87,8 @@ def classify_payload(payload: bytes, text: str = "") -> str:
         if _GV_PAGES_RE.search(head) and _GDAI_ANCHOR_RE.search(head) \
                 and _GDAI_TOKENS_RE.search(head):
             return "google_doc_ai"
+        if _TESS_BLOCKS_RE.search(head) and _TESS_PARS_RE.search(head):
+            return "tess_blocks"
     if _AZURE_RE.search(head) and _AZURE_AR_RE.search(head) \
             and _AZURE_MODEL_RE.search(head):
         return "azure_doc_intel"
