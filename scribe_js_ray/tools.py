@@ -290,6 +290,51 @@ def create_highlighted_pdf_tool(file: str, outputPath: str,
     return {"outputPath": out_path, **stats}
 
 
+def edit_text(edits: list, file: str | None = None,
+              dataFile: str | None = None) -> dict:
+    """Delete or retype lines of the loaded document's text layer
+    (textEdits.js deleteTextLines / replaceTextLine).  Each edit names a
+    page and a 0-indexed line; an empty/absent newText deletes the
+    line (superimposed alpha-0 duplicates are swept with it)."""
+    from .stages.textedits import delete_text_lines, replace_text_line
+    try:
+        pages = _ensure_loaded(file, dataFile)
+    except (OSError, ValueError) as exc:
+        return {"error": str(exc)}
+    results = []
+    for e in edits or []:
+        n = e.get("page", 0)
+        li = e.get("line")
+        if not (0 <= n < len(pages)):
+            results.append({"error": f"Page {n} out of range."})
+            continue
+        page = pages[n]
+        if li is None or not (0 <= li < len(page.lines)):
+            results.append({"error": f"Line {li} out of range on "
+                                     f"page {n}."})
+            continue
+        line = page.lines[li]
+        before = " ".join(w.text for w in line.words)
+        try:
+            new_text = e.get("newText") or ""
+            if new_text.strip():
+                rec = replace_text_line(page, line, new_text,
+                                        e.get("wordStyles"))
+            else:
+                rec = delete_text_lines(page, [line])
+        except ValueError as exc:
+            results.append({"error": str(exc)})
+            continue
+        results.append({
+            "page": n, "line": li, "before": before,
+            "after": " ".join(w.text for w in line.words)
+            if rec and rec["type"] == "replaceText" else "",
+            "op": rec["type"] if rec else "noop",
+            "rects": len(rec["rects"]) if rec else 0})
+    return {"edits": results,
+            "pageCount": len(pages), "file": _state["file"]}
+
+
 def define_tables(page: int, tables: list, file: str | None = None,
                   dataFile: str | None = None) -> dict:
     try:
@@ -464,6 +509,23 @@ TOOLS = [
               "required": ["page"]}},
           "pages": {"type": "array", "items": {"type": "integer"}}},
          ["file", "outputPath", "highlights"])},
+    {"name": "edit_text",
+     "description": "Delete or retype lines of the document's text "
+                    "layer. Each edit names a page and a 0-indexed "
+                    "line; an empty newText deletes the line "
+                    "(superimposed duplicate layers are swept too).",
+     "inputSchema": _schema(
+         {"edits": {"type": "array", "items": {
+             "type": "object",
+             "properties": {
+                 "page": {"type": "integer"},
+                 "line": {"type": "integer"},
+                 "newText": {"type": "string"},
+                 "wordStyles": {"type": "array"}},
+             "required": ["page", "line"]}},
+          "file": {"type": "string"},
+          "dataFile": {"type": "string"}},
+         ["edits"])},
     {"name": "define_tables",
      "description": "Define tables on a page with pre-structured cell "
                     "content; overwrites existing tables for the page.",
@@ -500,6 +562,7 @@ _HANDLERS = {
     "load_document": load_document,
     "extract_document_text": extract_document_text,
     "create_highlighted_pdf": create_highlighted_pdf_tool,
+    "edit_text": edit_text,
     "subset_pdf": subset_pdf_tool,
     "merge_pdfs": merge_pdfs_tool,
     "define_tables": define_tables,
