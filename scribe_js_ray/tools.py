@@ -335,6 +335,62 @@ def edit_text(edits: list, file: str | None = None,
             "pageCount": len(pages), "file": _state["file"]}
 
 
+def detect_fill_targets_tool(page: int, file: str | None = None,
+                             dataFile: str | None = None,
+                             includeRejects: bool = False) -> dict:
+    """Deterministic fillable-area detection (fillSign.js
+    detectFillTargets): checkbox glyphs, underscore blanks, phone-paren
+    slots, recomputed from the page on every call."""
+    from .stages.fillsign import detect_fill_targets
+    try:
+        pages = _ensure_loaded(file, dataFile)
+    except (OSError, ValueError) as exc:
+        return {"error": str(exc)}
+    if not (0 <= page < len(pages)):
+        return {"error": f"Page {page} out of range."}
+    rejects: list | None = [] if includeRejects else None
+    targets = detect_fill_targets(pages[page], rejects=rejects)
+
+    def box(b):
+        return {"left": b.left, "top": b.top, "right": b.right,
+                "bottom": b.bottom}
+    out = {"page": page,
+           "targets": [{"kind": t["kind"], "source": t["source"],
+                        "bbox": box(t["bbox"])} for t in targets]}
+    if includeRejects:
+        out["rejects"] = [{"arm": r["arm"], "rule": r["rule"],
+                           "bbox": box(r["bbox"])} for r in rejects]
+    return out
+
+
+def fill_text_tool(page: int, x: float, y: float, contents: str,
+                   fontSize: float = 12, textColor: str | None = None,
+                   file: str | None = None,
+                   dataFile: str | None = None) -> dict:
+    """Place typed fill text on a page (fillSign.js addFillText); the
+    lifted words join the page's text layer immediately."""
+    from .stages.fillsign import add_fill_text
+    try:
+        pages = _ensure_loaded(file, dataFile)
+    except (OSError, ValueError) as exc:
+        return {"error": str(exc)}
+    if not (0 <= page < len(pages)):
+        return {"error": f"Page {page} out of range."}
+    try:
+        row = add_fill_text(pages[page],
+                            {"x": x, "y": y, "contents": contents,
+                             "fontSize": fontSize,
+                             "textColor": textColor})
+    except ValueError as exc:
+        return {"error": str(exc)}
+    b = row["bbox"]
+    return {"page": page, "bbox": {"left": b.left, "top": b.top,
+                                   "right": b.right, "bottom": b.bottom},
+            "liftedWords": sum(
+                1 for ln in pages[page].lines for w in ln.words
+                if w.id.startswith(f"word_{page + 1}_txt"))}
+
+
 def define_tables(page: int, tables: list, file: str | None = None,
                   dataFile: str | None = None) -> dict:
     try:
@@ -526,6 +582,28 @@ TOOLS = [
           "file": {"type": "string"},
           "dataFile": {"type": "string"}},
          ["edits"])},
+    {"name": "detect_fill_targets",
+     "description": "Detect fillable areas (empty checkboxes, "
+                    "underscore blanks, phone area-code slots) drawn "
+                    "as plain page content.",
+     "inputSchema": _schema(
+         {"page": {"type": "integer"},
+          "file": {"type": "string"},
+          "dataFile": {"type": "string"},
+          "includeRejects": {"type": "boolean"}},
+         ["page"])},
+    {"name": "fill_text",
+     "description": "Place typed fill text at a page position; the "
+                    "text joins the document's text layer.",
+     "inputSchema": _schema(
+         {"page": {"type": "integer"},
+          "x": {"type": "number"}, "y": {"type": "number"},
+          "contents": {"type": "string"},
+          "fontSize": {"type": "number"},
+          "textColor": {"type": "string"},
+          "file": {"type": "string"},
+          "dataFile": {"type": "string"}},
+         ["page", "x", "y", "contents"])},
     {"name": "define_tables",
      "description": "Define tables on a page with pre-structured cell "
                     "content; overwrites existing tables for the page.",
@@ -563,6 +641,8 @@ _HANDLERS = {
     "extract_document_text": extract_document_text,
     "create_highlighted_pdf": create_highlighted_pdf_tool,
     "edit_text": edit_text,
+    "detect_fill_targets": detect_fill_targets_tool,
+    "fill_text": fill_text_tool,
     "subset_pdf": subset_pdf_tool,
     "merge_pdfs": merge_pdfs_tool,
     "define_tables": define_tables,
