@@ -113,7 +113,8 @@ def main(argv=None) -> int:
                     help="reprocess shards even if their manifest is ok")
     ex.add_argument("--emit", default="text",
                     choices=["text", "markdown", "hocr", "alto", "html",
-                             "docx", "xlsx", "pdf", "scribe"],
+                             "docx", "xlsx", "pdf", "scribe",
+                             "debug_csv"],
                     help="output format (exportData dispatch analog)")
     ex.set_defaults(fn=_cmd_extract)
 

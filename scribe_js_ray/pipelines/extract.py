@@ -82,7 +82,7 @@ def _emit(pages, emit_format, reflow, drop_furniture):
     exportData dispatch (export.js:630-729); binary formats ride the
     string column via a latin-1 round-trip."""
     if emit_format not in ("text", "markdown", "hocr", "alto", "html",
-                           "docx", "xlsx", "pdf", "scribe"):
+                           "docx", "xlsx", "pdf", "scribe", "debug_csv"):
         # pdf_overlay is handled in the pdf branch only; anything else
         # must fail into the error column rather than silently emitting
         # plain text
@@ -99,6 +99,9 @@ def _emit(pages, emit_format, reflow, drop_furniture):
     if emit_format == "html":
         from ..stages.exports import write_html
         return write_html(pages, reflow_text=reflow), []
+    if emit_format == "debug_csv":
+        from ..stages.exports import write_debug_csv
+        return write_debug_csv(pages), []
     if emit_format == "docx":
         from ..stages.docx import write_docx
         return write_docx(pages).decode("latin-1"), []

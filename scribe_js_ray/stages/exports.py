@@ -483,3 +483,56 @@ def write_html(pages, reflow_text: bool = True) -> str:
         out.append("</section>\n")
     out.append("</body>\n</html>\n")
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Debug CSV (exportDebugCsv.js:13-72): every word of every page in one
+# tabular listing — a review surface for the parsed model, distinct from
+# the data-table exports.
+
+
+def _csv_field(v) -> str:
+    """escapeCsvField: strings and objects are quoted with doubled
+    quotes, objects JSON-encoded first; numbers/booleans bare (JS
+    string-concat renders booleans as true/false)."""
+    import json
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return '"' + v.replace('"', '""') + '"'
+    enc = json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    return '"' + enc.replace('"', '""') + '"'
+
+
+def _word_record(w) -> dict:
+    box = {"left": w.bbox.left, "top": w.bbox.top,
+           "right": w.bbox.right, "bottom": w.bbox.bottom}
+    style = {k: getattr(w.style, k) for k in w.style.__slots__}
+    chars = ([{"text": c.text,
+               "bbox": {"left": c.bbox.left, "top": c.bbox.top,
+                        "right": c.bbox.right, "bottom": c.bbox.bottom}}
+              for c in w.chars] if w.chars else None)
+    return {"id": w.id, "text": w.text, "bbox": box, "style": style,
+            "lang": w.lang, "conf": w.conf, "chars": chars,
+            "line_num": w.line_num, "text_alt": w.text_alt}
+
+
+def write_debug_csv(pages) -> str:
+    """Pages → one CSV string; the header row appears once, pages are
+    separated by the leading newline of each page block
+    (exportDebugCsv.js:47-71)."""
+    out = []
+    headers = None
+    for page in pages:
+        records = [_word_record(w) for ln in page.lines
+                   for w in ln.words]
+        if not records:
+            continue
+        if headers is None:
+            headers = list(records[0].keys())
+            out.append(",".join(headers))
+        out.extend(",".join(_csv_field(r[h]) for h in headers)
+                   for r in records)
+    return "\n".join(out)

@@ -109,3 +109,31 @@ def test_html_semantic_export():
     pages[0].lines[0].words[0].text = "a<b"
     html2 = write_html(pages)
     assert "a&lt;b" in html2
+
+
+def test_debug_csv_export():
+    """exportDebugCsv parity: one header row, quoted/JSON fields,
+    doubled quotes."""
+    import csv
+    import io
+
+    from scribe_js_ray.pipelines.extract import extract_document
+    from scribe_js_ray.stages.exports import write_debug_csv
+    from scribe_js_ray.stages.textlayout import parse_text_pages
+
+    pages = parse_text_pages('He said "hi" there.\n\nSecond page-ish.')
+    out = write_debug_csv(pages)
+    rows = list(csv.reader(io.StringIO(out)))
+    assert rows[0][:4] == ["id", "text", "bbox", "style"]
+    assert len(rows) == 1 + sum(len(ln.words) for p in pages
+                                for ln in p.lines)
+    texts = [r[1] for r in rows[1:]]
+    assert '"hi"' in texts          # embedded quotes survive the escaping
+    import json
+    box = json.loads(rows[1][2])
+    assert set(box) == {"left", "top", "right", "bottom"}
+
+    res = extract_document("u://csv", b"", "plain words here", "eng",
+                           emit_format="debug_csv")
+    assert res["error"] == ""
+    assert res["extracted_text"].startswith("id,text,bbox")
