@@ -77,10 +77,34 @@ def _parse_paged_payload(kind: str, payload: bytes):
     return pages
 
 
-def _emit(pages, emit_format, reflow, drop_furniture):
+def _apply_edits(pages, edits) -> None:
+    """Apply a document's text edits to its parsed pages before emit —
+    the distributed form of the editor (stages/textedits.py): each edit
+    names a page and 0-indexed line; empty/absent newText deletes the
+    line (and its superimposed duplicates).  Out-of-range edits are
+    skipped: a stale edit table must never poison extraction."""
+    from ..stages.textedits import delete_text_lines, replace_text_line
+    for e in edits:
+        n = e.get("page", 0)
+        li = e.get("line")
+        if not (0 <= n < len(pages)) or li is None:
+            continue
+        page = pages[n]
+        if not (0 <= li < len(page.lines)):
+            continue
+        new_text = e.get("newText") or ""
+        if new_text.strip():
+            replace_text_line(page, page.lines[li], new_text)
+        else:
+            delete_text_lines(page, [page.lines[li]])
+
+
+def _emit(pages, emit_format, reflow, drop_furniture, edits=None):
     """Page trees → (text, spans) in the requested output format — the
     exportData dispatch (export.js:630-729); binary formats ride the
     string column via a latin-1 round-trip."""
+    if edits:
+        _apply_edits(pages, edits)
     if emit_format not in ("text", "markdown", "hocr", "alto", "html",
                            "docx", "xlsx", "pdf", "scribe", "debug_csv"):
         # pdf_overlay is handled in the pdf branch only; anything else
@@ -141,7 +165,7 @@ def _emit(pages, emit_format, reflow, drop_furniture):
 
 def extract_document(url: str, payload: bytes, text: str, lang: str,
                      reflow: bool = True, drop_furniture: bool = True,
-                     emit_format: str = "text"):
+                     emit_format: str = "text", edits: list | None = None):
     """Pure per-document extraction; returns a flat result dict.
 
     ``emit_format``: "text" (byte-identical golden surface, default),
@@ -165,7 +189,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 spans = []
             else:
                 txt, spans = _emit(pages, emit_format, reflow,
-                                   drop_furniture)
+                                   drop_furniture, edits)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type=doc_type)
         elif kind == "scribe":
@@ -173,13 +197,13 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             # already parsed/laid out — straight to emit.
             from ..stages.scribe_fmt import parse_scribe
             pages = parse_scribe(payload)
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind in ("hocr", "alto", "abbyy", "stext"):
             pages = _parse_paged_payload(kind, payload)
             analyze_layout(pages)
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind in ("textract", "google_vision", "google_doc_ai",
@@ -195,7 +219,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             else:
                 pages = cloud.parse_azure_doc_intel(raw)
             analyze_layout(pages)
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind == "tess_blocks":
@@ -206,7 +230,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             raw = payload.decode("utf-8", "replace")
             pages = [parse_blocks_page(raw, 0)]
             analyze_layout(pages)
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind == "html":
@@ -217,7 +241,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
         elif kind == "docx":
             from ..stages.docx import parse_docx
             pages = parse_docx(payload)
-            txt, spans = _emit(pages, emit_format, True, drop_furniture)
+            txt, spans = _emit(pages, emit_format, True, drop_furniture, edits)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages) if txt else 0, doc_type="text")
         elif kind == "text":
@@ -233,7 +257,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             # convertPageText's pars; applyDocParagraphLayout is the
             # PDF-only doc-level pass, extractPDFText.js:100-110).
             pages = parse_text_pages(body.strip())
-            txt, spans = _emit(pages, emit_format, True, drop_furniture)
+            txt, spans = _emit(pages, emit_format, True, drop_furniture, edits)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages) if txt else 0, doc_type="text")
         else:  # empty
@@ -245,14 +269,34 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
     return out
 
 
+_EDITS_CACHE: dict = {}
+
+
+def _edits_lookup(edits_ref):
+    """Resolve the broadcast edit table once per worker process (ray.put
+    on the driver, ray.get + cache here — plasma-shared, never re-shipped
+    per batch)."""
+    if edits_ref is None:
+        return None
+    key = edits_ref.hex() if hasattr(edits_ref, "hex") else id(edits_ref)
+    if key not in _EDITS_CACHE:
+        import ray
+        _EDITS_CACHE.clear()  # one edit table live per job
+        _EDITS_CACHE[key] = ray.get(edits_ref) \
+            if hasattr(edits_ref, "hex") else edits_ref
+    return _EDITS_CACHE[key]
+
+
 def _extract_batch(batch: pa.Table, reflow: bool = True,
                    drop_furniture: bool = True,
-                   emit_format: str = "text") -> pa.Table:
+                   emit_format: str = "text",
+                   edits_ref=None) -> pa.Table:
     """Arrow in → Arrow out (zero-copy reads).  Parser state (compiled
     regexes, encoding/width tables) lives in module globals, warmed once
     per worker PROCESS on first import — Ray task workers are long-lived,
     so tasks get the same warm-cache behavior as actors without the pool
     ramp-up cost."""
+    edits_by_url = _edits_lookup(edits_ref)
     urls = batch.column("url").to_pylist()
     payloads = batch.column("html").to_pylist()
     texts = batch.column("text").to_pylist() \
@@ -264,7 +308,9 @@ def _extract_batch(batch: pa.Table, reflow: bool = True,
     for url, payload, text, lang in zip(urls, payloads, texts, langs):
         res = extract_document(url, payload, text, lang,
                                reflow=reflow, drop_furniture=drop_furniture,
-                               emit_format=emit_format)
+                               emit_format=emit_format,
+                               edits=edits_by_url.get(url)
+                               if edits_by_url else None)
         for name in cols:
             cols[name].append(res[name])
     arrays = [pa.array(cols[f.name], f.type) for f in RESULT_SCHEMA]
@@ -290,7 +336,8 @@ class ExtractDocuments:
 def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
                            batch_size: int | None = None, concurrency=None,
                            compute: str = "tasks",
-                           emit_format: str = "text"):
+                           emit_format: str = "text",
+                           edits_by_url: dict | None = None):
     """pages Dataset → extraction results Dataset (lazy; streams).
 
     ``batch_size=None`` processes whole blocks per UDF call — Ray Data's
@@ -303,6 +350,15 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
     ExtractDocuments actor pool (measured ~35% slower here due to pool
     ramp-up, but the right shape for heavyweight per-actor state).
     """
+    edits_ref = None
+    if edits_by_url:
+        # Broadcast the edit table once (ray.put); workers ray.get it
+        # from plasma on first use — never re-shipped per batch.  In a
+        # Ray session the ObjectRef rides fn_kwargs un-resolved (it is
+        # inside our kwargs dict, not a top-level task arg).
+        import ray
+        edits_ref = ray.put(edits_by_url) if ray.is_initialized() \
+            else edits_by_url
     if compute == "tasks":
         kwargs = {}
         if concurrency is not None:
@@ -312,7 +368,7 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
         return ds.map_batches(
             _extract_batch,
             fn_kwargs={"reflow": reflow, "drop_furniture": drop_furniture,
-                       "emit_format": emit_format},
+                       "emit_format": emit_format, "edits_ref": edits_ref},
             batch_format="pyarrow",
             batch_size=batch_size,
             **kwargs,

@@ -164,3 +164,29 @@ def test_edit_text_tool(tmp_path):
     assert second["op"] == "deleteText"
     out = call_tool("extract_document_text", {"file": str(src)})
     assert "delta" in out["text"] and "Second" not in out["text"]
+
+
+def test_distributed_edits_pipeline(ray_session, tmp_path):
+    """Broadcast edit table applied during extraction (ray.put once,
+    per-url lookup inside the batch fn)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.extract import build_extract_pipeline
+
+    tbl = pa.table({
+        "url": ["u://keep", "u://edit"],
+        "html": pa.array([b"", b""], pa.binary()),
+        "text": ["Alpha beta gamma.\n\nTail paragraph.",
+                 "Alpha beta gamma.\n\nTail paragraph."],
+        "lang": ["eng", "eng"]})
+    edits = {"u://edit": [{"page": 0, "line": 0,
+                           "newText": "Alpha DELTA gamma."},
+                          {"page": 0, "line": 1}]}
+    out = build_extract_pipeline(rd.from_arrow(tbl),
+                                 edits_by_url=edits).to_pandas()
+    out = out.set_index("url")
+    assert out.loc["u://keep", "extracted_text"] == \
+        "Alpha beta gamma.\nTail paragraph."
+    assert out.loc["u://edit", "extracted_text"] == "Alpha DELTA gamma."
+    assert (out["error"] == "").all()
