@@ -102,20 +102,60 @@ def _page_json(page: Page) -> dict:
     }
 
 
+def _annots_json(pages: list[Page]) -> list:
+    """Per-page annotation rows in the reference's doc.annotations.pages
+    shape (import.js:299-301): our carried marks map 1:1."""
+    out = []
+    for page in pages:
+        rows = []
+        for m in (page.marks if page else []) or []:
+            if not isinstance(m, dict):
+                continue
+            row = {k: v for k, v in m.items() if k != "bbox"}
+            row["bbox"] = _bbox_json(m["bbox"]) \
+                if isinstance(m.get("bbox"), BBox) else m.get("bbox")
+            rows.append(row)
+        out.append(rows)
+    return out
+
+
 def write_scribe(pages: list[Page], segmented: bool = True,
-                 gzip_out: bool = False) -> bytes:
-    """Page trees → reference-format ``.scribe`` bytes."""
+                 gzip_out: bool = False, outline: list | None = None,
+                 text_edits: list | None = None) -> bytes:
+    """Page trees → reference-format ``.scribe`` bytes.  Carried marks
+    ride as ``annotations`` (header field in the segmented layout,
+    import.js:220-227); ``text_edits`` (per-page edit-record lists from
+    stages/textedits.py) ride in ``session.textEdits`` — segmented: one
+    ``textEdits`` field per page record (import.js:240)."""
+    annots = _annots_json(pages)
+    has_annots = any(annots)
     if segmented:
-        chunks = [json.dumps({"scribeSegments": 1,
-                              "pageCount": len(pages)})]
+        header: dict = {"scribeSegments": 1, "pageCount": len(pages)}
+        if has_annots:
+            header["annotations"] = annots
+        if outline is not None:
+            header["outline"] = outline
+        if text_edits is not None:
+            header["session"] = {}
+        chunks = [json.dumps(header)]
         for i, page in enumerate(pages):
-            chunks.append("\n" + json.dumps(
-                {"i": i, "ocr": _page_json(page) if page else None}))
+            rec: dict = {"i": i, "ocr": _page_json(page) if page
+                         else None}
+            if text_edits is not None and i < len(text_edits) \
+                    and text_edits[i]:
+                rec["textEdits"] = text_edits[i]
+            chunks.append("\n" + json.dumps(rec))
         data = "".join(chunks).encode("utf-8")
     else:
-        data = json.dumps(
-            {"ocr": [_page_json(p) if p else None for p in pages]}
-        ).encode("utf-8")
+        obj: dict = {"ocr": [_page_json(p) if p else None
+                             for p in pages]}
+        if has_annots:
+            obj["annotations"] = annots
+        if outline is not None:
+            obj["outline"] = outline
+        if text_edits is not None:
+            obj["session"] = {"textEdits": text_edits}
+        data = json.dumps(obj).encode("utf-8")
     return gzip.compress(data) if gzip_out else data
 
 
@@ -177,21 +217,48 @@ def _page_from_json(pd: dict) -> Page:
     return page
 
 
-def parse_scribe(data: bytes) -> list[Page]:
+def _attach_annotations(pages: list[Page], annots) -> None:
+    for i, rows in enumerate(annots or []):
+        if not (0 <= i < len(pages)) or not rows:
+            continue
+        marks = []
+        for row in rows:
+            m = dict(row)
+            if isinstance(m.get("bbox"), dict):
+                m["bbox"] = _bbox_of(m["bbox"])
+            marks.append(m)
+        pages[i].marks = marks
+
+
+def parse_scribe_session(data: bytes):
     """Reference ``.scribe`` bytes (plain or gzip, whole or segmented)
-    → Page trees.  Segmented files are split on newline BYTES before
-    decoding — 0x0A cannot occur inside a multi-byte UTF-8 character
-    (import.js:246-283), so GB-scale files never join into one string."""
+    → (Page trees, extras).  Segmented files are split on newline BYTES
+    before decoding — 0x0A cannot occur inside a multi-byte UTF-8
+    character (import.js:246-283), so GB-scale files never join into
+    one string.  ``extras`` carries the session fields the restore path
+    consumes beyond pages (import.js:292-363): ``annotations`` (also
+    attached to ``page.marks``), ``textEdits``, ``outline`` (None when
+    the key is absent — pre-outline sessions let the PDF's own
+    bookmarks win, import.js:359-363)."""
     if data[:2] == _GZIP_MAGIC:
         data = gzip.decompress(data)
     if not data.lstrip()[:32].startswith(_SEG_HEAD):
         obj = json.loads(data.decode("utf-8"))
-        return [(_page_from_json(p) if p else Page(i, 0, 0))
-                for i, p in enumerate(obj.get("ocr") or [])]
+        pages = [(_page_from_json(p) if p else Page(i, 0, 0))
+                 for i, p in enumerate(obj.get("ocr") or [])]
+        _attach_annotations(pages, obj.get("annotations"))
+        session = obj.get("session") or {}
+        extras = {"annotations": obj.get("annotations"),
+                  "textEdits": session.get("textEdits"),
+                  "outline": (obj.get("outline") or [])
+                  if "outline" in obj else None}
+        return pages, extras
     lines = data.split(b"\n")
     header = json.loads(lines[0].decode("utf-8"))
     n = int(header.get("pageCount") or 0)
     pages: list[Page | None] = [None] * n
+    text_edits: list = [None] * n
+    saw_edits = "session" in header
     for raw in lines[1:]:
         raw = raw.strip()
         if not raw:
@@ -201,5 +268,20 @@ def parse_scribe(data: bytes) -> list[Page]:
         if 0 <= i < n:
             pages[i] = _page_from_json(rec["ocr"]) if rec.get("ocr") \
                 else None
-    return [(p if p is not None else Page(i, 0, 0))
-            for i, p in enumerate(pages)]
+            if rec.get("textEdits") is not None:
+                text_edits[i] = rec["textEdits"]
+                saw_edits = True
+    pages = [(p if p is not None else Page(i, 0, 0))
+             for i, p in enumerate(pages)]
+    _attach_annotations(pages, header.get("annotations"))
+    extras = {"annotations": header.get("annotations"),
+              "textEdits": text_edits if saw_edits else None,
+              "outline": (header.get("outline") or [])
+              if "outline" in header else None}
+    return pages, extras
+
+
+def parse_scribe(data: bytes) -> list[Page]:
+    """Pages-only view of :func:`parse_scribe_session` (annotations are
+    still attached to ``page.marks``)."""
+    return parse_scribe_session(data)[0]

@@ -202,3 +202,34 @@ def test_redaction_survives_malformed_sibling_annotation():
     text = " ".join(w.text for ln in pages[0].lines for w in ln.words)
     assert "SECRET" not in text
     assert "Public" in text
+
+
+def test_scribe_session_annotations_and_edits_roundtrip():
+    """.scribe interop carries annotations + textEdits (import.js
+    :220-241, :292-313) in both layouts."""
+    from scribe_js_ray.model import BBox
+    from scribe_js_ray.stages.scribe_fmt import (parse_scribe_session,
+                                                 write_scribe)
+    from scribe_js_ray.stages.textlayout import parse_text_pages
+
+    pages = parse_text_pages("Some words to carry over.")
+    pages[0].marks = [{"type": "highlight",
+                       "bbox": BBox(10, 20, 110, 40),
+                       "color": "#ffff00"}]
+    edits = [[{"type": "deleteText",
+               "rects": [{"left": 1, "top": 2, "right": 3,
+                          "bottom": 4}]}]]
+    for segmented in (True, False):
+        data = write_scribe(pages, segmented=segmented,
+                            text_edits=edits, outline=[])
+        back, extras = parse_scribe_session(data)
+        assert len(back) == 1
+        (mark,) = back[0].marks
+        assert mark["type"] == "highlight"
+        assert mark["bbox"].right == 110 and mark["color"] == "#ffff00"
+        assert extras["textEdits"] == edits
+        assert extras["outline"] == []
+    # pre-outline session: key absent → None (PDF bookmarks win)
+    data = write_scribe(pages, segmented=True)
+    _, extras = parse_scribe_session(data)
+    assert extras["outline"] is None
