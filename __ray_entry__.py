@@ -245,6 +245,18 @@ def _doc_fingerprints(sf_dir: str):
         .select_columns(["doc_id", "fingerprint"]).sort("doc_id")
 
 
+def _doc_clean_text(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_clean_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_clean_text, batch_format="pyarrow") \
+        .select_columns(["doc_id", "clean_text", "n_clean_chars"]) \
+        .sort("doc_id")
+
+
 def _doc_quality(sf_dir: str):
     import ray.data as rd
 
@@ -616,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
         "doc_fingerprints": _doc_fingerprints,
+        "doc_clean_text": _doc_clean_text,
         "doc_quality": _doc_quality,
         "doc_quality_filter": _doc_quality_filter,
         "doc_dup_clusters": _doc_dup_clusters,
@@ -977,6 +990,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE COALESCE(s.u, 0) END AS BIGINT) AS simhash
             FROM documents d LEFT JOIN sims s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "doc_clean_text": """
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(text,
+                          '[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]', '', 'g'),
+                          '[ \\t\\n\\r\\f]+', ' ', 'g')) AS clean_text
+              FROM documents)
+            SELECT doc_id, clean_text,
+                   CAST(length(clean_text) AS BIGINT) AS n_clean_chars
+            FROM c ORDER BY doc_id
         """,
         "doc_quality": """
             SELECT doc_id,

@@ -49,6 +49,23 @@ def add_fingerprint(batch: pa.Table) -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
 
 
+def add_clean_text(batch: pa.Table) -> pa.Table:
+    """Rule-based text cleaning: strip ASCII control chars (keeping the
+    \\t \\n \\r \\f whitespace family for the collapse step), collapse
+    whitespace runs to single spaces, trim.  Both regex passes run in
+    Arrow's RE2 — the SAME engine DuckDB uses — so the oracle is
+    bit-exact by construction (character classes kept ASCII-explicit;
+    never \\s, whose Python/RE2 semantics differ — CLAUDE.md)."""
+    t = batch["text"]
+    t = pc.replace_substring_regex(
+        t, r"[\x00-\x08\x0b\x0e-\x1f\x7f]", "")
+    t = pc.replace_substring_regex(t, r"[ \t\n\r\f]+", " ")
+    t = pc.utf8_trim(t, " ")
+    out = batch.append_column("clean_text", t)
+    return out.append_column("n_clean_chars",
+                             pc.cast(pc.utf8_length(t), pa.int64()))
+
+
 def add_quality_features(batch: pa.Table) -> pa.Table:
     """Integer quality counters (floats avoided for stable value hashing)."""
     text = batch["text"]
