@@ -84,19 +84,27 @@ def _apply_edits(pages, edits) -> None:
     line (and its superimposed duplicates).  Out-of-range edits are
     skipped: a stale edit table must never poison extraction."""
     from ..stages.textedits import delete_text_lines, replace_text_line
+    # Line numbers resolve against each page's PRE-edit line list (one
+    # snapshot per page), so an earlier delete cannot shift a later
+    # edit onto the wrong line.
+    snapshots: dict = {}
     for e in edits:
         n = e.get("page", 0)
         li = e.get("line")
         if not (0 <= n < len(pages)) or li is None:
             continue
         page = pages[n]
-        if not (0 <= li < len(page.lines)):
+        snap = snapshots.setdefault(n, list(page.lines))
+        if not (0 <= li < len(snap)):
+            continue
+        line = snap[li]
+        if line not in page.lines:  # removed by an earlier edit
             continue
         new_text = e.get("newText") or ""
         if new_text.strip():
-            replace_text_line(page, page.lines[li], new_text)
+            replace_text_line(page, line, new_text)
         else:
-            delete_text_lines(page, [page.lines[li]])
+            delete_text_lines(page, [line])
 
 
 def _emit(pages, emit_format, reflow, drop_furniture, edits=None):
@@ -322,15 +330,19 @@ class ExtractDocuments:
     too heavy for module-level warm-up (e.g. large learned font models):
     ``__init__`` runs once per actor, ``__call__`` per batch."""
 
-    def __init__(self, reflow: bool = True, drop_furniture: bool = True):
+    def __init__(self, reflow: bool = True, drop_furniture: bool = True,
+                 emit_format: str = "text", edits_ref=None):
         self.reflow = reflow
         self.drop_furniture = drop_furniture
+        self.emit_format = emit_format
+        self.edits_ref = edits_ref
         # Warm the parser modules once per actor (regex compile, width
         # tables) — not once per batch.
         from ..stages.pdf import parse_pdf_document  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _extract_batch(batch, self.reflow, self.drop_furniture)
+        return _extract_batch(batch, self.reflow, self.drop_furniture,
+                              self.emit_format, self.edits_ref)
 
 
 def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
@@ -385,7 +397,9 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
     return ds.map_batches(
         ExtractDocuments,
         fn_constructor_kwargs={"reflow": reflow,
-                               "drop_furniture": drop_furniture},
+                               "drop_furniture": drop_furniture,
+                               "emit_format": emit_format,
+                               "edits_ref": edits_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

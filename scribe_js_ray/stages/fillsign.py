@@ -175,6 +175,10 @@ def add_fill_text(page: Page, item: dict) -> dict:
            "fontSize": fs,
            "textColor": item.get("textColor") or "#000000",
            "opacity": 1}
+    # doc.annotations.pages analog (fillSign.js:144-147): the row rides
+    # page.marks so a .scribe save round-trips the annotation, not just
+    # its lifted words.
+    page.marks.append(row)
     sync_fill_text(page, row)
     return row
 

@@ -135,7 +135,11 @@ def build_highlight_annot(selected, sy: float, height_pt: float,
              Name("CA"): opacity,
              Name("F"): 4}
     if spec.get("comment"):
-        annot[Name("Contents")] = spec["comment"].encode("utf-16-be")
+        # PDF UTF-16 text strings need the BOM (toUtf16BeHex,
+        # pdfPrimitives.js:922-928) or viewers fall back to
+        # PDFDocEncoding on the raw bytes.
+        annot[Name("Contents")] = b"\xfe\xff" + \
+            spec["comment"].encode("utf-16-be")
     return annot
 
 
@@ -149,7 +153,8 @@ def create_highlighted_pdf(data: bytes, highlights: list,
     from .objects import PdfFile
 
     parsed, _ = parse_pdf_document(data)
-    infos = _walk_pages(PdfFile(data))
+    pdf = PdfFile(data)
+    infos = _walk_pages(pdf)
     extra: dict[int, list] = {}
     applied = 0
     lines_hit = 0
@@ -161,7 +166,9 @@ def create_highlighted_pdf(data: bytes, highlights: list,
         selected = _select_words(page, spec)
         if not selected:
             continue
-        box = infos[p].get("MediaBox") or [0, 0, 612, 792]
+        # /MediaBox (and its entries) may be indirect references
+        box = pdf.resolve(infos[p].get("MediaBox")) or [0, 0, 612, 792]
+        box = [pdf.resolve(v) for v in box]
         height_pt = abs(float(box[3]) - float(box[1]))
         sy = page.height / height_pt if height_pt else 1.0
         annot = build_highlight_annot(selected, sy, height_pt, spec)

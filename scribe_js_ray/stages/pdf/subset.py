@@ -359,6 +359,7 @@ def subset_pdf(data: bytes, page_indices: list[int], scrub: bool = False,
     # Rewritten kept pages, original object numbers preserved.
     out_objs: list[tuple[int, bytes]] = []
     trace_roots: list = []
+    page_out_nums: list[int] = []  # final object number per kept page
     for i in page_indices:
         info = pages[i]
         node = dict(info["_node"])
@@ -395,6 +396,7 @@ def subset_pdf(data: bytes, page_indices: list[int], scrub: bool = False,
             num = next_extra
             next_extra += 1
         out_objs.append((num, serialize_obj(node)))
+        page_out_nums.append(num)
         trace_roots.append(node)
 
     # Catalog keep-entries (scrubMetadata.js:215 + subsetPdf.js:372-392).
@@ -447,9 +449,7 @@ def subset_pdf(data: bytes, page_indices: list[int], scrub: bool = False,
                 queue.append(n)
             seen_refs.add(n)
 
-    kids = [Ref(pages[i]["_ref_num"]) if pages[i]["_ref_num"] is not None
-            else Ref(out_objs[k][0])
-            for k, i in enumerate(page_indices)]
+    kids = [Ref(n) for n in page_out_nums]
     pages_root = {Name("Type"): Name("Pages"), Name("Kids"): kids,
                   Name("Count"): len(kids)}
     out_objs.append((catalog_num, serialize_obj(catalog)))

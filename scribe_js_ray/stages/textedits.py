@@ -42,7 +42,7 @@ the undo history (snapshot/splice) is an interactive concern.
 
 from __future__ import annotations
 
-from ..model import BBox, Line, Page, Word
+from ..model import BBox, Line, Page, Word, update_line_bbox
 from .pdf.widths import base14_widths, char_width
 
 # textEdits.js:154-155 — faux-bold stroke / faux-oblique skew constants
@@ -138,14 +138,6 @@ def remove_markup_on_boxes(page: Page, word_boxes: list[BBox]) -> list:
     if removed:
         page.marks = kept
     return removed
-
-
-def update_line_bbox(line: Line) -> None:
-    if line.words:
-        line.bbox = BBox(min(w.bbox.left for w in line.words),
-                         min(w.bbox.top for w in line.words),
-                         max(w.bbox.right for w in line.words),
-                         max(w.bbox.bottom for w in line.words))
 
 
 def delete_page_words(page: Page, ids: list[str]) -> int:
@@ -260,20 +252,22 @@ def replace_text_line(page: Page, line: Line, new_text: str,
             return True
         return False
 
+    def style_at(m: int):
+        # tolerate short arrays like the reference's wordStylesIn?.[m]
+        return word_styles[m] if word_styles and m < len(word_styles) \
+            else None
+
     i0 = 0
     while i0 < olen and i0 < nlen and old_texts[i0] == new_texts[i0] \
-            and not style_change_at(old_words[i0],
-                                    (word_styles or [None] * nlen)[i0]
-                                    if word_styles else None):
+            and not style_change_at(old_words[i0], style_at(i0)):
         i0 += 1
     if i0 == olen and i0 == nlen:
         return None
     k = 0
     while k < olen - i0 and k < nlen - i0 \
             and old_texts[olen - 1 - k] == new_texts[nlen - 1 - k] \
-            and not style_change_at(
-                old_words[olen - 1 - k],
-                word_styles[nlen - 1 - k] if word_styles else None):
+            and not style_change_at(old_words[olen - 1 - k],
+                                    style_at(nlen - 1 - k)):
         k += 1
 
     rs = i0
@@ -396,10 +390,14 @@ def replace_text_line(page: Page, line: Line, new_text: str,
     line.words = new_words
     update_line_bbox(line)
 
-    # Same duplicate/markup sweeps as deletion, over the erased boxes.
+    # Same duplicate/markup sweeps as deletion, over the erased boxes —
+    # a shifted (not early-realigned) suffix was redrawn too, so its
+    # old boxes count as erased (textEdits.js:598-601).
+    erased_end = min(realign_start_old, olen) if new_redraw_end < nlen \
+        else olen
     erased_boxes = [bbox_to_page_space(old_boxes[i], line.orientation,
                                        page.dims)
-                    for i in range(rs, min(realign_start_old, olen))]
+                    for i in range(rs, erased_end)]
     twins = find_superimposed_words(page, {line}, redraw_rects)
     twin_ids = [i for t in twins for i in t["ids"]]
     if twin_ids:
@@ -407,5 +405,10 @@ def replace_text_line(page: Page, line: Line, new_text: str,
         delete_page_words(page, twin_ids)
     remove_markup_on_boxes(page, erased_boxes)
 
+    redrawn_words = new_words[rs:new_redraw_end]
+    if not redrawn_words:
+        # Pure tail deletion: zero redraw runs make this a delete record
+        # (textEdits.js:626-633).
+        return {"type": "deleteText", "rects": redraw_rects}
     return {"type": "replaceText", "rects": redraw_rects,
-            "word_ids": [w.id for w in new_words[rs:new_redraw_end]]}
+            "word_ids": [w.id for w in redrawn_words]}

@@ -302,6 +302,9 @@ def edit_text(edits: list, file: str | None = None,
     except (OSError, ValueError) as exc:
         return {"error": str(exc)}
     results = []
+    # Line numbers resolve against each page's pre-edit line list so an
+    # earlier delete cannot shift later edits onto the wrong line.
+    snapshots: dict = {}
     for e in edits or []:
         n = e.get("page", 0)
         li = e.get("line")
@@ -309,11 +312,16 @@ def edit_text(edits: list, file: str | None = None,
             results.append({"error": f"Page {n} out of range."})
             continue
         page = pages[n]
-        if li is None or not (0 <= li < len(page.lines)):
+        snap = snapshots.setdefault(n, list(page.lines))
+        if li is None or not (0 <= li < len(snap)):
             results.append({"error": f"Line {li} out of range on "
                                      f"page {n}."})
             continue
-        line = page.lines[li]
+        line = snap[li]
+        if line not in page.lines:
+            results.append({"error": f"Line {li} on page {n} was "
+                                     "removed by an earlier edit."})
+            continue
         before = " ".join(w.text for w in line.words)
         try:
             new_text = e.get("newText") or ""

@@ -190,3 +190,48 @@ def test_distributed_edits_pipeline(ray_session, tmp_path):
         "Alpha beta gamma.\nTail paragraph."
     assert out.loc["u://edit", "extracted_text"] == "Alpha DELTA gamma."
     assert (out["error"] == "").all()
+
+
+def test_replace_short_word_styles_array_tolerated():
+    page = _page()
+    ln = _add_line(page, [("alpha", 50, 110), ("beta", 120, 170),
+                          ("gamma", 180, 250)])
+    rec = replace_text_line(page, ln, "alpha beta NEW",
+                            word_styles=[None])
+    assert rec["type"] == "replaceText"
+    assert [w.text for w in ln.words] == ["alpha", "beta", "NEW"]
+
+
+def test_replace_pure_tail_deletion_is_delete_record():
+    page = _page()
+    ln = _add_line(page, [("a", 50, 60), ("b", 70, 80), ("c", 90, 100)])
+    rec = replace_text_line(page, ln, "a b")
+    assert rec["type"] == "deleteText"
+    assert len(rec["rects"]) == 1
+    assert [w.text for w in ln.words] == ["a", "b"]
+
+
+def test_replace_shifted_suffix_sweeps_markup():
+    page = _page()
+    # retype the first word much wider so the suffix shifts >= 0.5px
+    ln = _add_line(page, [("a", 50, 60), ("b", 70, 80), ("c", 90, 100)])
+    page.marks = [{"type": "highlight", "bbox": BBox(70, 100, 100, 124)}]
+    rec = replace_text_line(page, ln, "WIDEWORD b c")
+    assert rec is not None
+    assert page.marks == []  # mark on the shifted suffix swept
+
+
+def test_edit_text_line_numbers_resolve_against_snapshot(tmp_path):
+    from scribe_js_ray.tools import call_tool
+    src = tmp_path / "doc.txt"
+    src.write_text("line one\n\nline two\n\nline three\n\nline four")
+    res = call_tool("edit_text", {
+        "file": str(src),
+        "edits": [{"page": 0, "line": 1}, {"page": 0, "line": 2}]})
+    out = call_tool("extract_document_text", {"file": str(src)})
+    assert "error" not in res
+    assert [e["before"] for e in res["edits"]] == ["line two",
+                                                   "line three"]
+    assert "line one" in out["text"] and "line four" in out["text"]
+    assert "line two" not in out["text"]
+    assert "line three" not in out["text"]
