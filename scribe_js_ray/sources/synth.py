@@ -256,7 +256,16 @@ def make_hocr_charlevel(r: random.Random) -> str:
 
 
 def make_html_article(r: random.Random) -> str:
-    """Generic web page: nav/boilerplate chrome around real article text."""
+    """Generic web page: nav/boilerplate chrome around real article text.
+
+    Three variants round-robin by a leading draw (so existing doc-id →
+    stratum routing stays stable): (a) semantic-tag page
+    (nav/header/main/aside/footer), (b) div-soup page where chrome is
+    only identifiable via class/id hints and the article has no <main>
+    plus a trailing comments section, (c) semantic page whose article
+    contains short one-line paragraphs that only block fusion keeps.
+    """
+    variant = r.randint(0, 2)
     title = " ".join(w.capitalize() for w in _sentence(r, 5)[:-1])
     paras = ["<p>" + " ".join(_paragraph_words(r, r.randint(3, 6))) + "</p>"
              for _ in range(r.randint(3, 7))]
@@ -265,15 +274,56 @@ def make_html_article(r: random.Random) -> str:
     related = "".join(f"<li><a href='/p/{i}'>"
                       + " ".join(_sentence(r, 4)[:-1]) + "</a></li>"
                       for i in range(5))
+    copyright_p = ("<p>Copyright 2024 Example Corp. All rights reserved. "
+                   "<a href='/privacy'>Privacy</a> "
+                   "<a href='/terms'>Terms</a></p>")
+    head = ("<html><head><title>" + title + "</title>"
+            "<script>var x=1;</script><style>p{margin:0}</style></head>"
+            "<body>")
+
+    if variant == 1:
+        # Div-soup: no semantic tags anywhere; chrome carries class/id
+        # hints; no h1 (title must fall back to <head><title>); a
+        # comments section follows the article text.
+        comments = "".join(
+            "<div class='comment-body'><p>"
+            + " ".join(_paragraph_words(r, 2)) + "</p></div>"
+            for _ in range(r.randint(2, 4)))
+        return (
+            head
+            + "<div id='topnav' class='menu'><ul>" + nav_links + "</ul></div>"
+            + "<div class='content'>" + "".join(paras) + "</div>"
+            + "<div id='comments' class='comments-area'>"
+              "<div class='comment-count'>" + str(r.randint(2, 40))
+            + " Comments</div>" + comments + "</div>"
+            + "<div class='sidebar'><ul>" + related + "</ul></div>"
+            + "<div class='site-footer'>" + copyright_p + "</div>"
+            "</body></html>")
+
+    if variant == 2:
+        # Fusion bait: short zero-link lines between full paragraphs
+        # (pull-quote / list-item shaped) that only the context pass
+        # keeps; same chrome as the semantic variant.
+        short_lines = "".join(
+            "<p>" + " ".join(_sentence(r, r.randint(3, 5))) + "</p>"
+            for _ in range(r.randint(1, 3)))
+        body = paras[0] + short_lines + "".join(paras[1:])
+        return (
+            head
+            + "<nav><ul>" + nav_links + "</ul></nav>"
+            "<header><h1>" + title + "</h1></header>"
+            "<div>" + body + "</div>"
+            "<aside><h3>Related</h3><ul>" + related + "</ul></aside>"
+            "<footer>" + copyright_p + "</footer>"
+            "</body></html>")
+
     return (
-        "<html><head><title>" + title + "</title>"
-        "<script>var x=1;</script><style>p{margin:0}</style></head><body>"
-        "<nav><ul>" + nav_links + "</ul></nav>"
+        head
+        + "<nav><ul>" + nav_links + "</ul></nav>"
         "<header><h1>" + title + "</h1></header>"
         "<main><article>" + "".join(paras) + "</article></main>"
         "<aside><h3>Related</h3><ul>" + related + "</ul></aside>"
-        "<footer><p>Copyright 2024 Example Corp. All rights reserved. "
-        "<a href='/privacy'>Privacy</a> <a href='/terms'>Terms</a></p></footer>"
+        "<footer>" + copyright_p + "</footer>"
         "</body></html>")
 
 
