@@ -320,6 +320,23 @@ def _doc_dedup_keep(sf_dir: str):
         .select_columns(["doc_id"]).sort("doc_id")
 
 
+def _doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: distinct-3-gram overlap of every doc
+    against a held-out benchmark slice (doc_id % 50 == 0 stands in for
+    an eval set), oracle-checked bit-exact.  Benchmark grams broadcast
+    via ray.put; the scan itself is map-only."""
+    import ray.data as rd
+
+    from scribe_js_ray.functions.joins import BroadcastTable
+    from scribe_js_ray.pipelines.corpus import (benchmark_ngram_table,
+                                                decontaminate)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    bench = BroadcastTable(benchmark_ngram_table(ds))
+    return decontaminate(ds, bench).sort("doc_id")
+
+
 def _doc_lang_id(sf_dir: str):
     import ray.data as rd
 
@@ -635,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_keep": _doc_dedup_keep,
         "doc_repetition": _doc_repetition,
         "doc_top_bigram": _doc_top_bigram,
+        "doc_decontaminate": _doc_decontaminate,
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_lang_id": _doc_lang_id,
         "doc_minhash_pairs": _doc_minhash_pairs,
@@ -912,6 +930,35 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT), 0) AS n_dup_lines
             FROM documents d LEFT JOIN counted c USING (doc_id)
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        "doc_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, arr,
+                     unnest(generate_series(1, len(arr) - 2)) AS i
+              FROM toks WHERE len(arr) >= 3 AND arr[1] <> ''
+            ), dg AS (
+              SELECT DISTINCT doc_id,
+                     arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS g
+              FROM pos
+            ), bench AS (
+              SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id
+            ), hits AS (
+              SELECT dg.doc_id, count(*) AS n_contaminated
+              FROM dg JOIN bench USING (g) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(t.n_grams, 0) AS n_grams,
+                   COALESCE(h.n_contaminated, 0) AS n_contaminated
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "doc_top_bigram": """
             WITH toks AS (

@@ -1215,3 +1215,93 @@ def add_topngram_signals(batch: pa.Table) -> pa.Table:
         "top_bigram_chars": pa.array(out_top, pa.int64()),
         "total_token_chars": pa.array(out_tot, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (training-data hygiene: flag documents whose
+# token n-grams overlap a held-out benchmark/eval set — the standard
+# contamination check public pipelines run before training)
+
+
+def _batch_gram_sets(batch: pa.Table, n: int) -> list[set]:
+    """Distinct token n-grams per row.  Tokenizer parity with the SQL
+    oracle: trim + RE2 ``\\s+`` split runs in Arrow — the same engine
+    DuckDB uses — so gram strings are bit-identical on both sides."""
+    toks_col = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch["text"]), r"\s+")
+    out = []
+    for toks in toks_col.to_pylist():
+        if not toks or len(toks) < n or toks == [""]:
+            out.append(set())
+        else:
+            out.append({" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)})
+    return out
+
+
+def benchmark_ngram_table(ds, n: int = 3, modulus: int = 50,
+                          cap: int = 20_000_000) -> pa.Table:
+    """Distinct n-grams of the held-out benchmark slice
+    (``doc_id % modulus == 0`` stands in for an externally-supplied eval
+    set — real decontamination benchmarks are small separate tables, MBs
+    not corpus-sized, which is exactly why the broadcast path below is
+    the scale-correct shape).  Per-batch distinct sets stream to the
+    driver; ``cap`` guards driver memory (a few hundred MB of grams) —
+    a larger benchmark would swap the membership test for a hash-bucket
+    semi-join on gram hashes (functions/joins.py exchange)."""
+
+    def grams_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array((ids % modulus) == 0))
+        gs: set = set()
+        for s in _batch_gram_sets(sub, n):
+            gs |= s
+        return pa.table({"g": pa.array(sorted(gs), pa.large_string())})
+
+    uniq: set = set()
+    stream = ds.map_batches(grams_batch, batch_format="pyarrow")
+    for b in stream.iter_batches(batch_format="pyarrow"):
+        uniq.update(b["g"].to_pylist())
+        if len(uniq) > cap:
+            raise ValueError(
+                f"benchmark gram set exceeds cap={cap}; use the "
+                "hash-bucket semi-join fallback for corpus-sized sets")
+    return pa.table({"g": pa.array(sorted(uniq), pa.large_string())})
+
+
+_BENCH_SET_MEMO: dict[int, frozenset] = {}
+
+
+def _bench_set(bc) -> frozenset:
+    """Per-process memo of the broadcast gram table as a frozenset (the
+    plasma read is zero-copy but set construction isn't — do it once
+    per worker process, not once per batch)."""
+    key = id(bc)
+    s = _BENCH_SET_MEMO.get(key)
+    if s is None:
+        s = frozenset(bc.get()["g"].to_pylist())
+        _BENCH_SET_MEMO.clear()   # one benchmark live at a time
+        _BENCH_SET_MEMO[key] = s
+    return s
+
+
+def decontaminate(ds, bench_bc, n: int = 3):
+    """Per doc: ``n_grams`` = distinct token n-grams, ``n_contaminated``
+    = how many of them appear in the broadcast benchmark set.  Integer
+    outputs (stable value hashing); the contamination ratio and any
+    drop threshold derive downstream.  Map-only — the benchmark rides
+    the object store via ``BroadcastTable`` (ray.put once, read
+    per-node), never the task closure."""
+
+    def contam(batch: pa.Table) -> pa.Table:
+        bench = _bench_set(bench_bc)
+        sets_ = _batch_gram_sets(batch, n)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_grams": pa.array([len(s) for s in sets_], pa.int64()),
+            "n_contaminated": pa.array(
+                [sum(1 for g in s if g in bench) for s in sets_],
+                pa.int64()),
+        })
+
+    return ds.map_batches(contam, batch_format="pyarrow")

@@ -323,3 +323,50 @@ def test_ivf_trained_centroids_persisted_and_better(ray_session):
     out = corpus.knn_top_k_ivf(ds, list(vecs[0]), k=3, n_cells=8,
                                n_probe=2, index_dir=idx).to_pandas()
     assert out["vec_id"].iloc[0] == 0
+
+
+def test_decontaminate_overlap_counts(ray_session):
+    import ray.data as rd
+
+    from scribe_js_ray.functions.joins import BroadcastTable
+    from scribe_js_ray.pipelines.corpus import (benchmark_ngram_table,
+                                                decontaminate)
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e",              # benchmark doc (0 % 50 == 0): grams abc bcd cde
+            "a b c x y",              # shares exactly "a b c"
+            "p q r s",                # no overlap
+            "a b",                    # too short for a 3-gram
+        ]),
+    })
+    ds = rd.from_arrow(docs)
+    bench = benchmark_ngram_table(ds)
+    assert set(bench["g"].to_pylist()) == {"a b c", "b c d", "c d e"}
+    out = decontaminate(ds, BroadcastTable(bench)).sort("doc_id") \
+        .to_pandas()
+    assert out["n_grams"].tolist() == [3, 3, 2, 0]
+    assert out["n_contaminated"].tolist() == [3, 1, 0, 0]
+
+
+def test_decontaminate_distinct_gram_semantics(ray_session):
+    import ray.data as rd
+
+    from scribe_js_ray.functions.joins import BroadcastTable
+    from scribe_js_ray.pipelines.corpus import (benchmark_ngram_table,
+                                                decontaminate)
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "x y z x y z x y z",      # repeated grams count once (distinct)
+            "   ",                     # whitespace-only → zero grams
+        ]),
+    })
+    ds = rd.from_arrow(docs)
+    out = decontaminate(ds, BroadcastTable(benchmark_ngram_table(ds))) \
+        .sort("doc_id").to_pandas()
+    # 9 tokens → 7 positional 3-grams but only 3 distinct ones
+    assert out["n_grams"].tolist() == [3, 0]
+    assert out["n_contaminated"].tolist() == [3, 0]
