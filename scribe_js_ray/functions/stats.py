@@ -64,6 +64,11 @@ def js_round(x):
     return math.floor(x + 0.5)
 
 
+def round3(x):
+    """miscUtils.js:276-282."""
+    return js_round(x * 1e3) / 1e3
+
+
 def round6(x):
     """miscUtils.js:290-296."""
     return js_round(x * 1e6) / 1e6

@@ -145,7 +145,7 @@ def par_is_furniture(par: Optional[Par]) -> bool:
 class Page:
     __slots__ = ("n", "width", "height", "angle", "lines", "pars",
                  "text_source", "rules", "table_boxes", "mcid_roles",
-                 "mcid_elems", "marks", "font_programs")
+                 "mcid_elems", "marks", "font_programs", "annots")
 
     def __init__(self, n: int, width: int, height: int):
         self.n = n
@@ -171,6 +171,9 @@ class Page:
         # export's glyph-outline re-embedding (never serialized into
         # .scribe — in-task only, like the reference's DocFonts).
         self.font_programs: dict = {}
+        # Form-field annotation rows (doc.annotations.pages analog) —
+        # the set_form_value edit surface (formFields.js:15-87).
+        self.annots: list = []
 
     @property
     def dims(self):

@@ -17,11 +17,14 @@ modeled."""
 
 from __future__ import annotations
 
+import re
+
 from ...model import BBox, Line, Word
 from .objects import Ref
-from .widths import base14_widths
 
-_HELV = base14_widths("Helvetica")
+# Lifted-word id prefix shared by every field (parse + edit lifts);
+# the bbox test is what scopes removal to one widget (formFields.js:30).
+_LIFTED_ID_RE = re.compile(r"^word_\d+_f")
 
 
 def decode_pdf_string(b) -> str:
@@ -117,9 +120,108 @@ def _parse_one_annotation(pdf, a_ref) -> list[dict]:
                                       pdf.resolve(parent.get("T"))),
             "value": decode_pdf_string(value),
         })
+        # Appearance attrs for the field-value layout
+        # (parsePdfDoc.js:1113-1121: Ff bit 13 multiline, bit 25 comb
+        # — Tx only; /MaxLen only meaningful with comb; /Q quadding;
+        # /DA default-appearance string whose Tf size wins).
+        if ft == "Tx" and (ff & 0x1000):
+            entry["multiline"] = True
+        if ft == "Tx" and (ff & 0x1000000):
+            entry["comb"] = True
+            max_len = pdf.resolve(a.get("MaxLen")) or \
+                pdf.resolve(parent.get("MaxLen"))
+            if max_len:
+                entry["max_len"] = int(max_len)
+        q = pdf.resolve(a.get("Q")) or pdf.resolve(parent.get("Q"))
+        if q:
+            entry["quadding"] = int(q)
+        da = pdf.resolve(a.get("DA")) or pdf.resolve(parent.get("DA"))
+        if da is not None:
+            entry["da"] = decode_pdf_string(da)
+        if ff & 1:
+            entry["read_only"] = True
+        if ff & 2:
+            entry["required"] = True
     else:
         entry["type"] = subtype.lower() or "annotation"
     return [entry]
+
+
+def lift_one_field(page, a: dict, page_height_dev: float, scale: float,
+                   field_idx=None, id_tag: str | None = None) -> int:
+    """Typeset ONE visible Tx/Ch field's value as synthetic lines via
+    the shared field layout (parsePdfDoc.js:1127-1176 geometry mapping:
+    /Rect-local layout points → device space through the page scale and
+    y-flip; asc/desc = fontSize·0.8/0.2; Helvetica; y-ordered insert).
+    Returns printable chars lifted."""
+    from ...functions.stats import js_round, round3
+    from ...functions.textnorm import calc_lang
+    from .fieldlayout import layout_field_value
+
+    value = (a.get("value") or "")
+    if not value.strip():
+        return 0
+    rect = a["rect"]
+    llx, lly = min(rect[0], rect[2]), min(rect[1], rect[3])
+    rect_w = abs(rect[2] - rect[0])
+    rect_h = abs(rect[3] - rect[1])
+    if rect_w <= 0 or rect_h <= 0:
+        return 0
+    layout = layout_field_value(
+        value, rect_w, rect_h, multiline=bool(a.get("multiline")),
+        comb=bool(a.get("comb")), max_len=a.get("max_len"),
+        quadding=int(a.get("quadding") or 0), da=a.get("da"))
+    font_size = layout["font_size"]
+    asc, desc = font_size * 0.8, font_size * 0.2
+
+    def map_pt(x_pt: float, y_pt: float) -> tuple[float, float]:
+        # device space: top-left origin, y = page_height - pdf_y
+        return x_pt * scale, page_height_dev - y_pt * scale
+
+    # Word-id "f" chunk: parse-time lift numbers fields sequentially
+    # ("f{idx}_{line}_{wi}", parsePdfDoc.js:1162); the edit verb uses
+    # the widget object ref with an "e" marker ("f{src}e{line}_{wi}",
+    # formFields.js:71) so re-lifted words occupy their own namespace.
+    tag = id_tag if id_tag is not None else f"{field_idx}_"
+    printable = 0
+    lift_line_idx = 0
+    for ll in layout["lines"]:
+        if not ll["words"]:
+            continue
+        lift_line_idx += 1
+        word_specs = []
+        for lw in ll["words"]:
+            ax, ay = map_pt(llx + lw["x0"], lly + ll["y"] + asc)
+            bx, by = map_pt(llx + lw["x1"], lly + ll["y"] - desc)
+            word_specs.append((lw["text"], BBox(
+                js_round(min(ax, bx)), js_round(min(ay, by)),
+                js_round(max(ax, bx)), js_round(max(ay, by)))))
+        line_bbox = BBox(min(s[1].left for s in word_specs),
+                         min(s[1].top for s in word_specs),
+                         max(s[1].right for s in word_specs),
+                         max(s[1].bottom for s in word_specs))
+        _, base_y = map_pt(llx + ll["x"], lly + ll["y"])
+        line = Line(page, line_bbox,
+                    [0, js_round(base_y) - line_bbox.bottom],
+                    asc * scale, None)
+        for wi, (wt, wb) in enumerate(word_specs):
+            word = Word(line, f"word_{page.n + 1}_f{tag}"
+                        f"{lift_line_idx}_{wi + 1}", wt, wb)
+            word.conf = 100
+            word.lang = calc_lang(wt)
+            word.style.font = "Helvetica"
+            word.style.size = round3(font_size * scale)
+            line.words.append(word)
+            printable += len(wt)
+        # keep page lines y-ordered (parsePdfDoc.js:1172-1174)
+        insert_at = next(
+            (i for i, ln in enumerate(page.lines)
+             if ln.bbox.top > line.bbox.top), None)
+        if insert_at is None:
+            page.lines.append(line)
+        else:
+            page.lines.insert(insert_at, line)
+    return printable
 
 
 def lift_field_values(page, annotations: list[dict],
@@ -130,63 +232,82 @@ def lift_field_values(page, annotations: list[dict],
 
     ``page_height`` is in PDF points; ``scale`` is the page's raster
     scale (group_chars_into_page multiplied every real line's coords by
-    it), so lifted geometry is scaled identically."""
+    it), so lifted geometry is scaled identically.  The per-field
+    typesetting runs through the shared ``layout_field_value`` port
+    (multiline wrap, comb cells, quadding, /DA font size)."""
     printable = 0
     field_idx = 0
-    page_height = page_height * scale
+    page_height_dev = page_height * scale
     for a in annotations:
         if a.get("type") != "field" or a.get("hidden"):
             continue
         if a.get("ft") not in ("Tx", "Ch"):
             continue
-        value = (a.get("value") or "").strip()
-        if not value:
+        if not (a.get("value") or "").strip():
             continue
-        rect = [v * scale for v in a["rect"]]
-        llx, lly = min(rect[0], rect[2]), min(rect[1], rect[3])
-        urx, ury = max(rect[0], rect[2]), max(rect[1], rect[3])
-        rect_w, rect_h = urx - llx, ury - lly
-        if rect_w <= 0 or rect_h <= 0:
-            continue
+        rect = a["rect"]
+        if abs(rect[2] - rect[0]) <= 0 or abs(rect[3] - rect[1]) <= 0:
+            continue  # fieldIdx only advances for liftable rects
         field_idx += 1
-        font_size = min(10.0 * scale, rect_h * 0.8)
-        asc, desc = font_size * 0.8, font_size * 0.2
-        # device space: top-left origin, y = page_height - pdf_y
-        for lift_idx, text_line in enumerate(value.split("\n")):
-            words_text = text_line.split()
-            if not words_text:
-                continue
-            top = page_height - ury + lift_idx * font_size * 1.2
-            bottom = top + asc + desc
-            line = Line(page, BBox(llx, top, llx, bottom), [0, 0],
-                        asc, None)
-            x = llx
-            for wi, wt in enumerate(words_text):
-                width = sum(_HELV.get(c, 500) for c in wt) * \
-                    font_size / 1000.0
-                word = Word(line, f"word_{page.n + 1}_f{field_idx}_"
-                            f"{lift_idx + 1}_{wi + 1}", wt,
-                            BBox(round(x), round(top),
-                                 round(x + width), round(bottom)))
-                word.conf = 100
-                word.style.font = "Helvetica"
-                word.style.size = font_size
-                line.words.append(word)
-                printable += len(wt)
-                x += width + font_size * 0.28
-            line.bbox = BBox(min(w.bbox.left for w in line.words),
-                             round(top),
-                             max(w.bbox.right for w in line.words),
-                             round(bottom))
-            # keep page lines y-ordered (parsePdfDoc.js:1172-1174)
-            insert_at = next(
-                (i for i, ln in enumerate(page.lines)
-                 if ln.bbox.top > line.bbox.top), None)
-            if insert_at is None:
-                page.lines.append(line)
-            else:
-                page.lines.insert(insert_at, line)
+        printable += lift_one_field(page, a, page_height_dev, scale,
+                                    field_idx)
     return printable
+
+
+def set_form_value(pages, name: str, value) -> int:
+    """Set a form field's value by fully-qualified name across the doc's
+    pages; the field's lifted words in the page text are regenerated so
+    extracted text and exports stay in sync (formFields.js:15-87).
+    ``''``/None clears; for checkboxes/radios, the on-state name or
+    ``'Off'``.  Returns the number of widget rows updated.
+
+    Field rows live on ``page.annots`` (attached at parse,
+    doc.annotations.pages analog) with their /Rect in PDF points plus
+    the page's device scale, so removal scopes by the widget's
+    device-space bbox ± 2 px and the re-lift reuses the shared
+    ``layout_field_value`` typesetting."""
+    updated = 0
+    for page in pages:
+        for row in getattr(page, "annots", None) or []:
+            if row.get("type") != "field" or row.get("name") != name:
+                continue
+            is_toggle = row.get("field_type") in ("checkbox", "radio")
+            cleared = value is None or value == "" or \
+                (is_toggle and value == "Off")
+            row["value"] = None if cleared else value
+            updated += 1
+
+            scale = float(row.get("_scale") or 1.0)
+            page_h = float(row.get("_page_h_dev") or page.height)
+            rect = row.get("rect") or [0, 0, 0, 0]
+            llx, lly = min(rect[0], rect[2]), min(rect[1], rect[3])
+            urx, ury = max(rect[0], rect[2]), max(rect[1], rect[3])
+            dev = BBox(llx * scale, page_h - ury * scale,
+                       urx * scale, page_h - lly * scale)
+            pad = 2
+
+            def keep(line) -> bool:
+                lifted = bool(line.words) and all(
+                    _LIFTED_ID_RE.match(w.id or "") for w in line.words)
+                if not lifted:
+                    return True
+                inside = (line.bbox.left >= dev.left - pad
+                          and line.bbox.right <= dev.right + pad
+                          and line.bbox.top >= dev.top - pad
+                          and line.bbox.bottom <= dev.bottom + pad)
+                return not inside
+
+            page.lines = [ln for ln in page.lines if keep(ln)]
+
+            if row.get("hidden") or \
+                    row.get("field_type") not in ("text", "choice"):
+                continue
+            if not row["value"] or not str(row["value"]).strip():
+                continue
+            src = row.get("obj_num")
+            lift_one_field(page, row, page_h, scale,
+                           id_tag=f"{src if src is not None else 'x'}e")
+    return updated
 
 
 def _quads_to_device_rects(a: dict, page_height: float,

@@ -269,6 +269,12 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
             from .annots import lift_field_values
             lifted_chars = lift_field_values(page, annotations, height_pt,
                                              scale=scale)
+        # Field rows stay on the page (doc.annotations.pages analog)
+        # so set_form_value can re-lift later (formFields.js:15-87);
+        # geometry context rides with each row.
+        page.annots = [dict(a, _scale=scale,
+                            _page_h_dev=height_pt * scale)
+                       for a in annotations if a.get("type") == "field"]
     except Exception:
         pass
     # /Redact marks remove overlapping words outright (word-level

@@ -343,6 +343,55 @@ def edit_text(edits: list, file: str | None = None,
             "pageCount": len(pages), "file": _state["file"]}
 
 
+def set_form_value_tool(name: str, value: str | None = None,
+                        file: str | None = None,
+                        dataFile: str | None = None) -> dict:
+    """Set a form field's value by fully-qualified name; the field's
+    lifted words in the page text are regenerated so extracted text and
+    exports stay in sync (doc.setFormValue, formFields.js:15-87).
+    Empty/absent value clears; checkboxes/radios take the on-state name
+    or 'Off'."""
+    from .stages.pdf.annots import set_form_value
+    try:
+        pages = _ensure_loaded(file, dataFile)
+    except (OSError, ValueError) as exc:
+        return {"error": str(exc)}
+    updated = set_form_value(pages, name, value)
+    fields = sorted({r.get("name") for p in pages
+                     for r in (getattr(p, "annots", None) or [])
+                     if r.get("type") == "field" and r.get("name")})
+    if not updated:
+        return {"updated": 0, "error": f"No field named {name!r}.",
+                "fields": fields}
+    return {"updated": updated, "name": name,
+            "value": value if value not in ("", None) else None,
+            "file": _state["file"]}
+
+
+def list_form_fields(file: str | None = None,
+                     dataFile: str | None = None) -> dict:
+    """List the loaded document's form fields (name, type, value, page,
+    flags) from the per-page annotation rows."""
+    try:
+        pages = _ensure_loaded(file, dataFile)
+    except (OSError, ValueError) as exc:
+        return {"error": str(exc)}
+    out = []
+    for p in pages:
+        for r in getattr(p, "annots", None) or []:
+            if r.get("type") != "field":
+                continue
+            row = {"page": p.n, "name": r.get("name"),
+                   "fieldType": r.get("field_type"),
+                   "value": r.get("value")}
+            for k in ("multiline", "comb", "read_only", "required",
+                      "hidden"):
+                if r.get(k):
+                    row[k] = True
+            out.append(row)
+    return {"fields": out, "file": _state["file"]}
+
+
 def detect_fill_targets_tool(page: int, file: str | None = None,
                              dataFile: str | None = None,
                              includeRejects: bool = False) -> dict:
@@ -612,6 +661,23 @@ TOOLS = [
           "file": {"type": "string"},
           "dataFile": {"type": "string"}},
          ["page", "x", "y", "contents"])},
+    {"name": "list_form_fields",
+     "description": "List the loaded document's form fields (name, "
+                    "type, current value, page, flags).",
+     "inputSchema": _schema(
+         {"file": {"type": "string"},
+          "dataFile": {"type": "string"}}, [])},
+    {"name": "set_form_value",
+     "description": "Set a form field's value by fully-qualified name; "
+                    "the field's words in the page text regenerate so "
+                    "extracted text and exports stay in sync. Empty "
+                    "value clears; checkboxes/radios take the on-state "
+                    "name or 'Off'.",
+     "inputSchema": _schema(
+         {"name": {"type": "string"},
+          "value": {"type": "string"},
+          "file": {"type": "string"},
+          "dataFile": {"type": "string"}}, ["name"])},
     {"name": "define_tables",
      "description": "Define tables on a page with pre-structured cell "
                     "content; overwrites existing tables for the page.",
@@ -653,6 +719,8 @@ _HANDLERS = {
     "fill_text": fill_text_tool,
     "subset_pdf": subset_pdf_tool,
     "merge_pdfs": merge_pdfs_tool,
+    "list_form_fields": list_form_fields,
+    "set_form_value": set_form_value_tool,
     "define_tables": define_tables,
     "extract_tables": extract_tables,
     "convert_docx_to_json": convert_docx_to_json,

@@ -245,3 +245,83 @@ def test_html_export_renders_marks():
     html = write_html(pages)
     assert "<mark>Public</mark>" in html
     assert '<a href="https://example.test/x">SECRET</a>' in html
+
+
+# ---------------------------------------------------------------------------
+# field layout (formFieldLayout.js port) + setFormValue (formFields.js)
+
+
+def test_layout_da_font_size_wins():
+    from scribe_js_ray.stages.pdf.fieldlayout import layout_field_value
+    out = layout_field_value("abc", 100, 20, da="/Helv 8.5 Tf 0 g")
+    assert out["font_size"] == 8.5
+    # default 10 without /DA; auto-size when Tf size is 0
+    assert layout_field_value("abc", 100, 20)["font_size"] == 10
+    auto = layout_field_value("abc", 100, 20, da="/Helv 0 Tf")
+    assert auto["font_size"] == min(12.0, max(6.0, 20 - 4.0))
+
+
+def test_layout_multiline_wrap():
+    from scribe_js_ray.stages.pdf.fieldlayout import layout_field_value
+    # rectW 52 → maxChars = (52-4)/5 = 9 at fontSize 10
+    out = layout_field_value("aaaa bbbb cccc\ndd", 52, 60, multiline=True)
+    texts = [ln["text"] for ln in out["lines"]]
+    assert texts == ["aaaa bbbb", "cccc", "dd"]
+    # top-down leading 1.15em from rectH - pad - fontSize
+    ys = [ln["y"] for ln in out["lines"]]
+    assert ys[0] == 60 - 2 - 10
+    assert abs((ys[0] - ys[1]) - 11.5) < 1e-9
+
+
+def test_layout_comb_cells():
+    from scribe_js_ray.stages.pdf.fieldlayout import layout_field_value
+    out = layout_field_value("abc", 90, 20, comb=True, max_len=9)
+    (w,) = out["lines"][0]["words"]
+    assert (w["x0"], w["x1"]) == (0.0, 30.0)   # 3 chars × 10pt cells
+
+
+def test_layout_quadding():
+    from scribe_js_ray.stages.pdf.fieldlayout import layout_field_value
+    # len("abcd")*5 = 20 wide at fontSize 10 in a 100-wide rect
+    center = layout_field_value("abcd", 100, 20, quadding=1)
+    assert center["lines"][0]["x"] == 40.0
+    right = layout_field_value("abcd", 100, 20, quadding=2)
+    assert right["lines"][0]["x"] == 100 - 20 - 2
+
+
+def test_set_form_value_replaces_lifted_words():
+    from scribe_js_ray.stages.pdf.annots import set_form_value
+    pages, _ = parse_pdf_document(_pdf_with_field())
+    assert "John" in page_text(pages[0])
+    n = set_form_value(pages, "name", "Jane Smith")
+    assert n == 1
+    text = page_text(pages[0])
+    assert "Jane" in text and "Smith" in text
+    assert "John" not in text and "Doe" not in text
+    # row value updated in the annotation model
+    row = next(r for r in pages[0].annots if r["name"] == "name")
+    assert row["value"] == "Jane Smith"
+
+
+def test_set_form_value_clear_and_unknown():
+    from scribe_js_ray.stages.pdf.annots import set_form_value
+    pages, _ = parse_pdf_document(_pdf_with_field())
+    assert set_form_value(pages, "no-such-field", "x") == 0
+    assert set_form_value(pages, "name", "") == 1
+    text = page_text(pages[0])
+    assert "John" not in text and "Doe" not in text
+    assert "Name:" in text          # real content untouched
+    row = next(r for r in pages[0].annots if r["name"] == "name")
+    assert row["value"] is None
+
+
+def test_set_form_value_multiline_relift():
+    from scribe_js_ray.stages.pdf.annots import set_form_value
+    pages, _ = parse_pdf_document(_pdf_with_field(multiline=True))
+    set_form_value(pages, "name", "first line words\nsecond row")
+    text = page_text(pages[0])
+    assert "first" in text and "second" in text
+    # re-lifted word ids use the edit namespace (f<src>e<line>_<wi>)
+    lifted = [w for ln in pages[0].lines for w in ln.words
+              if w.id and "e" in w.id.split("_f")[-1]]
+    assert lifted

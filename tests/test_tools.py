@@ -123,3 +123,26 @@ def test_registry_lists_schemas():
     for t in tools.TOOLS:
         assert t["inputSchema"]["type"] == "object"
         json.dumps(t)    # serializable
+
+
+def test_list_and_set_form_fields(tmp_path):
+    from tests.test_pdf_annots import _pdf_with_field
+
+    from scribe_js_ray import tools
+
+    p = tmp_path / "form.pdf"
+    p.write_bytes(_pdf_with_field())
+    tools.reset_state()
+    res = tools.call_tool("list_form_fields", {"file": str(p)})
+    assert [f["name"] for f in res["fields"]] == ["name"]
+    assert res["fields"][0]["value"] == "John Doe"
+
+    res = tools.call_tool("set_form_value",
+                          {"name": "name", "value": "Jane Roe"})
+    assert res["updated"] == 1
+    out = tools.call_tool("extract_document_text", {})
+    assert "Jane Roe" in out["text"] and "John" not in out["text"]
+
+    # unknown field reports the available names
+    res = tools.call_tool("set_form_value", {"name": "nope"})
+    assert res["updated"] == 0 and res["fields"] == ["name"]
