@@ -90,6 +90,64 @@ def _cmd_pdf_merge(args) -> int:
     return 0
 
 
+def _cmd_pdf_type(args) -> int:
+    """Detect PDF file type (cli/detectPDFType.js:17-40): 'Text
+    native' / 'Image + OCR text' / 'Image native'; with an output path
+    the text layer is extracted (no reflow) and saved."""
+    from .stages.pdf import parse_pdf_document
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    pages, doc_type = parse_pdf_document(data)
+    type_map = {"text": "Text native", "ocr": "Image + OCR text",
+                "image": "Image native"}
+    if args.output:
+        from .stages.emit import write_text
+        txt = write_text(pages, reflow_text=False)
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(txt)
+    print("PDF Type:", type_map.get(doc_type, "Image native"))
+    return 0
+
+
+def _cmd_conf(args) -> int:
+    """Confidence metric from existing conf info in OCR data
+    (cli/main.js:81-87 print shape; calcConf ocrUtils.js:11)."""
+    from .model import calc_conf
+    from .tools import _load_pages
+
+    with open(args.input, "rb") as f:
+        payload = f.read()
+    pages = _load_pages(payload)
+    high, total = calc_conf(pages)
+    ratio = high / total if total else 0
+    print(f"Confidence: {ratio} ({high} of {total})")
+    return 0
+
+
+def _cmd_pdf_metadata(args) -> int:
+    """Read-only identifying-metadata report (cli.js metadataCLI:276;
+    metadataInspect.js getMetadata).  Does not modify the file."""
+    import os
+
+    from .stages.pdf.metadata import format_metadata_report, get_metadata
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    report = get_metadata(data)
+    if args.json:
+        out = json.dumps(report, indent=2)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(out)
+            print(f"Wrote metadata report to {args.output}")
+        else:
+            print(out)
+        return 0
+    print(format_metadata_report(report, os.path.basename(args.input)))
+    return 0
+
+
 def _cmd_gen_pages(args) -> int:
     from .sources.synth import write_pages_parquet
 
@@ -132,6 +190,28 @@ def main(argv=None) -> int:
     pm.add_argument("inputs", nargs="+", help="source PDFs in merge order")
     pm.add_argument("--output", required=True, help="output PDF path")
     pm.set_defaults(fn=_cmd_pdf_merge)
+
+    pt = sub.add_parser("pdf-type", help="detect PDF type (text native / "
+                                         "image + OCR text / image native)")
+    pt.add_argument("input")
+    pt.add_argument("output", nargs="?", default=None,
+                    help="optional path to save extracted text")
+    pt.set_defaults(fn=_cmd_pdf_type)
+
+    cf = sub.add_parser("conf", help="confidence metric from existing "
+                                     "conf info in an OCR file")
+    cf.add_argument("input", help="OCR file (.hocr / Abbyy .xml / ...)")
+    cf.set_defaults(fn=_cmd_conf)
+
+    md = sub.add_parser("pdf-metadata",
+                        help="list identifying metadata embedded in a "
+                             "PDF (read-only)")
+    md.add_argument("input")
+    md.add_argument("--json", action="store_true",
+                    help="emit the full report as JSON")
+    md.add_argument("-o", "--output", default=None,
+                    help="with --json, write the report to this file")
+    md.set_defaults(fn=_cmd_pdf_metadata)
 
     gp = sub.add_parser("gen-pages", help="write a synthetic pages table")
     gp.add_argument("--output", required=True)

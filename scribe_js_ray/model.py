@@ -198,3 +198,18 @@ def line_text(line: Line) -> str:
 
 def page_text(page: Page) -> str:
     return "\n".join(line_text(ln) for ln in page.lines)
+
+
+def calc_conf(pages, conf_thresh_high: int = 85) -> tuple[int, int]:
+    """Count words above the high-confidence threshold across pages
+    (ocrUtils.js:11-23; default threshold scribeDocDefaults.js:8).
+    Returns (high_conf, total)."""
+    total = 0
+    high = 0
+    for page in pages:
+        for line in page.lines:
+            for w in line.words:
+                total += 1
+                if (w.conf or 0) > conf_thresh_high:
+                    high += 1
+    return high, total

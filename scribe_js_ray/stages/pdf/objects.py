@@ -427,6 +427,7 @@ class PdfFile:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self.n_revisions = 0
         try:
             self._parse_xref_chain()
         except Exception:
@@ -471,6 +472,10 @@ class PdfFile:
         while pos and pos not in seen and 0 <= pos < len(self.data):
             seen.add(pos)
             pos = self._parse_xref_section(pos)
+        # /Prev chain length: >1 means the file retains prior
+        # incremental-save revisions that still carry old metadata
+        # (metadataInspect.js countXrefRevisions).
+        self.n_revisions = len(seen)
 
     def _parse_xref_section(self, pos: int):
         data = self.data

@@ -279,7 +279,21 @@ def _scrub_obj(pdf: PdfFile, obj, state: dict):
             return None
         cleaned = _scrub_dict(pdf, inner, state)
         if isinstance(obj, StreamObj):
-            return StreamObj(cleaned, obj.raw)
+            raw = obj.raw
+            # Image-internal metadata (EXIF/XMP/IPTC, JP2 xml/uuid
+            # boxes) rides the undecoded stream — strip losslessly
+            # (scrubMetadata.js:32-33; codestream copied verbatim).
+            if str(pdf.resolve(cleaned.get("Subtype"))) == "Image":
+                from .imagemeta import (strip_jpeg_metadata,
+                                        strip_jpx_metadata)
+                filt = pdf.resolve(cleaned.get("Filter"))
+                filt_s = " ".join(str(pdf.resolve(x)) for x in filt) \
+                    if isinstance(filt, list) else str(filt or "")
+                if "DCTDecode" in filt_s:
+                    raw = strip_jpeg_metadata(raw)
+                elif "JPXDecode" in filt_s:
+                    raw = strip_jpx_metadata(raw)
+            return StreamObj(cleaned, raw)
         return cleaned
     return obj
 
