@@ -125,6 +125,66 @@ def _cmd_conf(args) -> int:
     return 0
 
 
+def _cmd_overlay(args) -> int:
+    """Add OCR data to a PDF as a text layer and save as PDF
+    (cli/scribe.js overlay: invisible Tr-3 layer by default, visible
+    'proof' text with --vis; --conf prints the confidence metric from
+    the provided data)."""
+    import os
+
+    from .model import calc_conf
+    from .sources.classify import classify_payload
+    from .stages.pdf.doc import _walk_pages
+    from .stages.pdf.objects import PdfFile
+    from .stages.pdf_export import overlay_pdf_text
+    from .tools import _load_pages
+
+    pdf_path = None
+    pdf_data = None
+    ocr_pages = None
+    for path in args.files:
+        with open(path, "rb") as f:
+            data = f.read()
+        if classify_payload(data) == "pdf":
+            pdf_path, pdf_data = path, data
+        else:
+            ocr_pages = _load_pages(data)
+    if pdf_data is None or ocr_pages is None:
+        print("overlay needs one PDF file and one OCR file", file=sys.stderr)
+        return 1
+
+    if args.conf:
+        high, total = calc_conf(ocr_pages)
+        print(f"Confidence: {high / total if total else 0} "
+              f"({high} of {total})")
+
+    # OCR coords are in the OCR file's pixel space; ÷ scale → points.
+    pdf = PdfFile(pdf_data)
+    infos = _walk_pages(pdf)
+    scale = None
+    if infos and ocr_pages and ocr_pages[0].width:
+        mb = pdf.resolve(infos[0].get("MediaBox")) or [0, 0, 612, 792]
+        media_w = abs(float(pdf.resolve(mb[2])) - float(pdf.resolve(mb[0])))
+        if media_w > 0:
+            scale = ocr_pages[0].width / media_w
+    out_bytes = overlay_pdf_text(pdf_data, ocr_pages,
+                                 text_mode="proof" if args.vis else "invis",
+                                 scale=scale)
+
+    stem = os.path.splitext(os.path.basename(pdf_path))[0]
+    suffix = "_vis" if args.vis else ""
+    out_path = os.path.join(args.output or ".", stem + suffix + ".pdf")
+    if os.path.abspath(out_path) == os.path.abspath(pdf_path):
+        out_path = os.path.join(args.output or ".",
+                                stem + suffix + "_overlay.pdf")
+    with open(out_path, "wb") as f:
+        f.write(out_bytes)
+    print(json.dumps({"output": out_path, "bytes": len(out_bytes),
+                      "pages": len(ocr_pages),
+                      "mode": "proof" if args.vis else "invis"}))
+    return 0
+
+
 def _cmd_pdf_metadata(args) -> int:
     """Read-only identifying-metadata report (cli.js metadataCLI:276;
     metadataInspect.js getMetadata).  Does not modify the file."""
@@ -202,6 +262,18 @@ def main(argv=None) -> int:
                                      "conf info in an OCR file")
     cf.add_argument("input", help="OCR file (.hocr / Abbyy .xml / ...)")
     cf.set_defaults(fn=_cmd_conf)
+
+    ov = sub.add_parser("overlay", help="add OCR data to a PDF as a "
+                                        "text layer and save as PDF")
+    ov.add_argument("files", nargs="+",
+                    help="input PDF file and OCR file (.hocr/.xml/...)")
+    ov.add_argument("-o", "--output", default=".",
+                    help="directory for the output file")
+    ov.add_argument("-v", "--vis", action="store_true",
+                    help="visible text instead of invisible layer")
+    ov.add_argument("-c", "--conf", action="store_true",
+                    help="print average confidence metric")
+    ov.set_defaults(fn=_cmd_overlay)
 
     md = sub.add_parser("pdf-metadata",
                         help="list identifying metadata embedded in a "

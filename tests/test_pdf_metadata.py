@@ -187,3 +187,35 @@ def test_cli_conf(tmp_path, capsys):
     assert main(["conf", str(p)]) == 0
     out = capsys.readouterr().out
     assert out.strip() == "Confidence: 0.5 (1 of 2)"
+
+
+def test_cli_overlay(tmp_path, capsys):
+    import json as _json
+
+    from scribe_js_ray.cli import main
+    from scribe_js_ray.sources.synth import generate_pages_table
+    from scribe_js_ray.sources.synth_pdf import PdfWriter
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << >> >>")
+    pdf_p = tmp_path / "scan.pdf"
+    pdf_p.write_bytes(w.build())
+
+    pages = generate_pages_table(1, seed=7)      # doc 0 is hOCR
+    hocr_p = tmp_path / "scan.hocr"
+    hocr_p.write_bytes(pages["html"][0].as_py())
+
+    assert main(["overlay", str(pdf_p), str(hocr_p), "-o", str(tmp_path),
+                 "--conf"]) == 0
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    assert out_lines[0].startswith("Confidence: ")
+    info = _json.loads(out_lines[-1])
+    out_pdf = info["output"]
+    parsed, doc_type = parse_pdf_document(open(out_pdf, "rb").read())
+    got = " ".join(w_.text for ln in parsed[0].lines for w_ in ln.words)
+    assert len(got.split()) >= 5      # OCR words present in the overlay
+    assert doc_type == "ocr"          # invisible layer → image + OCR text
