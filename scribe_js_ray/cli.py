@@ -125,6 +125,32 @@ def _cmd_conf(args) -> int:
     return 0
 
 
+def _cmd_strip_metadata(args) -> int:
+    """Privacy-cleaned copy of a PDF (cli/scribe.js strip-metadata):
+    identifying metadata removed, visible pages unchanged; structure
+    tags / page labels / viewer prefs / layers kept unless the matching
+    --strip flag is passed."""
+    from .stages.pdf.subset import strip_metadata_pdf
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    out = strip_metadata_pdf(data, scrub_opts={
+        "stripStructTree": args.strip_tags,
+        "stripPageLabels": args.strip_page_labels,
+        "stripViewerPrefs": args.strip_viewer_prefs,
+        "dropOCProperties": args.drop_layers,
+    })
+    import os
+    out_path = args.output
+    if out_path is None or os.path.isdir(out_path or "."):
+        stem = os.path.splitext(os.path.basename(args.input))[0]
+        out_path = os.path.join(out_path or ".", stem + "-clean.pdf")
+    with open(out_path, "wb") as f:
+        f.write(out)
+    print(json.dumps({"output": out_path, "bytes": len(out)}))
+    return 0
+
+
 def _cmd_overlay(args) -> int:
     """Add OCR data to a PDF as a text layer and save as PDF
     (cli/scribe.js overlay: invisible Tr-3 layer by default, visible
@@ -262,6 +288,20 @@ def main(argv=None) -> int:
                                      "conf info in an OCR file")
     cf.add_argument("input", help="OCR file (.hocr / Abbyy .xml / ...)")
     cf.set_defaults(fn=_cmd_conf)
+
+    sm = sub.add_parser("strip-metadata",
+                        help="write a privacy-cleaned copy of a PDF "
+                             "with identifying metadata removed")
+    sm.add_argument("input")
+    sm.add_argument("output", nargs="?", default=None,
+                    help="output file, or directory for <stem>-clean.pdf")
+    sm.add_argument("--strip-tags", action="store_true",
+                    help="also remove accessibility structure tags")
+    sm.add_argument("--strip-page-labels", action="store_true")
+    sm.add_argument("--strip-viewer-prefs", action="store_true")
+    sm.add_argument("--drop-layers", action="store_true",
+                    help="also drop optional-content (layer) config")
+    sm.set_defaults(fn=_cmd_strip_metadata)
 
     ov = sub.add_parser("overlay", help="add OCR data to a PDF as a "
                                         "text layer and save as PDF")

@@ -219,3 +219,19 @@ def test_cli_overlay(tmp_path, capsys):
     got = " ".join(w_.text for ln in parsed[0].lines for w_ in ln.words)
     assert len(got.split()) >= 5      # OCR words present in the overlay
     assert doc_type == "ocr"          # invisible layer → image + OCR text
+
+
+def test_cli_strip_metadata(tmp_path, capsys):
+    import json as _json
+
+    from scribe_js_ray.cli import main
+
+    p = tmp_path / "dirty.pdf"
+    p.write_bytes(_pdf_fixture())
+    assert main(["strip-metadata", str(p), str(tmp_path)]) == 0
+    info = _json.loads(capsys.readouterr().out)
+    assert info["output"].endswith("dirty-clean.pdf")
+    cleaned = open(info["output"], "rb").read()
+    assert b"Casey" not in cleaned and b"NIKON" not in cleaned
+    r = get_metadata(cleaned)
+    assert r["info"] is None and not r["customInfo"]
