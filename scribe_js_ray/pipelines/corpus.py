@@ -1269,14 +1269,17 @@ def benchmark_ngram_table(ds, n: int = 3, modulus: int = 50,
     return pa.table({"g": pa.array(sorted(uniq), pa.large_string())})
 
 
-_BENCH_SET_MEMO: dict[int, frozenset] = {}
+_BENCH_SET_MEMO: dict[str, frozenset] = {}
 
 
 def _bench_set(bc) -> frozenset:
     """Per-process memo of the broadcast gram table as a frozenset (the
     plasma read is zero-copy but set construction isn't — do it once
-    per worker process, not once per batch)."""
-    key = id(bc)
+    per worker process, not once per batch).  Keyed by the ObjectRef id
+    — stable across task deserializations and unique per benchmark
+    (``id(bc)`` would be neither: a new object per task, and reusable
+    after GC)."""
+    key = bc._ref.hex()
     s = _BENCH_SET_MEMO.get(key)
     if s is None:
         s = frozenset(bc.get()["g"].to_pylist())

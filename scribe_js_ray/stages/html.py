@@ -79,6 +79,10 @@ class _Segmenter(HTMLParser):
         self.blocks: list[_Block] = []
         self.head_title_parts: list[str] = []
         self._skip_depth = 0
+        # Skip depth excluding <head> — a <title> inside svg/iframe/
+        # template is NOT the document title (the fallback must only
+        # read the head one, present even on head-omitting markup).
+        self._deep_skip = 0
         self._furniture_depth = 0
         self._main_depth = 0
         self._link_depth = 0
@@ -106,13 +110,16 @@ class _Segmenter(HTMLParser):
         return False
 
     def handle_starttag(self, tag, attrs):
-        if tag == "title" and not self.head_title_parts:
+        if tag == "title" and not self.head_title_parts \
+                and self._deep_skip == 0:
             # <head> is a skip tag, but its <title> is the fallback
-            # document title (first <title> on the page wins; svg
-            # <title>s later on are ignored by the first-wins rule).
+            # document title; titles inside svg/iframe/template are
+            # graphics labels, not the document title.
             self._in_head_title = True
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
+            if tag != "head":
+                self._deep_skip += 1
             return
         if tag not in _VOID_TAGS:
             hinted = self._is_chrome_hinted(attrs)
@@ -143,6 +150,8 @@ class _Segmenter(HTMLParser):
             self._in_head_title = False
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
+            if tag != "head":
+                self._deep_skip = max(0, self._deep_skip - 1)
             return
         for i in range(len(self._open) - 1, -1, -1):
             if self._open[i][0] == tag:
@@ -247,17 +256,27 @@ def extract_html_document(html_text: str):
             fusable = b.link_chars == 0 and n_words >= MIN_FUSED_WORDS
             classified.append((None, text, fusable))
 
-    # Pass 2: block fusion — promote short blocks between body blocks.
+    # Pass 2: block fusion — a RUN of dropped blocks sandwiched between
+    # two body blocks is promoted only when every block in the run is
+    # fusable (short, zero-link, unhinted).  A run containing any
+    # link-list/chrome block stays dropped: skipping over rejected
+    # blocks would inject stray promos nowhere near real content.
     roles = [c[0] for c in classified]
-    for i, (role, _text, fusable) in enumerate(classified):
-        if role is not None or not fusable:
+    i = 0
+    while i < len(classified):
+        if roles[i] is not None:
+            i += 1
             continue
-        prev_role = next((r for r in roles[i - 1::-1] if r is not None),
-                         None) if i else None
-        next_role = next((c[0] for c in classified[i + 1:]
-                          if c[0] is not None), None)
-        if prev_role == "body" and next_role == "body":
-            roles[i] = "body"
+        j = i
+        while j < len(classified) and roles[j] is None:
+            j += 1
+        prev_role = roles[i - 1] if i > 0 else None
+        next_role = roles[j] if j < len(classified) else None
+        if prev_role == "body" and next_role == "body" \
+                and all(classified[k][2] for k in range(i, j)):
+            for k in range(i, j):
+                roles[k] = "body"
+        i = j
 
     kept = [(r, t) for r, (_, t, _f) in zip(roles, classified)
             if r is not None]

@@ -10,10 +10,13 @@ References:
 * outline — /root/reference/js/pdf/parseOutline.js: walk /Outlines
   First/Next chain, decode titles, track depth.
 
-Simplifications vs the reference (documented): single-font (Helvetica AFM)
-field layout without the comb/quadding/DA machinery; annotation replies,
+Field-value typesetting runs through the shared ``fieldlayout`` port
+(multiline wrap, comb cells, quadding, /DA font size); field attrs
+resolve up the /Parent chain with the dotted fully-qualified name.
+Simplifications vs the reference (documented): annotation replies,
 highlights and shapes are summarized (subtype/rect/contents) rather than
-modeled."""
+modeled; appearance-stream /AP state scanning is skipped (on-state falls
+back to the written /V)."""
 
 from __future__ import annotations
 
@@ -103,22 +106,65 @@ def _parse_one_annotation(pdf, a_ref) -> list[dict]:
             if uri is not None:
                 entry["uri"] = decode_pdf_string(uri)
     if subtype == "Widget":
-        # field attrs may live on the widget or its /Parent
-        parent = pdf.resolve(a.get("Parent")) or {}
-        ft = str(pdf.resolve(a.get("FT")) or
-                 pdf.resolve(parent.get("FT")) or "")
-        ff = int(pdf.resolve(a.get("Ff")) or
-                 pdf.resolve(parent.get("Ff")) or 0)
-        value = pdf.resolve(a.get("V"))
-        if value is None:
-            value = pdf.resolve(parent.get("V"))
+        # Field attrs resolve up the /Parent chain (16 levels,
+        # cycle-guarded) and the fully-qualified name is every level's
+        # own /T joined root-to-leaf with '.'
+        # (parsePdfAnnots.js:327-378).
+        chain = [a]
+        seen_parents = {obj_num} if obj_num is not None else set()
+        cur = a
+        for _ in range(16):
+            pref = cur.get("Parent")
+            pnum = pref.num if isinstance(pref, Ref) else None
+            if pnum is not None:
+                if pnum in seen_parents:
+                    break
+                seen_parents.add(pnum)
+            parent = pdf.resolve(pref)
+            if not isinstance(parent, dict):
+                break
+            chain.append(parent)
+            cur = parent
+
+        def chain_get(key):
+            for d in chain:
+                if key in d:
+                    return pdf.resolve(d.get(key))
+            return None
+
+        ft = str(chain_get("FT") or "")
+        ff = int(chain_get("Ff") or 0)
+        name_parts = [decode_pdf_string(pdf.resolve(d["T"]))
+                      for d in chain if "T" in d]
+        name = ".".join(reversed(name_parts)) if name_parts \
+            else "(unnamed)"
+        raw_v = chain_get("V")
+        value = None
+        if raw_v is not None:
+            if ft == "Btn":
+                value = str(raw_v) if isinstance(raw_v, str) \
+                    else decode_pdf_string(raw_v)
+            elif ft == "Sig":
+                if isinstance(raw_v, dict):
+                    entry["signed"] = True
+            elif isinstance(raw_v, list):
+                # Multi-select choice: '; '-joined decoded entries
+                # (parsePdfAnnots.js:373-377).
+                parts = [decode_pdf_string(pdf.resolve(x))
+                         for x in raw_v]
+                value = "; ".join(parts) if parts else None
+            else:
+                value = decode_pdf_string(raw_v)
+            if value and value[0] == "\ufeff":
+                value = value[1:]
+        if ft == "Btn" and value == "Off":
+            value = None
         entry.update({
             "type": "field",
             "field_type": _field_type(ft, ff),
             "ft": ft,
-            "name": decode_pdf_string(pdf.resolve(a.get("T")) or
-                                      pdf.resolve(parent.get("T"))),
-            "value": decode_pdf_string(value),
+            "name": name,
+            "value": value if value is not None else "",
         })
         # Appearance attrs for the field-value layout
         # (parsePdfDoc.js:1113-1121: Ff bit 13 multiline, bit 25 comb
@@ -128,14 +174,13 @@ def _parse_one_annotation(pdf, a_ref) -> list[dict]:
             entry["multiline"] = True
         if ft == "Tx" and (ff & 0x1000000):
             entry["comb"] = True
-            max_len = pdf.resolve(a.get("MaxLen")) or \
-                pdf.resolve(parent.get("MaxLen"))
+            max_len = chain_get("MaxLen")
             if max_len:
                 entry["max_len"] = int(max_len)
-        q = pdf.resolve(a.get("Q")) or pdf.resolve(parent.get("Q"))
+        q = chain_get("Q")
         if q:
             entry["quadding"] = int(q)
-        da = pdf.resolve(a.get("DA")) or pdf.resolve(parent.get("DA"))
+        da = chain_get("DA")
         if da is not None:
             entry["da"] = decode_pdf_string(da)
         if ff & 1:
@@ -291,6 +336,11 @@ def set_form_value(pages, name: str, value) -> int:
                     _LIFTED_ID_RE.match(w.id or "") for w in line.words)
                 if not lifted:
                     return True
+                # Known parity limit shared with the reference
+                # (formFields.js:30-36): a lifted value typeset WIDER
+                # than its rect extends past the +pad test and its old
+                # words survive a re-set.  Kept bug-for-bug until the
+                # reference changes its inside-test.
                 inside = (line.bbox.left >= dev.left - pad
                           and line.bbox.right <= dev.right + pad
                           and line.bbox.top >= dev.top - pad

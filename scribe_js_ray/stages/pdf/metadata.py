@@ -18,20 +18,11 @@ from __future__ import annotations
 
 from .annots import decode_pdf_string
 from .imagemeta import inspect_jpeg_metadata, inspect_jpx_metadata
-from .objects import PdfFile, Ref, StreamObj
+from .objects import PdfFile, Ref, StreamObj, filter_names
 
 _INFO_ID_KEYS = ("Author", "Producer", "Creator", "Company", "Manager")
 _INFO_ALL_KEYS = _INFO_ID_KEYS + ("Title", "Subject", "Keywords",
                                   "Signer(s)")
-
-
-def _filter_names(pdf: PdfFile, d: dict) -> str:
-    f = pdf.resolve(d.get("Filter"))
-    if f is None:
-        return ""
-    if isinstance(f, list):
-        return " ".join(str(pdf.resolve(x)) for x in f)
-    return str(f)
 
 
 def _fmt_id(v) -> str | None:
@@ -172,7 +163,7 @@ def get_metadata(data: bytes) -> dict:
         # raw bytes ARE the JPEG codestream).
         if isinstance(obj, StreamObj) \
                 and str(pdf.resolve(d.get("Subtype"))) == "Image":
-            filt = _filter_names(pdf, d)
+            filt = filter_names(pdf.resolve, d)
             if "DCTDecode" in filt:
                 j = inspect_jpeg_metadata(obj.raw)
                 if j["hasExif"] or j["hasXmp"] or j["hasIptc"]:

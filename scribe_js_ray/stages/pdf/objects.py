@@ -371,6 +371,19 @@ def run_length_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def filter_names(resolve, d: dict) -> str:
+    """Space-joined /Filter name(s) of a stream dict (single name,
+    array, or indirect ref) — the one shared test for 'does this
+    stream's filter chain include X' (used by both the metadata
+    inspect and scrub paths so they can never disagree)."""
+    f = resolve(d.get("Filter"))
+    if f is None:
+        return ""
+    if isinstance(f, list):
+        return " ".join(str(resolve(x)) for x in f)
+    return str(f)
+
+
 def decode_stream(stream: StreamObj, resolve) -> bytes:
     """Apply /Filter chain to a stream's raw bytes."""
     filters = resolve(stream.dict.get("Filter"))

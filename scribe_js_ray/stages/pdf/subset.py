@@ -286,9 +286,8 @@ def _scrub_obj(pdf: PdfFile, obj, state: dict):
             if str(pdf.resolve(cleaned.get("Subtype"))) == "Image":
                 from .imagemeta import (strip_jpeg_metadata,
                                         strip_jpx_metadata)
-                filt = pdf.resolve(cleaned.get("Filter"))
-                filt_s = " ".join(str(pdf.resolve(x)) for x in filt) \
-                    if isinstance(filt, list) else str(filt or "")
+                from .objects import filter_names
+                filt_s = filter_names(pdf.resolve, cleaned)
                 if "DCTDecode" in filt_s:
                     raw = strip_jpeg_metadata(raw)
                 elif "JPXDecode" in filt_s:

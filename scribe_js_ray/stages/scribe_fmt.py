@@ -48,7 +48,10 @@ def _page_json(page: Page) -> dict:
         words = []
         for wi, w in enumerate(ln.words):
             wd = {
-                "id": f"word_{page.n + 1}_{li + 1}_{wi + 1}",
+                # preserve real ids (the reference carries word.id in
+                # .scribe; lifted-field words are recognized by their
+                # word_N_f… namespace on restore)
+                "id": w.id or f"word_{page.n + 1}_{li + 1}_{wi + 1}",
                 "text": w.text,
                 "bbox": _bbox_json(w.bbox),
                 "style": {
@@ -104,7 +107,10 @@ def _page_json(page: Page) -> dict:
 
 def _annots_json(pages: list[Page]) -> list:
     """Per-page annotation rows in the reference's doc.annotations.pages
-    shape (import.js:299-301): our carried marks map 1:1."""
+    shape (import.js:299-301): our carried marks map 1:1, and form-field
+    rows (page.annots) ride in the same list with a device-space bbox
+    like the reference's field rows, plus open ``rect``/``scale``
+    extension fields so our own round-trip is lossless."""
     out = []
     for page in pages:
         rows = []
@@ -114,6 +120,28 @@ def _annots_json(pages: list[Page]) -> list:
             row = {k: v for k, v in m.items() if k != "bbox"}
             row["bbox"] = _bbox_json(m["bbox"]) \
                 if isinstance(m.get("bbox"), BBox) else m.get("bbox")
+            rows.append(row)
+        for f in (getattr(page, "annots", None) if page else []) or []:
+            if not isinstance(f, dict) or f.get("type") != "field":
+                continue
+            row = {k: v for k, v in f.items()
+                   if not k.startswith("_")}
+            # reference field-row key names (parsePdfDoc.js:1108-1121)
+            if "field_type" in row:
+                row["fieldType"] = row.pop("field_type")
+            if "obj_num" in row:
+                row["srcRef"] = row.pop("obj_num")
+            scale = float(f.get("_scale") or 1.0)
+            page_h = float(f.get("_page_h_dev")
+                           or (page.height if page else 0))
+            rect = f.get("rect") or [0, 0, 0, 0]
+            llx, lly = min(rect[0], rect[2]), min(rect[1], rect[3])
+            urx, ury = max(rect[0], rect[2]), max(rect[1], rect[3])
+            row["bbox"] = {"left": llx * scale,
+                           "top": page_h - ury * scale,
+                           "right": urx * scale,
+                           "bottom": page_h - lly * scale}
+            row["scale"] = scale
             rows.append(row)
         out.append(rows)
     return out
@@ -218,16 +246,43 @@ def _page_from_json(pd: dict) -> Page:
 
 
 def _attach_annotations(pages: list[Page], annots) -> None:
+    """Field rows route to page.annots (the set_form_value surface);
+    everything else to page.marks.  A reference-written field row has
+    only the device bbox — its /Rect reconstructs through the
+    reference's fixed 300/72 px-per-pt (formFields.js:5)."""
     for i, rows in enumerate(annots or []):
         if not (0 <= i < len(pages)) or not rows:
             continue
+        page = pages[i]
         marks = []
+        fields = []
         for row in rows:
             m = dict(row)
+            if m.get("type") == "field" or "fieldType" in m \
+                    or "field_type" in m:
+                bbox = m.pop("bbox", None)
+                scale = float(m.pop("scale", 0) or (300 / 72))
+                page_h = float(page.height or 0)
+                if "rect" not in m and isinstance(bbox, dict):
+                    m["rect"] = [bbox["left"] / scale,
+                                 (page_h - bbox["bottom"]) / scale,
+                                 bbox["right"] / scale,
+                                 (page_h - bbox["top"]) / scale]
+                if "fieldType" in m and "field_type" not in m:
+                    m["field_type"] = m.pop("fieldType")
+                if "srcRef" in m and "obj_num" not in m:
+                    m["obj_num"] = m.pop("srcRef")
+                m.setdefault("type", "field")
+                m["_scale"] = scale
+                m["_page_h_dev"] = page_h
+                fields.append(m)
+                continue
             if isinstance(m.get("bbox"), dict):
                 m["bbox"] = _bbox_of(m["bbox"])
             marks.append(m)
-        pages[i].marks = marks
+        page.marks = marks
+        if fields:
+            page.annots = fields
 
 
 def parse_scribe_session(data: bytes):

@@ -126,3 +126,35 @@ def test_span_offsets_are_byte_offsets():
     for s in spans:
         seg = data[s["start"]:s["end"]].decode()
         assert seg == seg.strip() and seg
+
+
+def test_svg_title_not_document_title():
+    html = ("<html><body>"
+            "<svg><title>Chart icon</title><rect/></svg>"
+            "<div><p>" + LONG + "</p></div></body></html>")
+    text, spans, _ = extract_html_document(html)
+    assert "Chart icon" not in text
+    assert LONG in text
+
+
+def test_fusion_does_not_skip_rejected_blocks():
+    links = " ".join(f"<a href='/{i}'>link {i} here</a>" for i in range(6))
+    html = ("<html><body>"
+            "<div><p>" + LONG + "</p></div>"
+            "<div><p>" + links + "</p></div>"
+            "<div><p>Subscribe today for more.</p></div>"
+            "<div><p>" + links + "</p></div>"
+            "<div><p>" + LONG + "</p></div></body></html>")
+    text, _, _ = extract_html_document(html)
+    assert "Subscribe today" not in text
+
+
+def test_fusion_promotes_contiguous_short_run():
+    html = ("<html><body><main>"
+            "<p>" + LONG + "</p>"
+            "<p>First short line.</p>"
+            "<p>Second short line.</p>"
+            "<p>" + LONG + "</p>"
+            "</main></body></html>")
+    text, _, _ = extract_html_document(html)
+    assert "First short line." in text and "Second short line." in text

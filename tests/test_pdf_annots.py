@@ -325,3 +325,62 @@ def test_set_form_value_multiline_relift():
     lifted = [w for ln in pages[0].lines for w in ln.words
               if w.id and "e" in w.id.split("_f")[-1]]
     assert lifted
+
+
+def _pdf_nested_fields(v_on_parent=True):
+    """AcroForm hierarchy: root /T (address) holding FT/V, child /T
+    (street) widget — fully-qualified name 'address.street'."""
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")                       # 1
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")               # 2
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << >> /Annots [4 0 R] >>")                     # 3
+    v = b"/FT /Tx /V (12 Main St) " if v_on_parent else b""
+    w.add(b"<< /Type /Annot /Subtype /Widget /T (street) "
+          b"/Parent 5 0 R /Rect [100 600 300 620] >>")                # 4
+    w.add(b"<< /T (address) " + v + b"/Kids [4 0 R] >>")              # 5
+    return w.build()
+
+
+def test_nested_field_fully_qualified_name_and_inherited_value():
+    from scribe_js_ray.stages.pdf.annots import set_form_value
+    pages, _ = parse_pdf_document(_pdf_nested_fields())
+    row = pages[0].annots[0]
+    assert row["name"] == "address.street"
+    assert row["ft"] == "Tx" and row["value"] == "12 Main St"
+    # inherited /V lifts into the page text
+    assert "12 Main St" in page_text(pages[0])
+    # fully-qualified set works; the bare leaf name does not match
+    assert set_form_value(pages, "street", "x") == 0
+    assert set_form_value(pages, "address.street", "9 Elm Ave") == 1
+    assert "9 Elm" in page_text(pages[0])
+    assert "Main" not in page_text(pages[0])
+
+
+def test_multiselect_choice_value_joined():
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << >> /Annots [4 0 R] >>")
+    w.add(b"<< /Type /Annot /Subtype /Widget /FT /Ch /T (colors) "
+          b"/V [(Red) (Blue)] /Rect [100 600 300 620] >>")
+    pages, _ = parse_pdf_document(w.build())
+    row = pages[0].annots[0]
+    assert row["value"] == "Red; Blue"
+    assert "Red; Blue" in page_text(pages[0])
+
+
+def test_field_rows_roundtrip_through_scribe():
+    from scribe_js_ray.stages.pdf.annots import set_form_value
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe, write_scribe
+    pages, _ = parse_pdf_document(_pdf_with_field())
+    data = write_scribe(pages)
+    restored = parse_scribe(data)
+    rows = restored[0].annots
+    assert rows and rows[0]["name"] == "name"
+    assert rows[0]["value"] == "John Doe"
+    # the edit surface works on the restored document
+    assert set_form_value(restored, "name", "Kim Lee") == 1
+    assert "Kim Lee" in page_text(restored[0])
+    assert "John" not in page_text(restored[0])
