@@ -13,10 +13,11 @@ References:
 Field-value typesetting runs through the shared ``fieldlayout`` port
 (multiline wrap, comb cells, quadding, /DA font size); field attrs
 resolve up the /Parent chain with the dotted fully-qualified name.
+Checkbox/radio on-states scan the /AP /N appearance dict and choice
+/Opt pairs surface their display strings, like the reference.
 Simplifications vs the reference (documented): annotation replies,
-highlights and shapes are summarized (subtype/rect/contents) rather than
-modeled; appearance-stream /AP state scanning is skipped (on-state falls
-back to the written /V)."""
+highlights and shapes are summarized (subtype/rect/contents) rather
+than modeled."""
 
 from __future__ import annotations
 
@@ -187,6 +188,45 @@ def _parse_one_annotation(pdf, a_ref) -> list[dict]:
             entry["read_only"] = True
         if ff & 2:
             entry["required"] = True
+        # Checkbox/radio on-state: scan the /AP /N appearance dict for
+        # its non-Off state name; a /N carrying /BBox is a single
+        # appearance stream, not a state dict (parsePdfAnnots.js:393-404).
+        if ft == "Btn" and not (ff & 0x10000):
+            on_state = None
+            ap = pdf.resolve(a.get("AP"))
+            n = pdf.resolve(ap.get("N")) if isinstance(ap, dict) else None
+            if isinstance(n, dict) and "BBox" not in n:
+                for k in n:
+                    if str(k) != "Off":
+                        on_state = str(k)
+                        break
+            if on_state is None and value:
+                on_state = value
+            if on_state is not None and entry["field_type"] in (
+                    "checkbox", "radio"):
+                entry["on_state"] = on_state
+        # Choice options: /Opt strings, or [export, display] pairs whose
+        # LAST string is the user-visible text (parsePdfAnnots.js:407-427).
+        if ft == "Ch":
+            opt_arr = chain_get("Opt")
+            if isinstance(opt_arr, list):
+                options = []
+                for o in opt_arr:
+                    o = pdf.resolve(o)
+                    if isinstance(o, list):
+                        strs = [pdf.resolve(x) for x in o]
+                        strs = [x for x in strs
+                                if isinstance(x, (str, bytes, bytearray))]
+                        if not strs:
+                            continue
+                        o = strs[-1]
+                    if isinstance(o, (str, bytes, bytearray)):
+                        s = decode_pdf_string(o)
+                        if s and s[0] == "\ufeff":
+                            s = s[1:]
+                        options.append(s)
+                if options:
+                    entry["options"] = options
     else:
         entry["type"] = subtype.lower() or "annotation"
     return [entry]

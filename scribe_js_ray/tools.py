@@ -388,6 +388,10 @@ def list_form_fields(file: str | None = None,
                       "hidden"):
                 if r.get(k):
                     row[k] = True
+            if r.get("on_state"):
+                row["onState"] = r["on_state"]
+            if r.get("options"):
+                row["options"] = r["options"]
             out.append(row)
     return {"fields": out, "file": _state["file"]}
 

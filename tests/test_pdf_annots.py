@@ -384,3 +384,36 @@ def test_field_rows_roundtrip_through_scribe():
     assert set_form_value(restored, "name", "Kim Lee") == 1
     assert "Kim Lee" in page_text(restored[0])
     assert "John" not in page_text(restored[0])
+
+
+def test_checkbox_on_state_from_appearance_dict():
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << >> /Annots [4 0 R] >>")
+    w.add(b"<< /Type /Annot /Subtype /Widget /FT /Btn /T (agree) "
+          b"/AP << /N << /Yes 5 0 R /Off 6 0 R >> >> "
+          b"/Rect [100 600 120 620] >>")
+    w.add(b"<< /Length 0 >>\nstream\n\nendstream")
+    w.add(b"<< /Length 0 >>\nstream\n\nendstream")
+    pages, _ = parse_pdf_document(w.build())
+    row = pages[0].annots[0]
+    assert row["field_type"] == "checkbox"
+    assert row["on_state"] == "Yes"
+    assert row["value"] == ""        # unchecked
+
+
+def test_choice_options_export_display_pairs():
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << >> /Annots [4 0 R] >>")
+    w.add(b"<< /Type /Annot /Subtype /Widget /FT /Ch /T (state) "
+          b"/Opt [[(CA) (California)] [(NY) (New York)] (Other)] "
+          b"/V (California) /Rect [100 600 300 620] >>")
+    pages, _ = parse_pdf_document(w.build())
+    row = pages[0].annots[0]
+    assert row["options"] == ["California", "New York", "Other"]
+    assert row["value"] == "California"
