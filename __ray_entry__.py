@@ -632,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": rel.top_revenue_orders,
         "orders_by_nation": rel.orders_by_nation,
         "events_daily": rel.events_daily,
+        "events_user_hourly": rel.events_user_hourly,
         "high_value_orders": rel.high_value_orders,
         "part_size_stats": rel.part_size_stats,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -877,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": rel.TOP_REVENUE_SQL,
         "orders_by_nation": rel.ORDERS_BY_NATION_SQL,
         "events_daily": rel.EVENTS_DAILY_SQL,
+        "events_user_hourly": rel.EVENTS_USER_HOURLY_SQL,
         "high_value_orders": rel.HIGH_VALUE_SQL,
         "part_size_stats": rel.PART_SIZE_SQL,
         "q3_shipping_priority": rel.Q3_SQL,

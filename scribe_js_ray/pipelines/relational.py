@@ -275,6 +275,54 @@ ORDER BY event_type, day
 """
 
 
+def events_user_hourly(sf_dir: str):
+    """Tumbling-window aggregate + lag window function: per (user, hour)
+    event count/value sum, plus the delta vs that user's previous active
+    hour.  The hourly rollup is a pre-projected groupby (map-side
+    combine); the lag runs per-user in ``map_groups`` after the same
+    exchange — one shuffle keyed on user_id serves both steps."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"user_id": t["user_id"], "hour": hour,
+                         "value": t["value"]})
+
+    hourly = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["user_id", "hour"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"))
+
+    def lag_delta(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hour").reset_index(drop=True)
+        df["delta_value"] = df["sum_value"] - \
+            df["sum_value"].shift(1).fillna(0.0)
+        return df
+
+    out = hourly.groupby("user_id").map_groups(lag_delta,
+                                               batch_format="pandas")
+    return out.sort(["user_id", "hour"])
+
+
+EVENTS_USER_HOURLY_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events, sum(value) AS sum_value
+  FROM events GROUP BY user_id, hour
+)
+SELECT user_id, hour, n_events, sum_value,
+       sum_value - COALESCE(
+           lag(sum_value) OVER (PARTITION BY user_id ORDER BY hour),
+           0) AS delta_value
+FROM hourly ORDER BY user_id, hour
+"""
+
+
 def high_value_orders(sf_dir: str):
     """Vectorized filter + projection (predicate inside map_batches beats a
     row filter; the read prunes to 4 columns)."""

@@ -235,3 +235,20 @@ def test_cli_strip_metadata(tmp_path, capsys):
     assert b"Casey" not in cleaned and b"NIKON" not in cleaned
     r = get_metadata(cleaned)
     assert r["info"] is None and not r["customInfo"]
+
+
+def test_get_metadata_never_raises_on_garbage():
+    import random
+
+    rnd = random.Random(7)
+    base = _pdf_fixture()
+    cases = [b"", b"%PDF-1.4\n", bytes(rnd.randrange(256)
+                                       for _ in range(2048)),
+             base[:200], base[:len(base) // 2]]
+    for _ in range(20):
+        b = bytearray(base)
+        for _ in range(10):
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+        cases.append(bytes(b))
+    for c in cases:
+        assert isinstance(get_metadata(c), dict)
