@@ -167,7 +167,9 @@ class Lexer:
 
     def _parse_hex_string(self):
         end = self.data.index(b">", self.pos)
-        hex_str = re.sub(rb"\s", b"", self.data[self.pos + 1:end])
+        # Lenient like the reference lexer: drop any non-hex byte (spec only
+        # allows whitespace, but corrupt files embed arbitrary garbage).
+        hex_str = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos + 1:end])
         self.pos = end + 1
         if len(hex_str) % 2:
             hex_str += b"0"
