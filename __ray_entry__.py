@@ -501,6 +501,38 @@ def _emb_near_dup_lsh(sf_dir: str):
     return emb_near_dup_lsh(ds, threshold=0.42)
 
 
+def _pdf_extract_images(sf_dir: str):
+    """Embedded-image extraction from PDF payloads (parsePdfImages.js:199
+    extractImages): deterministic image-bearing PDFs keyed off doc_id →
+    doc-wide XObject enumeration → one row per image with metadata +
+    converted-payload crc32 (Flate rasters re-encoded PNG, DCT
+    passthrough jpg).  Rows-only check; pixel exactness is covered by
+    tests/test_pdf_images.py goldens."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.sources.synth_pdf import make_pdf_images
+    from scribe_js_ray.stages.multimodal import pdf_images_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).limit(48)
+
+    def synth_pdfs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"https://docs.test/{d:08d}.pdf"
+                             for d in ids], pa.string()),
+            "payload": pa.array([make_pdf_images(random.Random(d))
+                                 for d in ids], pa.large_binary()),
+        })
+
+    pdfs = docs.map_batches(synth_pdfs, batch_format="pyarrow")
+    out = pdf_images_pipeline(pdfs).drop_columns(["data"])
+    return out.sort(["url", "obj_num"])
+
+
 def _mm_image_features(sf_dir: str):
     """Multimodal images: deterministic REAL PNG/BMP/GIF/JPEG payloads
     (keyed off doc_id) → stdlib decode (zlib inflate, LZW, baseline
@@ -662,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": _doc_bpe_tokens,
         "doc_rolling_fp": _doc_rolling_fp,
         # multimodal (real stdlib PNG/BMP/WAV/MPNG decode + features)
+        "pdf_extract_images": _pdf_extract_images,
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,

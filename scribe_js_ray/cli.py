@@ -234,6 +234,37 @@ def _cmd_pdf_metadata(args) -> int:
     return 0
 
 
+def _cmd_extract_images(args) -> int:
+    """Extract every embedded image XObject from a PDF to files
+    (parsePdfImages.js:199 extractImages; ext mapping per
+    imageFilterToExt — ours writes decoded .png for Flate-family
+    rasters, passthrough .jpg/.jp2 for DCT/JPX)."""
+    import os
+
+    from .stages.pdf.images import extract_images
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    os.makedirs(args.output, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.input))[0]
+    n_written = 0
+    report = []
+    for info in extract_images(data):
+        rec = {k: info[k] for k in ("obj_num", "width", "height",
+                                    "bits_per_component", "color_space",
+                                    "filter", "ext", "error")}
+        if info["data"] and not info["error"]:
+            path = os.path.join(
+                args.output, f"{stem}-im{info['obj_num']}.{info['ext']}")
+            with open(path, "wb") as f:
+                f.write(info["data"])
+            rec["path"] = path
+            n_written += 1
+        report.append(rec)
+    print(json.dumps({"images": report, "written": n_written}))
+    return 0
+
+
 def _cmd_gen_pages(args) -> int:
     from .sources.synth import write_pages_parquet
 
@@ -324,6 +355,12 @@ def main(argv=None) -> int:
     md.add_argument("-o", "--output", default=None,
                     help="with --json, write the report to this file")
     md.set_defaults(fn=_cmd_pdf_metadata)
+
+    xi = sub.add_parser("extract-images",
+                        help="extract embedded PDF images to files")
+    xi.add_argument("--input", required=True)
+    xi.add_argument("--output", required=True, help="output directory")
+    xi.set_defaults(fn=_cmd_extract_images)
 
     gp = sub.add_parser("gen-pages", help="write a synthetic pages table")
     gp.add_argument("--output", required=True)

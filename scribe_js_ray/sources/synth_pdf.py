@@ -142,6 +142,113 @@ def make_pdf_simple(r: random.Random) -> bytes:
                              "F3": "Times-Roman"})
 
 
+def make_pdf_images(r: random.Random) -> bytes:
+    """Text page that also embeds image XObjects across the extraction
+    matrix: Flate DeviceRGB raster, 4-bit Indexed with a hex-string
+    palette, DCTDecode passthrough, 1-bit ImageMask stencil, and a
+    DeviceGray image with an 8-bit /SMask — the fixture for
+    stages/pdf/images.py (parsePdfImages.js surface)."""
+    import zlib
+
+    import numpy as np
+
+    from .synth import _paragraph_words
+
+    seed = r.randint(0, 2 ** 31)  # drawn first so rasters are
+    rng = np.random.default_rng(seed)  # reproducible from the doc rng
+
+    ts = _Typesetter()
+    for _ in range(3):
+        ts.flow(_paragraph_words(r, 3))
+        ts.y -= 8
+    text_stream = ts.stream()
+
+    # Im1: 8x6 DeviceRGB gradient (FlateDecode).
+    w1, h1 = 8, 6
+    im1 = (np.arange(h1 * w1 * 3, dtype=np.uint32) * 37 + seed) % 256
+    im1 = im1.astype(np.uint8).reshape(h1, w1, 3)
+    # Im2: 16x8 Indexed 4-bit, 6-color palette (rows byte-aligned).
+    w2, h2 = 16, 8
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, (h2, w2), dtype=np.uint8)
+    packed2 = bytearray()
+    for y in range(h2):
+        for x in range(0, w2, 2):
+            packed2.append((idx[y, x] << 4)
+                           | (idx[y, x + 1] if x + 1 < w2 else 0))
+    # Im3: 16x16 baseline JPEG (DCTDecode passthrough).
+    from ..stages.jpeg import jpeg_encode
+    im3 = np.full((16, 16, 3), (seed % 200) + 20, np.uint8)
+    jpg = jpeg_encode(im3, quality=90)
+    # Im4: 10x10 1-bit stencil mask (checker).
+    w4, h4 = 10, 10
+    bits4 = bytearray()
+    for y in range(h4):
+        row = 0
+        for x in range(w4):
+            row = (row << 1) | ((x + y) & 1)
+        bits4 += int.to_bytes(row << (16 - w4), 2, "big")
+    # Im5: 8x8 DeviceGray + Im6 SMask alpha ramp.
+    w5, h5 = 8, 8
+    gray = (np.arange(h5 * w5, dtype=np.uint32) * 11 % 256) \
+        .astype(np.uint8)
+    alpha = (np.arange(h5 * w5, dtype=np.uint32) * 4 % 256) \
+        .astype(np.uint8)
+
+    w = PdfWriter()
+    catalog = w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    pages = w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+
+    draws = []
+    for i, (iw, ih, x, y) in enumerate(
+            [(w1, h1, 72, 600), (w2, h2, 200, 600), (16, 16, 320, 600),
+             (w4, h4, 440, 600), (w5, h5, 72, 520)], start=1):
+        draws.append(f"q {iw * 4} 0 0 {ih * 4} {x} {y} cm /Im{i} Do Q")
+    content = (text_stream + "\n" + "\n".join(draws)).encode("latin-1")
+
+    page = w.add(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> /XObject << "
+        b"/Im1 6 0 R /Im2 7 0 R /Im3 8 0 R /Im4 9 0 R /Im5 10 0 R "
+        b">> >> /Contents 4 0 R >>")
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+
+    def img_obj(body_dict: bytes, raster: bytes) -> int:
+        z = zlib.compress(raster)
+        return w.add(body_dict
+                     + f" /Filter /FlateDecode /Length {len(z)} "
+                     f">>\nstream\n".encode()
+                     + z + b"\nendstream")
+
+    img_obj(f"<< /Type /XObject /Subtype /Image /Width {w1} "
+            f"/Height {h1} /BitsPerComponent 8 /ColorSpace /DeviceRGB"
+            .encode(), im1.tobytes())
+    pal_hex = pal.tobytes().hex()
+    img_obj(f"<< /Type /XObject /Subtype /Image /Width {w2} "
+            f"/Height {h2} /BitsPerComponent 4 /ColorSpace "
+            f"[/Indexed /DeviceRGB 5 <{pal_hex}>]".encode(),
+            bytes(packed2))
+    w.add(f"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+          f"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+          f"/Filter /DCTDecode /Length {len(jpg)} >>\nstream\n".encode()
+          + jpg + b"\nendstream")
+    img_obj(f"<< /Type /XObject /Subtype /Image /Width {w4} "
+            f"/Height {h4} /ImageMask true /BitsPerComponent 1"
+            .encode(), bytes(bits4))
+    img_obj(f"<< /Type /XObject /Subtype /Image /Width {w5} "
+            f"/Height {h5} /BitsPerComponent 8 /ColorSpace /DeviceGray "
+            f"/SMask 11 0 R".encode(), gray.tobytes())
+    img_obj(f"<< /Type /XObject /Subtype /Image /Width {w5} "
+            f"/Height {h5} /BitsPerComponent 8 /ColorSpace /DeviceGray"
+            .encode(), alpha.tobytes())
+
+    assert catalog == 1 and pages == 2 and page == 3
+    return w.build()
+
+
 def make_pdf_styles(r: random.Random) -> bytes:
     """Bold heading, body with a TJ-kerned line and an italic-free styled
     word run; exercises style-change word splits + kerning suppression."""

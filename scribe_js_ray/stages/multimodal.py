@@ -349,3 +349,78 @@ def sample_video_pipeline(ds, n_frames: int = 4, batch_size: int = 4,
     return frames.map_batches(
         _FrameFeatures, batch_format="pyarrow", batch_size=64,
         concurrency=concurrency)
+
+
+def extract_pdf_images_batch(batch: pa.Table) -> pa.Table:
+    """(url, payload binary) → one row per embedded PDF image XObject
+    (flat-map shape): metadata + converted payload + crc32.
+
+    Task-based map_batches stage over the doc-wide enumeration in
+    stages/pdf/images.py (parsePdfImages.js:199 extractImages); per-doc
+    failures land in the ``error`` column with zero image rows, they
+    never poison the batch.  At 100 TB this stays embarrassingly
+    parallel — no shuffle, payload bytes never leave the task except as
+    the (smaller) converted outputs."""
+    import zlib as _zlib
+
+    from .pdf.images import extract_images, page_image_map
+    from .pdf.objects import PdfFile
+
+    urls, payloads = batch["url"].to_pylist(), batch["payload"].to_pylist()
+    cols = {k: [] for k in ("url", "obj_num", "first_page", "width",
+                            "height", "bits_per_component", "color_space",
+                            "filter", "ext", "image_mask", "has_smask",
+                            "n_bytes", "crc32", "data", "error")}
+
+    def emit(url, info, first_page):
+        data = info.get("data") or b""
+        cols["url"].append(url)
+        cols["obj_num"].append(info.get("obj_num", -1))
+        cols["first_page"].append(first_page)
+        cols["width"].append(info.get("width", 0))
+        cols["height"].append(info.get("height", 0))
+        cols["bits_per_component"].append(
+            info.get("bits_per_component", 0))
+        cols["color_space"].append(info.get("color_space") or "")
+        cols["filter"].append(info.get("filter") or "")
+        cols["ext"].append(info.get("ext") or "")
+        cols["image_mask"].append(bool(info.get("image_mask")))
+        cols["has_smask"].append(info.get("smask_obj") is not None)
+        cols["n_bytes"].append(len(data))
+        cols["crc32"].append(_zlib.crc32(data))
+        cols["data"].append(data)
+        cols["error"].append(info.get("error") or "")
+
+    for url, payload in zip(urls, payloads):
+        try:
+            pdf = PdfFile(payload)
+            pages_of = page_image_map(pdf)
+            for info in extract_images(pdf):
+                emit(url, info, pages_of.get(info["obj_num"], 0))
+        except Exception as exc:  # noqa: BLE001 — error is data
+            emit(url, {"error": f"{type(exc).__name__}: {exc}"[:200]}, 0)
+
+    return pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "obj_num": pa.array(cols["obj_num"], pa.int32()),
+        "first_page": pa.array(cols["first_page"], pa.int32()),
+        "width": pa.array(cols["width"], pa.int32()),
+        "height": pa.array(cols["height"], pa.int32()),
+        "bits_per_component": pa.array(cols["bits_per_component"],
+                                       pa.int32()),
+        "color_space": pa.array(cols["color_space"], pa.string()),
+        "filter": pa.array(cols["filter"], pa.string()),
+        "ext": pa.array(cols["ext"], pa.string()),
+        "image_mask": pa.array(cols["image_mask"], pa.bool_()),
+        "has_smask": pa.array(cols["has_smask"], pa.bool_()),
+        "n_bytes": pa.array(cols["n_bytes"], pa.int64()),
+        "crc32": pa.array(cols["crc32"], pa.int64()),
+        "data": pa.array(cols["data"], pa.large_binary()),
+        "error": pa.array(cols["error"], pa.string()),
+    })
+
+
+def pdf_images_pipeline(ds):
+    """pages Dataset (url + payload) → per-embedded-image Dataset."""
+    return ds.map_batches(extract_pdf_images_batch,
+                          batch_format="pyarrow", batch_size=None)

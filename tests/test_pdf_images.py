@@ -1,0 +1,240 @@
+"""Embedded-image extraction (stages/pdf/images.py — the
+parsePdfImages.js decision surface: doc-wide enumeration, color-space
+classification, filter chains, palette/mask handling)."""
+
+import random
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from scribe_js_ray.sources.synth_pdf import PdfWriter, make_pdf_images
+from scribe_js_ray.stages.codecs import png_decode
+from scribe_js_ray.stages.jpeg import jpeg_decode, jpeg_encode
+from scribe_js_ray.stages.pdf.images import (classify_colorspace,
+                                             extract_images, image_codec,
+                                             page_image_map,
+                                             parse_image_object)
+from scribe_js_ray.stages.pdf.objects import PdfFile
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf() -> bytes:
+    return make_pdf_images(random.Random(7))
+
+
+@pytest.fixture(scope="module")
+def fixture_images(fixture_pdf):
+    return {i["obj_num"]: i for i in extract_images(fixture_pdf)}
+
+
+def _fixture_rasters(seed_source=7):
+    """Recompute the deterministic rasters make_pdf_images embeds (the
+    seed is drawn from the doc rng before any text flows)."""
+    seed = random.Random(seed_source).randint(0, 2 ** 31)
+    rng = np.random.default_rng(seed)
+    im1 = ((np.arange(6 * 8 * 3, dtype=np.uint32) * 37 + seed) % 256) \
+        .astype(np.uint8).reshape(6, 8, 3)
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, (8, 16), dtype=np.uint8)
+    jpg = jpeg_encode(np.full((16, 16, 3), (seed % 200) + 20, np.uint8),
+                      quality=90)
+    gray = (np.arange(64, dtype=np.uint32) * 11 % 256) \
+        .astype(np.uint8).reshape(8, 8)
+    alpha = (np.arange(64, dtype=np.uint32) * 4 % 256) \
+        .astype(np.uint8).reshape(8, 8)
+    return im1, pal[idx], jpg, gray, alpha
+
+
+def test_flate_rgb_pixel_exact(fixture_images):
+    im1, _, _, _, _ = _fixture_rasters()
+    got = png_decode(fixture_images[6]["data"])
+    assert np.array_equal(got, im1)
+
+
+def test_indexed_palette_expansion(fixture_images):
+    _, exp, _, _, _ = _fixture_rasters()
+    info = fixture_images[7]
+    assert info["color_space"] == "Indexed"
+    assert info["bits_per_component"] == 4
+    assert info["palette_hival"] == 5
+    assert np.array_equal(png_decode(info["data"]), exp)
+
+
+def test_dct_passthrough_byte_identical(fixture_images):
+    _, _, jpg, _, _ = _fixture_rasters()
+    info = fixture_images[8]
+    assert info["ext"] == "jpg" and info["filter"] == "DCTDecode"
+    assert info["data"] == jpg  # codestream untouched
+    jpeg_decode(info["data"])  # and it still decodes
+
+
+def test_stencil_image_mask_unpacked(fixture_images):
+    info = fixture_images[9]
+    assert info["image_mask"] and info["color_space"] == "DeviceGray"
+    got = png_decode(info["data"])
+    yy, xx = np.indices((10, 10))
+    exp = (((xx + yy) % 2) * 255).astype(np.uint8)
+    assert np.array_equal(got[..., 0], exp)
+
+
+def test_smask_lifted_to_alpha(fixture_images):
+    _, _, _, gray, alpha = _fixture_rasters()
+    info = fixture_images[10]
+    assert info["has_smask"] if "has_smask" in info \
+        else info["smask_obj"] is not None
+    got = png_decode(info["data"])
+    assert got.shape == (8, 8, 4)
+    assert np.array_equal(got[..., 0], gray)
+    assert np.array_equal(got[..., 3], alpha)
+
+
+def test_page_image_map_and_text_still_extracts(fixture_pdf):
+    pdf = PdfFile(fixture_pdf)
+    m = page_image_map(pdf)
+    assert set(m) == {6, 7, 8, 9, 10}  # SMask obj 11 is not page-drawn
+    assert all(v == 1 for v in m.values())
+    from scribe_js_ray.stages.pdf.doc import parse_pdf_document
+    pages, doc_type = parse_pdf_document(fixture_pdf)
+    assert doc_type == "text" and len(pages) == 1
+
+
+def _one_image_pdf(img_dict: bytes, raster: bytes,
+                   compress=True) -> bytes:
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    content = b"q 10 0 0 10 72 700 cm /Im1 Do Q"
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /XObject << /Im1 5 0 R >> >> "
+          b"/Contents 4 0 R >>")
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    z = zlib.compress(raster) if compress else raster
+    filt = b" /Filter /FlateDecode" if compress else b""
+    w.add(img_dict + filt
+          + f" /Length {len(z)} >>\nstream\n".encode() + z
+          + b"\nendstream")
+    return w.build()
+
+
+def test_decode_invert_gray():
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    data = _one_image_pdf(
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Decode [1 0]",
+        g.tobytes())
+    (info,) = extract_images(data)
+    assert info["decode_invert"]
+    assert np.array_equal(png_decode(info["data"])[..., 0], 255 - g)
+
+
+def test_sixteen_bit_keeps_high_byte():
+    hi = np.arange(4, dtype=np.uint8).reshape(2, 2) * 60
+    samples = np.zeros((2, 2, 2), np.uint8)
+    samples[..., 0] = hi  # big-endian 16-bit: high byte first
+    data = _one_image_pdf(
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/BitsPerComponent 16 /ColorSpace /DeviceGray",
+        samples.tobytes())
+    (info,) = extract_images(data)
+    assert np.array_equal(png_decode(info["data"])[..., 0], hi)
+
+
+def test_corrupt_stream_lands_in_error_column():
+    data = _one_image_pdf(
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceRGB",
+        b"\x00not-zlib\xff", compress=False)
+    # forge a Flate filter over non-zlib bytes
+    data = data.replace(b"/ColorSpace /DeviceRGB",
+                        b"/ColorSpace /DeviceRGB /Filter /FlateDecode")
+    (info,) = extract_images(data)
+    assert info["error"] and info["data"] is None
+    assert info["width"] == 4  # metadata still reported
+
+
+def test_colorspace_classification():
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [] /Count 0 >>")
+    icc1 = w.add(b"<< /N 1 /Length 0 >>\nstream\n\nendstream")
+    icc4 = w.add(b"<< /N 4 /Length 0 >>\nstream\n\nendstream")
+    pdf = PdfFile(w.build())
+    from scribe_js_ray.stages.pdf.objects import Name, Ref
+    assert classify_colorspace(pdf, Name("DeviceGray")) == "DeviceGray"
+    assert classify_colorspace(
+        pdf, [Name("ICCBased"), Ref(icc1)]) == "DeviceGray"
+    assert classify_colorspace(
+        pdf, [Name("ICCBased"), Ref(icc4)]) == "DeviceCMYK"
+    assert classify_colorspace(
+        pdf, [Name("DeviceN"), [Name("Spot1")], Name("DeviceRGB")]) \
+        == "Separation"
+    assert classify_colorspace(
+        pdf, [Name("DeviceN"), [Name("R"), Name("G")],
+              Name("DeviceRGB")]) == "DeviceN"
+    assert classify_colorspace(pdf, None) == "DeviceRGB"
+
+
+def test_image_codec_prefers_dct_in_chain():
+    assert image_codec(["ASCII85Decode", "DCTDecode"]) == "DCTDecode"
+    assert image_codec(["FlateDecode"]) == "FlateDecode"
+    assert image_codec([]) is None
+
+
+def test_form_xobject_recursion_in_page_map():
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    content = b"q /Fm1 Do Q"
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /XObject << /Fm1 5 0 R >> >> "
+          b"/Contents 4 0 R >>")
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    form_body = b"q 8 0 0 8 0 0 cm /ImA Do Q"
+    w.add(b"<< /Type /XObject /Subtype /Form /BBox [0 0 100 100] "
+          b"/Resources << /XObject << /ImA 6 0 R >> >> "
+          + f"/Length {len(form_body)} >>\nstream\n".encode()
+          + form_body + b"\nendstream")
+    z = zlib.compress(bytes(12))
+    w.add(b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+          b"/BitsPerComponent 8 /ColorSpace /DeviceRGB "
+          b"/Filter /FlateDecode "
+          + f"/Length {len(z)} >>\nstream\n".encode() + z
+          + b"\nendstream")
+    pdf = PdfFile(w.build())
+    assert page_image_map(pdf) == {6: 1}
+    (info,) = extract_images(pdf)
+    assert info["obj_num"] == 6 and info["ext"] == "png"
+
+
+def test_non_image_objects_skipped(fixture_pdf):
+    pdf = PdfFile(fixture_pdf)
+    assert parse_image_object(pdf, 1) is None  # catalog
+    assert parse_image_object(pdf, 4) is None  # content stream
+
+
+def test_batch_stage_schema_and_poison(ray_session):
+    import ray.data as rd
+
+    from scribe_js_ray.stages.multimodal import pdf_images_pipeline
+
+    good = make_pdf_images(random.Random(3))
+    tbl = pa.table({
+        "url": pa.array(["https://a.test/good.pdf",
+                         "https://a.test/bad.pdf"], pa.string()),
+        "payload": pa.array([good, b"%PDF-truncated garbage"],
+                            pa.large_binary()),
+    })
+    out = pdf_images_pipeline(rd.from_arrow(tbl)).to_pandas()
+    good_rows = out[out.url.str.endswith("good.pdf")]
+    assert len(good_rows) == 6  # 5 drawn images + the SMask object
+    assert (good_rows.error == "").all()
+    assert set(good_rows.ext) == {"png", "jpg"}
+    bad_rows = out[out.url.str.endswith("bad.pdf")]
+    # garbage has no image XObjects: either zero rows or one error row
+    assert len(bad_rows) <= 1
+    if len(bad_rows):
+        assert (bad_rows.obj_num == -1).all()
