@@ -78,6 +78,63 @@ def _mat_mul(a, b):
 
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
+_WS = b"\x00\t\n\x0c\r "
+
+
+def _skip_inline_image(data: bytes, pos: int) -> int:
+    """Position after the EI of a BI...ID...EI inline image starting just
+    past BI.  A bare ``find(b"EI")`` false-matches inside binary sample
+    data, so mirror the reference tokenizer's two-stage scan
+    (contentStream.js:264-331): for unfiltered images compute the exact
+    data length from /W //H //BPC //CS (abbreviated or full names) and
+    require EI at that offset; otherwise scan for a whitespace-preceded
+    EI followed by whitespace///end."""
+    n = len(data)
+    # dict runs until an ID bounded by whitespace on both sides
+    i = pos
+    id_pos = None
+    while i + 1 < n:
+        if data[i:i + 2] == b"ID" and (i == 0 or data[i - 1] in _WS) \
+                and (i + 2 >= n or data[i + 2] in _WS):
+            id_pos = i
+            break
+        i += 1
+    if id_pos is None:
+        return n
+    dict_text = data[pos:id_pos]
+    data_start = id_pos + 3  # ID + one whitespace byte
+    if not re.search(rb"/(?:F|Filter)\b", dict_text):
+        wm = re.search(rb"/(?:W|Width)\s+(\d+)", dict_text)
+        hm = re.search(rb"/(?:H|Height)\s+(\d+)", dict_text)
+        bm = re.search(rb"/(?:BPC|BitsPerComponent)\s+(\d+)", dict_text)
+        if wm and hm:
+            w, h = int(wm.group(1)), int(hm.group(1))
+            bpc = int(bm.group(1)) if bm else 8
+            if re.search(rb"/CS\s*/(?:RGB|DeviceRGB|CalRGB)\b", dict_text):
+                n_comp = 3
+            elif re.search(rb"/CS\s*/(?:CMYK|DeviceCMYK)\b", dict_text):
+                n_comp = 4
+            elif re.search(rb"/CS\s*/(?:G|DeviceGray|CalGray)\b",
+                           dict_text) \
+                    or re.search(rb"/(?:IM|ImageMask)\s+true\b",
+                                 dict_text):
+                n_comp = 1
+            else:
+                n_comp = 0  # Indexed / named CS — fall back to the scan
+            if n_comp:
+                end = data_start + ((w * n_comp * bpc + 7) // 8) * h
+                if data[end:end + 2] == b"EI" and \
+                        (end + 2 >= n or data[end + 2] in _WS + b"/"):
+                    return end + 2
+    i = data_start
+    while i + 1 < n:
+        if data[i:i + 2] == b"EI" and i > data_start \
+                and data[i - 1] in _WS \
+                and (i + 2 >= n or data[i + 2] in _WS + b"/"):
+            return i + 2
+        i += 1
+    return n
+
 
 def tokenize_content(data: bytes):
     """Yield (operands, operator) pairs from a content stream."""
@@ -99,10 +156,12 @@ def tokenize_content(data: bytes):
         op = m.group(0).decode("latin-1")
         lex.pos = m.end()
         if op == "BI":
-            # Inline image: skip to EI.
-            ei = data.find(b"EI", lex.pos)
-            lex.pos = ei + 2 if ei >= 0 else n
+            lex.pos = _skip_inline_image(data, lex.pos)
             operands = []
+            # Emitted so the interpreter can score the placement like a
+            # Do-image (parsePdfDoc.js:680 treats inlineImage tokens as
+            # image draws for largestImageFrac).
+            yield [], "INLINE_IMG"
             continue
         yield operands, op
         operands = []
@@ -784,6 +843,11 @@ class TextInterpreter:
                             # Unit square × CTM → placed area (pts²).
                             self.image_areas.append(
                                 abs(ctm[0] * ctm[3] - ctm[1] * ctm[2]))
+                elif op == "INLINE_IMG":
+                    # BI..EI draws score like Do-images
+                    # (parsePdfDoc.js:680).
+                    self.image_areas.append(
+                        abs(ctm[0] * ctm[3] - ctm[1] * ctm[2]))
             except Exception:
                 continue
 

@@ -238,3 +238,57 @@ def test_batch_stage_schema_and_poison(ray_session):
     assert len(bad_rows) <= 1
     if len(bad_rows):
         assert (bad_rows.obj_num == -1).all()
+
+
+def _pdf_with_content(content: bytes, with_font=True) -> bytes:
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    res = b"/Resources << /Font << /F1 5 0 R >> >> " if with_font else b""
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          + res + b"/Contents 4 0 R >>")
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    if with_font:
+        w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+              b"/Encoding /WinAnsiEncoding >>")
+    return w.build()
+
+
+def test_inline_image_with_embedded_ei_bytes():
+    """Binary inline-image data containing the bytes 'EI' must not
+    truncate the scan (contentStream.js computed-length path)."""
+    from scribe_js_ray.stages.pdf.doc import parse_pdf_document
+    # 4x2 RGB = 24 bytes; plant 'EI' (0x45 0x49) mid-data
+    samples = bytearray(range(24))
+    samples[5:7] = b"EI"
+    content = (b"q 40 0 0 20 100 700 cm BI /W 4 /H 2 /BPC 8 /CS /RGB ID "
+               + bytes(samples) + b" EI Q\n"
+               b"BT /F1 12 Tf 72 600 Td (Visible after image) Tj ET")
+    pages, _ = parse_pdf_document(_pdf_with_content(content))
+    words = [w.text for line in pages[0].lines for w in line.words]
+    assert words == ["Visible", "after", "image"]
+
+
+def test_inline_image_filtered_scan_fallback():
+    """Filtered inline data has no computable length; the fallback scan
+    requires a whitespace-bounded EI."""
+    from scribe_js_ray.stages.pdf.doc import parse_pdf_document
+    content = (b"BI /W 2 /H 2 /BPC 8 /CS /G /F /AHx ID "
+               b"00112233 > EI\n"
+               b"BT /F1 12 Tf 72 600 Td (Still here) Tj ET")
+    pages, _ = parse_pdf_document(_pdf_with_content(content))
+    words = [w.text for line in pages[0].lines for w in line.words]
+    assert words == ["Still", "here"]
+
+
+def test_inline_image_counts_toward_image_frac():
+    """parsePdfDoc.js:680: an inline image is an image draw — a page
+    that is one big BI..EI and no text classifies image-native."""
+    from scribe_js_ray.stages.pdf.doc import parse_pdf_document
+    content = (b"q 612 0 0 792 0 0 cm BI /W 2 /H 2 /BPC 8 /CS /G ID "
+               + bytes(4) + b" EI Q")
+    pages, doc_type = parse_pdf_document(
+        _pdf_with_content(content, with_font=False))
+    assert doc_type == "image"
+    assert not pages[0].lines
