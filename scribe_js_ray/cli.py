@@ -32,7 +32,10 @@ def _cmd_extract(args) -> int:
             large_doc_bytes=args.large_doc_bytes,
             batch_size=args.batch_size,
             force=args.force,
-            emit_format=args.emit)
+            emit_format=args.emit,
+            emit_opts={"line_numbers": args.line_numbers,
+                       "char_boxes": args.char_boxes},
+            skip_image_based=args.skip_image_based)
         print(json.dumps(summary))
         return 0
     finally:
@@ -291,6 +294,15 @@ def main(argv=None) -> int:
                              "docx", "xlsx", "pdf", "scribe",
                              "debug_csv"],
                     help="output format (exportData dispatch analog)")
+    ex.add_argument("--line-numbers", action="store_true",
+                    help="prepend page:line prefixes (txt only; "
+                         "reference extract -l)")
+    ex.add_argument("--char-boxes", action="store_true",
+                    help="include per-char bboxes in .scribe output "
+                         "(excluded by default, like the reference CLI)")
+    ex.add_argument("--skip-image-based", action="store_true",
+                    help="drop image-native PDFs with no text instead "
+                         "of writing empty rows")
     ex.set_defaults(fn=_cmd_extract)
 
     ps = sub.add_parser("pdf-subset",

@@ -107,7 +107,8 @@ def _apply_edits(pages, edits) -> None:
             delete_text_lines(page, [line])
 
 
-def _emit(pages, emit_format, reflow, drop_furniture, edits=None):
+def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
+          emit_opts=None):
     """Page trees → (text, spans) in the requested output format — the
     exportData dispatch (export.js:630-729); binary formats ride the
     string column via a latin-1 round-trip."""
@@ -161,24 +162,33 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None):
         return write_xlsx(rows).decode("latin-1"), []
     if emit_format == "scribe":
         from ..stages.scribe_fmt import write_scribe
-        return write_scribe(pages).decode("utf-8"), []
+        return write_scribe(
+            pages,
+            char_boxes=bool((emit_opts or {}).get("char_boxes", True)),
+        ).decode("utf-8"), []
     if emit_format == "pdf":
         from ..stages.pdf_export import write_pdf
         # binary export: latin-1 round-trip keeps it a string column
         return write_pdf(pages).decode("latin-1"), []
     return write_text_spans(
         pages, reflow_text=reflow, drop_furniture=drop_furniture,
-        drop_line_num_words=True)
+        drop_line_num_words=True,
+        line_numbers=bool((emit_opts or {}).get("line_numbers")))
 
 
 def extract_document(url: str, payload: bytes, text: str, lang: str,
                      reflow: bool = True, drop_furniture: bool = True,
-                     emit_format: str = "text", edits: list | None = None):
+                     emit_format: str = "text", edits: list | None = None,
+                     emit_opts: dict | None = None):
     """Pure per-document extraction; returns a flat result dict.
 
     ``emit_format``: "text" (byte-identical golden surface, default),
     "markdown", "hocr", "pdf" (fresh text PDF) or "pdf_overlay"
-    (invisible layer onto the original PDF pages) — S7-S9."""
+    (invisible layer onto the original PDF pages) — S7-S9.
+    ``emit_opts``: format-specific switches mirroring the reference
+    CLI (extract.js): ``line_numbers`` prepends page:line prefixes
+    (txt only), ``char_boxes=False`` drops per-char boxes from
+    .scribe output."""
     kind = classify_payload(payload or b"", text or "")
     out = {"url": url, "extracted_text": "", "spans": [], "n_pages": 0,
            "doc_type": "image", "payload_kind": kind, "error": ""}
@@ -197,7 +207,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 spans = []
             else:
                 txt, spans = _emit(pages, emit_format, reflow,
-                                   drop_furniture, edits)
+                                   drop_furniture, edits, emit_opts)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type=doc_type)
         elif kind == "scribe":
@@ -205,13 +215,15 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             # already parsed/laid out — straight to emit.
             from ..stages.scribe_fmt import parse_scribe
             pages = parse_scribe(payload)
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
+                               emit_opts)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind in ("hocr", "alto", "abbyy", "stext"):
             pages = _parse_paged_payload(kind, payload)
             analyze_layout(pages)
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
+                               emit_opts)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind in ("textract", "google_vision", "google_doc_ai",
@@ -227,7 +239,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             else:
                 pages = cloud.parse_azure_doc_intel(raw)
             analyze_layout(pages)
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
+                               emit_opts)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind == "tess_blocks":
@@ -238,7 +251,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             raw = payload.decode("utf-8", "replace")
             pages = [parse_blocks_page(raw, 0)]
             analyze_layout(pages)
-            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits)
+            txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
+                               emit_opts)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind == "html":
@@ -249,7 +263,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
         elif kind == "docx":
             from ..stages.docx import parse_docx
             pages = parse_docx(payload)
-            txt, spans = _emit(pages, emit_format, True, drop_furniture, edits)
+            txt, spans = _emit(pages, emit_format, True, drop_furniture, edits,
+                               emit_opts)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages) if txt else 0, doc_type="text")
         elif kind == "text":
@@ -265,7 +280,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             # convertPageText's pars; applyDocParagraphLayout is the
             # PDF-only doc-level pass, extractPDFText.js:100-110).
             pages = parse_text_pages(body.strip())
-            txt, spans = _emit(pages, emit_format, True, drop_furniture, edits)
+            txt, spans = _emit(pages, emit_format, True, drop_furniture, edits,
+                               emit_opts)
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages) if txt else 0, doc_type="text")
         else:  # empty
@@ -298,7 +314,8 @@ def _edits_lookup(edits_ref):
 def _extract_batch(batch: pa.Table, reflow: bool = True,
                    drop_furniture: bool = True,
                    emit_format: str = "text",
-                   edits_ref=None) -> pa.Table:
+                   edits_ref=None,
+                   emit_opts: dict | None = None) -> pa.Table:
     """Arrow in → Arrow out (zero-copy reads).  Parser state (compiled
     regexes, encoding/width tables) lives in module globals, warmed once
     per worker PROCESS on first import — Ray task workers are long-lived,
@@ -318,7 +335,8 @@ def _extract_batch(batch: pa.Table, reflow: bool = True,
                                reflow=reflow, drop_furniture=drop_furniture,
                                emit_format=emit_format,
                                edits=edits_by_url.get(url)
-                               if edits_by_url else None)
+                               if edits_by_url else None,
+                               emit_opts=emit_opts)
         for name in cols:
             cols[name].append(res[name])
     arrays = [pa.array(cols[f.name], f.type) for f in RESULT_SCHEMA]
@@ -331,25 +349,29 @@ class ExtractDocuments:
     ``__init__`` runs once per actor, ``__call__`` per batch."""
 
     def __init__(self, reflow: bool = True, drop_furniture: bool = True,
-                 emit_format: str = "text", edits_ref=None):
+                 emit_format: str = "text", edits_ref=None,
+                 emit_opts: dict | None = None):
         self.reflow = reflow
         self.drop_furniture = drop_furniture
         self.emit_format = emit_format
         self.edits_ref = edits_ref
+        self.emit_opts = emit_opts
         # Warm the parser modules once per actor (regex compile, width
         # tables) — not once per batch.
         from ..stages.pdf import parse_pdf_document  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _extract_batch(batch, self.reflow, self.drop_furniture,
-                              self.emit_format, self.edits_ref)
+                              self.emit_format, self.edits_ref,
+                              self.emit_opts)
 
 
 def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
                            batch_size: int | None = None, concurrency=None,
                            compute: str = "tasks",
                            emit_format: str = "text",
-                           edits_by_url: dict | None = None):
+                           edits_by_url: dict | None = None,
+                           emit_opts: dict | None = None):
     """pages Dataset → extraction results Dataset (lazy; streams).
 
     ``batch_size=None`` processes whole blocks per UDF call — Ray Data's
@@ -380,7 +402,8 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
         return ds.map_batches(
             _extract_batch,
             fn_kwargs={"reflow": reflow, "drop_furniture": drop_furniture,
-                       "emit_format": emit_format, "edits_ref": edits_ref},
+                       "emit_format": emit_format, "edits_ref": edits_ref,
+                       "emit_opts": emit_opts},
             batch_format="pyarrow",
             batch_size=batch_size,
             **kwargs,
@@ -399,7 +422,8 @@ def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
         fn_constructor_kwargs={"reflow": reflow,
                                "drop_furniture": drop_furniture,
                                "emit_format": emit_format,
-                               "edits_ref": edits_ref},
+                               "edits_ref": edits_ref,
+                               "emit_opts": emit_opts},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

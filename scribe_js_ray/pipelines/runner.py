@@ -91,10 +91,16 @@ def _collect_output_metrics(shard_dir: str) -> tuple[int, int]:
 def run_extract_shard(files: list[str], shard_dir: str,
                       large_doc_bytes: int = DEFAULT_LARGE_DOC_BYTES,
                       batch_size: int = 32, concurrency=None,
-                      emit_format: str = "text") -> dict:
+                      emit_format: str = "text",
+                      emit_opts: dict | None = None,
+                      skip_image_based: bool = False) -> dict:
     """One shard: read → size-split → extract (both branches share the
     same batch transform; ``concurrency`` caps task parallelism in
-    either compute mode) → union → write.  Returns metric counters."""
+    either compute mode) → union → write.  Returns metric counters.
+
+    ``skip_image_based`` drops image-native PDFs that produced no text
+    instead of writing empty rows (the reference extract verb's
+    --skip-image-based, extractTextDir.js skipImageBased)."""
     import ray.data as rd
 
     from .extract import build_extract_pipeline
@@ -105,12 +111,19 @@ def run_extract_shard(files: list[str], shard_dir: str,
     large = ds.filter(expr=f"payload_bytes > {large_doc_bytes}")
     out_small = build_extract_pipeline(small, batch_size=batch_size,
                                        concurrency=concurrency,
-                                       emit_format=emit_format)
+                                       emit_format=emit_format,
+                                       emit_opts=emit_opts)
     # Long-tail branch: one document per task so stragglers parallelize.
     out_large = build_extract_pipeline(large, batch_size=1,
                                        concurrency=concurrency,
-                                       emit_format=emit_format)
+                                       emit_format=emit_format,
+                                       emit_opts=emit_opts)
     out = out_small.union(out_large)
+    if skip_image_based:
+        # image-native with no extracted text and no error → skipped row
+        out = out.filter(
+            expr="doc_type != 'image' or extracted_text != '' "
+                 "or error != ''")
     out.write_parquet(shard_dir)
     rows, text_bytes = _collect_output_metrics(shard_dir)
     n_errors = sum(
@@ -126,7 +139,9 @@ def run_extract_job(input_glob: str, output_dir: str,
                     large_doc_bytes: int = DEFAULT_LARGE_DOC_BYTES,
                     batch_size: int = 32, concurrency=None,
                     force: bool = False,
-                    emit_format: str = "text") -> dict:
+                    emit_format: str = "text",
+                    emit_opts: dict | None = None,
+                    skip_image_based: bool = False) -> dict:
     """Sharded, resumable corpus extraction.  Returns a job summary."""
     import shutil
 
@@ -151,7 +166,8 @@ def run_extract_job(input_glob: str, output_dir: str,
         metrics = run_extract_shard(
             shard["files"], shard_dir, large_doc_bytes=large_doc_bytes,
             batch_size=batch_size, concurrency=concurrency,
-            emit_format=emit_format)
+            emit_format=emit_format, emit_opts=emit_opts,
+            skip_image_based=skip_image_based)
         manifest = {
             "status": "ok",
             "shard_id": sid,

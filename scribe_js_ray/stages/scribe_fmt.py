@@ -38,7 +38,7 @@ def _bbox_json(b: BBox) -> dict:
             "right": float(b.right), "bottom": float(b.bottom)}
 
 
-def _page_json(page: Page) -> dict:
+def _page_json(page: Page, char_boxes: bool = True) -> dict:
     par_ids = {id(p): f"par_{page.n + 1}_{i + 1}"
                for i, p in enumerate(page.pars)}
     par_lines: dict[str, list[str]] = {pid: [] for pid in par_ids.values()}
@@ -69,7 +69,7 @@ def _page_json(page: Page) -> dict:
             }
             if w.line_num:
                 wd["lineNum"] = True
-            if w.chars:
+            if w.chars and char_boxes:
                 wd["chars"] = [{"text": c.text, "bbox": _bbox_json(c.bbox)}
                                for c in w.chars]
             words.append(wd)
@@ -149,12 +149,16 @@ def _annots_json(pages: list[Page]) -> list:
 
 def write_scribe(pages: list[Page], segmented: bool = True,
                  gzip_out: bool = False, outline: list | None = None,
-                 text_edits: list | None = None) -> bytes:
+                 text_edits: list | None = None,
+                 char_boxes: bool = True) -> bytes:
     """Page trees → reference-format ``.scribe`` bytes.  Carried marks
     ride as ``annotations`` (header field in the segmented layout,
     import.js:220-227); ``text_edits`` (per-page edit-record lists from
     stages/textedits.py) ride in ``session.textEdits`` — segmented: one
-    ``textEdits`` field per page record (import.js:240)."""
+    ``textEdits`` field per page record (import.js:240).
+    ``char_boxes=False`` drops per-char bounding boxes (export.js:152
+    pageForScribe includeCharBoxes; the reference CLI's --char-boxes
+    default, roughly halving file size)."""
     annots = _annots_json(pages)
     has_annots = any(annots)
     if segmented:
@@ -167,7 +171,7 @@ def write_scribe(pages: list[Page], segmented: bool = True,
             header["session"] = {}
         chunks = [json.dumps(header)]
         for i, page in enumerate(pages):
-            rec: dict = {"i": i, "ocr": _page_json(page) if page
+            rec: dict = {"i": i, "ocr": _page_json(page, char_boxes) if page
                          else None}
             if text_edits is not None and i < len(text_edits) \
                     and text_edits[i]:
@@ -175,7 +179,7 @@ def write_scribe(pages: list[Page], segmented: bool = True,
             chunks.append("\n" + json.dumps(rec))
         data = "".join(chunks).encode("utf-8")
     else:
-        obj: dict = {"ocr": [_page_json(p) if p else None
+        obj: dict = {"ocr": [_page_json(p, char_boxes) if p else None
                              for p in pages]}
         if has_annots:
             obj["annotations"] = annots

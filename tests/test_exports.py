@@ -137,3 +137,49 @@ def test_debug_csv_export():
                            emit_format="debug_csv")
     assert res["error"] == ""
     assert res["extracted_text"].startswith("id,text,bbox")
+
+
+def test_line_numbers_prefix_matches_reference_format():
+    """writeText.js:63-74: lineNumbers prepends `g:h  ` after the
+    newline each line emits (including the leading one) and disables
+    reflow."""
+    import random
+
+    from scribe_js_ray.pipelines.extract import extract_document
+    from scribe_js_ray.sources.synth import make_hocr_simple
+
+    payload = make_hocr_simple(random.Random(3)).encode()
+    plain = extract_document("u", payload, "", "eng")["extracted_text"]
+    numbered = extract_document(
+        "u", payload, "", "eng",
+        emit_opts={"line_numbers": True})["extracted_text"]
+    assert numbered.startswith("\n0:0  ")
+    for ln in numbered.strip("\n").split("\n"):
+        assert ln.split("  ", 1)[0].count(":") == 1
+    # words survive unprefixed
+    strip = " ".join(ln.split("  ", 1)[1]
+                     for ln in numbered.strip("\n").split("\n"))
+    assert set(strip.split()) == set(plain.split())
+
+
+def test_scribe_char_boxes_opt_out():
+    """export.js:152 pageForScribe: includeCharBoxes=False deletes
+    word.chars (the CLI extract default; roughly halves file size)."""
+    import random
+
+    from scribe_js_ray.pipelines.extract import extract_document
+    from scribe_js_ray.sources.synth import make_hocr_charlevel
+
+    payload = make_hocr_charlevel(random.Random(3)).encode()
+    full = extract_document("u", payload, "", "eng",
+                            emit_format="scribe")["extracted_text"]
+    lean = extract_document(
+        "u", payload, "", "eng", emit_format="scribe",
+        emit_opts={"char_boxes": False})["extracted_text"]
+    assert '"chars"' in full and '"chars"' not in lean
+    assert len(lean) < len(full) * 0.6
+    # text surface identical either way
+    from scribe_js_ray.stages.emit import write_text
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe
+    assert write_text(parse_scribe(lean.encode())) \
+        == write_text(parse_scribe(full.encode()))

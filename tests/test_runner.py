@@ -75,3 +75,57 @@ def test_salting_splits_large_docs(ray_session, pages_dir, tmp_path):
     for p in parts:
         urls += pq.read_table(p, columns=["url"])["url"].to_pylist()
     assert len(set(urls)) == 30
+
+
+def test_skip_image_based_drops_empty_image_docs(ray_session, tmp_path):
+    """--skip-image-based analog (extractTextDir.js skipImageBased):
+    image-native docs with no text are dropped from shard output;
+    errored and text-bearing docs always kept."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from scribe_js_ray.sources.synth import make_hocr_simple
+    from scribe_js_ray.sources.synth_pdf import PdfWriter
+
+    # image-native PDF: one page, one big inline image, no text
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    content = (b"q 612 0 0 792 0 0 cm BI /W 2 /H 2 /BPC 8 /CS /G ID "
+               + bytes(4) + b" EI Q")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 4 0 R >>")
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    image_pdf = w.build()
+
+    src = tmp_path / "pages.parquet"
+    _pq.write_table(pa.table({
+        "url": pa.array(["https://t/a", "https://t/b", "https://t/c"]),
+        "html": pa.array([make_hocr_simple(random.Random(1)).encode(),
+                          image_pdf, b"%PDF-garbage"], pa.large_binary()),
+        "text": pa.array(["", "", ""]),
+        "lang": pa.array(["eng"] * 3),
+    }), src)
+
+    out_keep = tmp_path / "keep"
+    out_skip = tmp_path / "skip"
+    run_extract_job(str(src), str(out_keep))
+    run_extract_job(str(src), str(out_skip), skip_image_based=True)
+
+    def read_urls(d):
+        files = glob.glob(os.path.join(d, "**", "*.parquet"),
+                          recursive=True)
+        t = pa.concat_tables([_pq.read_table(f) for f in files])
+        return dict(zip(t["url"].to_pylist(),
+                        t["doc_type"].to_pylist()))
+
+    kept = read_urls(str(out_keep))
+    skipped = read_urls(str(out_skip))
+    assert set(kept) == {"https://t/a", "https://t/b", "https://t/c"}
+    assert kept["https://t/b"] == "image"
+    # only the empty image-native doc is dropped; the garbage doc has an
+    # error and stays
+    assert set(skipped) == {"https://t/a", "https://t/c"}
