@@ -533,6 +533,39 @@ def _pdf_extract_images(sf_dir: str):
     return out.sort(["url", "obj_num"])
 
 
+def _pdf_image_dedup(sf_dir: str):
+    """Cross-corpus embedded-image dedup: 48 image-bearing PDFs whose
+    rasters are seeded doc_id % 8, so each of the 8 distinct image sets
+    recurs in ~6 docs — exact (md5) groups catch the byte-identical
+    re-embeds, phash groups additionally collapse the solid-color DCT
+    images across seeds (aHash of a flat image is 0 regardless of
+    color).  Rows-only check; the shuffle only ever moves hashes."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import image_dup_groups
+    from scribe_js_ray.sources.synth_pdf import make_pdf_images
+    from scribe_js_ray.stages.multimodal import pdf_images_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).limit(48)
+
+    def synth_pdfs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"https://docs.test/{d:08d}.pdf"
+                             for d in ids], pa.string()),
+            "payload": pa.array(
+                [make_pdf_images(random.Random(d % 8)) for d in ids],
+                pa.large_binary()),
+        })
+
+    pdfs = docs.map_batches(synth_pdfs, batch_format="pyarrow")
+    return image_dup_groups(pdf_images_pipeline(pdfs))
+
+
 def _mm_image_features(sf_dir: str):
     """Multimodal images: deterministic REAL PNG/BMP/GIF/JPEG payloads
     (keyed off doc_id) → stdlib decode (zlib inflate, LZW, baseline
@@ -695,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fp": _doc_rolling_fp,
         # multimodal (real stdlib PNG/BMP/WAV/MPNG decode + features)
         "pdf_extract_images": _pdf_extract_images,
+        "pdf_image_dedup": _pdf_image_dedup,
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,

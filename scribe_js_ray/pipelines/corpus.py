@@ -1308,3 +1308,110 @@ def decontaminate(ds, bench_bc, n: int = 3):
         })
 
     return ds.map_batches(contam, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus image dedup (composes the embedded-image extraction op
+# with the dedup machinery: a 100 TB PDF corpus re-embeds the same
+# logos/scan-backgrounds millions of times)
+
+
+def _image_hash_batch(batch: pa.Table) -> pa.Table:
+    """Per-image identity keys; the heavy ``data`` column DIES HERE —
+    only (url, obj_num, 2 hashes) cross any downstream exchange.
+
+    ``exact_key``: md5 of the converted payload bytes (byte-identical
+    dup).  ``phash``: 64-bit average-hash over an 8×8 gray thumbnail
+    (decode via the stdlib codecs; perceptual near-dup robust to
+    re-encode).  Undecodable payloads get phash -1 and only participate
+    in exact dedup."""
+    import hashlib as _hl
+
+    from ..stages.codecs import decode_image, resize_nearest, to_rgb
+
+    urls = batch["url"].to_pylist()
+    objs = batch["obj_num"].to_pylist()
+    datas = batch["data"].to_pylist()
+    exact, phash = [], []
+    for data in datas:
+        data = data or b""
+        exact.append(_hl.md5(data).hexdigest())
+        try:
+            px = to_rgb(decode_image(data))
+            thumb = resize_nearest(px, 8, 8).astype(np.float32)
+            gray = thumb.mean(axis=2)
+            bits = (gray > gray.mean()).reshape(-1)
+            h = 0
+            for b in bits:
+                h = (h << 1) | int(b)
+            if h >= 1 << 63:  # two's-complement into int64 range
+                h -= 1 << 64
+            phash.append(h)
+        except Exception:
+            phash.append(-1)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "obj_num": pa.array(objs, pa.int32()),
+        "exact_key": pa.array(exact, pa.string()),
+        "phash": pa.array(phash, pa.int64()),
+    })
+
+
+def image_dup_groups(images_ds):
+    """Embedded-image Dataset (url, obj_num, data, ...) → duplicate
+    groups: one row per (kind, key) with ≥2 members.
+
+    kind='exact' groups byte-identical converted payloads; kind='phash'
+    groups perceptually-identical 64-bit aHashes (catches re-encodes
+    and solid fills the exact key misses).  Hash projection happens
+    map-side, so the shuffle moves ~50 B/image regardless of payload
+    size — the same discipline as doc exact dedup (md5 before the
+    exchange)."""
+    from ray.data.aggregate import AggregateFn, Count
+
+    hashed = images_ds.map_batches(_image_hash_batch,
+                                   batch_format="pyarrow",
+                                   batch_size=None)
+
+    # Distinct-url tracking is capped so the aggregate state stays
+    # bounded on a hot key (a logo in 10^8 docs): n_urls saturates at
+    # the cap, n_copies stays exact via the built-in Count.
+    url_cap = 1024
+
+    def _acc(a, r):
+        u = r["url"]
+        return a if (len(a) >= url_cap or u in a) else a + [u]
+
+    def _merge(a, b):
+        return (a + [u for u in b if u not in a])[:url_cap]
+
+    def groups_for(kind: str, key_col: str):
+        src = hashed if kind == "exact" \
+            else hashed.filter(expr="phash != -1")  # undecodable: no phash
+        # State is a plain list<string> so every intermediate shuffle
+        # block stays a native Arrow column (no pickle fallback).
+        agg = src.groupby(key_col).aggregate(
+            Count(),
+            AggregateFn(init=lambda k: [],
+                        accumulate_row=_acc,
+                        merge=_merge,
+                        finalize=len,
+                        name="n_urls"))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            keys = [str(k) for k in batch[key_col].to_pylist()]
+            n = [int(x) for x in batch["count()"].to_pylist()]
+            nu = [int(x) for x in batch["n_urls"].to_pylist()]
+            t = pa.table({
+                "kind": pa.array([kind] * len(keys), pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "n_copies": pa.array(n, pa.int64()),
+                "n_urls": pa.array(nu, pa.int64()),
+            })
+            return t.filter(pc.greater_equal(t["n_copies"], 2))
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    exact = groups_for("exact", "exact_key")
+    near = groups_for("phash", "phash")
+    return exact.union(near).sort(["kind", "key"])

@@ -145,7 +145,9 @@ def run_extract_job(input_glob: str, output_dir: str,
     """Sharded, resumable corpus extraction.  Returns a job summary."""
     import shutil
 
-    paths = sorted(glob.glob(input_glob)) if any(
+    # recursive=True lets '**' globs mirror the reference extract verb's
+    # --recursive directory walk (extract.js -R)
+    paths = sorted(glob.glob(input_glob, recursive=True)) if any(
         c in input_glob for c in "*?[") else [input_glob]
     if not paths:
         raise FileNotFoundError(f"no input files match {input_glob!r}")

@@ -292,3 +292,32 @@ def test_inline_image_counts_toward_image_frac():
         _pdf_with_content(content, with_font=False))
     assert doc_type == "image"
     assert not pages[0].lines
+
+
+def test_image_dup_groups(ray_session):
+    """Cross-corpus image dedup: md5-exact groups for re-embedded
+    rasters, aHash groups collapsing across seeds; only hashes cross
+    the exchange (data column dropped map-side)."""
+    import random
+
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import image_dup_groups
+    from scribe_js_ray.stages.multimodal import pdf_images_pipeline
+
+    # 6 docs over 2 seeds -> every seed's images recur 3x; the
+    # seed-independent rasters (stencil checker, gray/alpha ramps)
+    # recur 6x
+    tbl = pa.table({
+        "url": pa.array([f"https://t/{i}.pdf" for i in range(6)]),
+        "payload": pa.array([make_pdf_images(random.Random(i % 2))
+                             for i in range(6)], pa.large_binary()),
+    })
+    out = image_dup_groups(
+        pdf_images_pipeline(rd.from_arrow(tbl))).to_pandas()
+    exact = out[out.kind == "exact"]
+    assert set(exact.n_copies) == {3, 6}
+    assert (exact.n_copies == 6).sum() == 3  # checker + gray + alpha
+    assert (exact.n_copies == exact.n_urls).all()
+    phash = out[out.kind == "phash"]
+    assert len(phash) and (phash.n_copies >= 2).all()
