@@ -263,6 +263,21 @@ def parse_image_object(pdf: PdfFile, num: int) -> dict | None:
         palette, pal_base, pal_hival = \
             _indexed_palette(pdf, d.get("ColorSpace"))
 
+    # Lab images carry their white point + a/b ranges in the CS dict
+    # (parsePdfImages.js:341-361 labWhitePoint/labRange).
+    lab_wp = lab_range = None
+    if cs_name == "Lab":
+        cs = pdf.resolve(d.get("ColorSpace"))
+        lab_d = pdf.resolve(cs[1]) if isinstance(cs, list) \
+            and len(cs) > 1 else None
+        if isinstance(lab_d, dict):
+            wp = pdf.resolve(lab_d.get("WhitePoint"))
+            if isinstance(wp, list) and len(wp) >= 3:
+                lab_wp = [float(pdf.resolve(v)) for v in wp[:3]]
+            rng = pdf.resolve(lab_d.get("Range"))
+            if isinstance(rng, list) and len(rng) >= 4:
+                lab_range = [float(pdf.resolve(v)) for v in rng[:4]]
+
     # Color-key /Mask is an inline number array; an indirect-ref /Mask
     # pointing at a stream is an explicit stencil mask instead.
     color_key_mask = None
@@ -297,6 +312,8 @@ def parse_image_object(pdf: PdfFile, num: int) -> dict | None:
         "palette": palette,
         "palette_base": pal_base,
         "palette_hival": pal_hival,
+        "lab_white_point": lab_wp,
+        "lab_range": lab_range,
         "color_key_mask": color_key_mask,
         "smask_obj": mask_ref.num if isinstance(mask_ref, Ref) else None,
         "smask_is_stencil": stencil_ref is not None,
@@ -382,9 +399,51 @@ def decode_raster(pdf: PdfFile, info: dict, data: bytes) -> np.ndarray:
         c = px.astype(np.float32) / 255.0
         k = c[..., 3:4]
         rgb = ((1 - c[..., :3]) * (1 - k) * 255.0 + 0.5).astype(np.uint8)
+    elif cs == "Lab":
+        # 8-bit samples map linearly onto [0,100] for L* and the /Range
+        # intervals (default [-100,100]) for a*/b* (ISO 32000-1 §8.6.5.4;
+        # the L*a*b*→XYZ→sRGB math is shared with the tint path,
+        # colorfns alt_cs_to_rgb Lab branch).
+        from .colorfns import alt_cs_to_rgb
+        rng = info.get("lab_range") or [-100.0, 100.0, -100.0, 100.0]
+        alt = {"type": "Lab", "white_point": info.get("lab_white_point")}
+        f = px.astype(np.float32) / 255.0
+        lut = {}
+        h_, w_ = f.shape[:2]
+        rgb = np.zeros((h_, w_, 3), np.uint8)
+        for yy in range(h_):
+            for xx in range(w_):
+                key = (px[yy, xx, 0], px[yy, xx, 1], px[yy, xx, 2])
+                if key not in lut:
+                    lut[key] = alt_cs_to_rgb(alt, [
+                        f[yy, xx, 0] * 100.0,
+                        rng[0] + f[yy, xx, 1] * (rng[1] - rng[0]),
+                        rng[2] + f[yy, xx, 2] * (rng[3] - rng[2])])
+                rgb[yy, xx] = lut[key]
     else:
         raise ValueError(f"color space {cs} needs render path")
     alpha = _decode_smask_alpha(pdf, info)
+    if alpha is None and info.get("color_key_mask"):
+        # Color-key /Mask [min1 max1 ...]: a pixel whose RAW samples all
+        # fall inside the per-component ranges is transparent
+        # (parsePdfImages.js:367-372; ranges are pre-/Decode sample
+        # values).  Sub-byte samples were scaled by _unpack_bits — undo
+        # the scale for the comparison.
+        ck = info["color_key_mask"]
+        bpc = info["bits_per_component"]
+        raw = px
+        if info["decode_invert"]:
+            raw = 255 - raw
+        if bpc in (1, 2, 4):
+            raw = (raw.astype(np.uint16)
+                   // (255 // ((1 << bpc) - 1))).astype(np.uint16)
+        n_comp = raw.shape[2]
+        if len(ck) >= 2 * n_comp:
+            inside = np.ones(raw.shape[:2], bool)
+            for ci in range(n_comp):
+                inside &= (raw[..., ci] >= ck[2 * ci]) \
+                    & (raw[..., ci] <= ck[2 * ci + 1])
+            alpha = np.where(inside, 0, 255).astype(np.uint8)
     if alpha is not None:
         rgb = np.dstack([rgb, alpha])
     return rgb

@@ -321,3 +321,38 @@ def test_image_dup_groups(ray_session):
     assert (exact.n_copies == exact.n_urls).all()
     phash = out[out.kind == "phash"]
     assert len(phash) and (phash.n_copies >= 2).all()
+
+
+def test_lab_image_decodes_to_neutral_gray():
+    """Lab samples map linearly onto L*∈[0,100] and the /Range
+    intervals; neutral a*=b*≈0 must land on gray (shared Lab→XYZ→sRGB
+    math with the tint path)."""
+    lab = np.full((2, 2, 3), 128, np.uint8)
+    data = _one_image_pdf(
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/BitsPerComponent 8 /ColorSpace [/Lab << /WhitePoint "
+        b"[0.9642 1 0.8249] /Range [-128 127 -128 127] >>]",
+        lab.tobytes())
+    (info,) = extract_images(data)
+    assert info["color_space"] == "Lab" and not info["error"]
+    assert info["lab_white_point"] == [0.9642, 1.0, 0.8249]
+    got = png_decode(info["data"])
+    px = got[0, 0]
+    assert abs(int(px[0]) - int(px[1])) <= 2 \
+        and abs(int(px[1]) - int(px[2])) <= 3
+    assert 100 < px[0] < 140  # L*≈50 → mid gray
+
+
+def test_color_key_mask_transparency():
+    """/Mask [min max] array: raw samples inside the range become
+    transparent (parsePdfImages.js color-key masking)."""
+    g = np.array([[0, 1], [2, 3]], np.uint8)
+    data = _one_image_pdf(
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Mask [1 2]",
+        g.tobytes())
+    (info,) = extract_images(data)
+    assert info["color_key_mask"] == [1, 2]
+    got = png_decode(info["data"])
+    assert got.shape == (2, 2, 4)
+    assert got[..., 3].tolist() == [[255, 0], [0, 255]]
