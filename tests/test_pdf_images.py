@@ -356,3 +356,25 @@ def test_color_key_mask_transparency():
     got = png_decode(info["data"])
     assert got.shape == (2, 2, 4)
     assert got[..., 3].tolist() == [[255, 0], [0, 255]]
+
+
+def test_extract_images_never_raises_on_corrupt_pdfs():
+    """Flip bytes of a VALID image PDF (random corruption never passes
+    the %PDF magic): extract_images must return a list — per-image
+    errors land in the error field, never raise."""
+    base = make_pdf_images(random.Random(11))
+    rng = random.Random(99)
+    for _ in range(40):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 30)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            out = extract_images(bytes(data))
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(
+                f"extract_images raised {type(exc).__name__}: {exc}")
+        assert isinstance(out, list)
+    # truncations too
+    for frac in (0.1, 0.3, 0.5, 0.9):
+        out = extract_images(base[:int(len(base) * frac)])
+        assert isinstance(out, list)
