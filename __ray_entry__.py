@@ -705,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase": rel.events_asof_purchase,
         "events_running_total": rel.events_running_total,
         "events_distinct_users": rel.events_distinct_users,
+        "events_window_join": rel.events_window_join,
         "nation_top_customers": rel.nation_top_customers,
         "regional_revenue": rel.regional_revenue,
         # documents corpus ops
@@ -951,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": rel.Q3_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_asof_purchase": rel.EVENTS_ASOF_SQL,
+        "events_window_join": rel.EVENTS_WINDOW_JOIN_SQL,
         "events_running_total": rel.EVENTS_RUNNING_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,

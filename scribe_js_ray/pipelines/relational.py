@@ -819,3 +819,80 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+def events_window_join(sf_dir: str):
+    """Interval (range) join: events × 24 OVERLAPPING 48-hour campaign
+    windows starting every 36 hours from 2024-01-01 — an event can land
+    in two windows, so this is a true range join, not a bucketing.
+
+    Scale shape: the window table is tiny and ships once per worker
+    (closure constant here; ray.put for a dynamic window list), the fact
+    table streams, and each batch emits PARTIAL (window, event_type)
+    aggregates — the exchange only ever carries
+    n_windows × n_types × n_blocks rows.  For a window table too large
+    to broadcast, bucket both sides by coarse time range instead (same
+    pattern as the hash-bucket join in functions/joins.py)."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    base_us = np.datetime64("2024-01-01", "us").astype("int64")
+    hour_us = 3_600_000_000
+    starts = base_us + np.arange(24, dtype="int64") * 36 * hour_us
+    ends = starts + 48 * hour_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype("int64")
+        etype = t["event_type"].to_numpy(zero_copy_only=False)
+        # half-away-from-zero cents like the money queries (bit-exact
+        # int64 sums; float64 += is order-dependent across blocks)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype("int64")
+        wins, types, ns, sums = [], [], [], []
+        for w in range(len(starts)):
+            in_win = (ts >= starts[w]) & (ts < ends[w])
+            if not in_win.any():
+                continue
+            et = etype[in_win]
+            cs = cents[in_win]
+            for ty in np.unique(et):
+                m = et == ty
+                wins.append(w)
+                types.append(str(ty))
+                ns.append(int(m.sum()))
+                sums.append(int(cs[m].sum()))
+        return pa.table({
+            "window_id": pa.array(wins, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(ns, pa.int64()),
+            "sum_value_c": pa.array(sums, pa.int64()),
+        })
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_id", "event_type"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_c", alias_name="sum_value_c"))
+    return out.sort(["window_id", "event_type"])
+
+
+EVENTS_WINDOW_JOIN_SQL = """
+WITH windows AS (
+    SELECT i AS window_id,
+           TIMESTAMP '2024-01-01' + i * INTERVAL 36 HOUR AS w_start,
+           TIMESTAMP '2024-01-01' + i * INTERVAL 36 HOUR
+               + INTERVAL 48 HOUR AS w_end
+    FROM generate_series(0, 23) AS t(i)
+)
+SELECT w.window_id, e.event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS sum_value_c
+FROM events e
+JOIN windows w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id, e.event_type
+ORDER BY w.window_id, e.event_type
+"""
