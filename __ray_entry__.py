@@ -706,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": rel.events_running_total,
         "events_distinct_users": rel.events_distinct_users,
         "events_window_join": rel.events_window_join,
+        "events_distinct_users_hll": rel.events_distinct_users_hll,
         "nation_top_customers": rel.nation_top_customers,
         "regional_revenue": rel.regional_revenue,
         # documents corpus ops

@@ -896,3 +896,76 @@ JOIN windows w ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.window_id, e.event_type
 ORDER BY w.window_id, e.event_type
 """
+
+
+def events_distinct_users_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct-count via HyperLogLog (Flajolet et al. 2007,
+    public algorithm): the answer the exact op above cannot give at
+    10^12 rows without shuffling every surviving key.
+
+    Shape: each block reduces to ONE 2^p-byte register row map-side
+    (vectorized numpy: splitmix64 avalanche hash of the int64 key, top
+    p bits pick the register, rho = leading-zero rank of the rest);
+    the whole-dataset aggregate then elementwise-maxes the register
+    vectors — total exchange traffic is n_blocks × 4 KiB, independent
+    of cardinality.  Standard alpha_m bias correction + linear-counting
+    small-range fix.  ~0.8% standard error at p=12 (rows-only check;
+    tests assert <3% vs the exact op)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import AggregateFn
+
+    m = 1 << p
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+
+    def block_registers(t: pa.Table) -> pa.Table:
+        x = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        # splitmix64 finalizer (public domain) — vectorized avalanche
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        bucket = (x >> np.uint64(64 - p)).astype(np.int64)
+        rest = x << np.uint64(p)  # top 64-p payload bits, left-aligned
+        # rho = leading zeros of payload + 1 (capped at 64-p+1)
+        rho = np.full(len(x), 64 - p + 1, np.uint8)
+        nz = rest != 0
+        # count leading zeros via float64 exponent trick is lossy;
+        # do it in log2 steps on the integer instead
+        r = rest[nz]
+        lz = np.zeros(r.shape, np.uint8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += np.uint8(shift)
+            r[mask] = r[mask] << np.uint64(shift)
+        rho[nz] = lz + 1
+        regs = np.zeros(m, np.uint8)
+        np.maximum.at(regs, bucket, rho)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          pa.large_binary())})
+
+    def _acc(a, row):
+        b = np.frombuffer(row["regs"], np.uint8)
+        return np.maximum(np.frombuffer(a, np.uint8), b).tobytes()
+
+    blocks = ds.map_batches(block_registers, batch_format="pyarrow",
+                            batch_size=None)
+    merged = blocks.aggregate(AggregateFn(
+        init=lambda k: bytes(m),
+        accumulate_row=_acc,
+        merge=lambda a, b: np.maximum(np.frombuffer(a, np.uint8),
+                                      np.frombuffer(b, np.uint8))
+        .tobytes(),
+        name="regs"))
+
+    regs = np.frombuffer(merged["regs"], np.uint8) if merged \
+        else np.zeros(m, np.uint8)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return pd.DataFrame({"n_users_hll": [int(round(est))]})
