@@ -161,6 +161,11 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
                     rows.extend(extract_table_content(page, bb))
         return write_xlsx(rows).decode("latin-1"), []
     if emit_format == "scribe":
+        # Emits the reference's UNCOMPRESSED segmented form (the CLI's
+        # 'scribe.json', extract.js:56-58 compressScribe:false): the
+        # payload rides in a parquet column that is already compressed,
+        # so the gzipped '.scribe' variant (write_scribe gzip_out=True,
+        # used by the session round-trip) would just re-deflate.
         from ..stages.scribe_fmt import write_scribe
         return write_scribe(
             pages,
