@@ -177,12 +177,17 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
         return write_pdf(pages).decode("latin-1"), []
     return write_text_spans(
         pages, reflow_text=reflow, drop_furniture=drop_furniture,
-        drop_line_num_words=True,
+        # Reference parity: writeText emits every line — headers, folios
+        # and margin line numbers included (writeText.js:50-95 has no
+        # furniture or lineNum filter; verified against the live
+        # reference via tests/refharness).  drop_furniture stays an
+        # opt-in knob for main-content corpus extraction.
+        drop_line_num_words=drop_furniture,
         line_numbers=bool((emit_opts or {}).get("line_numbers")))
 
 
 def extract_document(url: str, payload: bytes, text: str, lang: str,
-                     reflow: bool = True, drop_furniture: bool = True,
+                     reflow: bool = True, drop_furniture: bool = False,
                      emit_format: str = "text", edits: list | None = None,
                      emit_opts: dict | None = None):
     """Pure per-document extraction; returns a flat result dict.
@@ -225,8 +230,17 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             out.update(extracted_text=txt, spans=spans,
                        n_pages=len(pages), doc_type="ocr")
         elif kind in ("hocr", "alto", "abbyy", "stext"):
+            # Reference parity: analyzeLayout runs ONLY inside the PDF
+            # parse (parsePdfDoc.js:1259 is its sole call site).  OCR
+            # imports get per-page reflowPars paragraphs at emit time
+            # (writeText.js:49 assignParagraphs fallback) and carry no
+            # roles — headers/folios/margin numbers all emit.
             pages = _parse_paged_payload(kind, payload)
-            analyze_layout(pages)
+            if drop_furniture:
+                # main-content mode is OUR corpus feature (north-rule
+                # boilerplate strip): roles are needed to drop, so the
+                # doc-level layout pass runs only when asked
+                analyze_layout(pages)
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,
@@ -243,7 +257,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 pages = cloud.parse_google_doc_ai(raw)
             else:
                 pages = cloud.parse_azure_doc_intel(raw)
-            analyze_layout(pages)
+            if drop_furniture:
+                analyze_layout(pages)
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,
@@ -255,7 +270,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             from ..stages.blocks import parse_blocks_page
             raw = payload.decode("utf-8", "replace")
             pages = [parse_blocks_page(raw, 0)]
-            analyze_layout(pages)
+            if drop_furniture:
+                analyze_layout(pages)
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,
@@ -317,7 +333,7 @@ def _edits_lookup(edits_ref):
 
 
 def _extract_batch(batch: pa.Table, reflow: bool = True,
-                   drop_furniture: bool = True,
+                   drop_furniture: bool = False,
                    emit_format: str = "text",
                    edits_ref=None,
                    emit_opts: dict | None = None) -> pa.Table:
@@ -353,7 +369,7 @@ class ExtractDocuments:
     too heavy for module-level warm-up (e.g. large learned font models):
     ``__init__`` runs once per actor, ``__call__`` per batch."""
 
-    def __init__(self, reflow: bool = True, drop_furniture: bool = True,
+    def __init__(self, reflow: bool = True, drop_furniture: bool = False,
                  emit_format: str = "text", edits_ref=None,
                  emit_opts: dict | None = None):
         self.reflow = reflow
@@ -371,7 +387,7 @@ class ExtractDocuments:
                               self.emit_opts)
 
 
-def build_extract_pipeline(ds, reflow=True, drop_furniture=True,
+def build_extract_pipeline(ds, reflow=True, drop_furniture=False,
                            batch_size: int | None = None, concurrency=None,
                            compute: str = "tasks",
                            emit_format: str = "text",

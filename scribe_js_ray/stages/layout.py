@@ -78,7 +78,9 @@ class _Feat:
                  "folio", "ln_split", "enumerator", "endnote",
                  "footnote_block", "hang_marker", "orientation", "in_table",
                  "struct_role", "struct_elem", "artifact_frac", "bold",
-                 "family", "sig_key", "below_nchar")
+                 "family", "sig_key", "below_nchar",
+                 "first_word_width", "below_feat", "drop_cap",
+                 "in_inset_run")
 
     def __init__(self):
         self.role = "body"
@@ -99,6 +101,10 @@ class _Feat:
         self.family = ""
         self.sig_key = ""
         self.below_nchar = 0
+        self.first_word_width = 0.0
+        self.below_feat = None
+        self.drop_cap = False
+        self.in_inset_run = False
 
 
 def _line_size(line) -> float:
@@ -167,6 +173,10 @@ def _features(pages) -> list:
             f.ends_terminal = bool(_ENDS_TERMINAL_RE.search(last))
             f.starts_lower = bool(_STARTS_LOWER_RE.match(line.words[0].text))
             f.first_word_sup = bool(line.words[0].style.sup)
+            f.first_word_width = (line.words[0].bbox.right
+                                  - line.words[0].bbox.left) or 0
+            f.drop_cap = bool(getattr(line.words[0].style,
+                                      "dropcap", False))
             f.top_frac = b.top / page_h if page_h else 0
             f.bottom_frac = b.bottom / page_h if page_h else 0
             f.orientation = getattr(line, "orientation", 0) or 0
@@ -1388,69 +1398,16 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
             if _re.sub(r"\s+", " ", text).strip().lower() in norm:
                 f.role = "heading"
 
-    role_by_line = {id(f.line): f.role for f in feats}
-
-    for page in pages:
-        assign_paragraphs(page, page.angle or 0)
-        new_pars = []
-        for par in page.pars:
-            groups = []
-            for line in par.lines:
-                role = role_by_line.get(id(line), "body")
-                if groups and groups[-1][0] == role:
-                    groups[-1][1].append(line)
-                else:
-                    groups.append((role, [line]))
-            if len(groups) == 1:
-                par.type = _ROLE_TO_TYPE[groups[0][0]]
-                new_pars.append(par)
-            else:
-                for role, lns in groups:
-                    np_ = Par(page, bbox_union([ln.bbox for ln in lns]))
-                    np_.lines = lns
-                    np_.type = _ROLE_TO_TYPE[role]
-                    np_.reason = par.reason
-                    for ln in lns:
-                        ln.par = np_
-                    new_pars.append(np_)
-        page.pars = new_pars
-
-    # decideBreak overlays the per-page geometry (analyzeLayout.js:2405,
-    # :3345): a hanging marker always opens a paragraph, and a line
-    # leading with a close-paren enumerator whose value participates in
-    # the document's enumeration starts a new list item.
-    def _list_start(f):
-        e = f.enumerator
-        if not e or e["value"] is None or not e["raw"].endswith(")"):
-            return False
-        sc = schemes.get(e["scheme"])
-        return bool(sc and e["value"] in sc["sequence_values"])
-
-    break_lines = {id(f.line) for f in feats
-                   if f.hang_marker or _list_start(f)}
-    if break_lines:
-        for page in pages:
-            new_pars = []
-            for par in page.pars:
-                groups = []
-                for line in par.lines:
-                    if groups and id(line) not in break_lines:
-                        groups[-1].append(line)
-                    else:
-                        groups.append([line])
-                if len(groups) == 1:
-                    new_pars.append(par)
-                    continue
-                for lns in groups:
-                    np_ = Par(page, bbox_union([ln.bbox for ln in lns]))
-                    np_.lines = lns
-                    np_.type = par.type
-                    np_.reason = "hanging marker/list item" \
-                        if id(lns[0]) in break_lines else par.reason
-                    for ln in lns:
-                        ln.par = np_
-                    new_pars.append(np_)
-            page.pars = new_pars
+    # Doc-level paragraph re-grouping (analyzeLayout.js:2133-2200): the
+    # decideBreak pass overwrites the per-page reflow grouping with
+    # document-informed break decisions (indent convention, justified
+    # ends-early, gap regimes).  assign_paragraphs stays the fallback
+    # for feature-less pages, mirroring the reference's in-worker
+    # provisional result.
+    from .parbreaks import build_par_model, rebuild_pars
+    model = build_par_model(pages, feats, body_size, page_columns,
+                            schemes)
+    rebuild_pars(pages, feats, model, _ROLE_TO_TYPE)
 
     _apply_struct_elements(pages, feats)
 

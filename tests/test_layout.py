@@ -10,19 +10,21 @@ def _extract(doc_id, **kw):
 
 
 def test_running_header_and_folio_dropped():
+    # Reference default (verified vs the live reference, writeText.js
+    # has no furniture filter): headers and folios EMIT.  Main-content
+    # mode (our corpus feature) drops them on request.
     stratum, res = _extract(1)
     assert stratum == "hocr-furniture"
-    assert "JOURNAL" not in res["extracted_text"]
-    assert "-1-" not in res["extracted_text"]
+    assert "JOURNAL" in res["extracted_text"]
     assert res["error"] == ""
-    # Same doc without dropping keeps them.
-    _, res2 = _extract(1, drop_furniture=False)
-    assert "JOURNAL" in res2["extracted_text"]
+    _, res2 = _extract(1, drop_furniture=True)
+    assert "JOURNAL" not in res2["extracted_text"]
+    assert "-1-" not in res2["extracted_text"]
 
 
 def test_linenum_column_dropped():
     import re
-    stratum, res = _extract(2)
+    stratum, res = _extract(2, drop_furniture=True)
     assert stratum == "hocr-linenum"
     # No standalone 1..12 integer lines survive.
     assert not re.search(r"^\d{1,2}$", res["extracted_text"], re.M)
@@ -30,7 +32,7 @@ def test_linenum_column_dropped():
 
 
 def test_heading_title_span():
-    stratum, res = _extract(3)
+    stratum, res = _extract(3, drop_furniture=True)
     assert stratum == "hocr-paragraphs"
     types = [s["type"] for s in res["spans"]]
     assert "title" in types
@@ -40,7 +42,7 @@ def test_heading_title_span():
 
 
 def test_footnote_continuation_inherits_role():
-    stratum, res = _extract(3)
+    stratum, res = _extract(3, drop_furniture=True)
     types = [s["type"] for s in res["spans"]]
     # No body span after the first footnote span (notes close the page).
     first_fn = types.index("footnote")

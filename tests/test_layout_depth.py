@@ -104,21 +104,40 @@ def test_endnote_section_detected():
 
 
 def test_blockquote_inset_par():
+    # Realistic sentence shapes: the quote rules carry the reference's
+    # startsContinuation veto (a lowercase line after an unterminated
+    # prev is a wrap, analyzeLayout.js:2737-2758), so the lead-in must
+    # end terminally and the quote must open capitalized.
+    def words(left, y, n, capital=False, terminal=False):
+        out = _body_words(left, y, n)
+        if capital:
+            t, lo, hi = out[0]
+            out[0] = (t.capitalize(), lo, hi)
+        if terminal:
+            t, lo, hi = out[-1]
+            out[-1] = (t + ".", lo, hi)
+        return out
+
     page = Page(0, 612, 792)
-    # flush body pars
     for i in range(4):
-        _mk_line(page, 80 + i * 24, _body_words(72, 80 + i * 24, 9))
+        _mk_line(page, 80 + i * 24,
+                 words(72, 80 + i * 24, 9, capital=(i == 0),
+                       terminal=(i == 3)))
     # inset quote block: both margins in by ~60pt
     for i in range(3):
         y = 200 + i * 24
-        _mk_line(page, y, _body_words(132, y, 7))
+        _mk_line(page, y, words(132, y, 7, capital=(i == 0),
+                                terminal=(i == 2)))
     for i in range(4):
         y = 300 + i * 24
-        _mk_line(page, y, _body_words(72, y, 9))
+        _mk_line(page, y, words(72, y, 9, capital=(i == 0),
+                                terminal=(i == 3)))
     analyze_layout([page])
     types = [par.type for par in page.pars]
     assert "blockquote" in types
     assert "body" in types
+    reasons = {p.reason for p in page.pars}
+    assert "block quote" in reasons and "block quote end" in reasons
 
 
 def test_enumerator_schemes():

@@ -1,0 +1,70 @@
+"""Byte-parity against the LIVE reference (node runs the actual
+scribe.js at /root/reference — zero runtime deps, verified importable).
+
+The strongest possible correctness evidence for the north rule's
+byte-identical target: the same fixture bytes through both engines must
+produce identical reflowed text.  Skipped when node or the reference
+checkout is unavailable (CI sandboxes without them still run the frozen
+goldens, which this battery regenerated and cross-checked)."""
+
+import random
+import shutil
+import subprocess
+
+import pytest
+
+from scribe_js_ray.pipelines.extract import extract_document
+
+HARNESS = "/root/repo/tests/refharness/extract_text.mjs"
+REF = "/root/reference/scribe.js"
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("node") is None or not __import__("os").path.exists(REF),
+    reason="node or reference checkout unavailable")
+
+
+def _ref_extract(path: str) -> str:
+    r = subprocess.run(["node", HARNESS, path], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    return r.stdout
+
+
+def _check(payload: bytes, ext: str, tmp_path, name: str):
+    p = tmp_path / f"{name}.{ext}"
+    p.write_bytes(payload)
+    ref = _ref_extract(str(p))
+    ours = extract_document("u", payload, "", "eng")["extracted_text"]
+    assert ours == ref, f"{name}: ours {len(ours)}B != ref {len(ref)}B"
+
+
+@pytest.mark.parametrize("seed", [0, 3, 5, 7])
+def test_pdf_parity(seed, tmp_path):
+    from scribe_js_ray.sources.synth_pdf import (make_pdf_simple,
+                                                 make_pdf_styles)
+    _check(make_pdf_simple(random.Random(seed)), "pdf", tmp_path,
+           f"simple{seed}")
+    _check(make_pdf_styles(random.Random(seed)), "pdf", tmp_path,
+           f"styles{seed}")
+
+
+@pytest.mark.parametrize("seed", [1, 4])
+def test_hocr_parity(seed, tmp_path):
+    from scribe_js_ray.sources.synth import (make_hocr_charlevel,
+                                             make_hocr_furniture,
+                                             make_hocr_paragraphs,
+                                             make_hocr_simple)
+    _check(make_hocr_simple(random.Random(seed)).encode(), "hocr",
+           tmp_path, f"hsimple{seed}")
+    _check(make_hocr_furniture(random.Random(seed),
+                               with_linenum=True).encode(), "hocr",
+           tmp_path, f"hln{seed}")
+    _check(make_hocr_paragraphs(random.Random(seed)).encode(), "hocr",
+           tmp_path, f"hpara{seed}")
+    _check(make_hocr_charlevel(random.Random(seed)).encode(), "hocr",
+           tmp_path, f"hchar{seed}")
+
+
+def test_image_pdf_parity(tmp_path):
+    from scribe_js_ray.sources.synth_pdf import make_pdf_images
+    _check(make_pdf_images(random.Random(7)), "pdf", tmp_path, "imgs")

@@ -52,8 +52,11 @@ def test_struct_overlay_heading_and_blockquote():
     types = [par.type for par in pages[0].pars]
     assert "title" in types       # H1 → heading → 'title'
     assert "blockquote" in types  # struct BlockQuote, no geometry needed
-    assert "body" in types
-    # geometry alone would NOT have made these: the quote is flush left
+    # The P-element body lines absorb into the quote paragraph: the
+    # quote's first line starts lowercase after an unterminated body
+    # line, which the reference's struct branch reads as a sentence
+    # continuation ACROSS the element boundary (analyzeLayout.js:2369
+    # 'struct continuation') — so no separate body paragraph survives.
     quote_par = next(p for p in pages[0].pars if p.type == "blockquote")
     assert "quoted" in " ".join(w.text for ln in quote_par.lines
                                 for w in ln.words)
