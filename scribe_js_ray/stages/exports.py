@@ -152,6 +152,12 @@ def write_markdown(pages, reflow_text: bool = False,
     for g, page in enumerate(pages):
         if not page.lines:
             continue
+        # reflowPars fallback for pages with no paragraph assignment
+        # (writeMarkdown.js:134) — OCR imports reach the exporters with
+        # pars unset now that analyzeLayout is PDF-only
+        if reflow_text and not page.pars:
+            from .reflow import assign_paragraphs
+            assign_paragraphs(page, page.angle or 0)
         if not is_first_content and g > 0:
             md.append("\n\n---\n\n")
 

@@ -68,3 +68,47 @@ def test_hocr_parity(seed, tmp_path):
 def test_image_pdf_parity(tmp_path):
     from scribe_js_ray.sources.synth_pdf import make_pdf_images
     _check(make_pdf_images(random.Random(7)), "pdf", tmp_path, "imgs")
+
+
+def test_alto_roundtrip_parity(tmp_path):
+    """Our ALTO export parsed by BOTH engines → identical text."""
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.stages.exports import write_alto
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    page, _ = parse_hocr_page(make_hocr_paragraphs(random.Random(2)), 0)
+    _check(write_alto([page]).encode(), "xml", tmp_path, "alto")
+
+
+def test_scribe_session_parity(tmp_path):
+    """Our .scribe bytes (plain and gzip) read by the reference."""
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    from scribe_js_ray.stages.scribe_fmt import write_scribe
+    page, _ = parse_hocr_page(make_hocr_paragraphs(random.Random(3)), 0)
+    _check(write_scribe([page], segmented=True), "scribe", tmp_path, "sp")
+    _check(write_scribe([page], segmented=True, gzip_out=True), "scribe",
+           tmp_path, "sg")
+
+
+def _ref_fmt(path: str, fmt: str) -> str:
+    harness = HARNESS.replace("extract_text.mjs", "export_fmt.mjs")
+    r = subprocess.run(["node", harness, path, fmt], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    return r.stdout
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_markdown_parity(seed, tmp_path):
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.sources.synth_pdf import make_pdf_styles
+    for payload, ext, name in (
+            (make_pdf_styles(random.Random(seed)), "pdf", f"mdp{seed}"),
+            (make_hocr_paragraphs(random.Random(seed)).encode(), "hocr",
+             f"mdh{seed}")):
+        p = tmp_path / f"{name}.{ext}"
+        p.write_bytes(payload)
+        ref = _ref_fmt(str(p), "md")
+        ours = extract_document("u", payload, "", "eng",
+                                emit_format="markdown")["extracted_text"]
+        assert ours == ref, f"{name}: ours {len(ours)}B != ref {len(ref)}B"
