@@ -2,11 +2,17 @@
 // /root/reference) on a fixture and print its extracted text, exactly
 // as its CLI extract verb does (cli/extract.js txt path).
 import scribe from '/root/reference/scribe.js';
+import { loadBuiltInFontsRaw } from '/root/reference/js/fontContainerMain.js';
 const inputFile = process.argv[2];
 scribe.ScribeDoc.defaults.reflow = true;
 scribe.ScribeDoc.defaults.usePDFText.ocr.main = true;
 scribe.ScribeDoc.defaults.displayMode = 'ebook';
-scribe.opt.inProcess = true;
+// txt/docx imports typeset with the raw font registry, which only
+// propagates to the import workers when the scheduler exists — so those
+// formats run in worker mode; everything else stays on the main thread.
+const needsFonts = /\.(txt|docx)$/i.test(inputFile);
+scribe.opt.inProcess = !needsFonts;
+if (needsFonts) await scribe.init({ font: true });
 const doc = await scribe.openDocument([inputFile]);
 const txt = await doc.exportData('text');
 process.stdout.write(txt);

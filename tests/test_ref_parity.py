@@ -112,3 +112,36 @@ def test_markdown_parity(seed, tmp_path):
         ours = extract_document("u", payload, "", "eng",
                                 emit_format="markdown")["extracted_text"]
         assert ours == ref, f"{name}: ours {len(ours)}B != ref {len(ref)}B"
+
+
+def test_txt_import_parity(tmp_path):
+    """Plain-text import: our Times-AFM synthetic layout reproduces the
+    reference's typeset-then-reflow byte-for-byte (the reference runs in
+    worker mode here — its font registry only reaches import workers
+    when the scheduler exists)."""
+    from scribe_js_ray.sources.synth import _paragraph_words
+    r = random.Random(11)
+    text = "\n\n".join(" ".join(_paragraph_words(r, 2)) for _ in range(3))
+    _check(text.encode(), "txt", tmp_path, "plain")
+
+
+def test_docx_import_parity(tmp_path):
+    """Our DOCX export read by both engines → identical text."""
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.stages.docx import write_docx
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    page, _ = parse_hocr_page(make_hocr_paragraphs(random.Random(1)), 0)
+    _check(write_docx([page]), "docx", tmp_path, "docx")
+
+
+def test_stext_abbyy_import_parity(tmp_path):
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_formats import make_abbyy, make_stext
+    _check(make_stext([["Hello", "world."],
+                       ["Second", "line", "here."]]).encode(),
+           "stext", tmp_path, "st")
+    _check(make_abbyy([[("Hello", None), ("world.", None)],
+                       [("Second", None), ("line", None),
+                        ("here.", None)]]).encode(),
+           "xml", tmp_path, "ab")
