@@ -215,6 +215,14 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 from ..stages.pdf_export import overlay_pdf_text
                 txt = overlay_pdf_text(payload, pages).decode("latin-1")
                 spans = []
+            elif doc_type == "image":
+                # usePDFText routing (extractPDFText.js:125-138 +
+                # scribeDocDefaults.js:50-53): only 'text' (native.main)
+                # and 'ocr' (ocr.main) layers become active data — an
+                # image-native PDF's sparse text is never used, the
+                # reference emits an empty export (its CLI writes an
+                # empty file; --skip-image-based exists for this).
+                txt, spans = "", []
             else:
                 txt, spans = _emit(pages, emit_format, reflow,
                                    drop_furniture, edits, emit_opts)

@@ -193,3 +193,44 @@ def _stress_pdfs(seed):
 def test_stress_pdf_parity(seed, tmp_path):
     for name, data in _stress_pdfs(seed).items():
         _check(data, "pdf", tmp_path, f"{name}{seed}")
+
+
+def test_hyphen_and_image_routing_parity(tmp_path):
+    """Two named north-star behaviors: hyphen-dehyphenation at reflow,
+    and usePDFText routing (an image-native PDF's sparse text never
+    becomes active data — the reference exports empty)."""
+    from scribe_js_ray.sources.synth import _paragraph_words, _sentence
+    from scribe_js_ray.sources.synth_pdf import _make_pdf, _Typesetter
+    r = random.Random(5)
+    ts = _Typesetter()
+    ts.line("The committee considered the recommen-", dy=14)
+    ts.line("dation carefully before the final deci-", dy=14)
+    ts.line("sion was reached by all members there.", dy=14)
+    ts.y -= 10
+    ts.flow(_paragraph_words(r, 2))
+    _check(_make_pdf([ts.stream()], {"F1": "Helvetica"}), "pdf",
+           tmp_path, "hyph")
+    # sparse text page -> doc type 'image' -> empty export both sides
+    stream = ("BT /F1 11 Tf 72 700 Td (tiny) Tj ET "
+              "q 612 0 0 792 0 0 cm BI /W 2 /H 2 /BPC 8 /CS /G ID "
+              + "\x00\x00\x00\x00" + " EI Q")
+    _check(_make_pdf([stream], {"F1": "Helvetica"}), "pdf",
+           tmp_path, "imgnative")
+
+
+def test_superscript_marker_parity(tmp_path):
+    """Raised footnote marker via Ts text rise inside a text-native
+    body (M16-M18 superscript split path)."""
+    from scribe_js_ray.sources.synth import _paragraph_words
+    from scribe_js_ray.sources.synth_pdf import _make_pdf, _Typesetter
+    r = random.Random(1)
+    ts = _Typesetter()
+    for _ in range(3):
+        ts.flow(_paragraph_words(r, 3))
+        ts.y -= 8
+    stream = ts.stream() + (
+        "\nBT /F1 11 Tf 72 300 Td (The cited evidence supports it) Tj "
+        "4 Ts /F1 7 Tf (12) Tj 0 Ts /F1 11 Tf "
+        "( and more follows here.) Tj ET")
+    _check(_make_pdf([stream], {"F1": "Helvetica"}), "pdf",
+           tmp_path, "supmark")
