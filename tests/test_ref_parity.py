@@ -234,3 +234,38 @@ def test_superscript_marker_parity(tmp_path):
         "( and more follows here.) Tj ET")
     _check(_make_pdf([stream], {"F1": "Helvetica"}), "pdf",
            tmp_path, "supmark")
+
+
+def test_scanned_product_parity(tmp_path):
+    """Scanned-PDF products: an invisible Tr-3 overlay ('ocr' type, the
+    north star's core case) and the ExtGState ca=0 variant both extract
+    identically to the reference."""
+    from scribe_js_ray.sources.synth import _paragraph_words
+    from scribe_js_ray.sources.synth_pdf import (PdfWriter, _make_pdf,
+                                                 _Typesetter)
+    r = random.Random(2)
+    ts = _Typesetter()
+    for _ in range(3):
+        ts.flow(_paragraph_words(r, 3))
+        ts.y -= 8
+    stream = ("q 612 0 0 792 0 0 cm BI /W 2 /H 2 /BPC 8 /CS /G ID "
+              + "\x00\x00\x00\x00" + " EI Q\n"
+              + ts.stream().replace("BT /F1", "BT 3 Tr /F1"))
+    _check(_make_pdf([stream], {"F1": "Helvetica"}), "pdf",
+           tmp_path, "tr3")
+
+    content = ("q 612 0 0 792 0 0 cm BI /W 2 /H 2 /BPC 8 /CS /G ID "
+               + "\x00\x00\x00\x00" + " EI Q\n/GS0 gs\n"
+               + ts.stream()).encode("latin-1")
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Resources << /Font << /F1 5 0 R >> "
+          b"/ExtGState << /GS0 6 0 R >> >> /Contents 4 0 R >>")
+    w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+          + content + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    w.add(b"<< /Type /ExtGState /ca 0 >>")
+    _check(w.build(), "pdf", tmp_path, "alpha0")
