@@ -27,8 +27,10 @@ Roles map to par types as in analyzeLayout.js:2175-2181 (heading → 'title').
 - struct-tree role overlay (H*/BlockQuote/Artifact via MCIDs, M21)
 - concordance pages                    (``_concordance_pages`` below)
 
-Still deferred: the full decideBreak reason taxonomy (break *decisions*
-match; the debug ``reason`` strings are a simplified set).
+Paragraph construction itself lives in ``stages/parbreaks.py`` (the
+doc-level decideBreak pass, r4) — this module supplies the roles,
+schemes and column geometry it consumes, then applies the struct-tree
+overlay and blockquote re-tag on the rebuilt paragraphs.
 
 This pass needs all pages of one document together; with doc = row it runs
 per-row inside ``map_batches`` — no shuffle required.
@@ -1221,15 +1223,20 @@ _ROLE_TO_TYPE = {
 # element — breaks that cannot occur mid-paragraph in wrapped prose
 # (decideBreak isStrongBreak, analyzeLayout.js:2380-2391, mapped onto
 # this repo's reflow reason strings).
-_STRONG_BREAKS = {
-    "separator rule", "bullet/list item", "superscript/footnote",
-    "large space (relative)", "large space (absolute)",
-    "large space (first line)", "new column", "orientation change",
-    "no overlap", "hanging marker/list item",
-}
+def _is_strong_break(reason: str) -> bool:
+    """Geometric breaks that cannot occur mid-paragraph in wrapped prose,
+    so they may split even inside one structure element (isStrongBreak,
+    analyzeLayout.js:2380-2391; the indentStrong arm is applied by the
+    caller, which knows the model)."""
+    return (reason in ("paragraph gap", "separator rule",
+                       "footnote marker", "bullet", "drop cap",
+                       "hanging marker", "new column", "page wrap",
+                       "orientation change", "line-number boundary")
+            or reason.startswith("numbering")
+            or reason.startswith("role change"))
 
 
-def _apply_struct_elements(pages, feats) -> None:
+def _apply_struct_elements(pages, feats, indent_strong=False) -> None:
     """Struct-element paragraph overlay (decideBreak struct branch,
     analyzeLayout.js:2307-2371): on tagged pages, when adjacent lines
     both carry a trustworthy owning element,
@@ -1296,7 +1303,9 @@ def _apply_struct_elements(pages, feats) -> None:
                 eb = elem_of.get(id(par.lines[0]))
                 if ea is not None and ea == eb \
                         and prev.type == par.type \
-                        and par.reason not in _STRONG_BREAKS:
+                        and not (_is_strong_break(par.reason or "")
+                                 or (indent_strong and (par.reason or "")
+                                     == "first-line indent")):
                     prev.lines.extend(par.lines)
                     for x in par.lines:
                         x.par = prev
@@ -1409,7 +1418,8 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
                             schemes)
     rebuild_pars(pages, feats, model, _ROLE_TO_TYPE)
 
-    _apply_struct_elements(pages, feats)
+    _apply_struct_elements(pages, feats,
+                           indent_strong=model["indentStrong"])
 
     # Blockquote re-tag: a body paragraph of >=2 lines inset symmetrically
     # from BOTH doc body margins (analyzeLayout.js:2212-2237).  Hanging-

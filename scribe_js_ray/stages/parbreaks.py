@@ -418,19 +418,6 @@ def build_par_model(pages, feats, body_size, page_columns, schemes):
     }
 
 
-def _enumerated_list_item_start(f, model) -> bool:
-    """Lowercase-marker list item check (enumeratedListItemStart analog):
-    the enumerator's scheme is active and its value participates in the
-    document's sequence."""
-    e = f.enumerator
-    if not e:
-        return False
-    sc = model["schemes"].get(e["scheme"])
-    return bool(sc and sc.get("active")
-                and (e.get("value") is None
-                     or e["value"] in sc.get("sequence_values", ())))
-
-
 def geometric_break(f, prev, model, cur_par_first):
     """analyzeLayout.js:2395-2830 geometricBreak, rules in reference
     order.  Returns (new_par, reason)."""
@@ -825,10 +812,10 @@ def decide_break(f, prev, model, cur_par_first):
         return True, "orientation change"
     if bool(f.line_num) != bool(prev.line_num):
         return True, "line-number boundary"
-    if f.starts_lower and f.enumerator \
-            and _enumerated_list_item_start(f, model):
-        return True, f"numbering ({f.enumerator['scheme']} " \
-                     f"{f.enumerator['raw']})"
+    # NOTE: the lowercase-enumerator split (:2357-2359) lives ONLY in
+    # the struct branch; on geometry-only pages the enumerator rule in
+    # geometric_break (with its followsComplete/wrappedMidItem gates)
+    # owns list-item splits.
     return geometric_break(f, prev, model, cur_par_first)
 
 
