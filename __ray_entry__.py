@@ -44,6 +44,17 @@ def _extract_corpus(sf_dir: str):
                                "doc_type", "payload_kind"]).sort("url")
 
 
+def _corpus_curate_e2e(sf_dir: str):
+    """The complete curation chain in ONE streaming composition —
+    extract → lang-ID → Gopher quality → exact dedup — reduced to the
+    per-stage funnel a 10^12-doc run reports.  Flags are computed in
+    the same map stage as extraction; the only exchange carries
+    (md5, count) pairs (rows-only check; deterministic)."""
+    from scribe_js_ray.pipelines.corpus import curation_funnel
+
+    return curation_funnel(_pages_ds(sf_dir))
+
+
 def _extract_corpus_markdown(sf_dir: str):
     """Structural export variant: same parse, markdown emit (S7-S9)."""
     from scribe_js_ray.pipelines.extract import build_extract_pipeline
@@ -710,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top_customers": rel.nation_top_customers,
         "regional_revenue": rel.regional_revenue,
         # documents corpus ops
+        "corpus_curate_e2e": _corpus_curate_e2e,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
         "doc_fingerprints": _doc_fingerprints,
@@ -958,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "regional_revenue": rel.REGIONAL_REVENUE_SQL,
+        "corpus_curate_e2e": _corpus_curate_e2e,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -1415,3 +1415,89 @@ def image_dup_groups(images_ds):
     exact = groups_for("exact", "exact_key")
     near = groups_for("phash", "phash")
     return exact.union(near).sort(["kind", "key"])
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel: the complete 100 TB pipeline in ONE chain
+
+
+def curation_funnel(pages_ds):
+    """pages → extract → lang-ID → quality gate → exact dedup → funnel.
+
+    The full training-data curation chain as one streaming composition:
+    extraction and the per-doc signals (language, Gopher quality) are
+    fused into a single map stage (flags, not copies); the only
+    all-to-all exchange is the dedup distinct-count, which moves
+    (md5, partial count) pairs — never text.  Returns the funnel table
+    (stage, n_docs) the operator of a 10^12-doc run watches."""
+    import hashlib as _hl
+
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from .extract import build_extract_pipeline
+
+    extracted = build_extract_pipeline(pages_ds)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        texts = batch["extracted_text"].to_pylist()
+        errors = batch["error"].to_pylist()
+        sub = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array([t or "" for t in texts],
+                                         pa.string())})
+        lang = add_lang_pred(sub)["lang_pred"].to_pylist()
+        q = add_quality_filter(sub, min_words=30)["keep"].to_pylist()
+        ok = [bool(t) and not e for t, e in zip(texts, errors)]
+        return pa.table({
+            "ok": pa.array(ok, pa.bool_()),
+            "is_eng": pa.array([o and lg == "eng"
+                                for o, lg in zip(ok, lang)], pa.bool_()),
+            "keep_q": pa.array([o and lg == "eng" and k for o, lg, k
+                                in zip(ok, lang, q)], pa.bool_()),
+            "text_hash": pa.array(
+                [_hl.md5((t or "").encode()).hexdigest() for t in texts],
+                pa.string()),
+        })
+
+    flagged = extracted.map_batches(flags, batch_format="pyarrow",
+                                    batch_size=None)
+
+    # n_deduped = number of distinct hashes among quality-kept docs —
+    # the survivor count needs no representative materialization at
+    # all: per-batch unique → groupby(hash) → per-block counts → sum
+    # (the same projected-exchange shape as events_distinct_users).
+    def batch_unique(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.field("keep_q"))
+        return pa.table({"text_hash": pc.unique(
+            keep["text_hash"].combine_chunks())})
+
+    uniq = flagged.map_batches(batch_unique, batch_format="pyarrow") \
+        .groupby("text_hash").aggregate(Count(alias_name="_n"))
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    dedup_totals = uniq.map_batches(count_rows, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"))
+    n_deduped = int(dedup_totals["n"]) if dedup_totals else 0
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_input": pa.array([batch.num_rows], pa.int64()),
+            "n_extracted": pa.array(
+                [int(pc.sum(batch["ok"]).as_py() or 0)], pa.int64()),
+            "n_english": pa.array(
+                [int(pc.sum(batch["is_eng"]).as_py() or 0)], pa.int64()),
+            "n_quality": pa.array(
+                [int(pc.sum(batch["keep_q"]).as_py() or 0)], pa.int64()),
+        })
+
+    totals = flagged.map_batches(to_counts, batch_format="pyarrow") \
+        .aggregate(Sum("n_input", alias_name="n_input"),
+                   Sum("n_extracted", alias_name="n_extracted"),
+                   Sum("n_english", alias_name="n_english"),
+                   Sum("n_quality", alias_name="n_quality"))
+    stages = ["input", "extracted", "english", "quality", "deduped"]
+    vals = [int(totals[f"n_{k}"] if totals else 0) for k in
+            ("input", "extracted", "english", "quality")] + [n_deduped]
+    return pd.DataFrame({"stage": stages, "n_docs": vals})

@@ -129,3 +129,21 @@ def test_skip_image_based_drops_empty_image_docs(ray_session, tmp_path):
     # only the empty image-native doc is dropped; the garbage doc has an
     # error and stays
     assert set(skipped) == {"https://t/a", "https://t/c"}
+
+
+def test_curation_funnel_monotone(ray_session, pages_dir):
+    """The e2e curation funnel is monotone non-increasing and
+    deterministic over the synthetic corpus."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import curation_funnel
+
+    files = glob.glob(os.path.join(pages_dir, "*.parquet"))
+    df = curation_funnel(rd.read_parquet(files))
+    assert list(df.stage) == ["input", "extracted", "english",
+                              "quality", "deduped"]
+    vals = list(df.n_docs)
+    assert vals[0] > 0
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    df2 = curation_funnel(rd.read_parquet(files))
+    assert list(df2.n_docs) == vals
