@@ -970,7 +970,6 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "regional_revenue": rel.REGIONAL_REVENUE_SQL,
-        "corpus_curate_e2e": _corpus_curate_e2e,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
