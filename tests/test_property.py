@@ -215,3 +215,46 @@ def test_valid_prefix_corruption_never_escapes(offset, delta, seed):
             dec(bytes(data))
         except ValueError:
             pass
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_analyze_layout_never_crashes_on_random_geometry(data):
+    """decideBreak/model building must survive arbitrary line geometry:
+    random pages (overlapping lines, zero sizes, negative gaps, mixed
+    sizes/fonts) through the full layout pass."""
+    from scribe_js_ray.model import BBox, Line, Page, Word
+    from scribe_js_ray.stages.layout import analyze_layout
+
+    n_pages = data.draw(st.integers(1, 3))
+    pages = []
+    for p in range(n_pages):
+        page = Page(p, 612, 792)
+        n_lines = data.draw(st.integers(0, 12))
+        for i in range(n_lines):
+            left = data.draw(st.floats(0, 500))
+            top = data.draw(st.floats(0, 780))
+            w = data.draw(st.floats(1, 400))
+            h = data.draw(st.floats(1, 40))
+            size = data.draw(st.floats(0, 30))
+            line = Line(page, BBox(left, top, left + w, top + h),
+                        [0.0, -2.0], h * 0.75, h * 0.5)
+            n_words = data.draw(st.integers(1, 5))
+            x = left
+            for k in range(n_words):
+                txt = data.draw(st.sampled_from(
+                    ["word", "Word.", "1.", "(a)", "•", "item,", "x",
+                     "1", "end.", "[2]"]))
+                ww = max(1.0, w / n_words - 2)
+                word = Word(line, f"w{p}_{i}_{k}", txt,
+                            BBox(x, top, x + ww, top + h))
+                word.conf = 90
+                word.style.size = size if size > 0 else None
+                line.words.append(word)
+                x += ww + 2
+            page.lines.append(line)
+        pages.append(page)
+    analyze_layout(pages)
+    for page in pages:
+        for ln in page.lines:
+            assert ln.par is not None or not page.pars
