@@ -4,7 +4,10 @@ Per-document flow (scribe.extractText analog, fused into ONE map_batches
 stage so parse trees never cross a stage boundary — SURVEY §4 memory rule):
 
     classify payload → parse (hocr | pdf | html | text) →
-    analyze_layout (furniture roles, per-doc) → reflow → emit text+spans
+    [PDF only: analyze_layout — roles + decideBreak paragraph pass,
+    parsePdfDoc.js:1259 is its sole reference call site; OCR formats
+    reflow per page at emit, or run layout opt-in for main-content
+    mode] → reflow → emit text+spans
 
 Ray mapping: ``ds.map_batches(ExtractDocuments, batch_format="pyarrow",
 batch_size=B, concurrency=N)`` — a callable class so regex/width tables are
@@ -17,7 +20,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..model import FURNITURE_TYPES
 from ..sources.classify import classify_payload
 from ..stages.emit import write_text_spans
 from ..stages.hocr import parse_hocr_page
