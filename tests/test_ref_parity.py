@@ -269,3 +269,16 @@ def test_scanned_product_parity(tmp_path):
           b"/Encoding /WinAnsiEncoding >>")
     w.add(b"<< /Type /ExtGState /ca 0 >>")
     _check(w.build(), "pdf", tmp_path, "alpha0")
+
+
+def test_multipage_export_roundtrip_parity(tmp_path):
+    """Two-page ALTO and hOCR exports of OUR writer read by both
+    engines → identical reflowed text."""
+    from scribe_js_ray.sources.synth import (make_hocr_paragraphs,
+                                             make_hocr_simple)
+    from scribe_js_ray.stages.exports import write_alto, write_hocr
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    p1, _ = parse_hocr_page(make_hocr_paragraphs(random.Random(0)), 0)
+    p2, _ = parse_hocr_page(make_hocr_simple(random.Random(50)), 1)
+    _check(write_alto([p1, p2]).encode(), "xml", tmp_path, "alto2")
+    _check(write_hocr([p1, p2]).encode(), "hocr", tmp_path, "hocr2")
