@@ -577,6 +577,49 @@ def _pdf_image_dedup(sf_dir: str):
     return image_dup_groups(pdf_images_pipeline(pdfs))
 
 
+def _img_near_dup_phash(sf_dir: str):
+    """Perceptual image near-dup: banded 64-bit aHash LSH + Hamming
+    verify (the MinHash-band discipline on images).  Every 4th doc gets
+    a brightness-nudged twin of its PNG, so genuine near-pairs (small
+    nonzero Hamming) exist alongside non-pairs.  Rows-only check."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import image_near_dup_pairs
+    from scribe_js_ray.sources.synth import synth_image_payload
+    from scribe_js_ray.stages.codecs import (decode_image, png_encode,
+                                             to_rgb)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).limit(48)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        urls, objs, datas = [], [], []
+        for d in batch["doc_id"].to_pylist():
+            payload = synth_image_payload(d)
+            urls.append(f"https://img.test/{d:06d}")
+            objs.append(0)
+            datas.append(payload)
+            if d % 4 == 0:
+                try:
+                    px = to_rgb(decode_image(payload)).astype(np.int16)
+                    px = np.clip(px + 9, 0, 255).astype(np.uint8)
+                    urls.append(f"https://img.test/{d:06d}-twin")
+                    objs.append(0)
+                    datas.append(png_encode(px))
+                except Exception:
+                    pass
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "obj_num": pa.array(objs, pa.int32()),
+            "data": pa.array(datas, pa.large_binary()),
+        })
+
+    images = docs.map_batches(synth, batch_format="pyarrow")
+    return image_near_dup_pairs(images)
+
+
 def _mm_image_features(sf_dir: str):
     """Multimodal images: deterministic REAL PNG/BMP/GIF/JPEG payloads
     (keyed off doc_id) → stdlib decode (zlib inflate, LZW, baseline
@@ -743,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (real stdlib PNG/BMP/WAV/MPNG decode + features)
         "pdf_extract_images": _pdf_extract_images,
         "pdf_image_dedup": _pdf_image_dedup,
+        "img_near_dup_phash": _img_near_dup_phash,
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,

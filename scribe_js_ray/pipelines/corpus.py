@@ -1501,3 +1501,93 @@ def curation_funnel(pages_ds):
     vals = [int(totals[f"n_{k}"] if totals else 0) for k in
             ("input", "extracted", "english", "quality")] + [n_deduped]
     return pd.DataFrame({"stage": stages, "n_docs": vals})
+
+
+def image_near_dup_pairs(images_ds, max_hamming: int = 6):
+    """Perceptual NEAR-dup image pairs: banded-phash LSH + Hamming
+    verify — the MinHash-band discipline applied to the 64-bit aHash.
+
+    The 64-bit hash splits into 4×16-bit bands; two images sharing ANY
+    band value become a candidate pair (an r-bit match guarantees ≤
+    48 mismatched positions land in the other bands — standard banding
+    recall/precision tradeoff).  Candidates are verified by exact
+    Hamming distance ≤ ``max_hamming``.  Exchange traffic: (band_key,
+    url, phash) triples; hot buckets star-capped like the text LSH."""
+    from ray.data.aggregate import AggregateFn
+
+    hashed = images_ds.map_batches(_image_hash_batch,
+                                   batch_format="pyarrow",
+                                   batch_size=None) \
+        .filter(expr="phash != -1")
+
+    def bands(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        objs = batch["obj_num"].to_pylist()
+        ph = batch["phash"].to_pylist()
+        b_keys, b_urls, b_ph = [], [], []
+        for u, o, h in zip(urls, objs, ph):
+            hu = h & 0xFFFFFFFFFFFFFFFF  # two's-complement view
+            uid = f"{u}#{o}"
+            for b in range(4):
+                band_val = (hu >> (16 * b)) & 0xFFFF
+                b_keys.append(f"{b}:{band_val:04x}")
+                b_urls.append(uid)
+                b_ph.append(h)
+        return pa.table({
+            "band_key": pa.array(b_keys, pa.string()),
+            "img": pa.array(b_urls, pa.string()),
+            "phash": pa.array(b_ph, pa.int64()),
+        })
+
+    cap = 512  # hot-bucket star cap (same rationale as the text LSH)
+
+    def _acc(a, r):
+        if len(a) >= cap:
+            return a
+        item = [r["img"], r["phash"]]
+        return a + [item] if item not in a else a
+
+    def _merge(a, b):
+        out = list(a)
+        for item in b:
+            if len(out) >= cap:
+                break
+            if item not in out:
+                out.append(item)
+        return out
+
+    buckets = hashed.map_batches(bands, batch_format="pyarrow") \
+        .groupby("band_key").aggregate(AggregateFn(
+            init=lambda k: [],
+            accumulate_row=_acc,
+            merge=_merge,
+            finalize=lambda a: a,
+            name="members"))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_d = [], [], []
+        for members in batch["members"].to_pylist():
+            # star pattern around the min member, like verify_bucket
+            ms = sorted({(m[0], int(m[1])) for m in map(tuple, members)})
+            if len(ms) < 2:
+                continue
+            anchor = ms[0]
+            for other in ms[1:]:
+                d = bin((anchor[1] ^ other[1])
+                        & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    out_a.append(anchor[0])
+                    out_b.append(other[0])
+                    out_d.append(d)
+        return pa.table({
+            "img_a": pa.array(out_a, pa.string()),
+            "img_b": pa.array(out_b, pa.string()),
+            "hamming": pa.array(out_d, pa.int64()),
+        })
+
+    pairs = buckets.map_batches(verify, batch_format="pyarrow")
+    # same pair can surface from several bands: dedup on (a, b)
+    from ray.data.aggregate import Min
+    return pairs.groupby(["img_a", "img_b"]) \
+        .aggregate(Min("hamming", alias_name="hamming")) \
+        .sort(["img_a", "img_b"])

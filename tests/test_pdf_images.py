@@ -378,3 +378,29 @@ def test_extract_images_never_raises_on_corrupt_pdfs():
     for frac in (0.1, 0.3, 0.5, 0.9):
         out = extract_images(base[:int(len(base) * frac)])
         assert isinstance(out, list)
+
+
+def test_image_near_dup_pairs(ray_session):
+    """Banded-phash LSH: a brightness-nudged twin pairs with its source
+    at small Hamming distance; an unrelated random image does not."""
+    import numpy as np
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import image_near_dup_pairs
+    from scribe_js_ray.stages.codecs import png_encode
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    near = np.clip(base.astype(int) + 9, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "url": pa.array(["base", "near", "other"]),
+        "obj_num": pa.array([1, 1, 1], pa.int32()),
+        "data": pa.array([png_encode(x) for x in (base, near, other)],
+                         pa.large_binary()),
+    })
+    out = image_near_dup_pairs(rd.from_arrow(tbl)).to_pandas()
+    pairs = {tuple(sorted((a, b))) for a, b in zip(out.img_a, out.img_b)}
+    assert ("base#1", "near#1") in pairs
+    assert not any("other" in a or "other" in b for a, b in pairs)
+    assert (out.hamming <= 6).all()
