@@ -1369,9 +1369,13 @@ def image_dup_groups(images_ds):
     exchange)."""
     from ray.data.aggregate import AggregateFn, Count
 
+    # Both the exact and the phash groupby consume `hashed`; without
+    # materializing, each consumer re-executes the upstream pipeline —
+    # every embedded image would be decoded/re-encoded TWICE.  The
+    # pinned table is (url, obj_num, 2 hashes): ~50 B/image.
     hashed = images_ds.map_batches(_image_hash_batch,
                                    batch_format="pyarrow",
-                                   batch_size=None)
+                                   batch_size=None).materialize()
 
     # Distinct-url tracking is capped so the aggregate state stays
     # bounded on a hot key (a logo in 10^8 docs): n_urls saturates at
@@ -1459,8 +1463,13 @@ def curation_funnel(pages_ds):
                 pa.string()),
         })
 
+    # Two consumers (dedup chain + funnel totals) read `flagged`; an
+    # unmaterialized Dataset re-runs its WHOLE upstream plan per
+    # consumer, i.e. the extraction stage — the dominant cost — would
+    # execute twice.  The materialized table is flags+hash only (~50 B/
+    # doc; the text died inside `flags`), so pinning it is cheap.
     flagged = extracted.map_batches(flags, batch_format="pyarrow",
-                                    batch_size=None)
+                                    batch_size=None).materialize()
 
     # n_deduped = number of distinct hashes among quality-kept docs —
     # the survivor count needs no representative materialization at
@@ -1507,13 +1516,28 @@ def image_near_dup_pairs(images_ds, max_hamming: int = 6):
     """Perceptual NEAR-dup image pairs: banded-phash LSH + Hamming
     verify — the MinHash-band discipline applied to the 64-bit aHash.
 
-    The 64-bit hash splits into 4×16-bit bands; two images sharing ANY
-    band value become a candidate pair (an r-bit match guarantees ≤
-    48 mismatched positions land in the other bands — standard banding
-    recall/precision tradeoff).  Candidates are verified by exact
-    Hamming distance ≤ ``max_hamming``.  Exchange traffic: (band_key,
-    url, phash) triples; hot buckets star-capped like the text LSH."""
+    The 64 hash bits split into ``max_hamming + 1`` bands; two images
+    sharing ANY band value become a candidate pair.  By pigeonhole,
+    ≤ ``max_hamming`` mismatched bits cannot poison every one of
+    ``max_hamming + 1`` bands, so every pair within the contract
+    distance IS generated as a candidate (exact recall up to the
+    hot-bucket cap); candidates are then verified by exact Hamming
+    distance.  Verification is full pairwise WITHIN a bucket — bucket
+    size is bounded by the ``cap`` (512 → ≤131k popcounts, trivial),
+    and the cap is the one honest recall bound: a degenerate band
+    value shared by >cap images (e.g. the all-white thumbnail band)
+    keeps only the first cap members, like the text LSH's star cap.
+    Exchange traffic: (band_key, url, phash) triples — the pixel data
+    died map-side in ``_image_hash_batch``."""
     from ray.data.aggregate import AggregateFn
+
+    n_bands = min(max_hamming + 1, 64)
+    # Split 64 bit positions into n_bands contiguous runs, widths as
+    # even as possible (e.g. max_hamming=6 → 7 bands: one 10-bit, six
+    # 9-bit).
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+              for i in range(n_bands)]
+    shifts = [sum(widths[:i]) for i in range(n_bands)]
 
     hashed = images_ds.map_batches(_image_hash_batch,
                                    batch_format="pyarrow",
@@ -1528,8 +1552,8 @@ def image_near_dup_pairs(images_ds, max_hamming: int = 6):
         for u, o, h in zip(urls, objs, ph):
             hu = h & 0xFFFFFFFFFFFFFFFF  # two's-complement view
             uid = f"{u}#{o}"
-            for b in range(4):
-                band_val = (hu >> (16 * b)) & 0xFFFF
+            for b in range(n_bands):
+                band_val = (hu >> shifts[b]) & ((1 << widths[b]) - 1)
                 b_keys.append(f"{b}:{band_val:04x}")
                 b_urls.append(uid)
                 b_ph.append(h)
@@ -1539,12 +1563,15 @@ def image_near_dup_pairs(images_ds, max_hamming: int = 6):
             "phash": pa.array(b_ph, pa.int64()),
         })
 
-    cap = 512  # hot-bucket star cap (same rationale as the text LSH)
+    cap = 512  # hot-bucket member cap (same rationale as the text LSH)
 
+    # Aggregate state is a flat list<string> ("img\x00hash-hex") so every
+    # intermediate shuffle block is a native Arrow column — a [str, int]
+    # pair item trips ArrowConversionError and falls back to pickle.
     def _acc(a, r):
         if len(a) >= cap:
             return a
-        item = [r["img"], r["phash"]]
+        item = f'{r["img"]}\x00{r["phash"] & 0xFFFFFFFFFFFFFFFF:016x}'
         return a + [item] if item not in a else a
 
     def _merge(a, b):
@@ -1567,18 +1594,19 @@ def image_near_dup_pairs(images_ds, max_hamming: int = 6):
     def verify(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_d = [], [], []
         for members in batch["members"].to_pylist():
-            # star pattern around the min member, like verify_bucket
-            ms = sorted({(m[0], int(m[1])) for m in map(tuple, members)})
-            if len(ms) < 2:
-                continue
-            anchor = ms[0]
-            for other in ms[1:]:
-                d = bin((anchor[1] ^ other[1])
-                        & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming:
-                    out_a.append(anchor[0])
-                    out_b.append(other[0])
-                    out_d.append(d)
+            # Full pairwise inside the (cap-bounded) bucket: a star
+            # pattern would silently drop B–C pairs whose common
+            # anchor A is far from both.
+            ms = sorted({(m.split("\x00")[0], int(m.split("\x00")[1], 16))
+                         for m in members})
+            for i in range(len(ms) - 1):
+                for j in range(i + 1, len(ms)):
+                    d = bin((ms[i][1] ^ ms[j][1])
+                            & 0xFFFFFFFFFFFFFFFF).count("1")
+                    if d <= max_hamming:
+                        out_a.append(ms[i][0])
+                        out_b.append(ms[j][0])
+                        out_d.append(d)
         return pa.table({
             "img_a": pa.array(out_a, pa.string()),
             "img_b": pa.array(out_b, pa.string()),

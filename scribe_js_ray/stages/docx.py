@@ -120,6 +120,12 @@ def write_docx(pages, reflow_text: bool = True) -> bytes:
     """Page trees → DOCX bytes (writeDocx.js:122-200 analog)."""
     body = []
     for page in pages:
+        # OCR imports skip the PDF-only analyzeLayout pass and arrive
+        # with no pars; the reference assigns reflow paragraphs at
+        # export when reflowText is on (writeDocx.js:113).
+        if reflow_text and not page.pars:
+            from .reflow import assign_paragraphs
+            assign_paragraphs(page, page.angle or 0)
         pars = page.pars or []
         emitted = set()
         for par in pars:

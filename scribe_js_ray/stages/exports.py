@@ -433,6 +433,12 @@ def write_html(pages, reflow_text: bool = True) -> str:
         if not page.lines:
             continue
         out.append(f'<section class="page" data-page="{g}">\n')
+        # OCR imports arrive with no pars (analyzeLayout is PDF-only);
+        # the semantic variant needs paragraphs, so assign reflow pars
+        # at export like writeDocx.js:113 does under reflowText.
+        if reflow_text and not page.pars:
+            from .reflow import assign_paragraphs
+            assign_paragraphs(page, page.angle or 0)
         pars = page.pars if page.pars else []
         emitted = set()
 

@@ -869,13 +869,20 @@ def rebuild_pars(pages, feats, model, role_to_type):
             f.line.par = par
             if not f.line_num:
                 cur_body_par = par
+                # PARITY PIN: after a reattach across an interleaved
+                # line-number paragraph, cur_par_first still names the
+                # line-number par's first line and is copied here — the
+                # reference does exactly the same (analyzeLayout.js:2194
+                # `curBodyFirst = curParFirst` with curParFirst left at
+                # the interleaved par).  Do not "fix" without breaking
+                # byte-parity on line-numbered transcript pages.
                 cur_body_first = cur_par_first
                 prev_body = f
         # any line the feature pass skipped (wordless) rides with the
         # nearest preceding paragraph so exporters never see par=None
         feat_lines = {id(f.line) for f in pf}
         last_par = None
-        rebuilt = []
+        leading: list = []  # wordless lines before the first real line
         for line in page.lines:
             if id(line) in feat_lines:
                 last_par = line.par
@@ -883,9 +890,10 @@ def rebuild_pars(pages, feats, model, role_to_type):
                 last_par.lines.append(line)
                 line.par = last_par
             elif par_arr:
-                par_arr[0].lines.insert(0, line)
+                leading.append(line)
                 line.par = par_arr[0]
-            rebuilt.append(line)
+        if leading:
+            par_arr[0].lines[:0] = leading
         for par in par_arr:
             par.bbox = bbox_union([ln.bbox for ln in par.lines])
         page.pars = par_arr

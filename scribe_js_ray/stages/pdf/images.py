@@ -56,7 +56,7 @@ _FILTER_ALIAS = {
 }
 
 _EXT_FOR_CODEC = {"DCTDecode": "jpg", "JPXDecode": "jp2",
-                  "CCITTFaxDecode": "bin", "JBIG2Decode": "bin"}
+                  "CCITTFaxDecode": "ccitt", "JBIG2Decode": "jbig2"}
 
 
 def _filter_chain(pdf: PdfFile, d: dict) -> tuple[list[str], list]:
@@ -468,9 +468,10 @@ def extract_images(data, decode: bool = True) -> list[dict]:
 
     Each record: the parse_image_object metadata plus ``ext`` and
     ``data`` — a PNG re-encode for decodable rasters, a byte-identical
-    codestream for DCT (.jpg) / JPX (.jp2), the raw stream (.bin) for
-    render-path codecs, and ``error`` text when conversion failed (the
-    metadata row still emits; errors are data, not poison)."""
+    codestream for DCT (.jpg) / JPX (.jp2), the post-transport
+    codestream (.ccitt/.jbig2) for render-path codecs, and ``error``
+    text when conversion failed (the metadata row still emits; errors
+    are data, not poison)."""
     pdf = data if isinstance(data, PdfFile) else PdfFile(data)
     out = []
     for num in all_object_numbers(pdf):
@@ -490,7 +491,14 @@ def extract_images(data, decode: bool = True) -> list[dict]:
                 info["ext"] = _EXT_FOR_CODEC[codec]
                 info["data"] = raw
             elif codec is not None:  # CCITT / JBIG2
-                info["ext"] = "bin"
+                # `filter` keeps parseFilter's reference semantics (the
+                # chain's transport head unless DCT/JPX is present —
+                # parsePdfImages.js:1045-1069), which for a
+                # [/Flate /CCITTFax] chain names Flate even though the
+                # emitted payload is the post-transport CCITT
+                # codestream; `ext` names the PAYLOAD codec so the two
+                # never contradict.
+                info["ext"] = _EXT_FOR_CODEC[codec]
                 info["data"] = raw
             elif decode:
                 from ..codecs import png_encode

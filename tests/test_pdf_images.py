@@ -404,3 +404,36 @@ def test_image_near_dup_pairs(ray_session):
     assert ("base#1", "near#1") in pairs
     assert not any("other" in a or "other" in b for a, b in pairs)
     assert (out.hamming <= 6).all()
+
+
+def test_image_near_dup_banding_guarantee(ray_session):
+    """A Hamming-5 pair whose mismatched bits land in ALL four 16-bit
+    quarters is still found: the max_hamming+1 banding guarantees (by
+    pigeonhole) at least one exact-matching band for d <= max_hamming.
+    aHash of an 8x8 input is the identity thumbnail, so flipping one
+    cell flips exactly one hash bit."""
+    import numpy as np
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import image_near_dup_pairs
+    from scribe_js_ray.stages.codecs import png_encode
+
+    base = np.zeros((8, 8), dtype=np.uint8)
+    base.reshape(-1)[0::2] = 255  # checkerboard: mean 127.5, bits fixed
+    # flat cells 2,18,34,50,60 -> hash bits 61,45,29,13,3: one flip in
+    # each of the four 16-bit quarters of the old 4-band split
+    twin = base.copy()
+    for cell in (2, 18, 34, 50, 60):
+        r, c = divmod(cell, 8)
+        twin[r, c] = 255 - twin[r, c]
+    to3 = lambda g: np.repeat(g[:, :, None], 3, axis=2)  # noqa: E731
+    tbl = pa.table({
+        "url": pa.array(["base", "twin"]),
+        "obj_num": pa.array([1, 1], pa.int32()),
+        "data": pa.array([png_encode(to3(base)), png_encode(to3(twin))],
+                         pa.large_binary()),
+    })
+    out = image_near_dup_pairs(rd.from_arrow(tbl), max_hamming=6) \
+        .to_pandas()
+    assert len(out) == 1
+    assert int(out.hamming.iloc[0]) == 5

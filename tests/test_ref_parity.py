@@ -282,3 +282,41 @@ def test_multipage_export_roundtrip_parity(tmp_path):
     p2, _ = parse_hocr_page(make_hocr_simple(random.Random(50)), 1)
     _check(write_alto([p1, p2]).encode(), "xml", tmp_path, "alto2")
     _check(write_hocr([p1, p2]).encode(), "hocr", tmp_path, "hocr2")
+
+
+def test_row_fragment_marker_parity(tmp_path):
+    """Raised same-row reference markers emitted as separate content-
+    stream blocks (the reference's rowFragment shapes,
+    analyzeLayout.js:1930-1951): both engines must route the marker
+    into its row and keep the following paragraph-gap decision intact.
+    Pinned for text AND markdown — paragraph grouping shows in md."""
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    variants = {
+        "frag_lastline": (
+            "BT /F1 11 Tf 72 700 Td (First line of the opening "
+            "paragraph runs along) Tj ET\n"
+            "BT /F1 11 Tf 72 686 Td (second line ends with a "
+            "citation) Tj ET\n"
+            "BT /F1 7 Tf 245 691 Td ([34]) Tj ET\n"
+            "BT /F1 11 Tf 72 650 Td (A new paragraph begins after a "
+            "clear vertical gap) Tj ET\n"),
+        "frag_midpar": (
+            "BT /F1 11 Tf 72 700 Td (First line of the opening "
+            "paragraph runs along) Tj ET\n"
+            "BT /F1 7 Tf 310 706 Td (12) Tj ET\n"
+            "BT /F1 11 Tf 72 686 Td (continuation line in the very "
+            "same paragraph here) Tj ET\n"
+            "BT /F1 11 Tf 72 650 Td (A new paragraph begins after a "
+            "clear vertical gap) Tj ET\n"),
+    }
+    for name, stream in variants.items():
+        pdf = _make_pdf([stream], {"F1": "Helvetica"})
+        p = tmp_path / f"{name}.pdf"
+        p.write_bytes(pdf)
+        ref_t = _ref_extract(str(p))
+        ours_t = extract_document("u", pdf, "", "eng")["extracted_text"]
+        assert ours_t == ref_t, name
+        ref_m = _ref_fmt(str(p), "md")
+        ours_m = extract_document("u", pdf, "", "eng",
+                                  emit_format="markdown")["extracted_text"]
+        assert ours_m == ref_m, name
