@@ -432,6 +432,33 @@ def _doc_rolling_fp(sf_dir: str):
         .sort("doc_id")
 
 
+def _doc_sample_stratified(sf_dir: str):
+    """Deterministic md5-gate stratified sampling (dominant language
+    downsampled to 1/8, tail kept at 1/2); bit-exact SQL oracle via the
+    shared threshold builder."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_sample(ds).sort("doc_id")
+
+
+def _doc_key_terms(sf_dir: str):
+    """Top-3 distinctive terms per doc (tf desc, df asc, term asc) —
+    integer-ranked tf-idf analog; distributed df via groupby(term) over
+    map-side-distinct (doc, term) pairs, broadcast attach below the
+    vocab cap."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import doc_key_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return doc_key_terms(ds, k=3).sort(["doc_id", "rank"])
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -761,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": rel.events_distinct_users,
         "events_window_join": rel.events_window_join,
         "events_distinct_users_hll": rel.events_distinct_users_hll,
+        "events_retention": rel.events_retention,
         "nation_top_customers": rel.nation_top_customers,
         "regional_revenue": rel.regional_revenue,
         # documents corpus ops
@@ -783,6 +811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_bpe_tokens": _doc_bpe_tokens,
         "doc_rolling_fp": _doc_rolling_fp,
+        "doc_sample_stratified": _doc_sample_stratified,
+        "doc_key_terms": _doc_key_terms,
         # multimodal (real stdlib PNG/BMP/WAV/MPNG decode + features)
         "pdf_extract_images": _pdf_extract_images,
         "pdf_image_dedup": _pdf_image_dedup,
@@ -938,8 +968,10 @@ def _rolling_fp_sql(window: int = 16, base: int = 1000003) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from scribe_js_ray.pipelines import relational as rel
+    from scribe_js_ray.pipelines.corpus import stratified_sample_sql
 
     mh = _minhash_sql_ctes()
+    sample_gate = stratified_sample_sql()
     return {
         "doc_minhash_pairs": f"""
             WITH {mh}
@@ -1012,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_join": rel.EVENTS_WINDOW_JOIN_SQL,
         "events_running_total": rel.EVENTS_RUNNING_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
+        "events_retention": rel.EVENTS_RETENTION_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "regional_revenue": rel.REGIONAL_REVENUE_SQL,
         "doc_stats_by_lang": """
@@ -1038,6 +1071,35 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]{1,3}|[^ \\t\\n\\f\\rA-Za-z0-9]'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # the gate predicate comes from the SAME threshold builder the
+        # Ray pipeline uses (corpus.stratified_sample_sql) — one source
+        # of truth, bit-exact by construction
+        "doc_sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {sample_gate}
+            ORDER BY doc_id
+        """,
+        "doc_key_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(
+                  lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')),
+                  ' +')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+                         AS rank
+              FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "doc_repetition": """
             WITH ln AS (

@@ -1619,3 +1619,134 @@ def image_near_dup_pairs(images_ds, max_hamming: int = 6):
     return pairs.groupby(["img_a", "img_b"]) \
         .aggregate(Min("hamming", alias_name="hamming")) \
         .sort(["img_a", "img_b"])
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling + distinctive key-term extraction
+
+
+def stratified_sample(docs_ds, rates: dict[str, float] | None = None,
+                      default_rate: float = 0.5):
+    """Deterministic per-stratum downsampling: keep a document when the
+    first 8 hex chars of ``md5(str(doc_id))`` sort below the stratum's
+    threshold — the standard rebalancing step before training (cap the
+    dominant language, keep the tail).
+
+    Map-only and embarrassingly parallel: no exchange, no RNG state, and
+    the SAME gate is expressible in SQL
+    (``substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '<hex>'``), so the
+    sample is bit-reproducible across engines and re-runs — a resumed
+    100 TB job re-selects the identical subset.  Rates are a tiny config
+    dict (not data), so closure capture is fine."""
+    rates = {"en": 0.125} if rates is None else rates
+
+    def thr_hex(rate: float) -> str:
+        return f"{min(int(rate * 16 ** 8), 16 ** 8 - 1):08x}"
+
+    thresholds = {lang: thr_hex(r) for lang, r in rates.items()}
+    default_thr = thr_hex(default_rate)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        keep = [hashlib.md5(str(i).encode()).hexdigest()[:8]
+                < thresholds.get(lg, default_thr)
+                for i, lg in zip(ids, langs)]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return docs_ds.map_batches(gate, batch_format="pyarrow")
+
+
+def stratified_sample_sql(rates: dict[str, float] | None = None,
+                          default_rate: float = 0.5) -> str:
+    """The DuckDB twin of :func:`stratified_sample`'s gate (shared
+    threshold construction so the two can never drift)."""
+    rates = {"en": 0.125} if rates is None else rates
+
+    def thr_hex(rate: float) -> str:
+        return f"{min(int(rate * 16 ** 8), 16 ** 8 - 1):08x}"
+
+    cases = " ".join(f"WHEN '{lang}' THEN '{thr_hex(r)}'"
+                     for lang, r in rates.items())
+    return (f"CASE lang {cases} ELSE '{thr_hex(default_rate)}' END"
+            " > substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)")
+
+
+def _tf_batch(batch: pa.Table) -> pa.Table:
+    """Explode documents into distinct (doc_id, term, tf) rows with the
+    oracle-paired tokenizer (strip non-alnum BEFORE lower, split on
+    spaces — keeps Python full-case lower() == DuckDB simple-case
+    lower(); review r3)."""
+    from collections import Counter
+    ids, terms, tfs = [], [], []
+    for i, text in zip(batch["doc_id"].to_pylist(),
+                       batch["text"].to_pylist()):
+        toks = _NONALNUM_RE.sub(" ", text or "").lower().split()
+        for term, tf in Counter(toks).items():
+            ids.append(i)
+            terms.append(term)
+            tfs.append(tf)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "term": pa.array(terms, pa.string()),
+                     "tf": pa.array(tfs, pa.int64())})
+
+
+def doc_key_terms(docs_ds, k: int = 3, broadcast_cap: int = 2_000_000):
+    """Top-``k`` distinctive terms per document: rank by term frequency
+    (desc), then document frequency (asc — rarer wins ties), then term.
+    Integer-only scoring keeps the ranking bit-reproducible in SQL
+    (a float tf·idf would hash-diverge on libm ulps).
+
+    Distributed shape: ONE tokenize pass explodes docs into distinct
+    (doc_id, term, tf) rows (materialized — two consumers; the text
+    column died map-side).  Document frequency is then a groupby(term)
+    count over those already-distinct pairs (no second tokenize).  The
+    df table is vocabulary-sized: below ``broadcast_cap`` rows it
+    attaches via ray.put + ``pc.index_in`` (zero-copy, no exchange);
+    above, fall back to a bucket-fused shuffle join on the term string
+    — and for truly hot keys the salt discipline in
+    ``functions/joins.py`` applies.  The final per-doc top-k runs in
+    ``map_groups`` after a doc_id-keyed exchange of (doc_id, term, tf,
+    df) — groups are document-sized, never vocabulary-sized."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..functions.joins import BroadcastTable
+
+    tf = docs_ds.map_batches(_tf_batch, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+
+    n_df = df.count()
+    if n_df <= broadcast_cap:
+        bc = BroadcastTable(pa.Table.from_pandas(df.to_pandas()))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            dfs = bc.lookup(batch["term"], "term", "df")
+            return batch.append_column("df", pc.cast(dfs, pa.int64()))
+
+        joined = tf.map_batches(attach, batch_format="pyarrow")
+    else:  # pragma: no cover - exercised only at real-corpus scale
+        from ..functions.joins import hash_bucket_join
+
+        def key_batch(batch: pa.Table) -> pa.Table:
+            keys = [int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:8], "big") >> 1
+                for t in batch["term"].to_pylist()]
+            return batch.append_column("term_key",
+                                       pa.array(keys, pa.int64()))
+
+        joined = hash_bucket_join(
+            tf.map_batches(key_batch, batch_format="pyarrow"),
+            df.map_batches(key_batch, batch_format="pyarrow")
+            .rename_columns({"term": "term_r"}),
+            on="term_key").drop_columns(["term_key", "term_r"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tf", "df", "term"],
+                          ascending=[False, True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype("int64")
+        return g[["doc_id", "rank", "term", "tf", "df"]]
+
+    return joined.groupby("doc_id").map_groups(topk, batch_format="pandas")

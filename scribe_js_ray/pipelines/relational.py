@@ -969,3 +969,72 @@ def events_distinct_users_hll(sf_dir: str, p: int = 12):
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting
     return pd.DataFrame({"n_users_hll": [int(round(est))]})
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention: cohort = a user's first active day; one row per
+    (cohort_day, day_offset) counting users active that many days after
+    joining — the classic activation/retention matrix.
+
+    Distributed shape: (user_id, day) pairs are deduplicated MAP-SIDE
+    (per-batch Arrow group_by) before the one user-keyed exchange; the
+    per-user group derives its own cohort (min day) and emits its
+    distinct offsets, so the second groupby counts one row per
+    (user, offset) — Count() IS distinct users.  Neither exchange ever
+    carries more than the deduplicated (user, day) pairs."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        pairs = pa.table({"user_id": t["user_id"], "day": day})
+        return pairs.group_by(["user_id", "day"]).aggregate([])
+
+    def offsets(g: pd.DataFrame) -> pa.Table:
+        days = g["day"].drop_duplicates().sort_values()
+        cohort = days.iloc[0]
+        off = ((days - cohort).dt.days).astype("int64")
+        # return Arrow with explicit us timestamps: a pandas return
+        # upcasts to ns and the hash-compare sees a dtype mismatch
+        return pa.table({
+            "cohort_day": pa.array([cohort] * len(days),
+                                   pa.timestamp("us")),
+            "day_offset": pa.array(off.to_numpy(), pa.int64()),
+        })
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow")
+    per_user = pairs.groupby("user_id").map_groups(offsets,
+                                                   batch_format="pandas")
+    out = per_user.groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Count(alias_name="n_users")) \
+        .sort(["cohort_day", "day_offset"])
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        # midnight-aligned days round-trip through a numpy 'D'-precision
+        # array inside the groupby machinery and come back timestamp[s];
+        # pin the oracle-facing dtype (date_trunc emits us)
+        i = t.schema.get_field_index("cohort_day")
+        return t.set_column(i, "cohort_day",
+                            pc.cast(t["cohort_day"], pa.timestamp("us")))
+
+    return out.map_batches(cast_us, batch_format="pyarrow")
+
+
+EVENTS_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), coh AS (
+  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT coh.cohort_day,
+       CAST(date_diff('day', coh.cohort_day, ud.day) AS BIGINT)
+           AS day_offset,
+       count(*) AS n_users
+FROM ud JOIN coh USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""

@@ -370,3 +370,42 @@ def test_decontaminate_distinct_gram_semantics(ray_session):
     # 9 tokens → 7 positional 3-grams but only 3 distinct ones
     assert out["n_grams"].tolist() == [3, 0]
     assert out["n_contaminated"].tolist() == [3, 0]
+
+
+def test_stratified_sample_deterministic_gate(ray_session):
+    """The md5 gate is deterministic (same subset on re-run) and
+    rate-plausible per stratum (en ~1/8, tail ~1/2)."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import stratified_sample
+
+    docs = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "lang"]).materialize()
+    a = stratified_sample(docs).to_pandas().sort_values("doc_id")
+    b = stratified_sample(docs).to_pandas().sort_values("doc_id")
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    full = docs.to_pandas()
+    en_rate = (a.lang == "en").sum() / (full.lang == "en").sum()
+    rest_rate = (a.lang != "en").sum() / (full.lang != "en").sum()
+    assert 0.04 < en_rate < 0.25       # target 1/8
+    assert 0.35 < rest_rate < 0.65     # target 1/2
+
+
+def test_key_terms_rank_tiebreaks(ray_session):
+    """tf desc, then df asc (rarer term wins), then term asc."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import doc_key_terms
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "apple apple zebra banana banana"},
+        {"doc_id": 2, "text": "banana cherry"},
+    ])
+    out = doc_key_terms(docs, k=3).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    d1 = out[out.doc_id == 1]
+    # tf=2 for apple and banana; banana has df=2 (both docs) so APPLE
+    # (df=1) outranks it; zebra tf=1 comes last
+    assert d1.term.tolist() == ["apple", "banana", "zebra"]
+    assert d1.tf.tolist() == [2, 2, 1]
+    assert d1.df.tolist() == [1, 2, 1]
