@@ -459,6 +459,32 @@ def _doc_key_terms(sf_dir: str):
     return doc_key_terms(ds, k=3).sort(["doc_id", "rank"])
 
 
+def _doc_domain_stats(sf_dir: str):
+    """Per-source curation rollup (docs, distinct texts, quality mass);
+    bit-exact SQL oracle."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import domain_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    return domain_stats(ds)
+
+
+def _doc_pack_sequences(sf_dir: str):
+    """Greedy next-fit sequence packing into 2048-token budgets within
+    deterministic doc_id-mod shards (rows-only: sequential greedy state
+    is not SQL-expressible; invariants pinned in test_corpus_ops)."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pack_sequences(ds, budget_tokens=2048, n_shards=64) \
+        .sort(["shard", "seq_id", "doc_id"])
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -813,6 +839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fp": _doc_rolling_fp,
         "doc_sample_stratified": _doc_sample_stratified,
         "doc_key_terms": _doc_key_terms,
+        "doc_domain_stats": _doc_domain_stats,
+        "doc_pack_sequences": _doc_pack_sequences,
         # multimodal (real stdlib PNG/BMP/WAV/MPNG decode + features)
         "pdf_extract_images": _pdf_extract_images,
         "pdf_image_dedup": _pdf_image_dedup,
@@ -1079,6 +1107,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE {sample_gate}
             ORDER BY doc_id
+        """,
+        "doc_domain_stats": """
+            WITH t AS (
+              SELECT source, md5(text) AS h,
+                CAST((array_length(regexp_split_to_array(trim(text),
+                          '\\s+')) BETWEEN 50 AND 100000)
+                 AND (CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                          AS DOUBLE)
+                      / array_length(regexp_split_to_array(trim(text),
+                          '\\s+')) BETWEEN 3 AND 10)
+                 AND (CAST(len(list_filter(
+                          regexp_split_to_array(trim(text), '\\s+'),
+                          w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                      / array_length(regexp_split_to_array(trim(text),
+                          '\\s+')) >= 0.8) AS INT) AS keep
+              FROM documents
+            ), g AS (
+              SELECT source, h, count(*) AS n_copies, max(keep) AS keep
+              FROM t GROUP BY source, h
+            )
+            SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_docs,
+                   count(*) AS n_distinct_texts,
+                   CAST(sum(keep * n_copies) AS BIGINT) AS n_quality
+            FROM g GROUP BY source ORDER BY source
         """,
         "doc_key_terms": """
             WITH toks AS (

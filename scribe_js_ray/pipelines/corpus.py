@@ -1750,3 +1750,89 @@ def doc_key_terms(docs_ds, k: int = 3, broadcast_cap: int = 2_000_000):
         return g[["doc_id", "rank", "term", "tf", "df"]]
 
     return joined.groupby("doc_id").map_groups(topk, batch_format="pandas")
+
+
+def domain_stats(docs_ds):
+    """Per-source (domain) curation rollup: document count, distinct-text
+    count (exact-dup mass), and quality-pass mass — the table a corpus
+    operator uses to rank/block domains.
+
+    Scale shape: text dies map-side (md5 + the Gopher keep flag are
+    computed per batch); exchange 1 groups the (source, hash) pairs
+    (distinct-text resolution), exchange 2 is source-keyed and tiny.
+    Both groupbys move ~50 B/doc regardless of document size."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = add_quality_filter(batch)["keep"]
+        hashes = [hashlib.md5((t or "").encode()).hexdigest()
+                  for t in batch["text"].to_pylist()]
+        return pa.table({
+            "source": batch["source"],
+            "text_hash": pa.array(hashes, pa.string()),
+            "keep": pc.cast(keep, pa.int64()),
+        })
+
+    per_text = docs_ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["source", "text_hash"]).aggregate(
+            Count(alias_name="n_copies"),
+            Max("keep", alias_name="keep"))
+
+    def qmass(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "q_mass", pc.multiply(t["keep"], t["n_copies"]))
+
+    return per_text.map_batches(qmass, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_copies", alias_name="n_docs"),
+            Count(alias_name="n_distinct_texts"),
+            Sum("q_mass", alias_name="n_quality")) \
+        .sort("source")
+
+
+def pack_sequences(docs_ds, budget_tokens: int = 2048,
+                   n_shards: int = 256):
+    """Greedy next-fit sequence packing: concatenate documents into
+    training sequences of at most ``budget_tokens`` whitespace tokens —
+    the batch-construction step of an LLM data pipeline.
+
+    Global greedy packing is inherently sequential, so the scalable
+    (and industry-standard) form packs WITHIN deterministic shards:
+    shard = doc_id mod ``n_shards``, documents ordered by doc_id inside
+    the shard, next-fit accumulation (a doc longer than the budget gets
+    its own sequence).  The result is bit-reproducible regardless of
+    block boundaries or execution order, and each shard packs in
+    parallel after one doc-keyed exchange.  Output: one row per doc
+    placement (shard, seq_id, doc_id, n_tokens, token_offset)."""
+    import pandas as pd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = add_token_counts(batch)
+        shard = pc.cast(
+            pc.bit_wise_and(batch["doc_id"], n_shards - 1)
+            if (n_shards & (n_shards - 1)) == 0 else
+            pc.subtract(batch["doc_id"],
+                        pc.multiply(pc.divide(batch["doc_id"], n_shards),
+                                    n_shards)), pa.int64())
+        return pa.table({"shard": shard, "doc_id": batch["doc_id"],
+                         "n_tokens": t["n_tokens"]})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, used = 0, 0
+        for n in g["n_tokens"]:
+            n = int(n)
+            if used and used + n > budget_tokens:
+                seq += 1
+                used = 0
+            seq_ids.append(seq)
+            offsets.append(used)
+            used += n
+        g["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        g["token_offset"] = pd.Series(offsets, dtype="int64")
+        return g[["shard", "seq_id", "doc_id", "n_tokens", "token_offset"]]
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack, batch_format="pandas")

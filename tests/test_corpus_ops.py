@@ -409,3 +409,53 @@ def test_key_terms_rank_tiebreaks(ray_session):
     assert d1.term.tolist() == ["apple", "banana", "zebra"]
     assert d1.tf.tolist() == [2, 2, 1]
     assert d1.df.tolist() == [1, 2, 1]
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Next-fit packing: per-sequence token mass <= budget (unless a
+    single doc exceeds it), offsets contiguous, every doc placed once,
+    and the packing is block-boundary independent (deterministic)."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import pack_sequences
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = pack_sequences(docs, budget_tokens=512, n_shards=8) \
+        .to_pandas().sort_values(["shard", "seq_id", "doc_id"])
+    full = docs.to_pandas()
+    assert sorted(out.doc_id) == sorted(full.doc_id)      # each doc once
+    assert (out.doc_id % 8 == out.shard).all()            # shard rule
+    for (_, _), g in out.groupby(["shard", "seq_id"]):
+        sizes = g.n_tokens.to_numpy()
+        offs = g.token_offset.to_numpy()
+        assert offs[0] == 0
+        expect = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        assert (offs == expect).all()
+        assert sizes.sum() <= 512 or len(g) == 1          # oversize solo
+    # determinism under different block structure
+    out2 = pack_sequences(docs.repartition(7), budget_tokens=512,
+                          n_shards=8).to_pandas() \
+        .sort_values(["shard", "seq_id", "doc_id"]).reset_index(drop=True)
+    assert out.reset_index(drop=True).equals(out2)
+
+
+def test_domain_stats_distinct_and_quality(ray_session):
+    """Distinct-text count collapses exact dups; quality mass counts
+    every copy of a passing text."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import domain_stats
+
+    good = "word " * 80
+    docs = rd.from_items([
+        {"doc_id": 0, "source": "a", "text": good},
+        {"doc_id": 1, "source": "a", "text": good},        # exact dup
+        {"doc_id": 2, "source": "a", "text": "short junk"},
+        {"doc_id": 3, "source": "b", "text": "x y z"},
+    ])
+    out = domain_stats(docs).to_pandas().set_index("source")
+    assert out.loc["a"].n_docs == 3
+    assert out.loc["a"].n_distinct_texts == 2
+    assert out.loc["a"].n_quality == 2      # both copies of the good text
+    assert out.loc["b"].n_quality == 0
