@@ -82,7 +82,7 @@ class _Feat:
                  "struct_role", "struct_elem", "artifact_frac", "bold",
                  "family", "sig_key", "below_nchar",
                  "first_word_width", "below_feat", "drop_cap",
-                 "in_inset_run")
+                 "in_inset_run", "family_distinct")
 
     def __init__(self):
         self.role = "body"
@@ -107,6 +107,7 @@ class _Feat:
         self.below_feat = None
         self.drop_cap = False
         self.in_inset_run = False
+        self.family_distinct = False
 
 
 def _line_size(line) -> float:
@@ -927,6 +928,8 @@ def _heading_signature_model(feats, body_size, page_columns, col_width):
     for f in feats:
         flags = ("b" if f.bold > 0.6 else "") + ("c" if f.all_caps else "")
         f.sig_key = f"{round(f.size * 2) / 2}|{flags}|{f.family}"
+        # per-feat familyDistinct (classifyRole demotions consume it)
+        f.family_distinct = family_dominated and f.family != body_family
         if f.line_num or f.folio or f.in_table or f.endnote \
                 or f.footnote_block or f.artifact_frac > 0.6:
             continue
@@ -1024,7 +1027,7 @@ def _pass_running_furniture(pages, feats):
 
 def classify_roles(pages, feats, body_size, furniture_ids=None,
                    page_columns=None, schemes=None, heading_model=None,
-                   concordance=None):
+                   concordance=None, par_model=None):
     n_pages = len(pages)
     if furniture_ids is None:
         furniture_ids = _pass_running_furniture(pages, feats)
@@ -1041,7 +1044,12 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
     for f in feats:
         f.size_ratio = (f.size / body_size) if body_size else 1.0
 
-    for f in feats:
+    for fi, f in enumerate(feats):
+        # prev = previous same-page line in reading order, already
+        # classified (the reference classifies in reading order so each
+        # line sees the line above it — analyzeLayout.js:1632-1635)
+        prev = feats[fi - 1] if fi > 0 and feats[fi - 1].page == f.page \
+            else None
         if f.line_num:
             f.role = "linenum"
             continue
@@ -1089,41 +1097,99 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
                 and _SUP_MARKER_RE.match(f.line.words[0].text):
             f.role = "footnote"
             continue
-        # Heading: display size + short/centered + letters dominate.
-        # A multi-column page judges shortness against the line's OWN
-        # column frame, not the page frame (detectColumns consumer).
+        # Heading classification (classifyRole, analyzeLayout.js:
+        # 2995-3063): signature membership / full-bold / display
+        # singleton promote; the run-in and all-caps-only demotions
+        # below then rescue wrapped prose the promotion paths misread.
         letters = sum(1 for c in t if c.isalpha() and c.isascii())
         digits = sum(1 for c in t if c.isdigit())
         letter_dom = letters >= 2 and letters >= digits
-        # Heading-signature membership: the doc-wide style model
-        # qualified this tuple as a heading face (analyzeLayout.js:2997).
+        own_col = _column_for(f.left, page_columns.get(f.page), body_size)
+        frame_left = own_col["left"] if own_col else body_left
+        frame_right = own_col["right"] if own_col else body_right
+        frame_w = max(frame_right - frame_left, 1)
+        short = f.width < frame_w * 0.85
+        sig_member = full_bold_heading = False
         if heading_model is not None and letter_dom:
             sigs, sig_stats, bold_rare = heading_model
-            # (no tuple-prose re-check here: qualification already
-            # rejects tuples with lower_start/n > 0.4 or short/n < 0.5)
-            if f.sig_key in sigs:
-                f.role = "heading"
-                continue
-            # A fully-bold line in a bold-rare document is a heading even
-            # at body size (fullBoldHeading, :3000).
-            if f.bold >= 0.9 and bold_rare and f.n_char <= 200 \
-                    and not f.starts_lower:
-                f.role = "heading"
-                continue
-        if f.size_ratio >= 1.15 and f.n_char <= 200 and letter_dom:
-            own_col = _column_for(f.left, page_columns.get(f.page),
-                                  body_size)
-            frame_left = own_col["left"] if own_col else body_left
-            frame_right = own_col["right"] if own_col else body_right
-            frame_w = max(frame_right - frame_left, 1)
-            short = f.width < frame_w * 0.85
+            # A full-width line matching a bold heading tuple promotes
+            # only when uniformly bold (:2998-2999).
+            sig_member = f.sig_key in sigs \
+                and (short or f.bold <= 0.6 or f.bold >= 0.9)
+            # A fully-bold line in a bold-rare document is a heading
+            # even at body size (fullBoldHeading, :3000-3006), unless
+            # its style tuple is prose-shaped.
+            ts_ = sig_stats.get(f.sig_key)
+            tuple_prose = bool(ts_ and ts_["n"] >= 2
+                               and ts_["lower_start"] / ts_["n"] > 0.4
+                               and ts_["short"] / ts_["n"] < 0.5)
+            full_bold_heading = (not sig_member and not tuple_prose
+                                 and f.bold >= 0.9 and bold_rare
+                                 and f.n_char <= 200
+                                 and not f.starts_lower)
+        display_singleton = False
+        if not sig_member and f.size_ratio >= 1.15 and f.n_char <= 200 \
+                and letter_dom:
             li = f.left - frame_left
             ri = frame_right - f.right
             centered = li > body_size and ri > body_size \
                 and abs(li - ri) < max(body_size * 1.5, min(li, ri) * 0.6)
-            if short or centered or f.size_ratio >= 2.5:
-                f.role = "heading"
+            display_singleton = short or centered or f.size_ratio >= 2.5
+        if sig_member or full_bold_heading or display_singleton:
+            # Demotions (:3030-3063) — the promotion paths cannot see
+            # flow context; these rescue wrapped prose and in-prose
+            # all-caps designations using the previous line.
+            prev_prose = prev is not None and prev.role in (
+                "body", "footnote", "endnote")
+            # Bold emphasis phrase wrapped so its tail lands
+            # majority-bold: prev's last word bold + unfinished
+            # sentence → continuation, not a heading (:3032-3039).
+            bold_only = f.size_ratio < 1.15 and not f.all_caps \
+                and f.bold > 0.6
+            enum_led = bool(f.enumerator and f.enumerator["scheme"]
+                            not in ("bullet", "sup-ref"))
+            prev_last_bold = bool(
+                prev is not None and prev.line.words
+                and prev.line.words[-1].style.bold)
+            if bold_only and prev_prose and not prev.ends_terminal \
+                    and prev_last_bold and not enum_led:
+                f.role = "body"
                 continue
+            # An all-caps body-size, non-bold, body-family line is an
+            # in-prose designation, not a title (:3040-3055): a /P tag
+            # is positive producer evidence; otherwise judge by the
+            # page's gap regime / the running sentence.
+            all_caps_only = f.all_caps and f.size_ratio < 1.15 \
+                and f.bold <= 0.6 and not f.family_distinct
+            if all_caps_only and f.struct_role == "P":
+                f.role = "body"
+                continue
+            if all_caps_only and prev_prose and par_model is not None:
+                gap_before = par_model["pageParaGap"].get(
+                    f.page, par_model["paraGapThresh"])
+                import math as _math
+                if _math.isfinite(gap_before) \
+                        and f.top - prev.top < gap_before:
+                    f.role = "body"
+                    continue
+                if not _math.isfinite(gap_before) \
+                        and not prev.ends_terminal:
+                    f.role = "body"
+                    continue
+            # Weak all-caps acronym stranded at the hang column of a
+            # hanging-indent document (:3056-3062).
+            if par_model is not None and f.size_ratio < 1.15 \
+                    and not f.family_distinct and prev_prose \
+                    and not prev.ends_terminal:
+                at_hang = par_model["bodyTextLeft"] > \
+                    par_model["bodyLeft"] + body_size * 0.5 \
+                    and abs(f.left - par_model["bodyTextLeft"]) \
+                    < body_size * 0.5
+                if at_hang:
+                    f.role = "body"
+                    continue
+            f.role = "heading"
+            continue
         f.role = "body"
 
     # Producer /Artifact tagging: artifact-dominated margin-band lines are
@@ -1394,9 +1460,17 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     heading_model = _heading_signature_model(
         feats, body_size, page_columns,
         max(body_right_hm - body_left_hm, 1))
+    # The layout model (gap regimes, leading, indent convention) is
+    # role-independent and the reference builds it (Phase 2) BEFORE role
+    # classification (Phase 3) — classifyRole's heading demotions consume
+    # pageParaGap/leading/bodyTextLeft (analyzeLayout.js:3030-3063).
+    from .parbreaks import build_par_model, rebuild_pars
+    model = build_par_model(pages, feats, body_size, page_columns,
+                            schemes)
     classify_roles(pages, feats, body_size, furniture_ids=furniture_ids,
                    page_columns=page_columns, schemes=schemes,
-                   heading_model=heading_model, concordance=concordance)
+                   heading_model=heading_model, concordance=concordance,
+                   par_model=model)
 
     if outline_titles:
         import re as _re
@@ -1413,9 +1487,6 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     # ends-early, gap regimes).  assign_paragraphs stays the fallback
     # for feature-less pages, mirroring the reference's in-worker
     # provisional result.
-    from .parbreaks import build_par_model, rebuild_pars
-    model = build_par_model(pages, feats, body_size, page_columns,
-                            schemes)
     rebuild_pars(pages, feats, model, _ROLE_TO_TYPE)
 
     _apply_struct_elements(pages, feats,

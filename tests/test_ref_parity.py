@@ -320,3 +320,71 @@ def test_row_fragment_marker_parity(tmp_path):
         ours_m = extract_document("u", pdf, "", "eng",
                                   emit_format="markdown")["extracted_text"]
         assert ours_m == ref_m, name
+
+
+def _sink_pdf(r):
+    """Kitchen-sink page mix: folios, running headers, headings,
+    variable-pitch paragraphs, lists, hanging indents, TJ kerning,
+    raised markers, footnote blocks, small print, 1-2 pages.  Seed 66
+    found the all-caps-only heading demotion gap (classifyRole
+    analyzeLayout.js:3040-3055) — an 8pt caps running header on a
+    2-page doc promoted via the caps signature where the reference
+    demotes it back to body through the page's gap regime."""
+    from scribe_js_ray.sources.synth import _paragraph_words, _sentence
+    from scribe_js_ray.sources.synth_pdf import (_MARGIN, _PAGE_W,
+                                                 _make_pdf, _Typesetter)
+    pages = []
+    n_pages = 1 + (r.random() < 0.3)
+    for pg in range(n_pages):
+        ts = _Typesetter()
+        extra = []
+        if r.random() < 0.4:
+            ts.line(f"{pg + 1}", x=_PAGE_W / 2 - 4, size=9, dy=14)
+            ts.y -= 10
+        if r.random() < 0.3:
+            ts.line("JOURNAL OF SYNTHETIC RESULTS", x=_MARGIN, size=8,
+                    dy=12)
+            ts.y -= 12
+        if r.random() < 0.6:
+            heading = " ".join(w.capitalize() for w in _sentence(r, 3)[:-1])
+            hw = ts.text_width(heading, "F2", 16)
+            ts.line(heading, x=(_PAGE_W - hw) / 2, size=16, font="F2",
+                    dy=24)
+            ts.y -= 8
+        dbl = r.random() < 0.25
+        for _ in range(r.randint(1, 3)):
+            ts.flow(_paragraph_words(r, r.randint(1, 3)))
+            ts.y -= (26 if dbl else 8)
+        if r.random() < 0.35:
+            for i in range(1, r.randint(3, 5)):
+                ts.line(f"{i}. " + " ".join(_sentence(r, 5)), dy=16)
+            ts.y -= 8
+        if r.random() < 0.25:
+            for i in range(1, 3):
+                ts.line(f"[{i}] " + " ".join(_sentence(r, 6)), x=_MARGIN,
+                        dy=15)
+                ts.line(" ".join(_sentence(r, 5)), x=_MARGIN + 22, dy=14)
+            ts.y -= 6
+        if r.random() < 0.3:
+            ts.line_tj(["ker", -15, "ned", " ", "wo", -20, "rd", " ",
+                        "here."], dy=18)
+        if r.random() < 0.3:
+            extra.append(
+                f"BT /F1 6 Tf {_MARGIN + r.randint(150, 300)}"
+                f" {ts.y + 18:.1f} Td ([{r.randint(1, 40)}]) Tj ET")
+        if r.random() < 0.35:
+            ts.y = 120
+            ts.line("1 " + " ".join(_sentence(r, 8)), size=8, dy=11)
+            ts.line(" ".join(_sentence(r, 6)), size=8, dy=11)
+        if r.random() < 0.2:
+            ts.y = 90
+            ts.line(" ".join(_sentence(r, 5)), size=7, dy=10)
+        pages.append(ts.stream() + "\n" + "\n".join(extra))
+    return _make_pdf(pages, {"F1": "Helvetica", "F2": "Helvetica-Bold",
+                             "F3": "Times-Roman"})
+
+
+@pytest.mark.parametrize("seed", [7, 31, 66, 107, 150])
+def test_kitchen_sink_parity(seed, tmp_path):
+    _check(_sink_pdf(random.Random(seed)), "pdf", tmp_path,
+           f"sink{seed}")
