@@ -1116,17 +1116,21 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             # only when uniformly bold (:2998-2999).
             sig_member = f.sig_key in sigs \
                 and (short or f.bold <= 0.6 or f.bold >= 0.9)
-            # A fully-bold line in a bold-rare document is a heading
-            # even at body size (fullBoldHeading, :3000-3006), unless
-            # its style tuple is prose-shaped.
+            # A fully-bold line is a heading even at body size only
+            # under model.boldHeading (>=8 body lines, <20% of them
+            # bold — :3000-3006), unless its style tuple is
+            # prose-shaped.  The doc-wide flag, NOT the sig model's
+            # char-fraction bold_rare: a short doc (<8 body lines)
+            # never promotes on weight alone.
             ts_ = sig_stats.get(f.sig_key)
             tuple_prose = bool(ts_ and ts_["n"] >= 2
                                and ts_["lower_start"] / ts_["n"] > 0.4
                                and ts_["short"] / ts_["n"] < 0.5)
+            bold_heading_ok = par_model["boldHeading"] \
+                if par_model is not None else bold_rare
             full_bold_heading = (not sig_member and not tuple_prose
-                                 and f.bold >= 0.9 and bold_rare
-                                 and f.n_char <= 200
-                                 and not f.starts_lower)
+                                 and f.bold >= 0.9 and bold_heading_ok
+                                 and f.n_char <= 200)
         display_singleton = False
         if not sig_member and f.size_ratio >= 1.15 and f.n_char <= 200 \
                 and letter_dom:

@@ -388,3 +388,71 @@ def _sink_pdf(r):
 def test_kitchen_sink_parity(seed, tmp_path):
     _check(_sink_pdf(random.Random(seed)), "pdf", tmp_path,
            f"sink{seed}")
+
+
+def _sink2_pdf(r):
+    """Round-2 kitchen-sink: bold lead-in runs, centered multi-line
+    display titles, inset quotes (tight pitch, both-side indent),
+    line-numbered transcript blocks, italic-family tail blocks.  Seed 8
+    found the fullBoldHeading gate gap: a bold lead line in a SHORT doc
+    (<8 body lines) promoted on weight alone where the reference's
+    model.boldHeading flag never activates (classifyRole
+    analyzeLayout.js:3000-3006)."""
+    from scribe_js_ray.sources.synth import _paragraph_words, _sentence
+    from scribe_js_ray.sources.synth_pdf import (_MARGIN, _PAGE_W,
+                                                 _make_pdf, _Typesetter)
+    ts = _Typesetter()
+    if r.random() < 0.4:
+        for _k in range(r.randint(1, 3)):
+            t = " ".join(w.upper() for w in _sentence(r, r.randint(2, 4))[:-1])
+            size = r.choice([14, 16, 18])
+            w = ts.text_width(t, "F2", size)
+            ts.line(t, x=(_PAGE_W - w) / 2, size=size, font="F2",
+                    dy=size + 6)
+        ts.y -= 12
+    if r.random() < 0.5:
+        words = _paragraph_words(r, 2)
+        lead = " ".join(_sentence(r, 2)[:-1])
+        ts.line_tj([], dy=0)
+        ts.line(lead, size=11, font="F2", dy=16)
+        ts.flow(words)
+        ts.y -= 8
+    dbl = r.random() < 0.3
+    for _ in range(r.randint(1, 2)):
+        ts.flow(_paragraph_words(r, 2))
+        ts.y -= (26 if dbl else 8)
+    if r.random() < 0.5:
+        for _ in range(r.randint(2, 4)):
+            ts.line(" ".join(_sentence(r, 6)), x=_MARGIN + 36, dy=13,
+                    size=10)
+        ts.y -= 8
+        ts.flow(_paragraph_words(r, 1))
+        ts.y -= 8
+    if r.random() < 0.35:
+        y0 = ts.y
+        for _i in range(1, r.randint(4, 7)):
+            ts.line(" ".join(_sentence(r, 7)), x=_MARGIN + 30, dy=15)
+        yb = ts.y
+        parts = [ts.stream()]
+        yy = y0 - 15
+        i = 1
+        while yy > yb:
+            parts.append(f"BT /F1 9 Tf {_MARGIN - 18} "
+                         f"{yy + 15 - 11:.1f} Td ({i}) Tj ET")
+            yy -= 15
+            i += 1
+        stream = "\n".join(parts)
+    else:
+        stream = ts.stream()
+    if r.random() < 0.3:
+        extra = [f"BT /F3 10 Tf {_MARGIN} {150 - k * 13} Td "
+                 f"({' '.join(_sentence(r, 6))}) Tj ET" for k in range(2)]
+        stream += "\n" + "\n".join(extra)
+    return _make_pdf([stream], {"F1": "Helvetica", "F2": "Helvetica-Bold",
+                                "F3": "Times-Italic"})
+
+
+@pytest.mark.parametrize("seed", [8, 15, 26, 44, 71])
+def test_kitchen_sink2_parity(seed, tmp_path):
+    _check(_sink2_pdf(random.Random(seed)), "pdf", tmp_path,
+           f"sink2_{seed}")
