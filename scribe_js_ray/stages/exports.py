@@ -163,21 +163,27 @@ def write_markdown(pages, reflow_text: bool = False,
 
         table_bboxes = []
         tables_rendered = set()
+        from .combine import _box_overlap
+        from .tables import extract_table_content
+        # (bbox, detector-provided col separators or None).  The
+        # reference's writeMarkdown consumes layoutPage.tables
+        # UNCONDITIONALLY when the layout has them
+        # (writeMarkdown.js:144-188) — page.table_boxes (ruled-grid +
+        # borderless regions stamped by the PDF parse / analyze_layout,
+        # M27) is our analog, so it renders without a flag.
+        detected = []
         if detect_tables:
-            from .combine import _box_overlap
-            from .tables import detect_tables_in_page, extract_table_content
-            # (bbox, detector-provided col separators or None)
+            # OCR whitespace-column detection is OUR extra surface for
+            # imports that never ran the PDF-side detectors; opt-in.
+            from .tables import detect_tables_in_page
             detected = [(d, None) for d in detect_tables_in_page(page)]
-            # Ruled-grid + borderless regions from the PDF parse (M27)
-            # render as tables too, deduped against the OCR-detected set;
-            # they carry the detector's column separators.
-            from ..model import BBox as _BBox
-            for tb in getattr(page, "table_boxes", None) or []:
-                rb = _BBox(tb["left"], tb["top"], tb["right"],
-                           tb["bottom"])
-                if not any(_box_overlap(rb, d) > 0.5 for d, _ in detected):
-                    detected.append((rb, tb.get("col_separators")))
-            table_bboxes = list(enumerate(detected))
+        from ..model import BBox as _BBox
+        for tb in getattr(page, "table_boxes", None) or []:
+            rb = _BBox(tb["left"], tb["top"], tb["right"],
+                       tb["bottom"])
+            if not any(_box_overlap(rb, d) > 0.5 for d, _ in detected):
+                detected.append((rb, tb.get("col_separators")))
+        table_bboxes = list(enumerate(detected))
 
         par_current = page.lines[0].par
         current_style_key = None

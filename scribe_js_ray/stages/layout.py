@@ -82,7 +82,7 @@ class _Feat:
                  "struct_role", "struct_elem", "artifact_frac", "bold",
                  "family", "sig_key", "below_nchar",
                  "first_word_width", "below_feat", "drop_cap",
-                 "in_inset_run", "family_distinct")
+                 "in_inset_run", "family_distinct", "list_confirmed")
 
     def __init__(self):
         self.role = "body"
@@ -108,6 +108,7 @@ class _Feat:
         self.drop_cap = False
         self.in_inset_run = False
         self.family_distinct = False
+        self.list_confirmed = False
 
 
 def _line_size(line) -> float:
@@ -1282,6 +1283,98 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             f.role = "footnote"
 
 
+def _pass_list_confirm(feats, body_size, body_text_left, schemes) -> None:
+    """Local-list confirmation (analyzeLayout.js:1802-1872): 'alpha-dot'
+    and 'roman-dot' stay non-splittable doc-wide (a bare line-leading
+    "a."/"ii." is usually an initial or citation fragment); a
+    contiguous, consecutively-valued, column-aligned run of >=2 markers
+    recovers the genuine list — runs of >=3 confirm anywhere, runs of 2
+    only at an indented column a >=3 run already proved.  A lone dash
+    doubles as inline punctuation, so dash bullets confirm only in
+    >=3-aligned runs."""
+    for scheme in ("alpha-dot", "roman-dot"):
+        runs: list = []
+        run: list = []
+        run_col = 0.0
+        broken = False
+
+        def close_run():
+            if len(run) >= 2:
+                runs.append({"members": list(run), "column": run_col})
+            run.clear()
+
+        for f in feats:
+            en = f.enumerator
+            is_marker = bool(en and en["scheme"] == scheme
+                             and en.get("value") is not None
+                             and f.role == "body")
+            if is_marker:
+                if run and not broken \
+                        and en["value"] == run[-1].enumerator["value"] + 1 \
+                        and abs(f.left - run_col) <= body_size * 0.5:
+                    run.append(f)
+                else:
+                    close_run()
+                    run.append(f)
+                    run_col = f.left
+                    broken = False
+            elif run and not broken:
+                # only structural interveners break a run: a heading (a
+                # new section) or a marker of a different ACTIVE scheme
+                if f.role in ("heading", "title"):
+                    broken = True
+                elif en and en["scheme"] != scheme \
+                        and schemes.get(en["scheme"], {}).get("active"):
+                    broken = True
+        close_run()
+        proven = [r["column"] for r in runs if len(r["members"]) >= 3]
+        for r in runs:
+            indented = r["column"] > body_text_left + body_size * 0.5
+            if len(r["members"]) >= 3 or (
+                    indented and any(abs(c - r["column"]) <= body_size * 0.5
+                                     for c in proven)):
+                for m in r["members"]:
+                    m.list_confirmed = True
+
+    # dash-bullet runs (>=3 aligned)
+    runs2: list = []
+    run2: list = []
+    run_col = 0.0
+    broken = False
+
+    def is_dash(f):
+        return bool(f.enumerator and f.enumerator["scheme"] == "bullet"
+                    and re.fullmatch(r"[–—-]", f.enumerator["raw"] or ""))
+
+    def close_run2():
+        if len(run2) >= 3:
+            runs2.append(list(run2))
+        run2.clear()
+
+    for f in feats:
+        if is_dash(f) and f.role == "body":
+            if run2 and not broken \
+                    and abs(f.left - run_col) <= body_size * 0.5:
+                run2.append(f)
+            else:
+                close_run2()
+                run2.append(f)
+                run_col = f.left
+                broken = False
+        elif run2 and not broken:
+            en = f.enumerator
+            if f.role in ("heading", "title"):
+                broken = True
+            elif en and en["scheme"] == "bullet":
+                broken = True  # a different bullet glyph: a new list
+            elif en and schemes.get(en["scheme"], {}).get("active"):
+                broken = True
+    close_run2()
+    for r in runs2:
+        for m in r:
+            m.list_confirmed = True
+
+
 _ROLE_TO_TYPE = {
     "heading": "title", "footnote": "footnote", "endnote": "endnote",
     "pagenum": "pagenum", "header": "header", "footer": "footer",
@@ -1491,6 +1584,7 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     # ends-early, gap regimes).  assign_paragraphs stays the fallback
     # for feature-less pages, mirroring the reference's in-worker
     # provisional result.
+    _pass_list_confirm(feats, body_size, model["bodyTextLeft"], schemes)
     rebuild_pars(pages, feats, model, _ROLE_TO_TYPE)
 
     _apply_struct_elements(pages, feats,

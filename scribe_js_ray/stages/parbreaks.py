@@ -494,28 +494,33 @@ def geometric_break(f, prev, model, cur_par_first):
         and f.top - prev.top > 0
         and f.top - prev.top <= flow_pitch * 1.3)
 
-    # enumerator rules (:2480-2502); listConfirmed not carried — a
-    # confirmed-local-list member degrades to its doc-wide scheme gate
+    # enumerator rules (:2480-2502); a confirmed local-list member
+    # (layout._pass_list_confirm, :1802-1872) splits even when its
+    # dot-form scheme is non-splittable doc-wide — the contiguous
+    # aligned run already disambiguated it from a prose initial.
     if f.enumerator:
         e = f.enumerator
         sc = model["schemes"].get(e["scheme"])
+        confirmed = bool(getattr(f, "list_confirmed", False))
         dash_marker = e["scheme"] == "bullet" \
             and re.fullmatch(r"[–—-]", e["raw"] or "")
         strong_scheme = (e["scheme"] == "section"
                          or e["scheme"].startswith("paren-")
                          or e["scheme"] in ("alpha-paren", "roman-paren",
                                             "bracket-num")
-                         or (e["scheme"] == "bullet" and not dash_marker))
+                         or (e["scheme"] == "bullet" and not dash_marker)
+                         or confirmed)
         follows_complete = strong_scheme or prev.ends_terminal \
             or prev.role != "body" or prev.role != f.role
         wrapped_mid_item = bare_continuation and cur_par_first is not None \
             and f.left > cur_par_first.left + body_size * 0.5
-        if sc and sc.get("active") and follows_complete \
+        if ((sc and sc.get("active")) or confirmed) and follows_complete \
                 and not wrapped_mid_item:
             if e["scheme"] == "bullet":
                 return True, "bullet"
             if e.get("value") is not None \
-                    and e["value"] in sc.get("sequence_values", ()):
+                    and (confirmed
+                         or e["value"] in sc.get("sequence_values", ())):
                 return True, f"numbering ({e['scheme']} {e['raw']})"
 
     # bold / heading-face run-in lead-in (:2509-2531)

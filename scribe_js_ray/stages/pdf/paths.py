@@ -260,10 +260,16 @@ def harvest_page_graphics(paths: list[PaintedPath], height_pt: float,
                     "left": min_x * scale, "right": max_x * scale,
                     "y": to_px_y(max_y), "color": color,
                     "is_underline": False})
-            elif thin_v and path.stroke:
-                v_segments.append({
-                    "x": (min_x + max_x) / 2 * scale,
-                    "top": to_px_y(max_y), "bottom": to_px_y(min_y)})
+            elif thin_v:
+                # filled thin rects count too — a 0.5pt `re f` bar is
+                # the common way producers draw column rulings
+                # (detectPdfTables.js:1392 takes w<2 fills OR strokes);
+                # page-spanning margin rules (>80% of page height) are
+                # not column rulings (:1398).
+                if h <= height_pt * 0.8:
+                    v_segments.append({
+                        "x": (min_x + max_x) / 2 * scale,
+                        "top": to_px_y(max_y), "bottom": to_px_y(min_y)})
             elif axis_rect and 5 <= w <= 24 and 5 <= h <= 24 \
                     and 0.7 < (w / h if h else 0) < 1.43 \
                     and len(fill_squares) < 200 and not ink:
