@@ -537,3 +537,65 @@ def test_kitchen_sink3_parity(seed, tmp_path):
     assert extract_document("u", pdf, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink3_{seed} md"
+
+
+def _sink4_pdf(r):
+    """Round-4 kitchen-sink: Ts superscript runs, WinAnsi smart quotes/
+    em-dashes, hyphenated wraps, two-column blocks, rotated margin
+    stamps.  Found no divergence (0/180 seeds) — pinned as regression
+    cover for the rotation/superscript/ligature paths."""
+    from scribe_js_ray.sources.synth import _paragraph_words, _sentence
+    from scribe_js_ray.sources.synth_pdf import (_MARGIN, _PAGE_W,
+                                                 _make_pdf, _Typesetter)
+
+    def esc(s):
+        return s.replace("\\", r"\\").replace("(", r"\(") \
+            .replace(")", r"\)")
+
+    ts = _Typesetter()
+    parts = []
+    ts.flow(_paragraph_words(r, 1))
+    ts.y -= 8
+    if r.random() < 0.5:
+        y = ts.y
+        parts.append(
+            f"BT /F1 11 Tf {_MARGIN} {y} Td "
+            f"({esc(' '.join(_sentence(r, 5))[:-1])}) Tj "
+            f"{r.choice([3, 4, 5])} Ts /F1 7 Tf ({r.randint(1, 30)}) Tj "
+            f"0 Ts /F1 11 Tf ( {esc(' '.join(_sentence(r, 4)))}) Tj ET")
+        ts.y -= 16
+    if r.random() < 0.4:
+        ts.line("The \\223first\\224 figure\\227offset by fl and fi"
+                " ligatures\\222 look.", dy=16)
+    if r.random() < 0.5:
+        w1 = " ".join(_sentence(r, 6))[:-1]
+        ts.line(w1 + " estab-", dy=15)
+        ts.line("lishment " + " ".join(_sentence(r, 4)), dy=15)
+        ts.y -= 8
+    if r.random() < 0.5:
+        colw = (_PAGE_W - 2 * _MARGIN - 24) / 2
+        y0 = ts.y
+        ts.flow(_paragraph_words(r, 2), x=_MARGIN, width=colw)
+        y_left = ts.y
+        ts.y = y0
+        ts.flow(_paragraph_words(r, 2), x=_MARGIN + colw + 24, width=colw)
+        ts.y = min(ts.y, y_left) - 10
+    if r.random() < 0.35:
+        t = "FILED " + str(r.randint(1000, 9999))
+        parts.append(f"BT /F1 8 Tf 0 1 -1 0 24 "
+                     f"{300 + r.randint(-60, 60)} Tm ({esc(t)}) Tj ET")
+    ts.flow(_paragraph_words(r, 1))
+    stream = ts.stream() + ("\n" + "\n".join(parts) if parts else "")
+    return _make_pdf([stream], {"F1": "Helvetica", "F2": "Helvetica-Bold"})
+
+
+@pytest.mark.parametrize("seed", [1, 12, 33, 57])
+def test_kitchen_sink4_parity(seed, tmp_path):
+    pdf = _sink4_pdf(random.Random(seed))
+    p = tmp_path / f"sink4_{seed}.pdf"
+    p.write_bytes(pdf)
+    assert extract_document("u", pdf, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink4_{seed} text"
+    assert extract_document("u", pdf, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink4_{seed} md"
