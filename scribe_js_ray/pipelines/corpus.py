@@ -1625,6 +1625,13 @@ def image_near_dup_pairs(images_ds, max_hamming: int = 6):
 # Stratified deterministic sampling + distinctive key-term extraction
 
 
+def _thr_hex(rate: float) -> str:
+    """Sampling rate → 8-hex-digit gate threshold.  ONE builder feeds
+    both the Ray gate and the SQL predicate so the two cannot drift
+    (the doc_sample_stratified oracle's bit-exactness rests on it)."""
+    return f"{min(int(rate * 16 ** 8), 16 ** 8 - 1):08x}"
+
+
 def stratified_sample(docs_ds, rates: dict[str, float] | None = None,
                       default_rate: float = 0.5):
     """Deterministic per-stratum downsampling: keep a document when the
@@ -1639,12 +1646,8 @@ def stratified_sample(docs_ds, rates: dict[str, float] | None = None,
     100 TB job re-selects the identical subset.  Rates are a tiny config
     dict (not data), so closure capture is fine."""
     rates = {"en": 0.125} if rates is None else rates
-
-    def thr_hex(rate: float) -> str:
-        return f"{min(int(rate * 16 ** 8), 16 ** 8 - 1):08x}"
-
-    thresholds = {lang: thr_hex(r) for lang, r in rates.items()}
-    default_thr = thr_hex(default_rate)
+    thresholds = {lang: _thr_hex(r) for lang, r in rates.items()}
+    default_thr = _thr_hex(default_rate)
 
     def gate(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -1662,13 +1665,9 @@ def stratified_sample_sql(rates: dict[str, float] | None = None,
     """The DuckDB twin of :func:`stratified_sample`'s gate (shared
     threshold construction so the two can never drift)."""
     rates = {"en": 0.125} if rates is None else rates
-
-    def thr_hex(rate: float) -> str:
-        return f"{min(int(rate * 16 ** 8), 16 ** 8 - 1):08x}"
-
-    cases = " ".join(f"WHEN '{lang}' THEN '{thr_hex(r)}'"
+    cases = " ".join(f"WHEN '{lang}' THEN '{_thr_hex(r)}'"
                      for lang, r in rates.items())
-    return (f"CASE lang {cases} ELSE '{thr_hex(default_rate)}' END"
+    return (f"CASE lang {cases} ELSE '{_thr_hex(default_rate)}' END"
             " > substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)")
 
 
@@ -1715,7 +1714,11 @@ def doc_key_terms(docs_ds, k: int = 3, broadcast_cap: int = 2_000_000):
 
     tf = docs_ds.map_batches(_tf_batch, batch_format="pyarrow",
                              batch_size=None).materialize()
-    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    # df has two consumers (count probe + broadcast/join) — without
+    # materializing, the vocabulary groupby (this op's dominant
+    # exchange) would execute once per consumer.
+    df = tf.groupby("term").aggregate(Count(alias_name="df")) \
+        .materialize()
 
     n_df = df.count()
     if n_df <= broadcast_cap:

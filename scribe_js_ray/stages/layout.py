@@ -82,7 +82,8 @@ class _Feat:
                  "struct_role", "struct_elem", "artifact_frac", "bold",
                  "family", "sig_key", "below_nchar",
                  "first_word_width", "below_feat", "drop_cap",
-                 "in_inset_run", "family_distinct", "list_confirmed")
+                 "in_inset_run", "family_distinct", "list_confirmed",
+                 "color", "color_distinct", "gap_above")
 
     def __init__(self):
         self.role = "body"
@@ -109,6 +110,9 @@ class _Feat:
         self.in_inset_run = False
         self.family_distinct = False
         self.list_confirmed = False
+        self.color = "#000000"
+        self.color_distinct = False
+        self.gap_above = float("inf")
 
 
 def _line_size(line) -> float:
@@ -154,6 +158,7 @@ def _features(pages) -> list:
             letters = upper = 0
             n_bold = 0
             fam_w: dict = {}
+            col_w: dict = {}
             for w in line.words:
                 wl = len(w.text)
                 n_char += wl
@@ -161,6 +166,8 @@ def _features(pages) -> list:
                     n_bold += wl or 1
                 fam = w.style.font or ""
                 fam_w[fam] = fam_w.get(fam, 0) + (wl or 1)
+                col = getattr(w.style, "color", None) or "#000000"
+                col_w[col] = col_w.get(col, 0) + (wl or 1)
             for c in f.text:
                 if c.isascii():
                     if "a" <= c <= "z":
@@ -172,6 +179,8 @@ def _features(pages) -> list:
             f.bold = n_bold / n_char if n_char else 0.0
             f.family = max(fam_w.items(), key=lambda kv: kv[1])[0] \
                 if fam_w else ""
+            f.color = max(col_w.items(), key=lambda kv: kv[1])[0] \
+                if col_w else "#000000"
             f.all_caps = letters >= 2 and upper / letters >= 0.8
             last = line.words[-1].text if line.words else ""
             f.ends_terminal = bool(_ENDS_TERMINAL_RE.search(last))
@@ -1045,6 +1054,48 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
     for f in feats:
         f.size_ratio = (f.size / body_size) if body_size else 1.0
 
+    # colorDistinct (analyzeLayout.js:390-401, 612-620): active only when
+    # one color dominates the doc (>=60% of chars); a line is distinct
+    # when its color differs from its own page's dominant body color.
+    doc_col: dict = {}
+    page_col: dict = {}
+    for f in feats:
+        if not f.n_char:
+            continue
+        doc_col[f.color] = doc_col.get(f.color, 0) + f.n_char
+        pc_ = page_col.setdefault(f.page, {})
+        pc_[f.color] = pc_.get(f.color, 0) + f.n_char
+    tot = sum(doc_col.values())
+    color_heading = tot > 0 and max(doc_col.values()) / tot >= 0.6
+    page_body_color = {p: max(cw.items(), key=lambda kv: kv[1])[0]
+                       for p, cw in page_col.items()}
+    for f in feats:
+        f.color_distinct = color_heading and \
+            f.color != page_body_color.get(f.page, "#000000")
+
+    # gapAbove (analyzeLayout.js:1548-1560): gap to the nearest
+    # horizontally-overlapping line above, Infinity when none within
+    # 3.5 leadings; same-row neighbours are skipped.
+    leading = par_model["leading"] if par_model is not None \
+        else body_size * 1.2
+    by_page_g: dict = {}
+    for f in feats:
+        by_page_g.setdefault(f.page, []).append(f)
+    for arr in by_page_g.values():
+        arr = sorted(arr, key=lambda f: f.top)
+        for i, f in enumerate(arr):
+            f.gap_above = float("inf")
+            for j in range(i - 1, max(i - 81, -1), -1):
+                g = arr[j]
+                if f.top - g.top <= min(f.bottom - f.top,
+                                        g.bottom - g.top) * 0.5:
+                    continue  # same row (other column/fragment)
+                if f.top - g.top > leading * 3.5:
+                    break
+                if g.left < f.right and f.left < g.right:
+                    f.gap_above = f.top - g.bottom
+                    break
+
     for fi, f in enumerate(feats):
         # prev = previous same-page line in reading order, already
         # classified (the reference classifies in reading order so each
@@ -1090,6 +1141,11 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             f.role = "header" if (f.top_frac + f.bottom_frac) / 2 < 0.5 \
                 else "footer"
             continue
+        # A producer-tagged table cell is body before the footnote rules
+        # can claim a wide table's small low cells (:2906-2907).
+        if f.struct_role in ("TD", "TH"):
+            f.role = "body"
+            continue
         # Footnote start: bottom-half line opening with a superscript marker.
         # Suppressed on concordance (word-index) pages — their numbered
         # entries are not notes (analyzeLayout.js:2906-2909).
@@ -1098,6 +1154,11 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
                 and _SUP_MARKER_RE.match(f.line.words[0].text):
             f.role = "footnote"
             continue
+        # A definition-list item's bold lead term, and any table-region
+        # line, stay body before the heading logic (:2970-2972).
+        if f.struct_role == "LI" or f.in_table:
+            f.role = "body"
+            continue
         # Heading classification (classifyRole, analyzeLayout.js:
         # 2995-3063): signature membership / full-bold / display
         # singleton promote; the run-in and all-caps-only demotions
@@ -1105,6 +1166,20 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
         letters = sum(1 for c in t if c.isalpha() and c.isascii())
         digits = sum(1 for c in t if c.isdigit())
         letter_dom = letters >= 2 and letters >= digits
+        # An all-marker heading ("IV.", "b.") is under-lettered: re-judge
+        # on the text after a sequence-corroborated enumerator, whose
+        # letters-vs-digits test still keeps digit junk out (:2979-2992).
+        en_ = f.enumerator
+        if not letter_dom and en_ \
+                and en_["scheme"] not in ("sup-ref", "bullet") \
+                and en_.get("value") is not None \
+                and en_["value"] in schemes.get(en_["scheme"], {}).get(
+                    "sequence_values", ()):
+            rest = t[len(en_["raw"]):] if t.startswith(en_["raw"]) else t
+            rl = sum(1 for c in rest
+                     if ("a" <= c <= "z") or ("A" <= c <= "Z"))
+            rd = sum(1 for c in rest if c.isdigit() and c.isascii())
+            letter_dom = rl >= rd
         own_col = _column_for(f.left, page_columns.get(f.page), body_size)
         frame_left = own_col["left"] if own_col else body_left
         frame_right = own_col["right"] if own_col else body_right
@@ -1139,8 +1214,25 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             ri = frame_right - f.right
             centered = li > body_size and ri > body_size \
                 and abs(li - ri) < max(body_size * 1.5, min(li, ri) * 0.6)
-            display_singleton = short or centered or f.size_ratio >= 2.5
-        if sig_member or full_bold_heading or display_singleton:
+            # a display line preceded by a real gap (or nothing above)
+            # promotes even at full width (:3016-3017)
+            display_singleton = short or centered \
+                or f.gap_above > leading * 1.2 or f.size_ratio >= 2.5
+        # Form-based sub-heading: a heading face the signature model
+        # cannot qualify because the doc sets prose in it too; the
+        # deep-indent gate separates it from a flush citation connector
+        # (:3021-3027).
+        enum_set_off = False
+        if not sig_member and en_ \
+                and en_["scheme"] not in ("bullet", "sup-ref") \
+                and f.family_distinct and par_model is not None:
+            own_col_l = own_col["left"] if own_col else \
+                par_model["pageFlush"].get(f.page, par_model["bodyLeft"])
+            enum_set_off = f.left > own_col_l \
+                + max(par_model["indentDelta"], 0) + body_size \
+                and letters >= 2 and letters >= digits
+        if sig_member or full_bold_heading or display_singleton \
+                or enum_set_off:
             # Demotions (:3030-3063) — the promotion paths cannot see
             # flow context; these rescue wrapped prose and in-prose
             # all-caps designations using the previous line.
@@ -1165,7 +1257,8 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             # is positive producer evidence; otherwise judge by the
             # page's gap regime / the running sentence.
             all_caps_only = f.all_caps and f.size_ratio < 1.15 \
-                and f.bold <= 0.6 and not f.family_distinct
+                and f.bold <= 0.6 and not f.color_distinct \
+                and not f.family_distinct
             if all_caps_only and f.struct_role == "P":
                 f.role = "body"
                 continue
@@ -1184,6 +1277,7 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             # Weak all-caps acronym stranded at the hang column of a
             # hanging-indent document (:3056-3062).
             if par_model is not None and f.size_ratio < 1.15 \
+                    and not f.color_distinct \
                     and not f.family_distinct and prev_prose \
                     and not prev.ends_terminal:
                 at_hang = par_model["bodyTextLeft"] > \

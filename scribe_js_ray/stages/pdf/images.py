@@ -30,8 +30,10 @@ A85/AHx/none) are decoded, bit-unpacked, palette-expanded, gray/CMYK→RGB
 converted and re-encoded as PNG via the stdlib codec in stages/codecs.py
 (with an 8-bit SMask lifted into the alpha channel); DCTDecode/JPXDecode
 codestreams pass through byte-identical as .jpg/.jp2 exactly like the
-reference's ext mapping; CCITT/JBIG2 pass through as .bin (their codecs
-are render-path, out of scope).
+reference's ext mapping; CCITT/JBIG2 post-transport codestreams pass
+through as .ccitt/.jbig2 (their decoders are render-path, out of scope;
+`ext` names the payload codec while `filter` keeps parseFilter's
+reference semantics).
 """
 
 from __future__ import annotations

@@ -265,8 +265,9 @@ def harvest_page_graphics(paths: list[PaintedPath], height_pt: float,
                 # the common way producers draw column rulings
                 # (detectPdfTables.js:1392 takes w<2 fills OR strokes);
                 # page-spanning margin rules (>80% of page height) are
-                # not column rulings (:1398).
-                if h <= height_pt * 0.8:
+                # not column rulings (:1398), and chromatic bars are
+                # chart/decor content (isPathAchromatic, :1172).
+                if h <= height_pt * 0.8 and _is_achromatic(color):
                     v_segments.append({
                         "x": (min_x + max_x) / 2 * scale,
                         "top": to_px_y(max_y), "bottom": to_px_y(min_y)})
@@ -375,6 +376,20 @@ def _reconstitute_dashed_lines(paths, height_pt, scale,
                 "left": group[0]["x1"] * scale,
                 "right": group[-1]["x2"] * scale,
                 "y": y_px, "color": [0.0], "is_underline": False})
+
+
+def _is_achromatic(color) -> bool:
+    """Achromatic = gray-scale (all RGB components roughly equal) or
+    near-black CMYK (detectPdfTables.js:1161-1171).  Table grid lines
+    are black/gray; chromatic bars are chart/decor content that must
+    not form phantom grids."""
+    if not color or len(color) == 1:
+        return True
+    if len(color) == 3:
+        return max(color) - min(color) < 0.15
+    if len(color) == 4:
+        return color[0] < 0.15 and color[1] < 0.15 and color[2] < 0.15
+    return True
 
 
 def _is_band_color(color) -> bool:
@@ -573,6 +588,12 @@ def detect_ruled_tables(underline_rects, v_segments, min_cols: int = 2,
     >=min_cols+1 vertical rulings over a shared span → a table region
     with column separators at the interior vertical positions
     (detectPdfTables.js ruled-line method, core)."""
+    # Chromatic bars never contribute grid lines (:1384 gates hLines on
+    # isPathAchromatic; the gate sits here, not in the harvest, because
+    # underline_rects also feed the text-underline match, which must
+    # keep colored rules).
+    underline_rects = [r for r in underline_rects
+                       if _is_achromatic(r.get("color"))]
     if len(underline_rects) < min_rows or len(v_segments) < min_cols + 1:
         return []
     tables = []
