@@ -599,3 +599,47 @@ def test_kitchen_sink4_parity(seed, tmp_path):
     assert extract_document("u", pdf, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink4_{seed} md"
+
+
+def test_classify_role_promotion_paths_parity(tmp_path):
+    """Positive-case pins for the classifyRole branches ported in r4:
+    gapAbove display-singleton (:3016), marker-only enumerator re-judge
+    (:2979-2992), colorDistinct demotion veto (:3044).  Text+markdown
+    byte-parity vs the live reference."""
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+
+    body = (
+        "BT /F1 11 Tf 72 600 Td (The committee reviewed all of the "
+        "evidence and made findings) Tj ET\n"
+        "BT /F1 11 Tf 72 586 Td (that are discussed at length in the "
+        "following short sections.) Tj ET\n"
+        "BT /F1 11 Tf 72 572 Td (Some more ordinary body prose "
+        "continues here for ballast now) Tj ET\n"
+        "BT /F1 11 Tf 72 558 Td (and again continues with more plain "
+        "text for the page body.) Tj ET\n"
+        "BT /F1 11 Tf 72 544 Td (Still more prose in the body color "
+        "and face to dominate chars) Tj ET\n"
+        "BT /F1 11 Tf 72 530 Td (so that the distinct styles below are "
+        "judged against it all.) Tj ET\n")
+    cases = {
+        "gapabove": (
+            "BT /F1 14 Tf 72 700 Td (A Full Width Display Title Line "
+            "That Spans Nearly The Whole Column Width Here) Tj ET\n"
+            + body),
+        "colorhead": (
+            body
+            + "BT /F1 11 Tf 1 0 0 rg 72 500 Td (SECTION HEADING IN RED "
+            "CAPS) Tj 0 0 0 rg ET\n"
+            "BT /F1 11 Tf 72 486 Td (following body paragraph resumes "
+            "in black prose right after) Tj ET\n"),
+    }
+    for name, stream in cases.items():
+        pdf = _make_pdf([stream], {"F1": "Helvetica"})
+        p = tmp_path / f"{name}.pdf"
+        p.write_bytes(pdf)
+        assert extract_document("u", pdf, "", "eng")["extracted_text"] \
+            == _ref_extract(str(p)), f"{name} text"
+        assert extract_document(
+            "u", pdf, "", "eng",
+            emit_format="markdown")["extracted_text"] \
+            == _ref_fmt(str(p), "md"), f"{name} md"
