@@ -49,7 +49,7 @@ def consensus_over_layers(layers_ds):
             })
         stats = build_consensus_page(base_page,
                                      [c for c in comps if c is not None])
-        analyze_layout([base_page])
+        analyze_layout([base_page], pdf_type="ocr")
         text, _ = write_text_spans([base_page], reflow_text=True,
                                    drop_furniture=True)
         return pd.DataFrame({

@@ -210,7 +210,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             pages, doc_type, outline = parse_pdf_document(
                 payload, with_outline=True)
             analyze_layout(pages,
-                           outline_titles=[o["title"] for o in outline])
+                           outline_titles=[o["title"] for o in outline],
+                           pdf_type=doc_type)
             if emit_format == "pdf_overlay":
                 # searchable-scan product: invisible text layer merged
                 # back onto the ORIGINAL pages (S9 writePdfOverlay)
@@ -250,7 +251,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 # main-content mode is OUR corpus feature (north-rule
                 # boilerplate strip): roles are needed to drop, so the
                 # doc-level layout pass runs only when asked
-                analyze_layout(pages)
+                analyze_layout(pages, pdf_type="ocr")
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,
@@ -268,7 +269,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             else:
                 pages = cloud.parse_azure_doc_intel(raw)
             if drop_furniture:
-                analyze_layout(pages)
+                analyze_layout(pages, pdf_type="ocr")
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,
@@ -281,7 +282,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             raw = payload.decode("utf-8", "replace")
             pages = [parse_blocks_page(raw, 0)]
             if drop_furniture:
-                analyze_layout(pages)
+                analyze_layout(pages, pdf_type="ocr")
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,

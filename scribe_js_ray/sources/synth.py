@@ -204,7 +204,14 @@ def make_hocr_paragraphs(r: random.Random) -> str:
     b.line([w.capitalize() for w in _sentence(r, 4)[:-1]] or ["Heading"],
            size=64, x_height=44, align="center")
     b.skip(60)
-    _flow_paragraph(b, _paragraph_words(r, 3))
+    para = _paragraph_words(r, 3)
+    # In-text note reference ("word¹"): the reference's footnote rules
+    # are evidence-gated (analyzeLayout.js:789-812) — a note marker
+    # anchors the sup-ref scheme only when a body word carries the
+    # matching superscript reference.
+    if len(para) > 2:
+        para[2] += "¹"
+    _flow_paragraph(b, para)
     b.skip(20)
     for i in range(r.randint(2, 4)):
         item = ["•"] + _sentence(r, r.randint(5, 9))

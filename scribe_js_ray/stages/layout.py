@@ -50,6 +50,9 @@ _ROMAN_RE = re.compile(
     r"^m{0,3}(cm|cd|d?c{0,3})(xc|xl|l?x{0,3})(ix|iv|v?i{0,3})$", re.I)
 _N_OF_M_RE = re.compile(r"^\d{1,3}\s+of\s+\d{1,3}$")
 _SUP_MARKER_RE = re.compile(r"^[\d*†‡]{1,3}$")
+# analyzeLayout.js:6 — digit-convention note sites skip CJK lines
+_CJK_RE = re.compile(r"[ᄀ-ᇿ　-鿿가-힯"
+                     r"豈-﫿＀-￯]")
 _LETTER_RE = re.compile(r"[A-Za-z]")
 _ENDS_TERMINAL_RE = re.compile(r"[.!?:][\"')”’]?\s*$")
 _STARTS_LOWER_RE = re.compile(r"[a-z]")
@@ -83,7 +86,8 @@ class _Feat:
                  "family", "sig_key", "below_nchar",
                  "first_word_width", "below_feat", "drop_cap",
                  "in_inset_run", "family_distinct", "list_confirmed",
-                 "color", "color_distinct", "gap_above")
+                 "color", "color_distinct", "gap_above", "row_fragment",
+                 "block_region", "footnote_opener")
 
     def __init__(self):
         self.role = "body"
@@ -113,6 +117,9 @@ class _Feat:
         self.color = "#000000"
         self.color_distinct = False
         self.gap_above = float("inf")
+        self.row_fragment = False
+        self.block_region = None
+        self.footnote_opener = False
 
 
 def _line_size(line) -> float:
@@ -685,13 +692,22 @@ _SUP_DIGITS = {"⁰": "0", "¹": "1", "²": "2", "³": "3", "⁴": "4", "⁵": "
                "⁶": "6", "⁷": "7", "⁸": "8", "⁹": "9"}
 
 
-def _collect_body_ref_labels(pages) -> set:
+def _collect_body_ref_labels(pages):
     """In-text note-reference labels: glued symbol markers, FN+digits,
     Unicode superscript digits, and sup-styled marker words (word 0 of a
     line is skipped — a note's own opener is not a reference)
-    (analyzeLayout.js:652-706)."""
+    (analyzeLayout.js:652-706).  Returns ``(doc_set, per_page)`` — the
+    reference keeps both: classifyRole anchors each note claim on a
+    SAME-PAGE reference (bodyRefLabels.get(page), :708-710) while the
+    endnote pass keys on the doc-wide set (bodyRefLabelsDoc, :794)."""
     labels = set()
-    for page in pages:
+    by_page: dict[int, set] = {}
+
+    def _add(p, label):
+        labels.add(label)
+        by_page.setdefault(p, set()).add(label)
+
+    for p, page in enumerate(pages):
         for line in page.lines:
             ws = line.words
             for wi in range(1, len(ws)):
@@ -700,19 +716,19 @@ def _collect_body_ref_labels(pages) -> set:
                     continue
                 m = re.search(r"[A-Za-z0-9][*†‡∗]{1,3}$", wt)
                 if m:
-                    labels.add(m.group(0)[1:])
+                    _add(p, m.group(0)[1:])
                 m = re.search(r"FN(\d{1,3})$", wt)
                 if m:
-                    labels.add(m.group(1))
+                    _add(p, m.group(1))
                 m = re.search(r"[⁰¹²³⁴-⁹]{1,4}$", wt)
                 if m:
-                    labels.add("".join(_SUP_DIGITS.get(c, "")
-                                       for c in m.group(0)))
+                    _add(p, "".join(_SUP_DIGITS.get(c, "")
+                                    for c in m.group(0)))
                 if ws[wi].style.sup:
                     label = re.sub(r"[.)\]/]+$", "", wt)
                     if re.match(r"^[\d*†‡∗]{1,3}$", label):
-                        labels.add(label)
-    return labels
+                        _add(p, label)
+    return labels, by_page
 
 
 def _pass_endnotes(pages, feats, schemes, body_ref_labels, body_size,
@@ -1037,7 +1053,8 @@ def _pass_running_furniture(pages, feats):
 
 def classify_roles(pages, feats, body_size, furniture_ids=None,
                    page_columns=None, schemes=None, heading_model=None,
-                   concordance=None, par_model=None):
+                   concordance=None, par_model=None, body_ref_pages=None,
+                   suppress_notes=False):
     n_pages = len(pages)
     if furniture_ids is None:
         furniture_ids = _pass_running_furniture(pages, feats)
@@ -1096,6 +1113,145 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
                     f.gap_above = f.top - g.bottom
                     break
 
+    # Footnote separator rules (analyzeLayout.js:929-984): a short,
+    # left-anchored drawn rule whose below-lines corroborate a note
+    # region.  Lower-half rules corroborate on small text or an
+    # active-scheme enumerator; an above-midline rule is trusted only
+    # on an active-sequence superscript marker below it (:975-983).
+    # The rule's y feeds the EVIDENCE-GATED note rules below — there is
+    # deliberately no markerless "everything under the rule is a note"
+    # re-tag (:2910-2912: mistyping body as a note is far worse).
+    fn_rule_y: dict = {}
+    by_page_fr: dict = {}
+    for f in feats:
+        by_page_fr.setdefault(f.page, []).append(f)
+    sup_sc = (schemes or {}).get("sup-ref")
+    page_flush_m = par_model["pageFlush"] if par_model else {}
+    body_ref_pages = body_ref_pages or {}
+    for p, pf in by_page_fr.items():
+        if suppress_notes or (concordance and p in concordance):
+            continue
+        rules = getattr(pages[p], "rules", None) or []
+        page_h = pages[p].height or 0
+        if not rules or not page_h:
+            continue
+        flush = page_flush_m.get(p)
+        if flush is None:
+            flush = quantile([g.left for g in pf], 0.25) or body_left
+        y = y_any = None
+        for r in rules:
+            if r["left"] > flush + body_size:
+                continue
+            # Union collinear segments before the width test: a
+            # segmented table border still reads full-width and rejects.
+            u_l, u_r = r["left"], r["right"]
+            for q in rules:
+                if abs(q["y"] - r["y"]) <= body_size * 0.3:
+                    u_l = min(u_l, q["left"])
+                    u_r = max(u_r, q["right"])
+            if u_r - u_l > col_width * 0.6:
+                continue
+            # A rule inside a line's bbox is an underline, not a
+            # separator.
+            if any(g.top <= r["y"] <= g.bottom and r["left"] < g.right
+                   and r["right"] > g.left for g in pf):
+                continue
+            if y_any is None or r["y"] < y_any:
+                y_any = r["y"]
+            if r["y"] < page_h * 0.5:
+                continue
+            if y is None or r["y"] < y:
+                y = r["y"]
+        if y is not None:
+            corroborated = False
+            for g in pf:
+                if g.top <= y:
+                    continue
+                if g.size_ratio <= 0.86 \
+                        and re.search(r"[A-Za-z]{2,}", g.text):
+                    corroborated = True
+                    break
+                e = g.enumerator
+                sc = schemes.get(e["scheme"]) if e else None
+                if e and e["value"] is not None and sc and sc["active"] \
+                        and e["value"] in sc["sequence_values"]:
+                    corroborated = True
+                    break
+            if corroborated:
+                fn_rule_y[p] = y
+        elif y_any is not None:
+            marker_below = False
+            for g in pf:
+                if g.top <= y_any or not g.first_word_sup \
+                        or not g.enumerator \
+                        or g.enumerator["value"] is None:
+                    continue
+                sc = schemes.get(g.enumerator["scheme"])
+                if sc and sc["active"] \
+                        and g.enumerator["value"] in sc["sequence_values"]:
+                    marker_below = True
+                    break
+            if marker_below:
+                fn_rule_y[p] = y_any
+
+    # Note-style profile (:1490-1537): doc-level gate for the full-size
+    # leading-number note rule, plus the size/weight envelope note
+    # claims are judged against.  Collected from evidence-confirmed
+    # note lines, never from the envelope itself.
+    baseline_marker_notes = 0
+    for f in feats:
+        if f.first_word_sup or f.bottom_frac <= 0.5:
+            continue
+        rp = body_ref_pages.get(f.page)
+        if not rp:
+            continue
+        ws = f.line.words
+        lead = re.sub(r"[.)\]/]+$", "",
+                      (ws[0].text or "").strip() if ws else "")
+        if not re.fullmatch(r"\d{1,3}", lead) or lead not in rp:
+            continue
+        fy = fn_rule_y.get(f.page)
+        if fy is None or f.top <= fy:
+            continue
+        if f.left <= page_flush_m.get(f.page, body_left) + body_size * 2:
+            baseline_marker_notes += 1
+    uses_baseline_marker = baseline_marker_notes >= 1
+
+    note_style_lines = []
+    for f in feats:
+        if f.endnote or f.footnote_block:
+            note_style_lines.append(f)
+            continue
+        if f.bottom_frac <= 0.5:
+            continue
+        if sup_sc and sup_sc["active"] and f.first_word_sup \
+                and f.enumerator and f.enumerator["scheme"] == "sup-ref" \
+                and f.enumerator["value"] is not None \
+                and f.enumerator["value"] in sup_sc["sequence_values"]:
+            note_style_lines.append(f)
+            continue
+        rp = body_ref_pages.get(f.page)
+        if not rp or f.all_caps:
+            continue
+        fy = fn_rule_y.get(f.page)
+        bound = body_size * (2 if (fy is not None and f.top > fy) else 1)
+        if f.left > page_flush_m.get(f.page, body_left) + bound:
+            continue
+        ws = f.line.words
+        w0t = (ws[0].text or "").strip() if ws else ""
+        lead = re.sub(r"[.)\]/]+$", "", w0t)
+        glued = re.match(r"([*†‡∗]{1,3})[A-Za-z0-9(“\"'‘]", w0t)
+        if ((re.fullmatch(r"[*†‡∗]{1,3}", lead) and lead in rp)
+                or (glued and glued.group(1) in rp)
+                or (re.fullmatch(r"\d{1,3}", lead) and lead in rp
+                    and uses_baseline_marker)):
+            note_style_lines.append(f)
+    note_sizes = sorted(f.size for f in note_style_lines if f.size)
+    np_opener_size = (quantile(note_sizes, 0.9) or 0) if note_sizes else 0
+    np_notes_bold = len(note_style_lines) >= 2 and sum(
+        1 for f in note_style_lines if f.bold > 0.6) \
+        / len(note_style_lines) >= 0.5
+
     for fi, f in enumerate(feats):
         # prev = previous same-page line in reading order, already
         # classified (the reference classifies in reading order so each
@@ -1107,12 +1263,6 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             continue
         if f.folio:
             f.role = "pagenum"
-            continue
-        if f.endnote:
-            f.role = "endnote"
-            continue
-        if f.footnote_block:
-            f.role = "footnote"
             continue
         # Struct-tree overlay (tagged PDFs, M21): an H*/Title element is
         # a heading regardless of geometric evidence.
@@ -1146,14 +1296,80 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
         if f.struct_role in ("TD", "TH"):
             f.role = "body"
             continue
-        # Footnote start: bottom-half line opening with a superscript marker.
-        # Suppressed on concordance (word-index) pages — their numbered
-        # entries are not notes (analyzeLayout.js:2906-2909).
-        if f.first_word_sup and f.bottom_frac > 0.5 \
-                and not (concordance and f.page in concordance) \
-                and _SUP_MARKER_RE.match(f.line.words[0].text):
+        # Note rules (classifyRole :2909-2968), every one gated on
+        # per-instance evidence — an in-text reference, an active
+        # superscript-marker sequence, or the endnote/footnoteBlock
+        # passes — never on geometry alone (:2910-2912: mistyping body
+        # as a note is far worse than a deliberate miss).  The
+        # cross-page footnoteContinues arm (:2926-2929, fed by the
+        # :989-1084 continuation machinery) is not ported.
+        skip_notes = bool(concordance and f.page in concordance)
+        fn_y = None if skip_notes else fn_rule_y.get(f.page)
+        note_envelope = ((f.size_ratio <= 1.08
+                          or f.size <= body_size * 1.08
+                          or (np_opener_size > 0
+                              and f.size <= np_opener_size * 1.08))
+                         and (f.bold < 0.9 or np_notes_bold))
+        page_refs = body_ref_pages.get(f.page, ())
+        flush_p = page_flush_m.get(f.page, body_left)
+        # Isolated bare-digit marker below the separator whose value is
+        # referenced in this page's text (:2920-2923).
+        if (fn_y is not None and note_envelope and f.top > fn_y
+                and f.bottom_frac > 0.5 and f.size_ratio <= 0.86
+                and re.fullmatch(r"\d{1,3}", t)
+                and f.left <= flush_p + body_size
+                and t in page_refs):
             f.role = "footnote"
             continue
+        # Endnote / footnote-block passes, envelope-gated so a bold
+        # display heading inside a note-dominated block stays a heading
+        # (:2930-2934).
+        if not skip_notes and f.endnote and note_envelope:
+            f.role = "endnote"
+            continue
+        if not skip_notes and f.footnote_block and note_envelope:
+            f.role = "footnote"
+            continue
+        # Superscript-marker note opener in an active, reference-
+        # corroborated sup-ref sequence (:2935-2944).
+        if (not skip_notes and note_envelope and sup_sc
+                and sup_sc["active"]
+                and (f.bottom_frac > 0.5
+                     or (fn_y is not None and f.top > fn_y))
+                and not _CJK_RE.search(t)
+                and f.first_word_sup and f.enumerator
+                and f.enumerator["scheme"] == "sup-ref"
+                and f.enumerator["value"] is not None
+                and f.enumerator["value"] in sup_sc["sequence_values"]):
+            f.role = "footnote"
+            continue
+        # Westlaw "FN"+number opener (:2945-2950).
+        if (not skip_notes and note_envelope and sup_sc
+                and sup_sc["active"] and f.enumerator
+                and f.enumerator["scheme"] == "sup-ref"
+                and re.match(r"FN\d", f.enumerator.get("raw") or "")
+                and f.enumerator["value"] is not None
+                and f.enumerator["value"] in sup_sc["sequence_values"]):
+            f.role = "footnote"
+            continue
+        # Body-size footnote: leading label matches an in-text
+        # reference on the SAME page (:2951-2968).
+        if (not skip_notes and note_envelope and f.bottom_frac > 0.5
+                and not f.all_caps and page_refs
+                and f.left <= flush_p + body_size
+                * (2 if (fn_y is not None and f.top > fn_y) else 1)):
+            ws0 = f.line.words
+            w0t = (ws0[0].text or "").strip() if ws0 else ""
+            lead = re.sub(r"[.)\]/]+$", "", w0t)
+            glued = re.match(r"([*†‡∗]{1,3})[A-Za-z0-9(“\"'‘]", w0t)
+            if (lead in page_refs
+                    or (glued and glued.group(1) in page_refs)):
+                if re.fullmatch(r"[*†‡∗]{1,3}", lead) or glued:
+                    f.role = "footnote"
+                    continue
+                if re.fullmatch(r"\d{1,3}", lead) and uses_baseline_marker:
+                    f.role = "footnote"
+                    continue
         # A definition-list item's bold lead term, and any table-region
         # line, stay body before the heading logic (:2970-2972).
         if f.struct_role == "LI" or f.in_table:
@@ -1305,76 +1521,55 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             elif f.bottom_frac > 0.88:
                 f.role = "footer"
 
-    # Footnote separator rules (analyzeLayout.js:931-990): a short,
-    # left-anchored drawn rule in the lower half whose below-lines look
-    # like notes (reduced size or an active-scheme enumerator) marks a
-    # note region — everything below it on the page is footnote.
-    by_page_fr: dict = {}
+    # Bare-integer note-marker chains (analyzeLayout.js:2057-2088):
+    # markers with no trailing dot and no superscript carry no
+    # enumerator, so geometricBreak's numbering rule never splits the
+    # note block.  A >=2-member +1 chain of leading integers among a
+    # page's footnote lines flags each chain member footnoteOpener; the
+    # chain's missing first note (misclassified body, bare digit equal
+    # to firstVal-1 just above the block) is rescued.
+    by_page_fo: dict = {}
     for f in feats:
-        by_page_fr.setdefault(f.page, []).append(f)
-    for p, pf in by_page_fr.items():
-        if concordance and p in concordance:
+        by_page_fo.setdefault(f.page, []).append(f)
+    fo_leading = par_model["leading"] if par_model else body_size * 1.2
+    for p, pf in by_page_fo.items():
+        fn = sorted((f for f in pf if f.role == "footnote"),
+                    key=lambda f: f.top)
+        if len(fn) < 2:
             continue
-        rules = getattr(pages[p], "rules", None) or []
-        page_h = pages[p].height or 0
-        if not rules or not page_h:
+        lead_vals = []
+        for f in fn:
+            m = re.match(r"(\d{1,3})(?=\D|$)", (f.text or "").strip())
+            lead_vals.append(int(m.group(1)) if m else None)
+        best: list = []
+        for a in range(len(fn)):
+            if lead_vals[a] is None:
+                continue
+            seq = [a]
+            expected = lead_vals[a] + 1
+            for j in range(a + 1, len(fn)):
+                if lead_vals[j] == expected:
+                    seq.append(j)
+                    expected += 1
+            if len(seq) > len(best):
+                best = seq
+        if len(best) < 2:
             continue
-        flush = quantile([g.left for g in pf], 0.25) or body_left
-        y = None
-        for r in rules:
-            if r["left"] > flush + body_size:
+        for idx in best:
+            fn[idx].footnote_opener = True
+        first_val = lead_vals[best[0]]
+        top_fn = fn[0].top
+        flush_max = page_flush_m.get(p, body_left) + body_size
+        for f in pf:
+            if f.role != "body" or f.top >= top_fn \
+                    or top_fn - f.top > fo_leading * 3:
                 continue
-            # Union collinear segments before the width test: a
-            # segmented table border still reads full-width and rejects.
-            u_l, u_r = r["left"], r["right"]
-            for q in rules:
-                if abs(q["y"] - r["y"]) <= body_size * 0.3:
-                    u_l = min(u_l, q["left"])
-                    u_r = max(u_r, q["right"])
-            if u_r - u_l > col_width * 0.6:
+            if f.size_ratio > 0.86 or f.left > flush_max:
                 continue
-            # A rule inside a line's bbox is an underline, not a
-            # separator.
-            if any(g.top <= r["y"] <= g.bottom and r["left"] < g.right
-                   and r["right"] > g.left for g in pf):
-                continue
-            if r["y"] < page_h * 0.5:
-                continue
-            if y is None or r["y"] < y:
-                y = r["y"]
-        if y is None:
-            continue
-        corroborated = False
-        for g in pf:
-            if g.top <= y:
-                continue
-            if g.size_ratio <= 0.86 and re.search(r"[A-Za-z]{2,}", g.text):
-                corroborated = True
-                break
-            e = g.enumerator
-            sc = schemes.get(e["scheme"]) if e else None
-            if e and e["value"] is not None and sc and sc["active"] \
-                    and e["value"] in sc["sequence_values"]:
-                corroborated = True
-                break
-        if not corroborated:
-            continue
-        for g in pf:
-            if g.top > y and g.role == "body":
-                g.role = "footnote"
-
-    # Footnote region: once a sup-marker note opens at the bottom of a page,
-    # body lines at or below it on that page are its continuation
-    # (analyzeLayout.js footnote-region machinery, simplified).
-    note_top = {}
-    for f in feats:
-        if f.role == "footnote" and (f.page not in note_top
-                                     or f.top < note_top[f.page]):
-            note_top[f.page] = f.top
-    for f in feats:
-        if f.role == "body" and f.page in note_top \
-                and f.top >= note_top[f.page]:
-            f.role = "footnote"
+            if re.fullmatch(r"\d{1,3}", (f.text or "").strip()) \
+                    and int(f.text.strip()) == first_val - 1:
+                f.role = "footnote"
+                f.footnote_opener = True
 
 
 def _pass_list_confirm(feats, body_size, body_text_left, schemes) -> None:
@@ -1573,7 +1768,8 @@ def _apply_struct_elements(pages, feats, indent_strong=False) -> None:
         page.pars = merged
 
 
-def analyze_layout(pages: list, outline_titles=None) -> None:
+def analyze_layout(pages: list, outline_titles=None,
+                   pdf_type=None) -> None:
     """Assign paragraphs + semantic roles across all pages of one document.
 
     Mutates each page: sets page.pars (geometric breaks from
@@ -1583,6 +1779,10 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     whose normalized text equals a title is a heading regardless of the
     geometric evidence (outline-heading overlay, the outlineIndex.js:151
     structural signal consumed by applyDocParagraphLayout).
+
+    ``pdf_type``: 'text'|'ocr'|'image' origin of the pages — the
+    scanned-transcript note-suppression gate (analyzeLayout.js:635-648)
+    applies only to OCR-origin data.
     """
     # Stamp text-detected data-table regions (numeric-dominated only —
     # a transcript's line-number margin also reads as a columnar table
@@ -1636,7 +1836,58 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     _pass_folios(pages, feats)
     furniture_ids = _pass_running_furniture(pages, feats)
     schemes = _detect_numbering_schemes(feats)
-    body_ref_labels = _collect_body_ref_labels(pages)
+
+    # Note suppression on scanned line-numbered transcripts
+    # (analyzeLayout.js:635-648): OCR-baked margin line numbers read as
+    # note markers and would cascade testimony pages into 'footnote'.
+    suppress_notes = False
+    if pdf_type in ("ocr", "image"):
+        locked = leading_ln = 0
+        for f in feats:
+            if f.line_num:
+                locked += 1
+                continue
+            ws = f.line.words
+            w0 = (ws[0].text or "") if ws else ""
+            if re.fullmatch(r"\d{1,2}", w0) and 1 <= int(w0) <= 35:
+                leading_ln += 1
+        suppress_notes = locked >= 10 or leading_ln >= len(feats) * 0.2
+
+    if suppress_notes:
+        body_ref_labels, body_ref_pages = set(), {}
+    else:
+        body_ref_labels, body_ref_pages = _collect_body_ref_labels(pages)
+
+    # sup-ref corroboration (analyzeLayout.js:789-812): the scheme's
+    # sequence values are the would-be note openers, so a run of them is
+    # self-corroborating — an independent in-text reference must confirm
+    # it.  Conversely a line-leading superscript integer matching an
+    # in-text reference is strong evidence on its own, so the scheme
+    # activates for exactly those anchored values even without a >=3 run.
+    sup_run = schemes.get("sup-ref")
+    if sup_run:
+        if suppress_notes:
+            sup_run["active"] = False
+        if sup_run["active"] and not any(
+                str(v) in body_ref_labels
+                for v in sup_run["sequence_values"]):
+            sup_run["active"] = False
+        if not suppress_notes and not sup_run["active"]:
+            anchored = set()
+            for f in feats:
+                # A line number carries the same raised-digit sup-ref
+                # enumerator as a note marker (:803-806).
+                if f.line_num or _CJK_RE.search(f.text):
+                    continue
+                if f.first_word_sup and f.enumerator \
+                        and f.enumerator["scheme"] == "sup-ref" \
+                        and f.enumerator["value"] is not None \
+                        and str(f.enumerator["value"]) in body_ref_labels:
+                    anchored.add(f.enumerator["value"])
+            if anchored:
+                sup_run["active"] = True
+                sup_run["sequence_values"] = anchored
+
     _pass_endnotes(pages, feats, schemes, body_ref_labels, body_size,
                    furniture_ids)
     by_page: dict = {}
@@ -1661,7 +1912,8 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     classify_roles(pages, feats, body_size, furniture_ids=furniture_ids,
                    page_columns=page_columns, schemes=schemes,
                    heading_model=heading_model, concordance=concordance,
-                   par_model=model)
+                   par_model=model, body_ref_pages=body_ref_pages,
+                   suppress_notes=suppress_notes)
 
     if outline_titles:
         import re as _re
@@ -1679,6 +1931,11 @@ def analyze_layout(pages: list, outline_titles=None) -> None:
     # for feature-less pages, mirroring the reference's in-worker
     # provisional result.
     _pass_list_confirm(feats, body_size, model["bodyTextLeft"], schemes)
+    # Row fragments + block-quote inset regions (analyzeLayout.js:
+    # 1931-2045) — after role classification, the reference's phase
+    # order, so the region walk sees final body roles.
+    from .parbreaks import assign_block_regions
+    assign_block_regions(pages, feats, model, page_columns, body_size)
     rebuild_pars(pages, feats, model, _ROLE_TO_TYPE)
 
     _apply_struct_elements(pages, feats,

@@ -9,12 +9,13 @@ model assembly :355-925).  Our per-page ``reflow.assign_paragraphs``
 features, mirroring the reference's in-worker provisional grouping.
 
 Ported rule set (reference order preserved; line-range citations per
-rule below).  Subsystems whose inputs the feature pass does not yet
-carry are documented at their call sites and default to inactive:
-block-quote inset *regions* (blockRegion/inInsetRun), confirmed local
-lists (listConfirmed), citation-link continuations (word link styles),
-and the footnote-opener sequence flag.  Each inactive input degrades to
-the reference's behavior for documents without that structure.
+rule below).  Block-quote inset regions (blockRegion, :1954-2045) and
+the row-fragment flags that keep the region walk top-monotonic
+(:1931-1952) are assigned by ``assign_block_regions`` after role
+classification, exactly the reference's phase order.  The one remaining
+inactive input is the citation-link continuation (:2683-2685) — our
+Word style does not carry /Link annotation membership, degrading to the
+reference's behavior for documents without hyperlinked citations.
 """
 
 from __future__ import annotations
@@ -418,6 +419,157 @@ def build_par_model(pages, feats, body_size, page_columns, schemes):
     }
 
 
+def _col_eq(a, b) -> bool:
+    """columnFor identity compare (the reference compares column object
+    references; our columns are stable dicts per page)."""
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    return a is b or a == b
+
+
+# :1945 raised-marker fragment form ("[34]", "12", "*")
+_FRAG_RE = re.compile(r"\[?[\d*†‡]{1,3}\]?")
+
+
+def assign_block_regions(pages, feats, model, page_columns, body_size):
+    """Row fragments + layout regions (analyzeLayout.js:1931-2045).
+
+    Row fragments (:1931-1952): a raised reference marker the line
+    grouper emitted as its own "line" is invisible to the region walk
+    (it would break the top-monotonic advance) and rides its row's
+    region afterwards (:2040-2044).
+
+    Regions (:1954-2045): a run of >=2 body lines sharing one indented
+    left margin at a homogeneous pitch, also inset on the right, gets a
+    frame {left,right,width,pitch,justified_local} that decideBreak
+    judges interior lines against.  Runs after role classification,
+    the reference's phase order (classifyRole applies at :1634)."""
+    by_page: dict[int, list] = {}
+    for f in feats:
+        f.row_fragment = False
+        f.block_region = None
+        by_page.setdefault(f.page, []).append(f)
+
+    for p, pf_all in by_page.items():
+        # row fragments: raised, small, bare-marker lines on the
+        # previous flow line's row (:1934-1952)
+        last_flow = None
+        for f in pf_all:
+            if last_flow is not None:
+                overlap = min(f.bottom, last_flow.bottom) \
+                    - max(f.top, last_flow.top)
+                if (overlap >= _height(f) * 0.5
+                        and _height(f) < _height(last_flow) * 0.8
+                        and f.left > last_flow.left + body_size
+                        and f.left < last_flow.right + body_size * 2
+                        and _FRAG_RE.fullmatch((f.text or "").strip())):
+                    f.row_fragment = True
+                    continue
+            last_flow = f
+
+        pf = [ln for ln in pf_all if not ln.row_fragment]
+        page_flush_p = model["pageFlush"].get(p, model["bodyLeft"])
+        pcols = (page_columns or {}).get(p)
+        page_gap = model["pageParaGap"].get(p)
+        gap_b = page_gap if (page_gap is not None and page_gap != _INF) \
+            else model["paraGapThresh"]
+        advance_cap = min(gap_b, body_size * 4)
+        k = 0
+        while k < len(pf):
+            anchor = pf[k]
+            col = _column_for(anchor.left, pcols, body_size)
+            flush_here = col["left"] if col else page_flush_p
+            right_here = col["right"] if col else model["bodyRight"]
+            if anchor.role != "body" or anchor.artifact_frac > 0.6 \
+                    or anchor.left <= flush_here + body_size * 0.4:
+                k += 1
+                continue
+            j = k + 1
+            while (j < len(pf) and pf[j].role == "body"
+                   and pf[j].artifact_frac <= 0.6
+                   and abs(pf[j].left - anchor.left) < body_size * 0.5
+                   and _col_eq(_column_for(pf[j].left, pcols, body_size),
+                               col)
+                   and pf[j].top - pf[j - 1].top > 0
+                   and pf[j].top - pf[j - 1].top <= advance_cap):
+                j += 1
+            # split the same-left run at pitch seams (:1983-1989)
+            advances = [pf[i].top - pf[i - 1].top for i in range(k + 1, j)]
+            min_adv = min(advances) if advances else 0
+            seg_start = k
+            for seg_end in range(k + 1, j + 1):
+                if seg_end < j and pf[seg_end].top - pf[seg_end - 1].top \
+                        <= min_adv * 1.3:
+                    continue
+                if seg_end - seg_start >= 2:
+                    run = pf[seg_start:seg_end]
+                    left = min(ln.left for ln in run)
+                    right = max(ln.right for ln in run)
+                    # a real quotation is also right-inset and wraps a
+                    # non-final line mid-sentence (:1994-1998)
+                    both_sides = right_here - right \
+                        >= (left - flush_here) * 0.5
+                    flows = any(not ln.ends_terminal for ln in run[:-1])
+                    if both_sides and flows:
+                        seg_adv = sorted(run[i + 1].top - run[i].top
+                                         for i in range(len(run) - 1))
+                        interior = run[:-1]
+                        full_count = sum(
+                            1 for ln in interior
+                            if ln.right >= right - (right - left) * 0.10)
+                        region = {
+                            "left": left, "right": right,
+                            "width": right - left,
+                            "pitch": seg_adv[len(seg_adv) // 2],
+                            "justified_local": len(interior) >= 3
+                            and full_count / len(interior) >= 0.5,
+                        }
+                        for ln in run:
+                            ln.block_region = region
+                        # absorb an off-margin opener directly above
+                        # into membership, never the frame (:2012-2032)
+                        member_top = run[0]
+                        for _a in range(3):
+                            idx = pf.index(member_top)
+                            above = pf[idx - 1] if idx > 0 else None
+                            if not (above is not None
+                                    and above.block_region is None
+                                    and above.role == "body"
+                                    and above.artifact_frac <= 0.6
+                                    and not above.ends_terminal
+                                    and _col_eq(_column_for(
+                                        above.left, pcols, body_size), col)
+                                    and member_top.top - above.top > 0
+                                    and member_top.top - above.top
+                                    <= region["pitch"] * 1.3
+                                    and (above.left > run[0].left
+                                         + body_size * 0.4
+                                         or (above.left < run[0].left
+                                             - body_size * 0.4
+                                             and model["bodyTextLeft"]
+                                             > model["bodyLeft"]
+                                             + body_size * 0.5
+                                             and abs(run[0].left
+                                                     - model["bodyTextLeft"])
+                                             < body_size * 0.5))):
+                                break
+                            above.block_region = region
+                            member_top = above
+                seg_start = seg_end
+            k = j
+        # a fragment rides its row's line (:2040-2044)
+        last_real = None
+        for ln in pf_all:
+            if ln.row_fragment:
+                if last_real is not None \
+                        and last_real.block_region is not None:
+                    ln.block_region = last_real.block_region
+                continue
+            last_real = ln
+
+
 def geometric_break(f, prev, model, cur_par_first):
     """analyzeLayout.js:2395-2830 geometricBreak, rules in reference
     order.  Returns (new_par, reason)."""
@@ -445,6 +597,11 @@ def geometric_break(f, prev, model, cur_par_first):
             if prev.bottom < ry < f.top and (rr or 0) > span_l \
                     and (rl or 0) < span_r:
                 return True, "separator rule"
+
+    # a confirmed bare-integer note opener begins a new note — the
+    # break is unconditional and strong (:2422-2424)
+    if getattr(f, "footnote_opener", False):
+        return True, "footnote marker"
 
     col_jump = body_size * 1.5
     same_column = (abs(f.left - prev.left) < model["colWidth"] * 0.5
@@ -606,22 +763,33 @@ def geometric_break(f, prev, model, cur_par_first):
     if getattr(f, "drop_cap", False):
         return True, "drop cap"
 
-    # per-line column frame (:2612-2622); block-quote inset REGIONS not
-    # carried (no blockRegion machinery) — frames fall back to
-    # column/page margins, the reference's behavior without regions
+    # per-line column frame (:2607-2620); two lines inside one block
+    # region are judged against the region's own edges
     pcols = model["pageColumns"].get(prev.page)
     prev_col = _column_for(prev.left, pcols, body_size)
     f_col = _column_for(f.left, pcols, body_size)
-    end_right = prev_col["right"] if prev_col else model["bodyRight"]
-    end_width = prev_col["width"] if prev_col else model["colWidth"]
-    flush = f_col["left"] if f_col else model["pageFlush"].get(
-        f.page, model["bodyLeft"])
+    prev_region = getattr(prev, "block_region", None)
+    f_region = getattr(f, "block_region", None)
+    block = prev_region if (prev_region is not None
+                            and prev_region is f_region) else None
+    end_right = block["right"] if block \
+        else (prev_col["right"] if prev_col else model["bodyRight"])
+    end_width = block["width"] if block \
+        else (prev_col["width"] if prev_col else model["colWidth"])
+    flush = block["left"] if block \
+        else (f_col["left"] if f_col
+              else model["pageFlush"].get(f.page, model["bodyLeft"]))
 
-    # centered run (:2624-2640)
+    # centered run (:2624-2640); margins read the line's own frame,
+    # most specific first: region, then column, then page
     def centered_line(line_f, col):
-        lm = col["left"] if col else model["pageFlush"].get(
-            line_f.page, model["bodyLeft"])
-        rm = col["right"] if col else model["bodyRight"]
+        region = getattr(line_f, "block_region", None)
+        lm = region["left"] if region \
+            else (col["left"] if col
+                  else model["pageFlush"].get(line_f.page,
+                                              model["bodyLeft"]))
+        rm = region["right"] if region \
+            else (col["right"] if col else model["bodyRight"])
         li = line_f.left - lm
         ri = rm - line_f.right
         max_indent = max(model["indentDeltas"]) \
@@ -679,21 +847,21 @@ def geometric_break(f, prev, model, cur_par_first):
     starts_continuation = f.starts_lower and not prev.ends_terminal \
         and not f.enumerator
 
-    # tight/citation continuations need block regions / link styles the
-    # feature pass does not carry — inactive (see module docstring)
-    tight_continuation = False
+    # citation-link continuation (:2683-2685) needs word /Link styles
+    # the feature pass does not carry — inactive (see module docstring)
     citation_lead_continuation = False
 
-    # same-margin-no-gap veto input for the region rules (:2730-2735);
-    # kept for the list-outdent/indent rules ordering below
-    # (block-quote region transitions themselves are inactive)
-
-    # same-margin-no-gap veto (:2730-2735): a justified left-inset
-    # quote must not shred itself on its own interior lines
-    same_margin_no_gap = (prev.page == f.page
+    # region-scoped continuation gate (:2691-2698): two same-margin
+    # lines inside one region, advancing at the region's own pitch,
+    # with prev not ending terminally, are one flowing paragraph
+    tight_continuation = (block is not None
+                          and prev.role == "body" and f.role == "body"
+                          and not prev.ends_terminal
                           and abs(f.left - prev.left) < body_size * 0.5
-                          and prev.left > page_flush_here + body_size * 0.4
-                          and f.top - prev.top < body_size * 1.5)
+                          and f.top - prev.top > 0
+                          and f.top - prev.top <= block["pitch"] * 1.15
+                          and f.family == prev.family
+                          and abs(f.size - prev.size) <= body_size * 0.1)
 
     # per-line block-quote start/end (:2737-2758): both-side-inset runs
     # where the region pass is absent; gated to justified docs
@@ -711,7 +879,40 @@ def geometric_break(f, prev, model, cur_par_first):
                 and line_f.left > model["bodyTextLeft"]
                 + body_size * 0.5)
 
+    # Region transitions (:2714-2727): where the region pass has spoken,
+    # quote boundaries are region boundaries; interior lines (same
+    # region both sides) skip this block.  Off inside note paragraphs;
+    # a bare-word same-margin wrap is a wrapped sentence whatever the
+    # region tags say.
+    if ((f_region is not None or prev_region is not None)
+            and f_region is not prev_region
+            and prev.page == f.page
+            and f.role == "body" and prev.role == "body"
+            and (cur_par_first is None
+                 or cur_par_first.role not in ("footnote", "endnote"))
+            and not starts_continuation and not tight_continuation
+            and not bare_continuation):
+        if f_region is not None and prev_region is not None:
+            return True, "paragraph gap"
+        if f_region is not None and not hanging_continuation \
+                and not at_hang_body_column(f):
+            return True, "block quote"
+        if prev_region is not None and not hanging_continuation \
+                and not at_hang_body_column(prev):
+            return True, "block quote end"
+
+    # same-margin-no-gap veto (:2730-2735): a justified left-inset
+    # quote must not shred itself on its own interior lines
+    same_margin_no_gap = (prev.page == f.page
+                          and abs(f.left - prev.left) < body_size * 0.5
+                          and prev.left > page_flush_here + body_size * 0.4
+                          and f.top - prev.top < body_size * 1.5)
+
+    # Per-line quote start/end (:2737-2758): the fallback for runs the
+    # region pass rejected; !block keeps an interior pair of one region
+    # (an absorbed off-margin opener) from re-splitting here.
     if (model["justified"] and f_col is None and prev_col is None
+            and block is None
             and f.role == "body" and prev.role == "body"
             and prev.page == f.page and not starts_continuation
             and not tight_continuation and not bare_continuation
@@ -723,6 +924,7 @@ def geometric_break(f, prev, model, cur_par_first):
         return True, "block quote"
 
     if (model["justified"] and f_col is None and prev_col is None
+            and block is None
             and f.role == "body" and prev.role == "body"
             and prev.page == f.page and not starts_continuation
             and not tight_continuation and not hanging_continuation
@@ -774,7 +976,9 @@ def geometric_break(f, prev, model, cur_par_first):
     page_just = model["justified"] \
         if not (pj is False and page_gap is not None
                 and page_gap != _INF) else False
-    just_here = page_just
+    # inside a region the region's own right-edge coherence licenses
+    # the ends-early rule, never the document flag (:2800-2802)
+    just_here = block["justified_local"] if block else page_just
     if (just_here and prev.page == f.page and prev.role == "body"
             and f.role == "body" and not hanging_continuation
             and not tight_continuation and not bare_continuation

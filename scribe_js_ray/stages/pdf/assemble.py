@@ -42,8 +42,12 @@ from ...functions.textnorm import calc_lang, replace_ligatures
 from ...model import BBox, Char, Line, Page, Word
 from .colorfns import color_to_rgb, rgb_to_hex
 
-ASC_FRAC = 0.75     # glyph box above baseline (font-descriptor analog)
-DESC_FRAC = 0.25    # glyph box below baseline
+# Glyph box above/below the baseline — the reference's font-registry
+# defaults (parsePdfFonts.js:1444-1445 ascent=800/descent=-200); a
+# FontDescriptor /Ascent//Descent override is not tracked per char here
+# (our fixtures and typical base-14 products use the defaults).
+ASC_FRAC = 0.8
+DESC_FRAC = 0.2
 
 _SYMBOL_FONT_RE = re.compile(
     r"^(?:Webdings|Wingdings|ZapfDingbats|Dingbats|Symbol|SymbolMT|Quivira)"
@@ -901,15 +905,21 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
         all_chars = [c for w in words for c in w.chars]
         non_sup = [c for w in words if not w.sup for c in w.chars]
         box_chars = non_sup or all_chars
-        l_left = min(c.x for c in box_chars) * scale
-        l_right = max(c.x + c.width for c in box_chars) * scale
-        l_top = min(c.y - ASC_FRAC * c.size for c in box_chars) * scale
-        l_bottom = max(c.y + DESC_FRAC * c.size for c in box_chars) * scale
+        # Integer-rounded bboxes, per char BEFORE the min/max — the
+        # reference's OCR coordinate convention (parsePdfDoc.js:
+        # 2976-2985).  Downstream layout thresholds (leading multiples,
+        # gap regimes) are knife-edge sensitive to this quantization.
+        l_left = min(round(c.x * scale) for c in box_chars)
+        l_right = max(round((c.x + c.width) * scale) for c in box_chars)
+        l_top = min(round((c.y - ASC_FRAC * c.size) * scale)
+                    for c in box_chars)
+        l_bottom = max(round((c.y + DESC_FRAC * c.size) * scale)
+                       for c in box_chars)
 
         normal_base = next((w.chars[0].y for w in words
                             if not w.sup and not w.dropcap and w.chars),
                            all_chars[0].y)
-        baseline_off = normal_base * scale - l_bottom
+        baseline_off = round(normal_base * scale - l_bottom)
         anchor_char = box_chars[0]
 
         # Baseline slope from the averaged direction vector
@@ -933,7 +943,7 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
 
         line = Line(page, BBox(l_left, l_top, l_right, l_bottom),
                     [slope, baseline_off],
-                    ASC_FRAC * anchor_char.size * scale,
+                    0.6 * anchor_char.size * scale,
                     0.5 * anchor_char.size * scale)
         line.orientation = orientation
 
@@ -942,10 +952,14 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             if not text.strip():
                 continue
             wc = w.chars
-            w_left = min(c.x for c in wc) * scale
-            w_right = max(c.x + c.width for c in wc) * scale
-            w_top = min(c.y - ASC_FRAC * c.size for c in wc) * scale
-            w_bottom = max(c.y + DESC_FRAC * c.size for c in wc) * scale
+            # first/last char edges, per-char rounded tops/bottoms
+            # (parsePdfDoc.js:3039-3042)
+            w_left = round(wc[0].x * scale)
+            w_right = round((wc[-1].x + wc[-1].width) * scale)
+            w_top = min(round((c.y - ASC_FRAC * c.size) * scale)
+                        for c in wc)
+            w_bottom = max(round((c.y + DESC_FRAC * c.size) * scale)
+                           for c in wc)
             word = Word(line, f"w{n}_{len(page.lines)}_{len(line.words)}",
                         text, BBox(w_left, w_top, w_right, w_bottom))
             word.conf = 100

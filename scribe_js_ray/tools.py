@@ -63,15 +63,17 @@ def _load_pages(payload: bytes):
     kind = classify_payload(payload or b"")
     if kind == "pdf":
         from .stages.pdf import parse_pdf_document
-        pages, _, outline = parse_pdf_document(payload, with_outline=True)
+        pages, doc_type, outline = parse_pdf_document(
+            payload, with_outline=True)
         analyze_layout(pages,
-                       outline_titles=[o["title"] for o in outline])
+                       outline_titles=[o["title"] for o in outline],
+                       pdf_type=doc_type)
     elif kind == "scribe":
         from .stages.scribe_fmt import parse_scribe
         pages = parse_scribe(payload)
     elif kind in ("hocr", "alto", "abbyy", "stext"):
         pages = _parse_paged_payload(kind, payload)
-        analyze_layout(pages)
+        analyze_layout(pages, pdf_type="ocr")
     elif kind in ("textract", "google_vision", "google_doc_ai",
                   "azure_doc_intel"):
         from .stages import cloud
@@ -81,7 +83,7 @@ def _load_pages(payload: bytes):
                  "azure_doc_intel": cloud.parse_azure_doc_intel,
                  }.get(kind, lambda r: [
                      cloud.parse_google_vision_page(r, 0)])(raw)
-        analyze_layout(pages)
+        analyze_layout(pages, pdf_type="ocr")
     elif kind == "docx":
         from .stages.docx import parse_docx
         pages = parse_docx(payload)

@@ -139,17 +139,22 @@ def test_separator_rule_splits_paragraph():
 
 
 def test_footnote_rule_marks_note_region():
-    # Body lines, then a short left-anchored rule low on the page, then
-    # smaller note text below — the rule corroborates a footnote region.
+    # Body lines (one carrying a glued symbol reference "content*"), a
+    # short left-anchored separator rule, then smaller note text below
+    # opening with the matching glued marker "*note ...".  The note
+    # rules are evidence-gated (analyzeLayout.js:2910-2912: there is
+    # deliberately NO markerless "everything under the rule" sweep) —
+    # the in-text reference plus the separator admit the note.
     rows = []
     for i in range(6):
         y = 700 - 18 * i
+        tail = "words of content*" if i == 2 else "words of content"
         rows.append(f"BT /F1 12 Tf 72 {y} Td "
                     f"(body paragraph line number {i} with many more "
-                    f"words of content) Tj ET")
+                    f"{tail}) Tj ET")
     rows.append("72 200 60 0.7 re f")  # short separator
     rows.append("BT /F1 8 Tf 72 185 Td "
-                "(1 note text in smaller print here) Tj ET")
+                "(*note text in smaller print here) Tj ET")
     rows.append("BT /F1 8 Tf 72 170 Td "
                 "(continuing the small note content) Tj ET")
     pages, _ = parse_pdf_document(_make_pdf([" ".join(rows)], F))
@@ -161,6 +166,25 @@ def test_footnote_rule_marks_note_region():
                          for w in ln.words)
     assert "note" in note_text
     assert "body paragraph" not in note_text
+
+
+def test_unreferenced_small_text_below_rule_stays_body():
+    """Without per-instance evidence (no in-text reference, no active
+    sup-ref run) small text below a separator stays body — the
+    reference's deliberate miss (analyzeLayout.js:2910-2912)."""
+    rows = []
+    for i in range(6):
+        y = 700 - 18 * i
+        rows.append(f"BT /F1 12 Tf 72 {y} Td "
+                    f"(body paragraph line number {i} with many more "
+                    f"words of content) Tj ET")
+    rows.append("72 200 60 0.7 re f")
+    rows.append("BT /F1 8 Tf 72 185 Td "
+                "(1 note text in smaller print here) Tj ET")
+    pages, _ = parse_pdf_document(_make_pdf([" ".join(rows)], F))
+    from scribe_js_ray.stages.layout import analyze_layout
+    analyze_layout(pages)
+    assert not [p for p in pages[0].pars if p.type == "footnote"]
 
 
 # ---------------- dashed-line reconstruction + row-band fills
