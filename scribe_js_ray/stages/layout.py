@@ -87,7 +87,7 @@ class _Feat:
                  "first_word_width", "below_feat", "drop_cap",
                  "in_inset_run", "family_distinct", "list_confirmed",
                  "color", "color_distinct", "gap_above", "row_fragment",
-                 "block_region", "footnote_opener")
+                 "block_region", "footnote_opener", "italic")
 
     def __init__(self):
         self.role = "body"
@@ -120,6 +120,7 @@ class _Feat:
         self.row_fragment = False
         self.block_region = None
         self.footnote_opener = False
+        self.italic = 0.0
 
 
 def _line_size(line) -> float:
@@ -163,7 +164,7 @@ def _features(pages) -> list:
             f.text = " ".join(w.text for w in line.words)
             n_char = 0
             letters = upper = 0
-            n_bold = 0
+            n_bold = n_ital = 0
             fam_w: dict = {}
             col_w: dict = {}
             for w in line.words:
@@ -171,6 +172,8 @@ def _features(pages) -> list:
                 n_char += wl
                 if w.style.bold:
                     n_bold += wl or 1
+                if getattr(w.style, "italic", False):
+                    n_ital += wl or 1
                 fam = w.style.font or ""
                 fam_w[fam] = fam_w.get(fam, 0) + (wl or 1)
                 col = getattr(w.style, "color", None) or "#000000"
@@ -184,6 +187,7 @@ def _features(pages) -> list:
                         upper += 1
             f.n_char = n_char
             f.bold = n_bold / n_char if n_char else 0.0
+            f.italic = n_ital / n_char if n_char else 0.0
             f.family = max(fam_w.items(), key=lambda kv: kv[1])[0] \
                 if fam_w else ""
             f.color = max(col_w.items(), key=lambda kv: kv[1])[0] \
@@ -415,6 +419,138 @@ def _body_size(feats) -> float:
     if not body:
         body = quantile([f.size for f in feats if f.size], 0.5) or 10
     return body
+
+
+def _page_body_size(feats, body_size) -> dict:
+    """Per-page body size: largest size covering >=30% of the page's
+    chars; the doc body size wins when present >=10% on the page
+    (analyzeLayout.js:355-383 — footnotes can out-mass the body)."""
+    by_page: dict = {}
+    for f in feats:
+        by_page.setdefault(f.page, []).append(f)
+    out: dict = {}
+    for p, pf in by_page.items():
+        wts: dict = {}
+        total = 0
+        for f in pf:
+            if not f.size:
+                continue
+            wts[f.size] = wts.get(f.size, 0) + f.n_char
+            total += f.n_char
+        chosen = dominant = 0.0
+        dom_c = -1
+        doc_body_chars = 0
+        for sz, c in wts.items():
+            if c > dom_c:
+                dom_c, dominant = c, sz
+            if total > 0 and c / total >= 0.30 and sz > chosen:
+                chosen = sz
+            if abs(sz - body_size) <= body_size * 0.05:
+                doc_body_chars += c
+        pb = chosen or dominant or body_size
+        if body_size > pb and total > 0 \
+                and doc_body_chars / total >= 0.10:
+            pb = body_size
+        out[p] = pb
+    return out
+
+
+def _style_distinct_pass(feats, page_body_size, body_size) -> dict:
+    """Per-line colorDistinct/familyDistinct + per-page style-char
+    fractions (analyzeLayout.js:386-634).
+
+    - sizeRatio becomes PAGE-relative (:385): meaningful in small-type
+      sections.
+    - colorDistinct (:610-620): only when one color dominates the doc
+      (>=60% of chars); judged against the line's own page body color.
+    - familyDistinct (:622-634): likewise for the font family.
+    - pageStyleChars (:420-430): bold/caps char mass among BODY-ratio
+      lines per page — the boldDistinct/capsDistinct denominators.
+    Returns the pageStyleChars map {page: {tot, bold, caps}}."""
+    for f in feats:
+        pb = page_body_size.get(f.page) or body_size
+        f.size_ratio = (f.size / pb) if (f.size and pb) else 1.0
+
+    doc_col: dict = {}
+    doc_fam: dict = {}
+    doc_total = 0
+    page_col: dict = {}
+    page_fam: dict = {}
+    for f in feats:
+        if not f.n_char:
+            continue
+        doc_total += f.n_char
+        doc_col[f.color] = doc_col.get(f.color, 0) + f.n_char
+        doc_fam[f.family] = doc_fam.get(f.family, 0) + f.n_char
+        pc = page_col.setdefault(f.page, {})
+        pc[f.color] = pc.get(f.color, 0) + f.n_char
+        pf_ = page_fam.setdefault(f.page, {})
+        pf_[f.family] = pf_.get(f.family, 0) + f.n_char
+    color_heading = doc_total > 0 \
+        and max(doc_col.values()) / doc_total >= 0.6
+    family_heading = doc_total > 0 \
+        and max(doc_fam.values()) / doc_total >= 0.6
+    body_font_family = max(doc_fam.items(), key=lambda kv: kv[1])[0] \
+        if doc_fam else ""
+    page_body_color = {p: max(cw.items(), key=lambda kv: kv[1])[0]
+                       for p, cw in page_col.items()}
+    page_body_family = {p: max(fw.items(), key=lambda kv: kv[1])[0]
+                        for p, fw in page_fam.items()}
+    for f in feats:
+        f.color_distinct = color_heading and \
+            f.color != page_body_color.get(f.page, "#000000")
+        f.family_distinct = family_heading and bool(f.family) and \
+            f.family != (page_body_family.get(f.page) or body_font_family)
+
+    page_style_chars: dict = {}
+    for f in feats:
+        if f.size_ratio < 0.92 or f.size_ratio > 1.08:
+            continue
+        acc = page_style_chars.setdefault(
+            f.page, {"tot": 0, "bold": 0, "caps": 0})
+        acc["tot"] += f.n_char
+        if f.bold > 0.6:
+            acc["bold"] += f.n_char
+        if f.all_caps:
+            acc["caps"] += f.n_char
+    return page_style_chars
+
+
+def _gap_below_pass(feats, leading) -> None:
+    """gapAbove + belowFeat per line (analyzeLayout.js:1552-1570):
+    nearest horizontally-overlapping neighbour within 3.5 leadings;
+    same-row fragments are skipped; the 80-line window bounds
+    fragment-dense pages."""
+    by_page: dict = {}
+    for f in feats:
+        by_page.setdefault(f.page, []).append(f)
+    for arr in by_page.values():
+        arr.sort(key=lambda f: f.top)
+        for i, f in enumerate(arr):
+            f.gap_above = float("inf")
+            f.below_feat = None
+            f.below_nchar = 0
+            for j in range(i - 1, max(i - 81, -1), -1):
+                g = arr[j]
+                if f.top - g.top <= min(f.bottom - f.top,
+                                        g.bottom - g.top) * 0.5:
+                    continue  # same row (other column/fragment)
+                if f.top - g.top > leading * 3.5:
+                    break
+                if g.left < f.right and f.left < g.right:
+                    f.gap_above = f.top - g.bottom
+                    break
+            for j in range(i + 1, min(i + 81, len(arr))):
+                g = arr[j]
+                if g.top - f.top <= min(f.bottom - f.top,
+                                        g.bottom - g.top) * 0.5:
+                    continue
+                if g.top - f.top > leading * 3.5:
+                    break
+                if g.left < f.right and f.left < g.right:
+                    f.below_feat = g
+                    f.below_nchar = g.n_char
+                    break
 
 
 def _cluster_peaks(values, tol):
@@ -910,54 +1046,32 @@ def _concordance_pages(feats) -> set:
             if tot >= 8 and conc / tot >= 0.5}
 
 
-def _heading_signature_model(feats, body_size, page_columns, col_width):
-    """Doc-wide heading style signatures (analyzeLayout.js:1573-1629):
+_SUBSET_PREFIX_RE = re.compile(r"^[A-Z]{6}\+")
+
+
+def _heading_signature_model(feats, body_size, page_columns, col_width,
+                             furniture_ids=None, page_style_chars=None):
+    """Doc-wide heading style signatures (analyzeLayout.js:1570-1629):
     per style-tuple stats over content lines; a tuple qualifies when its
     instances are mostly short, mostly strongly-styled, letter-dominated,
-    rarely lowercase-starting, and usually head substantial text."""
-    # belowFeat: nearest horizontally-overlapping line below (per page).
-    by_page: dict = {}
-    for f in feats:
-        by_page.setdefault(f.page, []).append(f)
-    for pf in by_page.values():
-        pf.sort(key=lambda f: f.top)
-        for i, f in enumerate(pf):
-            below = None
-            for j in range(i + 1, min(len(pf), i + 80)):
-                g = pf[j]
-                if g.top - f.top <= min(f.bottom - f.top,
-                                        g.bottom - g.top) * 0.5:
-                    continue
-                if g.left < f.right and f.left < g.right:
-                    below = g
-                    break
-            if below is not None:
-                f.below_nchar = below.n_char
+    rarely lowercase-starting, and usually head substantial text.
 
-    # Doc bold fraction (for the bold-distinct test + boldHeading flag).
-    tot_chars = sum(f.n_char for f in feats) or 1
-    bold_chars = sum(f.n_char for f in feats if f.bold > 0.6)
-    bold_rare = bold_chars / tot_chars < 0.3
-    caps_chars = sum(f.n_char for f in feats if f.all_caps)
-    caps_rare = caps_chars / tot_chars < 0.3
-    # Dominant body family (familyDistinct evidence needs a dominator).
-    fam_chars: dict = {}
-    for f in feats:
-        fam_chars[f.family] = fam_chars.get(f.family, 0) + f.n_char
-    body_family, body_fam_n = ("", 0)
-    if fam_chars:
-        body_family, body_fam_n = max(fam_chars.items(),
-                                      key=lambda kv: kv[1])
-    family_dominated = body_fam_n / tot_chars >= 0.6
-
+    ``page_style_chars`` (from ``_style_distinct_pass``): bold/caps are
+    heading evidence only on a page whose BODY is not itself bold/caps
+    (:1588-1590 judges against the page's body-ratio char mass, so a
+    bold note block cannot mask its own tuple)."""
+    furniture_ids = furniture_ids or set()
+    page_style_chars = page_style_chars or {}
     stats: dict = {}
     for f in feats:
-        flags = ("b" if f.bold > 0.6 else "") + ("c" if f.all_caps else "")
-        f.sig_key = f"{round(f.size * 2) / 2}|{flags}|{f.family}"
-        # per-feat familyDistinct (classifyRole demotions consume it)
-        f.family_distinct = family_dominated and f.family != body_family
+        flags = ("b" if f.bold > 0.6 else "") \
+            + ("i" if f.italic > 0.6 else "") \
+            + ("c" if f.all_caps else "")
+        fam = _SUBSET_PREFIX_RE.sub("", f.family)
+        f.sig_key = f"{round(f.size * 2) / 2}|{flags}|{fam}|{f.color}"
         if f.line_num or f.folio or f.in_table or f.endnote \
-                or f.footnote_block or f.artifact_frac > 0.6:
+                or f.footnote_block or f.artifact_frac > 0.6 \
+                or id(f) in furniture_ids:
             continue
         st = stats.setdefault(f.sig_key, {
             "n": 0, "short": 0, "strong": 0, "weak": 0, "weak_big": 0,
@@ -968,11 +1082,14 @@ def _heading_signature_model(feats, body_size, page_columns, col_width):
         frame_w = col["width"] if col else col_width
         if f.width < frame_w * 0.85:
             st["short"] += 1
-        bold_distinct = f.bold > 0.6 and bold_rare
-        caps_distinct = f.all_caps and caps_rare
+        psc = page_style_chars.get(f.page)
+        bold_distinct = f.bold > 0.6 and (
+            not psc or not psc["tot"] or psc["bold"] / psc["tot"] < 0.3)
+        caps_distinct = f.all_caps and (
+            not psc or not psc["tot"] or psc["caps"] / psc["tot"] < 0.3)
         if f.size_ratio >= 1.15 or bold_distinct or caps_distinct:
             st["strong"] += 1
-        elif family_dominated and f.family != body_family \
+        elif (f.family_distinct or f.color_distinct) \
                 and f.size_ratio >= 0.95:
             st["weak"] += 1
             if f.size_ratio >= 1.02:
@@ -993,7 +1110,12 @@ def _heading_signature_model(feats, body_size, page_columns, col_width):
             st["letter_dom"] += 1
         if f.starts_lower and not enum_led:
             st["lower_start"] += 1
-        if f.below_nchar >= 30:
+        # A subtitle can separate a heading from its body, so
+        # substantial text two rows down also qualifies (:1611-1613).
+        b1 = f.below_feat
+        if b1 is not None and (b1.n_char >= 30
+                               or (b1.below_feat is not None
+                                   and b1.below_feat.n_char >= 30)):
             st["heads_body"] += 1
 
     qualified = set()
@@ -1015,6 +1137,11 @@ def _heading_signature_model(feats, body_size, page_columns, col_width):
                 and st["enum_led"] / n < 0.5:
             continue
         qualified.add(key)
+    # doc-level bold rarity: the boldHeading fallback when no par model
+    # is supplied (analyze_layout always passes one)
+    tot_chars = sum(f.n_char for f in feats) or 1
+    bold_rare = sum(f.n_char for f in feats if f.bold > 0.6) \
+        / tot_chars < 0.3
     return qualified, stats, bold_rare
 
 
@@ -1051,6 +1178,114 @@ def _pass_running_furniture(pages, feats):
     return furniture
 
 
+_BARE_MARKER_RE = re.compile(r"^[\d*†‡∗⁰¹²³⁴-⁹]{1,3}$")
+
+
+def _absorb_note_continuations(feats, body_size, leading, fn_rule_y,
+                               page_flush_m, body_left, furniture_ids):
+    """Note-continuation absorption (analyzeLayout.js:1636-1719).
+
+    Each footnote/endnote anchor absorbs following body lines in its own
+    column at matching size into the note role; a bare marker line first
+    absorbs its row-mate text (the marker hangs left of the note column,
+    so the size/column regime comes from the text, not the marker).  A
+    final sandwich pass rescues a note-interior line (e.g. a block
+    quote's attribution) that sits right of every anchor's window."""
+    by_page: dict = {}
+    for f in feats:
+        by_page.setdefault(f.page, []).append(f)
+    for pf in by_page.values():
+        srt = sorted(pf, key=lambda f: (f.top, f.left))
+        for i, start in enumerate(srt):
+            if start.role not in ("footnote", "endnote"):
+                continue
+            start_bare = bool(_BARE_MARKER_RE.match(
+                re.sub(r"[.)\]/]+$", "", (start.text or "").strip())))
+            size_ref = start.size
+            cur = start
+            col_right = start.left
+            fy = fn_rule_y.get(start.page)
+            region_note = fy is not None and start.top > fy
+            if start_bare:
+                mate = None
+                for g in srt:
+                    if g is start or g.role != "body" \
+                            or g.top >= start.top or g.bottom <= start.top \
+                            or g.left <= start.left:
+                        continue
+                    if id(g) in furniture_ids or g.line_num or g.folio \
+                            or g.in_table:
+                        continue
+                    if mate is None or g.left < mate.left:
+                        mate = g
+                if mate is not None and mate.size >= start.size * 0.9 \
+                        and (mate.size_ratio <= 1.08
+                             or mate.size <= body_size * 1.08) \
+                        and not (mate.bold >= 0.9 and start.bold < 0.6):
+                    mate.role = start.role
+                    size_ref = mate.size
+                    col_right = max(col_right, mate.left)
+                    cur = mate
+            for j in range(i + 1, min(i + 81, len(srt))):
+                g = srt[j]
+                if g.role in ("footnote", "endnote"):
+                    break
+                # A bare tabbed-in marker's wrapped lines return to the
+                # page flush; that widening needs a visibly-small note
+                # or a separator-backed region (:1684-1687).
+                if start_bare and cur is not start \
+                        and (size_ref <= body_size * 0.88 or region_note):
+                    left_min = min(start.left,
+                                   page_flush_m.get(start.page, body_left))
+                else:
+                    left_min = start.left
+                left_min -= body_size * 0.6
+                if g.left < left_min or g.left - col_right > body_size \
+                        * (3.5 if (start_bare and cur is start) else 2.5):
+                    continue
+                if g.role != "body":
+                    break  # heading/furniture in the note's own column
+                if id(g) in furniture_ids or g.line_num or g.folio \
+                        or g.in_table:
+                    break
+                if g.top - cur.top > leading * 2.2:
+                    break
+                if start_bare and cur is start:
+                    if g.size < start.size * 0.9 \
+                            or not (g.size_ratio <= 1.08
+                                    or g.size <= body_size * 1.08):
+                        break
+                    size_ref = g.size
+                    col_right = max(col_right, g.left)
+                elif abs(g.size - size_ref) > size_ref * 0.12:
+                    break
+                if g.bold >= 0.9 and start.bold < 0.6:
+                    break
+                g.role = start.role
+                cur = g
+        # sandwich rescue (:1706-1719)
+        for i in range(1, len(srt) - 1):
+            f = srt[i]
+            if f.role != "body" or id(f) in furniture_ids or f.line_num \
+                    or f.folio or f.in_table:
+                continue
+            up, dn = srt[i - 1], srt[i + 1]
+            if up.role != dn.role or up.role not in ("footnote",
+                                                     "endnote"):
+                continue
+            if f.top - up.top > leading * 2.2 \
+                    or dn.top - f.top > leading * 2.2:
+                continue
+            if abs(f.size - up.size) > up.size * 0.12:
+                continue
+            if f.bold >= 0.9 and up.bold < 0.6:
+                continue
+            if f.left < min(up.left, dn.left) - body_size * 0.6 \
+                    or f.right > max(up.right, dn.right) + body_size * 0.6:
+                continue
+            f.role = up.role
+
+
 def classify_roles(pages, feats, body_size, furniture_ids=None,
                    page_columns=None, schemes=None, heading_model=None,
                    concordance=None, par_model=None, body_ref_pages=None,
@@ -1068,50 +1303,12 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
     body_right = quantile(rights, 0.75) or 0
     col_width = max(body_right - body_left, 1)
 
-    for f in feats:
-        f.size_ratio = (f.size / body_size) if body_size else 1.0
-
-    # colorDistinct (analyzeLayout.js:390-401, 612-620): active only when
-    # one color dominates the doc (>=60% of chars); a line is distinct
-    # when its color differs from its own page's dominant body color.
-    doc_col: dict = {}
-    page_col: dict = {}
-    for f in feats:
-        if not f.n_char:
-            continue
-        doc_col[f.color] = doc_col.get(f.color, 0) + f.n_char
-        pc_ = page_col.setdefault(f.page, {})
-        pc_[f.color] = pc_.get(f.color, 0) + f.n_char
-    tot = sum(doc_col.values())
-    color_heading = tot > 0 and max(doc_col.values()) / tot >= 0.6
-    page_body_color = {p: max(cw.items(), key=lambda kv: kv[1])[0]
-                       for p, cw in page_col.items()}
-    for f in feats:
-        f.color_distinct = color_heading and \
-            f.color != page_body_color.get(f.page, "#000000")
-
-    # gapAbove (analyzeLayout.js:1548-1560): gap to the nearest
-    # horizontally-overlapping line above, Infinity when none within
-    # 3.5 leadings; same-row neighbours are skipped.
+    # size_ratio / color_distinct / family_distinct / gap_above were
+    # assigned by _style_distinct_pass + _gap_below_pass in
+    # analyze_layout (page-relative, analyzeLayout.js:355-634,
+    # 1552-1570); classify_roles only consumes them.
     leading = par_model["leading"] if par_model is not None \
         else body_size * 1.2
-    by_page_g: dict = {}
-    for f in feats:
-        by_page_g.setdefault(f.page, []).append(f)
-    for arr in by_page_g.values():
-        arr = sorted(arr, key=lambda f: f.top)
-        for i, f in enumerate(arr):
-            f.gap_above = float("inf")
-            for j in range(i - 1, max(i - 81, -1), -1):
-                g = arr[j]
-                if f.top - g.top <= min(f.bottom - f.top,
-                                        g.bottom - g.top) * 0.5:
-                    continue  # same row (other column/fragment)
-                if f.top - g.top > leading * 3.5:
-                    break
-                if g.left < f.right and f.left < g.right:
-                    f.gap_above = f.top - g.bottom
-                    break
 
     # Footnote separator rules (analyzeLayout.js:929-984): a short,
     # left-anchored drawn rule whose below-lines corroborate a note
@@ -1507,6 +1704,12 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
             continue
         f.role = "body"
 
+    # Note-continuation absorption (analyzeLayout.js:1636-1719): a
+    # note's wrapped lines carry no marker, so identify them by column
+    # position + matching style, never extraction-order adjacency.
+    _absorb_note_continuations(feats, body_size, leading, fn_rule_y,
+                               page_flush_m, body_left, furniture_ids)
+
     # Producer /Artifact tagging: artifact-dominated margin-band lines are
     # furniture — unless the producer tags body content artifact too
     # (artifactUnreliable, analyzeLayout.js model.artifactUnreliable).
@@ -1833,6 +2036,13 @@ def analyze_layout(pages: list, outline_titles=None,
     for f in feats:
         f.size_ratio = (f.size / body_size) if body_size else 1.0
     _pass_line_numbers(pages, feats, body_size)
+    # Page-relative size ratios + color/family distinction + the
+    # per-page bold/caps body fractions (analyzeLayout.js:355-634) —
+    # after the line-number pass (its stale-feature refresh), before
+    # every consumer of sizeRatio.
+    page_body_size = _page_body_size(feats, body_size)
+    page_style_chars = _style_distinct_pass(feats, page_body_size,
+                                            body_size)
     _pass_folios(pages, feats)
     furniture_ids = _pass_running_furniture(pages, feats)
     schemes = _detect_numbering_schemes(feats)
@@ -1899,9 +2109,6 @@ def analyze_layout(pages: list, outline_titles=None,
     concordance = _concordance_pages(feats)
     body_left_hm = quantile([f.left for f in feats], 0.25) or 0
     body_right_hm = quantile([f.right for f in feats], 0.75) or 0
-    heading_model = _heading_signature_model(
-        feats, body_size, page_columns,
-        max(body_right_hm - body_left_hm, 1))
     # The layout model (gap regimes, leading, indent convention) is
     # role-independent and the reference builds it (Phase 2) BEFORE role
     # classification (Phase 3) — classifyRole's heading demotions consume
@@ -1909,6 +2116,13 @@ def analyze_layout(pages: list, outline_titles=None,
     from .parbreaks import build_par_model, rebuild_pars
     model = build_par_model(pages, feats, body_size, page_columns,
                             schemes)
+    # gapAbove + belowFeat (:1552-1570) feed both the sig model's
+    # headsBody stat and classifyRole's display-singleton gap arm.
+    _gap_below_pass(feats, model["leading"])
+    heading_model = _heading_signature_model(
+        feats, body_size, page_columns,
+        max(body_right_hm - body_left_hm, 1),
+        furniture_ids=furniture_ids, page_style_chars=page_style_chars)
     classify_roles(pages, feats, body_size, furniture_ids=furniture_ids,
                    page_columns=page_columns, schemes=schemes,
                    heading_model=heading_model, concordance=concordance,

@@ -643,3 +643,284 @@ def test_classify_role_promotion_paths_parity(tmp_path):
             "u", pdf, "", "eng",
             emit_format="markdown")["extracted_text"] \
             == _ref_fmt(str(p), "md"), f"{name} md"
+
+
+def _sink5_pdf(r):
+    """Round-5 sink: multi-page cross-boundary paragraph continuation,
+    drop caps, stroked footnote separator rules, word-level Td
+    positioning, right-aligned blocks, centered verse.  Drove the
+    integer bbox-rounding + 800/-200 ascent port in pdf/assemble.py."""
+    from scribe_js_ray.sources.synth import (_paragraph_words,
+                                             _sentence)
+    from scribe_js_ray.sources.synth_pdf import (_MARGIN, _PAGE_W,
+                                                 _PAGE_H, _make_pdf,
+                                                 _Typesetter)
+
+    def esc(s):
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    def _gen(r):
+        pages = []
+        extra1, extra2 = [], []
+        two_page = r.random() < 0.55
+
+        ts = _Typesetter()
+        # optional running header + folio
+        if r.random() < 0.35:
+            ts.line("ANNUAL REVIEW OF FINDINGS", x=_MARGIN, size=8, dy=12)
+            ts.y -= 10
+        # drop cap paragraph: big initial glyph + indented smaller lines
+        if r.random() < 0.4:
+            y0 = ts.y
+            extra1.append(f"BT /F1 33 Tf {_MARGIN} {y0 - 33:.1f} Td (T) Tj ET")
+            ts.line("he opening paragraph begins with an enlarged",
+                    x=_MARGIN + 26, dy=15)
+            ts.line("initial letter set over two full lines of the",
+                    x=_MARGIN + 26, dy=14)
+            ts.line("running text which then resumes the normal measure here.",
+                    dy=14)
+            ts.y -= 8
+        # right-aligned block (date / address)
+        if r.random() < 0.4:
+            for t in (f"March {r.randint(1, 28)}, 19{r.randint(10, 99)}",
+                      "Office of the Registrar"):
+                w = ts.text_width(t, "F1", 11)
+                ts.line(t, x=_PAGE_W - _MARGIN - w, dy=15)
+            ts.y -= 8
+        # body paragraphs
+        for _ in range(r.randint(1, 2)):
+            ts.flow(_paragraph_words(r, 2))
+            ts.y -= 8
+        # centered verse block
+        if r.random() < 0.35:
+            for _ in range(r.randint(2, 4)):
+                t = " ".join(_sentence(r, r.randint(3, 5)))[:-1]
+                w = ts.text_width(t, "F1", 11)
+                ts.line(t, x=(_PAGE_W - w) / 2, dy=15)
+            ts.y -= 8
+        # word-level Td positioning: each word its own BT block on one row
+        if r.random() < 0.5:
+            words = _sentence(r, r.randint(5, 8))
+            y = ts.y - 15
+            x = _MARGIN
+            sp = ts.text_width(" ", "F1", 11)
+            for wd in words:
+                extra1.append(f"BT /F1 11 Tf {x:.2f} {y:.2f} Td"
+                              f" ({esc(wd)}) Tj ET")
+                x += ts.text_width(wd, "F1", 11) + sp
+            ts.y = y - 8
+        # cross-page paragraph: long paragraph, split across the page break
+        carry = None
+        if two_page:
+            words = _paragraph_words(r, 4)
+            # typeset fully to count lines, then re-typeset the split
+            probe = _Typesetter()
+            probe.flow(words)
+            n_lines = len(probe.ops)
+            if n_lines >= 4:
+                split = r.randint(2, n_lines - 2)
+                sub = _Typesetter()
+                sub.y = ts.y
+                sub.flow(words)
+                ts.ops.extend(sub.ops[:split])
+                carry = sub.ops[split:]
+        # footnote block with stroked separator rule
+        if r.random() < 0.5:
+            yr = 130
+            extra1.append(f"{_MARGIN} {yr} m {_MARGIN + 150} {yr} l"
+                          f" 0.6 w S")
+            f = _Typesetter()
+            f.y = yr - 2
+            f.line(f"{r.randint(1, 9)} " + " ".join(_sentence(r, 8)),
+                   size=8, dy=11)
+            f.line(" ".join(_sentence(r, 6)), size=8, dy=11)
+            extra1.append(f.stream())
+        pages.append(ts.stream() + "\n" + "\n".join(extra1))
+
+        if two_page:
+            t2 = _Typesetter()
+            if r.random() < 0.5:
+                t2.line(f"{2}", x=_PAGE_W / 2 - 4, size=9, dy=14)
+                t2.y -= 10
+            if carry:
+                # re-anchor the carried lines to the top of page 2
+                top = t2.y
+                for i, op in enumerate(carry):
+                    # ops carry absolute y; rewrite y to flow from top
+                    parts = op.split()
+                    yi = float(parts[5])
+                    if i == 0:
+                        dy0 = top - 14 - yi
+                    parts[5] = f"{yi + dy0:.2f}"
+                    t2.ops.append(" ".join(parts))
+                t2.y = float(t2.ops[-1].split()[5]) if t2.ops else top
+                t2.y -= 10
+            for _ in range(r.randint(1, 2)):
+                t2.flow(_paragraph_words(r, 2))
+                t2.y -= 8
+            pages.append(t2.stream() + "\n" + "\n".join(extra2))
+
+        return _make_pdf(pages, {"F1": "Helvetica", "F2": "Helvetica-Bold",
+                                 "F3": "Times-Roman"})
+
+    return _gen(r)
+
+
+def _sink6_pdf(r):
+    """Round-6 sink: evidence-gated footnotes — in-text superscript
+    references, glued symbol markers, FN markers, bare-integer note
+    chains, separator rules, note-profile envelopes, block-quote
+    inset regions.  Seed 1 drove the per-page pageStyleChars heading
+    signature fix; seed 71 drove the note-continuation absorption
+    pass (analyzeLayout.js:1636-1719)."""
+    from scribe_js_ray.sources.synth import (_paragraph_words,
+                                             _sentence)
+    from scribe_js_ray.sources.synth_pdf import (_MARGIN, _PAGE_W,
+                                                 _PAGE_H, _make_pdf,
+                                                 _Typesetter)
+
+    def esc(s):
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    def body_with_ref(ts, r, words, marker, symbol=False, glued=False):
+        """Flow a paragraph; attach the note reference to a mid-paragraph
+        word — superscript raised digit, or a glued symbol in the text run."""
+        if glued:
+            k = r.randrange(max(1, len(words) - 2))
+            words = list(words)
+            words[k] += marker
+            ts.flow(words)
+            return
+        # superscript: typeset the flow, then a raised small glyph after a
+        # word on the FIRST line
+        pre = len(ts.ops)
+        ts.flow(words)
+        first_op = ts.ops[pre]
+        # parse x,y and text of that line
+        parts = first_op.split()
+        size = float(parts[2])
+        x0, y0 = float(parts[4]), float(parts[5])
+        txt = first_op[first_op.index("(") + 1:first_op.rindex(")")]
+        # place the sup after the 2nd word
+        ws = txt.split(" ")
+        cut = " ".join(ws[:min(2, len(ws))])
+        xs = x0 + ts.text_width(cut, "F1", size)
+        ss = round(size * 0.6, 1)
+        ts.ops.append(f"BT /F1 {ss} Tf {xs:.2f} {y0 + size * 0.35:.2f} Td"
+                      f" ({esc(marker)}) Tj ET")
+
+    def _gen(r):
+        ts = _Typesetter()
+        extra = []
+        mode = r.choice(["sup", "glued", "baseline", "fn", "none", "mixed"])
+        n_notes = r.randint(1, 3)
+        sym = "*"  # latin-1 PDF streams: daggers need a WinAnsi mapping
+        bold_notes = r.random() < 0.3
+
+        # optional running header
+        if r.random() < 0.3:
+            ts.line("QUARTERLY REVIEW", x=_MARGIN, size=8, dy=12)
+            ts.y -= 8
+
+        # optional heading
+        if r.random() < 0.5:
+            t = " ".join(w.capitalize() for w in _sentence(r, 3))[:-1]
+            ts.line(t, size=15, font="F2", dy=24)
+            ts.y -= 6
+
+        # body paragraphs, some carrying the references
+        refs_placed = 0
+        for i in range(r.randint(2, 3)):
+            words = _paragraph_words(r, 2)
+            if refs_placed < n_notes and mode != "none":
+                m = mode if mode != "mixed" else r.choice(["sup", "glued",
+                                                           "baseline"])
+                if m == "sup" or m == "fn" or m == "baseline":
+                    # baseline-number notes still need an in-text sup ref to
+                    # anchor the scheme / usesBaselineMarker
+                    body_with_ref(ts, r, words, str(refs_placed + 1))
+                else:
+                    body_with_ref(ts, r, words, sym, glued=True)
+                refs_placed += 1
+            else:
+                ts.flow(words)
+            ts.y -= 8
+
+        # optional block-quote inset region
+        if r.random() < 0.4:
+            inset = r.uniform(30, 55)
+            qw = _PAGE_W - 2 * _MARGIN - 2 * inset
+            ts.flow(_sentence(r, r.randint(22, 32)), x=_MARGIN + inset,
+                    width=qw, indent=0.0)
+            ts.y -= 8
+            ts.flow(_paragraph_words(r, 1))
+            ts.y -= 8
+
+        # footnote block at the bottom
+        if mode != "none":
+            y_rule = r.choice([150, 170, 190])
+            if r.random() < 0.75:
+                if r.random() < 0.5:
+                    extra.append(f"{_MARGIN} {y_rule} m "
+                                 f"{_MARGIN + r.randint(90, 160)} {y_rule} l "
+                                 f"0.6 w S")
+                else:
+                    extra.append(f"{_MARGIN} {y_rule - 0.4} "
+                                 f"{r.randint(90, 160)} 0.8 re f")
+            f = _Typesetter()
+            f.y = y_rule - 2
+            nf = "F2" if bold_notes else "F1"
+            for k in range(n_notes):
+                note = " ".join(_sentence(r, r.randint(6, 10)))
+                if mode == "glued" or (mode == "mixed" and k == 0
+                                       and r.random() < 0.5):
+                    f.line(f"{sym}{note}", size=8.5, dy=11, font=nf)
+                elif mode == "fn":
+                    f.line(f"FN{k + 1}. {note}", size=8.5, dy=11, font=nf)
+                elif mode == "baseline":
+                    f.line(f"{k + 1} {note}", size=8.5, dy=11, font=nf)
+                else:  # sup marker opener
+                    f.y -= 11
+                    f.ops.append(f"BT /{nf} 5.5 Tf {_MARGIN} {f.y + 3:.2f} Td"
+                                 f" ({k + 1}) Tj ET")
+                    f.ops.append(f"BT /{nf} 8.5 Tf {_MARGIN + 6} {f.y:.2f} Td"
+                                 f" ({esc(note)}) Tj ET")
+                # wrapped continuation line sometimes
+                if r.random() < 0.5:
+                    f.line(" ".join(_sentence(r, 5)), size=8.5, dy=11, font=nf)
+            extra.append(f.stream())
+
+        # folio
+        if r.random() < 0.4:
+            ts_f = f"BT /F1 9 Tf {_PAGE_W / 2 - 3:.1f} 60 Td (1) Tj ET"
+            extra.append(ts_f)
+
+        return _make_pdf([ts.stream() + "\n" + "\n".join(extra)],
+                         {"F1": "Helvetica", "F2": "Helvetica-Bold",
+                          "F3": "Times-Roman"})
+
+    return _gen(r)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 28, 41])
+def test_kitchen_sink5_parity(seed, tmp_path):
+    pdf = _sink5_pdf(random.Random(seed))
+    p = tmp_path / f"sink5_{seed}.pdf"
+    p.write_bytes(pdf)
+    assert extract_document("u", pdf, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink5_{seed} text"
+    assert extract_document("u", pdf, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink5_{seed} md"
+
+
+@pytest.mark.parametrize("seed", [1, 7, 44, 71])
+def test_kitchen_sink6_parity(seed, tmp_path):
+    pdf = _sink6_pdf(random.Random(seed))
+    p = tmp_path / f"sink6_{seed}.pdf"
+    p.write_bytes(pdf)
+    assert extract_document("u", pdf, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink6_{seed} text"
+    assert extract_document("u", pdf, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink6_{seed} md"
