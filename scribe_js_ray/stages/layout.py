@@ -53,6 +53,7 @@ _SUP_MARKER_RE = re.compile(r"^[\d*†‡]{1,3}$")
 # analyzeLayout.js:6 — digit-convention note sites skip CJK lines
 _CJK_RE = re.compile(r"[ᄀ-ᇿ　-鿿가-힯"
                      r"豈-﫿＀-￯]")
+_INF = float("inf")
 _LETTER_RE = re.compile(r"[A-Za-z]")
 _ENDS_TERMINAL_RE = re.compile(r"[.!?:][\"')”’]?\s*$")
 _STARTS_LOWER_RE = re.compile(r"[a-z]")
@@ -1296,12 +1297,17 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
     page_columns = page_columns or {}
     schemes = schemes or {}
 
-    # Page flush margins for centering tests.
-    lefts = [f.left for f in feats]
-    rights = [f.right for f in feats]
-    body_left = quantile(lefts, 0.25) or 0
-    body_right = quantile(rights, 0.75) or 0
-    col_width = max(body_right - body_left, 1)
+    # Body frame: the par model's peak-based bodyLeft / q0.9 bodyRight
+    # (analyzeLayout.js:448-461) — the quantile fallback only covers a
+    # par-model-less direct call (tests).
+    if par_model is not None:
+        body_left = par_model["bodyLeft"]
+        body_right = par_model["bodyRight"]
+        col_width = max(par_model["colWidth"], 1)
+    else:
+        body_left = quantile([f.left for f in feats], 0.25) or 0
+        body_right = quantile([f.right for f in feats], 0.75) or 0
+        col_width = max(body_right - body_left, 1)
 
     # size_ratio / color_distinct / family_distinct / gap_above were
     # assigned by _style_distinct_pass + _gap_below_pass in
@@ -1325,8 +1331,9 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
     sup_sc = (schemes or {}).get("sup-ref")
     page_flush_m = par_model["pageFlush"] if par_model else {}
     body_ref_pages = body_ref_pages or {}
+    raw_sep_any: dict = {}
     for p, pf in by_page_fr.items():
-        if suppress_notes or (concordance and p in concordance):
+        if suppress_notes:
             continue
         rules = getattr(pages[p], "rules", None) or []
         page_h = pages[p].height or 0
@@ -1359,6 +1366,8 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
                 continue
             if y is None or r["y"] < y:
                 y = r["y"]
+        if y_any is not None:
+            raw_sep_any[p] = y_any
         if y is not None:
             corroborated = False
             for g in pf:
@@ -1390,6 +1399,124 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
                     break
             if marker_below:
                 fn_rule_y[p] = y_any
+
+    # Cross-page footnote continuation (analyzeLayout.js:989-1084): a
+    # footnote continued over a page break has no marker and sits at
+    # body size, so classifyRole would leave it 'body'.  The open-note
+    # test presumes notes normally end punctuated, measured first on
+    # provably-complete notes (a note followed by another marker on the
+    # same page cannot be open).
+    fn_continues: dict = {}
+    if not suppress_notes and len(pages) > 1:
+        def _note_left_max(q):
+            return page_flush_m.get(q, body_left) + body_size * 4
+
+        def _active_marker(g):
+            return (not g.line_num and g.first_word_sup and g.enumerator
+                    and g.enumerator["scheme"] == "sup-ref"
+                    and sup_sc is not None and sup_sc["active"]
+                    and g.enumerator["value"] is not None
+                    and g.enumerator["value"] in sup_sc["sequence_values"])
+
+        def _marker_on_row(feats2, zone_top, g):
+            # a standalone raised marker is its own letterless fragment
+            # beside the note's first text line (:1047-1052)
+            return any(m is not g and m.top >= zone_top
+                       and m.top < g.bottom and m.bottom > g.top
+                       and m.left < g.left and _active_marker(m)
+                       for m in feats2)
+
+        _TERM_RE = re.compile(r"[.!?)”’\"']\s*$")
+        completed = completed_unpunct = 0
+        for q, pfq in by_page_fr.items():
+            if not (pages[q].height or 0):
+                continue
+            openers = sorted(
+                (g for g in pfq if g.bottom_frac > 0.5
+                 and _active_marker(g)), key=lambda g: g.top)
+            for k in range(len(openers) - 1):
+                zone = [g for g in pfq if not g.in_table and not g.line_num
+                        and g.left < _note_left_max(q)
+                        and openers[k].top <= g.top < openers[k + 1].top]
+                if not zone:
+                    continue
+                last = max(zone, key=lambda g: g.top)
+                completed += 1
+                if not _TERM_RE.search((last.text or "").strip()):
+                    completed_unpunct += 1
+        notes_end_unpunct = completed >= 2 \
+            and completed_unpunct * 2 > completed
+
+        for p in range(1, len(pages)):
+            sep_cur = raw_sep_any.get(p)
+            if sep_cur is None:
+                continue
+            prev_h = pages[p - 1].height or 0
+            if not prev_h:
+                continue
+            pf_prev = by_page_fr.get(p - 1, [])
+            prev_note_top = raw_sep_any.get(p - 1, _INF)
+            for g in pf_prev:
+                if g.bottom / prev_h > 0.5 and _active_marker(g):
+                    prev_note_top = min(prev_note_top, g.top)
+            if prev_note_top == _INF:
+                continue
+            prev_notes = [g for g in pf_prev
+                          if g.top >= prev_note_top and not g.in_table
+                          and not g.all_caps
+                          and re.search(r"[A-Za-z]{2,}", g.text)
+                          and g.left < _note_left_max(p - 1)]
+            if not prev_notes:
+                continue
+            prev_refs = body_ref_pages.get(p - 1)
+            real_notes = []
+            for g in prev_notes:
+                if _active_marker(g) \
+                        or _marker_on_row(pf_prev, prev_note_top, g):
+                    real_notes.append(g)
+                    continue
+                if not prev_refs:
+                    continue
+                ws_ = g.line.words
+                lead = re.sub(r"[.)\]]+$", "",
+                              ((ws_[0].text or "") if ws_ else "").strip())
+                if not re.fullmatch(r"[\d*†‡]{1,3}", lead) \
+                        or lead not in prev_refs:
+                    continue
+                # a lowercase second word means the marker is running
+                # body text, not a note opener (:1077-1078)
+                if len(ws_) > 1 and re.match(r"[a-z]", ws_[1].text or ""):
+                    continue
+                real_notes.append(g)
+            if not real_notes:
+                continue
+            last_prev = max(prev_notes, key=lambda g: g.bottom)
+            if notes_end_unpunct or last_prev.bottom / prev_h <= 0.8 \
+                    or _TERM_RE.search((last_prev.text or "").strip()):
+                continue
+            # a last line much larger than the real notes is body text
+            # that reached the page bottom via a column break (:1066)
+            if last_prev.size > max(g.size for g in real_notes) * 1.15:
+                continue
+            pf_cur = by_page_fr.get(p, [])
+            cur_notes = [g for g in pf_cur
+                         if g.top > sep_cur and not g.in_table
+                         and not g.all_caps
+                         and re.search(r"[A-Za-z]{2,}", g.text)
+                         and g.left < _note_left_max(p)]
+            if not cur_notes:
+                continue
+            cur_h = pages[p].height or 0
+            if not cur_h \
+                    or max(g.bottom for g in cur_notes) / cur_h < 0.75:
+                continue
+            opener = min(cur_notes, key=lambda g: g.top)
+            if _active_marker(opener) \
+                    or _marker_on_row(pf_cur, sep_cur, opener):
+                continue  # a new note, not a continuation
+            fn_continues[p] = last_prev.size
+            # the continuation corroborates this page's separator
+            fn_rule_y.setdefault(p, sep_cur)
 
     # Note-style profile (:1490-1537): doc-level gate for the full-size
     # leading-number note rule, plus the size/weight envelope note
@@ -1516,6 +1643,17 @@ def classify_roles(pages, feats, body_size, furniture_ids=None,
                 and re.fullmatch(r"\d{1,3}", t)
                 and f.left <= flush_p + body_size
                 and t in page_refs):
+            f.role = "footnote"
+            continue
+        # Cross-page continuation of an open footnote (:2926-2929):
+        # the left bound reaches 4x bodySize to admit the note indent
+        # while staying left of a centred folio; the size ceiling is
+        # the OPEN note's own size.
+        if (f.page in fn_continues and fn_y is not None and note_envelope
+                and f.top > fn_y and not f.all_caps and not f.in_table
+                and re.search(r"[A-Za-z]{2,}", t)
+                and f.size <= (fn_continues[f.page] or 0) * 1.15
+                and f.left < flush_p + body_size * 4):
             f.role = "footnote"
             continue
         # Endnote / footnote-block passes, envelope-gated so a bold

@@ -1067,6 +1067,18 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
 
         if not line.words:
             continue
+        # updateLineBbox (parsePdfDoc.js:3249, ocrObjects.js:609-617):
+        # the final line bbox is the union of ALL word bboxes — sup
+        # words included — overriding the non-sup-only assembly box
+        # above (which still anchored the baseline/ascHeight math);
+        # the baseline offset shifts with the bottom so the rendered
+        # baseline is unchanged.
+        u_left = min(w.bbox.left for w in line.words)
+        u_top = min(w.bbox.top for w in line.words)
+        u_right = max(w.bbox.right for w in line.words)
+        u_bottom = max(w.bbox.bottom for w in line.words)
+        line.baseline[1] += line.bbox.bottom - u_bottom
+        line.bbox = BBox(u_left, u_top, u_right, u_bottom)
         page.lines.append(line)
         if orientation == 0 and abs(slope) < 0.3:
             slopes.append(slope)

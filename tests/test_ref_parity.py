@@ -924,3 +924,120 @@ def test_kitchen_sink6_parity(seed, tmp_path):
     assert extract_document("u", pdf, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink6_{seed} md"
+
+
+def _sink7_pdf(r):
+    """Round-7 sink: cross-page footnote continuations — an open note on
+    page 1 continuing below page 2's separator (footnoteContinues,
+    analyzeLayout.js:989-1084), with terminated / marker-opened
+    negative variants.  Seed 16 drove the updateLineBbox port (line
+    bbox re-union INCLUDING sup words, parsePdfDoc.js:3249); seed 33
+    drove the peak-based bodyLeft / q0.9 bodyRight colWidth fix in
+    classify_roles."""
+    from scribe_js_ray.sources.synth import (_paragraph_words,
+                                             _sentence)
+    from scribe_js_ray.sources.synth_pdf import (_MARGIN, _PAGE_W,
+                                                 _PAGE_H, _make_pdf,
+                                                 _Typesetter)
+
+    def esc(s):
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    def sup_ref_line(ts, r, words, marker):
+        pre = len(ts.ops)
+        ts.flow(words)
+        op = ts.ops[pre]
+        parts = op.split()
+        size = float(parts[2])
+        x0, y0 = float(parts[4]), float(parts[5])
+        txt = op[op.index("(") + 1:op.rindex(")")]
+        ws = txt.split(" ")
+        cut = " ".join(ws[:min(2, len(ws))])
+        xs = x0 + ts.text_width(cut, "F1", size)
+        ts.ops.append(f"BT /F1 {round(size * 0.6, 1)} Tf {xs:.2f} "
+                      f"{y0 + size * 0.35:.2f} Td ({esc(marker)}) Tj ET")
+
+    def note_open(f, marker, text, bold=False, sup_marker=True):
+        nf = "F2" if bold else "F1"
+        f.y -= 11
+        if sup_marker:
+            f.ops.append(f"BT /{nf} 5.5 Tf {_MARGIN} {f.y + 3:.2f} Td"
+                         f" ({marker}) Tj ET")
+            f.ops.append(f"BT /{nf} 8.5 Tf {_MARGIN + 6} {f.y:.2f} Td"
+                         f" ({esc(text)}) Tj ET")
+        else:
+            f.ops.append(f"BT /{nf} 8.5 Tf {_MARGIN} {f.y:.2f} Td"
+                         f" ({marker} {esc(text)}) Tj ET")
+
+    def _gen(r):
+        continues = r.random() < 0.6
+        terminated = r.random() < 0.35      # note ends punctuated: no open note
+        second_is_marker = r.random() < 0.3  # p2 zone opens with its own marker
+        n_notes = r.randint(1, 2)
+
+        # --- page 1
+        ts = _Typesetter()
+        for k in range(n_notes):
+            words = _paragraph_words(r, 2)
+            sup_ref_line(ts, r, words, str(k + 1))
+            ts.y -= 8
+
+        yr = 200
+        extra = [f"{_MARGIN} {yr} m {_MARGIN + 140} {yr} l 0.6 w S"]
+        f = _Typesetter()
+        f.y = yr - 2
+        for k in range(n_notes):
+            note_open(f, str(k + 1), " ".join(_sentence(r, 7)))
+        # the open note: fill to the page bottom, last line unterminated
+        # unless the 'terminated' variant
+        n_fill = r.randint(8, 11)
+        for i in range(n_fill):
+            t = " ".join(_sentence(r, 7))
+            if i == n_fill - 1 and not terminated:
+                t = t.rstrip(".")
+            f.line(t, size=8.5, dy=11)
+            if f.y < 60:
+                break
+        extra.append(f.stream())
+        p1 = ts.stream() + "\n" + "\n".join(extra)
+
+        # --- page 2
+        t2 = _Typesetter()
+        for _ in range(r.randint(1, 2)):
+            t2.flow(_paragraph_words(r, 2))
+            t2.y -= 8
+        p2_extra = []
+        if continues:
+            yr2 = r.choice([170, 200, 420])
+            p2_extra.append(f"{_MARGIN} {yr2} m {_MARGIN + 140} {yr2} l"
+                            f" 0.6 w S")
+            g = _Typesetter()
+            g.y = yr2 - 2
+            if second_is_marker:
+                note_open(g, str(n_notes + 1), " ".join(_sentence(r, 7)))
+                # needs an anchoring in-text ref for the new marker: absent
+                # on purpose half the time (tests the sequence gate)
+            else:
+                g.line(" ".join(_sentence(r, 7)), size=8.5, dy=11)
+            # fill to the bottom so the zone is bottom-anchored
+            while g.y > 80:
+                g.line(" ".join(_sentence(r, 6)), size=8.5, dy=11)
+            p2_extra.append(g.stream())
+        p2 = t2.stream() + ("\n" + "\n".join(p2_extra) if p2_extra else "")
+
+        return _make_pdf([p1, p2], {"F1": "Helvetica", "F2": "Helvetica-Bold",
+                                    "F3": "Times-Roman"})
+
+    return _gen(r)
+
+
+@pytest.mark.parametrize("seed", [5, 16, 33, 48])
+def test_kitchen_sink7_parity(seed, tmp_path):
+    pdf = _sink7_pdf(random.Random(seed))
+    p = tmp_path / f"sink7_{seed}.pdf"
+    p.write_bytes(pdf)
+    assert extract_document("u", pdf, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink7_{seed} text"
+    assert extract_document("u", pdf, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink7_{seed} md"
