@@ -55,7 +55,7 @@ def bbox_union(boxes) -> BBox:
 
 class Style:
     __slots__ = ("font", "size", "bold", "italic", "underline", "small_caps",
-                 "sup", "dropcap", "color", "opacity")
+                 "sup", "dropcap", "color", "opacity", "link")
 
     def __init__(self):
         self.font = None
@@ -67,6 +67,8 @@ class Style:
         self.sup = False
         self.dropcap = False
         self.color = None
+        # /Link-annotation URI the word sits under (parsePdfDoc.js:1061)
+        self.link = None
         # 0 for Tr-3 invisible words, else the fill alpha at draw time
         # (ocrObjects.js:177 default 1; parsePdfDoc.js:3108-3112).
         self.opacity = 1

@@ -12,10 +12,10 @@ Ported rule set (reference order preserved; line-range citations per
 rule below).  Block-quote inset regions (blockRegion, :1954-2045) and
 the row-fragment flags that keep the region walk top-monotonic
 (:1931-1952) are assigned by ``assign_block_regions`` after role
-classification, exactly the reference's phase order.  The one remaining
-inactive input is the citation-link continuation (:2683-2685) — our
-Word style does not carry /Link annotation membership, degrading to the
-reference's behavior for documents without hyperlinked citations.
+classification, exactly the reference's phase order.  The citation-link
+continuation (:2680-2685) reads the /Link membership the PDF annot pass
+stamps on word styles (parsePdfDoc.js:1055-1063 analog in
+stages/pdf/doc.py).
 """
 
 from __future__ import annotations
@@ -847,9 +847,15 @@ def geometric_break(f, prev, model, cur_par_first):
     starts_continuation = f.starts_lower and not prev.ends_terminal \
         and not f.enumerator
 
-    # citation-link continuation (:2683-2685) needs word /Link styles
-    # the feature pass does not carry — inactive (see module docstring)
-    citation_lead_continuation = False
+    # Citation-link continuation (:2680-2685): a hyperlinked case
+    # citation reserves a sliver of extra leading (~1.4x), tripping
+    # the gap rule at every wrapped citation; suppress when the
+    # continuation carries a /Link (word.style.link, stamped by the
+    # PDF annot pass) and the pitch is citation-pad-sized.
+    citation_lead_continuation = (
+        prev.page == f.page and prev.role == "body" and f.role == "body"
+        and any(getattr(w.style, "link", None) for w in f.line.words)
+        and f.top - prev.top < model["leading"] * 1.6)
 
     # region-scoped continuation gate (:2691-2698): two same-margin
     # lines inside one region, advancing at the region's own pitch,

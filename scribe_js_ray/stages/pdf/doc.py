@@ -299,6 +299,23 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
                     m["bbox"]["top"] < r.bottom and
                     m["bbox"]["bottom"] > r.top for r in rects)]
             page.marks = marks
+            # URI-link stamping (parsePdfDoc.js:1055-1063): a word
+            # whose center sits in a /Link URI box carries the link on
+            # its style — decideBreak's citation-lead continuation
+            # consumes it.
+            uri_boxes = [m for m in marks
+                         if m.get("type") == "link" and m.get("uri")]
+            if uri_boxes:
+                for line in page.lines:
+                    for w in line.words:
+                        cx = (w.bbox.left + w.bbox.right) / 2
+                        cy = (w.bbox.top + w.bbox.bottom) / 2
+                        for b in uri_boxes:
+                            bb = b["bbox"]
+                            if bb["left"] <= cx <= bb["right"] \
+                                    and bb["top"] <= cy <= bb["bottom"]:
+                                w.style.link = b["uri"]
+                                break
     except Exception:
         pass
 

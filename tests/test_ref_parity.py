@@ -1041,3 +1041,76 @@ def test_kitchen_sink7_parity(seed, tmp_path):
     assert extract_document("u", pdf, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink7_{seed} md"
+
+
+def test_citation_link_continuation_parity(tmp_path):
+    """The /Link URI stamping (parsePdfDoc.js:1055-1063) +
+    decideBreak's citation-lead continuation veto (:2680-2685): a
+    hyperlinked citation line at citation-pad pitch (1.4x leading)
+    groups identically to the live reference with and without the
+    annotation."""
+    from scribe_js_ray.sources.synth_pdf import (PdfWriter, _PAGE_W,
+                                                 _PAGE_H, _esc)
+
+    def build(with_link):
+        w = PdfWriter()
+        w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+        w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        annots = " /Annots [6 0 R]" if with_link else ""
+        w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+               f"{_PAGE_H}] /Resources << /Font << /F1 5 0 R >> >> "
+               f"/Contents 4 0 R{annots} >>").encode())
+        lines = []
+        y = 700
+        for t in [
+            "The court considered the matter at length during the term",
+            "and issued a ruling that covered all of the claims presented",
+            "by the parties during the hearing on the merits of this case",
+            "as reported in Smith v. Jones, 123 F.3d 456, 9th Circuit",
+        ]:
+            lines.append((y, t))
+            y -= 15
+        y -= 6  # citation pad: pitch 21 (1.4x the 15pt leading)
+        cite_y = y
+        lines.append((y, "2001, and later proceedings in the docket."))
+        y -= 15
+        y -= 11  # real paragraph gap: pitch 26
+        for t in [
+            "A new paragraph follows the citation and continues with the",
+            "ordinary body text of the opinion for several further lines",
+            "so the gap model sees the usual pitch of the document here.",
+        ]:
+            lines.append((y, t))
+            y -= 15
+        y -= 11
+        for t in [
+            "Still another paragraph closes out the page with ordinary",
+            "body prose to anchor the spacing model of this document.",
+        ]:
+            lines.append((y, t))
+            y -= 15
+        content = " ".join(
+            f"BT /F1 11 Tf 72 {yy} Td ({_esc(t)}) Tj ET"
+            for yy, t in lines).encode()
+        w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+              + content + b"\nendstream")
+        w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+              b"/Encoding /WinAnsiEncoding >>")
+        if with_link:
+            w.add((f"<< /Type /Annot /Subtype /Link /Rect [72 {cite_y - 3} "
+                   f"380 {cite_y + 12}] "
+                   f"/A << /S /URI /URI (https://law.test/smith) >> >>"
+                   ).encode())
+        return w.build()
+
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    for with_link in (True, False):
+        pdf = build(with_link)
+        p = tmp_path / f"cite_{with_link}.pdf"
+        p.write_bytes(pdf)
+        assert extract_document("u", pdf, "", "eng")["extracted_text"] \
+            == _ref_extract(str(p)), f"cite link={with_link}"
+    # the stamping itself: words under the /Link carry the URI
+    pages, _ = parse_pdf_document(build(True))
+    assert any(w.style.link == "https://law.test/smith"
+               for ln in pages[0].lines for w in ln.words)
