@@ -209,9 +209,16 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             from ..stages.pdf import parse_pdf_document
             pages, doc_type, outline = parse_pdf_document(
                 payload, with_outline=True)
-            analyze_layout(pages,
-                           outline_titles=[o["title"] for o in outline],
-                           pdf_type=doc_type)
+            # Native-text only (extractPDFText.js:100-110:
+            # "analyzeLayout is not yet validated on OCR text"): an
+            # 'ocr'-type PDF keeps its per-page reflow paragraphs.
+            # Main-content mode still needs roles to drop — our opt-in
+            # corpus feature, same as the hOCR/cloud import branches.
+            if doc_type == "text" or (doc_type == "ocr" and drop_furniture):
+                analyze_layout(pages,
+                               outline_titles=[o["title"]
+                                               for o in outline],
+                               pdf_type=doc_type)
             if emit_format == "pdf_overlay":
                 # searchable-scan product: invisible text layer merged
                 # back onto the ORIGINAL pages (S9 writePdfOverlay)

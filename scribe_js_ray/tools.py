@@ -65,9 +65,12 @@ def _load_pages(payload: bytes):
         from .stages.pdf import parse_pdf_document
         pages, doc_type, outline = parse_pdf_document(
             payload, with_outline=True)
-        analyze_layout(pages,
-                       outline_titles=[o["title"] for o in outline],
-                       pdf_type=doc_type)
+        # Native-text only (extractPDFText.js:100-110): an 'ocr'-type
+        # PDF keeps its per-page reflow paragraphs.
+        if doc_type == "text":
+            analyze_layout(pages,
+                           outline_titles=[o["title"] for o in outline],
+                           pdf_type=doc_type)
     elif kind == "scribe":
         from .stages.scribe_fmt import parse_scribe
         pages = parse_scribe(payload)

@@ -1114,3 +1114,152 @@ def test_citation_link_continuation_parity(tmp_path):
     pages, _ = parse_pdf_document(build(True))
     assert any(w.style.link == "https://law.test/smith"
                for ln in pages[0].lines for w in ln.words)
+
+
+def _sink8_pdf(r):
+    """Round-8 sink: endnote sections vs footnote blocks — dominated
+    page runs (endnotes), isolated dominated pages (footnoteBlock),
+    unreferenced self-referential runs (stay body), and run
+    extension via value contiguity (analyzeLayout.js:1272-1348).
+    0/180 seeds diverged — pinned as regression cover."""
+    from scribe_js_ray.sources.synth import (_paragraph_words,
+                                             _sentence)
+    from scribe_js_ray.sources.synth_pdf import (_MARGIN, _PAGE_W,
+                                                 _PAGE_H, _make_pdf,
+                                                 _Typesetter)
+
+    def esc(s):
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    def sup_ref_line(ts, r, words, marker):
+        pre = len(ts.ops)
+        ts.flow(words)
+        op = ts.ops[pre]
+        parts = op.split()
+        size = float(parts[2])
+        x0, y0 = float(parts[4]), float(parts[5])
+        txt = op[op.index("(") + 1:op.rindex(")")]
+        ws = txt.split(" ")
+        cut = " ".join(ws[:min(2, len(ws))])
+        xs = x0 + ts.text_width(cut, "F1", size)
+        ts.ops.append(f"BT /F1 {round(size * 0.6, 1)} Tf {xs:.2f} "
+                      f"{y0 + size * 0.35:.2f} Td ({esc(marker)}) Tj ET")
+
+    def note_entry(f, r, marker, wrap=True, bold_head=False):
+        """One sup-marker note entry, optionally wrapped."""
+        f.y -= 13
+        f.ops.append(f"BT /F1 6 Tf {_MARGIN} {f.y + 3.5:.2f} Td"
+                     f" ({marker}) Tj ET")
+        f.ops.append(f"BT /F1 9.5 Tf {_MARGIN + 8} {f.y:.2f} Td"
+                     f" ({esc(' '.join(_sentence(r, r.randint(6, 10))))}) Tj ET")
+        if wrap and r.random() < 0.5:
+            f.line(" ".join(_sentence(r, r.randint(4, 8))), size=9.5, dy=12)
+
+    def _gen(r):
+        kind = r.choice(["endnotes", "fnblock", "unreferenced", "extension"])
+        n_refs = r.randint(4, 8)
+
+        # page 1: body with in-text sup references 1..n
+        ts = _Typesetter()
+        if r.random() < 0.4:
+            t = " ".join(w.capitalize() for w in _sentence(r, 3))[:-1]
+            ts.line(t, size=15, font="F2", dy=24)
+            ts.y -= 6
+        placed = 0
+        while placed < n_refs:
+            words = _paragraph_words(r, 1)
+            if kind != "unreferenced":
+                sup_ref_line(ts, r, words, str(placed + 1))
+            else:
+                ts.flow(words)
+            placed += 1
+            ts.y -= 6
+        pages = [ts.stream()]
+
+        # note pages
+        if kind == "endnotes":
+            # 2 dominated pages: entries 1..k, k+1..n
+            half = n_refs // 2
+            for rng in (range(1, half + 1), range(half + 1, n_refs + 1)):
+                f = _Typesetter()
+                if r.random() < 0.5:
+                    f.line("NOTES", size=11, font="F2", dy=20)
+                    f.y -= 4
+                for k in rng:
+                    note_entry(f, r, str(k))
+                pages.append(f.stream())
+        elif kind == "extension":
+            # page 2: report tail + opening entries (non-dominated),
+            # pages 3-5: dominated run continuing the values
+            f = _Typesetter()
+            for _ in range(3):
+                f.flow(_paragraph_words(r, 2))
+                f.y -= 8
+            note_entry(f, r, "1")
+            note_entry(f, r, "2")
+            pages.append(f.stream())
+            vals = iter(range(3, n_refs + 1))
+            for _ in range(3):
+                g = _Typesetter()
+                took = False
+                for k in vals:
+                    note_entry(g, r, str(k))
+                    took = True
+                    if r.random() < 0.4:
+                        break
+                if not took:
+                    break
+                pages.append(g.stream())
+        else:
+            # one dominated page (fnblock / unreferenced)
+            f = _Typesetter()
+            for k in range(1, n_refs + 1):
+                note_entry(f, r, str(k))
+            pages.append(f.stream())
+
+        return _make_pdf(pages, {"F1": "Helvetica", "F2": "Helvetica-Bold",
+                                 "F3": "Times-Roman"})
+
+    return _gen(r)
+
+
+@pytest.mark.parametrize("seed", [2, 11, 25, 52])
+def test_kitchen_sink8_parity(seed, tmp_path):
+    pdf = _sink8_pdf(random.Random(seed))
+    p = tmp_path / f"sink8_{seed}.pdf"
+    p.write_bytes(pdf)
+    assert extract_document("u", pdf, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink8_{seed} text"
+    assert extract_document("u", pdf, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink8_{seed} md"
+
+
+def test_ocr_type_reflow_routing_parity(tmp_path):
+    """An 'ocr'-type PDF (invisible Tr-3 layer over an image) keeps its
+    per-page reflow paragraphs — the reference runs
+    applyDocParagraphLayout for NATIVE text only
+    (extractPDFText.js:100-110: "analyzeLayout is not yet validated on
+    OCR text").  A scanned line-numbered transcript page pins the
+    routing: with the doc-level pass, the margin-number column would
+    classify and regroup; without it each row stays its own reflow
+    paragraph, byte-identical to the reference."""
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    img = ("q 612 0 0 792 0 0 cm BI /W 2 /H 2 /BPC 8 /CS /G ID "
+           + "\x00\x00\x00\x00" + " EI Q\n")
+    rows = []
+    y = 720
+    for i in range(1, 23):
+        rows.append(f"BT 3 Tr /F1 7 Tf 40 {y + 2} Td ({i}) Tj ET")
+        rows.append(f"BT 3 Tr /F1 11 Tf 90 {y} Td "
+                    f"(Q. And what did you observe at the scene "
+                    f"number {i}) Tj ET")
+        y -= 28
+    rows.append("BT 3 Tr /F1 8 Tf 90 60 Td (CERTIFIED SHORTHAND "
+                "REPORTER TRANSCRIPT PAGE) Tj ET")
+    pdf = _make_pdf([img + "\n".join(rows)], {"F1": "Helvetica"})
+    p = tmp_path / "transcript_ocr.pdf"
+    p.write_bytes(pdf)
+    res = extract_document("u", pdf, "", "eng")
+    assert res["doc_type"] == "ocr"
+    assert res["extracted_text"] == _ref_extract(str(p))
