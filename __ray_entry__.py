@@ -245,6 +245,15 @@ def _doc_token_counts(sf_dir: str):
         .select_columns(["doc_id", "n_tokens"]).sort("doc_id")
 
 
+def _corpus_vocab_topk(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import vocab_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_topk(ds, k=200)
+
+
 def _doc_fingerprints(sf_dir: str):
     import ray.data as rd
 
@@ -821,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate_e2e": _corpus_curate_e2e,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
+        "corpus_vocab_topk": _corpus_vocab_topk,
         "doc_fingerprints": _doc_fingerprints,
         "doc_clean_text": _doc_clean_text,
         "doc_quality": _doc_quality,
@@ -1201,6 +1211,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN totals t USING (doc_id)
             LEFT JOIN hits h USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "corpus_vocab_topk": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                     AS token
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 200
         """,
         "doc_top_bigram": """
             WITH toks AS (

@@ -1793,6 +1793,38 @@ def domain_stats(docs_ds):
         .sort("source")
 
 
+def vocab_topk(docs_ds, k: int = 200):
+    """Corpus-wide token vocabulary: the top-``k`` whitespace tokens by
+    frequency with a deterministic (n DESC, token ASC) tie-break — the
+    seed-vocabulary step of tokenizer training.
+
+    Scale shape: each batch collapses to its UNIQUE tokens with partial
+    counts (np.unique over the flattened Arrow token lists), so the one
+    token-keyed exchange moves vocabulary mass, not corpus mass; the
+    final sort runs over the merged vocabulary only."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.list_flatten(pc.split_pattern_regex(trimmed, r"\s+"))
+        arr = toks.to_numpy(zero_copy_only=False)
+        if len(arr):
+            uniq, counts = np.unique(arr, return_counts=True)
+            mask = uniq != ""
+            uniq, counts = uniq[mask], counts[mask]
+        else:
+            uniq = np.empty(0, dtype=object)
+            counts = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "token": pa.array(uniq, pa.string()),
+            "n_part": pa.array(counts, pa.int64()),
+        })
+
+    counts = docs_ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n_part", alias_name="n"))
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def pack_sequences(docs_ds, budget_tokens: int = 2048,
                    n_shards: int = 256):
     """Greedy next-fit sequence packing: concatenate documents into
