@@ -1263,3 +1263,156 @@ def test_ocr_type_reflow_routing_parity(tmp_path):
     res = extract_document("u", pdf, "", "eng")
     assert res["doc_type"] == "ocr"
     assert res["extracted_text"] == _ref_extract(str(p))
+
+
+def _sink10_doc(r):
+    """Round-10 sink: per-page reflow (reflowPars) via randomized hOCR
+    — mixed sizes, indents, gaps, centered verse, sup-led small
+    print, multi-page.  hOCR imports never run analyzeLayout, so
+    this isolates assign_paragraphs parity.  0/200 seeds diverged."""
+    from scribe_js_ray.sources.synth import (HocrBuilder, _MARGIN,
+                                             _flow_paragraph,
+                                             _paragraph_words,
+                                             _sentence)
+
+    def _gen(r):
+        b = HocrBuilder()
+        for _ in range(r.randint(1, 2)):
+            b.new_page()
+            # optional centered heading at a random display size
+            if r.random() < 0.5:
+                t = [w.capitalize() for w in _sentence(r, r.randint(2, 4))[:-1]]
+                b.line(t or ["Heading"], size=r.choice([48, 64, 80]),
+                       x_height=40, align="center")
+                b.skip(r.randint(10, 80))
+            for _ in range(r.randint(2, 5)):
+                kind = r.random()
+                if kind < 0.45:
+                    # flowed paragraph with first-line indent
+                    _flow_paragraph(b, _paragraph_words(r, r.randint(1, 3)),
+                                    indent=r.choice([0, 60, 90]))
+                elif kind < 0.6:
+                    # indented block (quote-ish)
+                    inset = r.randint(80, 160)
+                    for _ in range(r.randint(2, 4)):
+                        b.line(_sentence(r, r.randint(4, 7)),
+                               left=_MARGIN + inset)
+                elif kind < 0.75:
+                    # centered lines (verse)
+                    for _ in range(r.randint(2, 3)):
+                        b.line(_sentence(r, r.randint(3, 5)), align="center")
+                elif kind < 0.9:
+                    # small-print block (notes)
+                    for _ in range(r.randint(1, 3)):
+                        b.line(_sentence(r, r.randint(5, 9)), size=30,
+                               x_height=22,
+                               sup_first=(r.random() < 0.4))
+                else:
+                    # ragged short lines at body size
+                    for _ in range(r.randint(2, 4)):
+                        b.line(_sentence(r, r.randint(2, 4)))
+                b.skip(r.choice([0, 8, 30, 60, 110]))
+        return b.build().encode()
+    return _gen(r)
+
+
+@pytest.mark.parametrize("seed", [4, 19, 47, 83])
+def test_kitchen_sink10_parity(seed, tmp_path):
+    data = _sink10_doc(random.Random(seed))
+    p = tmp_path / f"sink10_{seed}.hocr"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink10_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink10_{seed} md"
+
+
+def _sink11_doc(r):
+    """Round-11 sink: raw randomized ALTO — TextBlock STYLEREFS
+    fallbacks, String STYLE flags, WC confidences, descender/
+    ascender baseline + xHeight estimation, skipped elements with
+    missing positional attrs, multi-page.  0/160 seeds diverged."""
+    from scribe_js_ray.sources.synth import (HocrBuilder, _MARGIN,
+                                             _flow_paragraph,
+                                             _paragraph_words,
+                                             _sentence)
+    W, H = 2480, 3508
+    CHAR_W = 22
+
+    def word_box(x, y, text, size=40, desc=False):
+        wdt = len(text) * CHAR_W * size // 40
+        hgt = size + (10 if desc else 0)
+        return x, y, wdt, hgt
+
+    def _gen(r):
+        styles = []
+        style_ids = []
+        for i, fam in enumerate(["Times New Roman", "Arial", "Courier New"]):
+            sid = f"font{i}"
+            style_ids.append(sid)
+            styles.append(f'<TextStyle ID="{sid}" FONTFAMILY="{fam}" '
+                          f'FONTSIZE="{r.choice([9, 10, 11, 12])}"/>')
+        pages = []
+        for pi in range(r.randint(1, 2)):
+            blocks = []
+            y = 300
+            for _ in range(r.randint(2, 4)):
+                block_style = (f' STYLEREFS="{r.choice(style_ids)}"'
+                               if r.random() < 0.5 else "")
+                tlines = []
+                for _ in range(r.randint(1, 5)):
+                    words = _sentence(r, r.randint(3, 9))
+                    size = r.choice([36, 40, 40, 40, 64])
+                    x = 300 + r.choice([0, 0, 0, 120])
+                    strs = []
+                    x0 = x
+                    for wi, wd in enumerate(words):
+                        desc = any(c in "gjpqy" for c in wd)
+                        _, _, wdt, hgt = word_box(x, y, wd, size, desc)
+                        attrs = (f'CONTENT="{wd}" HPOS="{x}" VPOS="{y}" '
+                                 f'WIDTH="{wdt}" HEIGHT="{hgt}"')
+                        if r.random() < 0.4:
+                            attrs += f' WC="{r.uniform(0.3, 0.99):.2f}"'
+                        if r.random() < 0.15:
+                            st = r.choice(["bold", "italics", "bold italics",
+                                           "superscript", "smallcaps"])
+                            attrs += f' STYLE="{st}"'
+                        if r.random() < 0.2:
+                            attrs += f' STYLEREFS="{r.choice(style_ids)}"'
+                        if r.random() < 0.04:
+                            # missing positional attr: element skipped
+                            attrs = attrs.replace(f'VPOS="{y}" ', "")
+                        strs.append(f"<String {attrs}/>")
+                        x += wdt + CHAR_W
+                    lw = x - CHAR_W - x0
+                    tline = (f'<TextLine HPOS="{x0}" VPOS="{y}" '
+                             f'WIDTH="{lw}" HEIGHT="{size + 12}">'
+                             + "".join(strs) + "</TextLine>")
+                    if r.random() < 0.03:
+                        tline = tline.replace(f'VPOS="{y}" ', "", 1)
+                    tlines.append(tline)
+                    y += r.choice([52, 52, 52, 90])
+                blocks.append(f"<TextBlock{block_style}>"
+                              + "".join(tlines) + "</TextBlock>")
+                y += r.choice([0, 60, 140])
+            pages.append(f'<Page WIDTH="{W}" HEIGHT="{H}" PHYSICAL_IMG_NR='
+                         f'"{pi + 1}"><PrintSpace>'
+                         + "".join(blocks) + "</PrintSpace></Page>")
+        return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<alto xmlns="http://www.loc.gov/standards/alto/ns-v3#">'
+                "<Styles>" + "".join(styles) + "</Styles>"
+                "<Layout>" + "".join(pages) + "</Layout></alto>").encode()
+    return _gen(r)
+
+
+@pytest.mark.parametrize("seed", [1, 23, 58, 71])
+def test_kitchen_sink11_parity(seed, tmp_path):
+    data = _sink11_doc(random.Random(seed))
+    p = tmp_path / f"sink11_{seed}.xml"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink11_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink11_{seed} md"
