@@ -84,7 +84,8 @@ class Char:
 
 class Word:
     __slots__ = ("text", "bbox", "style", "lang", "conf", "chars", "line",
-                 "line_num", "id", "mcid", "artifact", "text_alt")
+                 "line_num", "id", "mcid", "artifact", "text_alt",
+                 "style_runs")
 
     def __init__(self, line: "Line", wid: str, text: str, bbox: BBox):
         self.line = line
@@ -104,6 +105,38 @@ class Word:
         # Higher-confidence alternative recognition (textAlt,
         # ocrObjects.js word field; set by the blocks import).
         self.text_alt = None
+        # Intra-word style changes: [{"i": offset, "style": delta-dict}]
+        # (ocrObjects.js word.styleRuns; set by the PDF/DOCX paths when
+        # a word spans runs of differing bold/italic/smallCaps).
+        self.style_runs = None
+
+
+def get_word_style_segments(word: "Word"):
+    """Resolve a word's style runs into contiguous (start, end, style)
+    segments; None for uniform words (ocrObjects.js:835-847)."""
+    runs = getattr(word, "style_runs", None)
+    if not runs:
+        return None
+
+    def overlay(delta):
+        st = Style()
+        for f in ("font", "size", "bold", "italic", "underline",
+                  "small_caps", "sup", "dropcap", "color", "opacity",
+                  "link"):
+            setattr(st, f, getattr(word.style, f))
+        for k, v in delta.items():
+            setattr(st, k, v)
+        return st
+
+    segments = []
+    start = 0
+    style = word.style
+    for run in runs:
+        segments.append((start, run["i"], style))
+        start = run["i"]
+        style = overlay(run["style"])
+    segments.append((start, len(word.text), style))
+    return [s for s in segments if s[1] > s[0]]
 
 
 class Line:

@@ -32,50 +32,120 @@ _PSTYLE_RE = re.compile(r"<w:pStyle\s+w:val=\"([^\"]+)\"")
 _BOLD_RE = re.compile(r"<w:b(?:\s*/|\s[^>]*/)>")
 _ITALIC_RE = re.compile(r"<w:i(?:\s*/|\s[^>]*/)>")
 _VERTALIGN_RE = re.compile(r"<w:vertAlign\s+w:val=\"superscript\"")
+_FOOTNOTE_RE = re.compile(
+    r"<w:footnote\s+[^>]*w:id=\"([^\"]+)\"[^>]*>(.*?)</w:footnote>", re.S)
+_FOOTNOTE_REF_RE = re.compile(r"<w:footnoteReference\s+[^>]*w:id=\"([^\"]+)\"")
+_FOOTNOTE_MARK_RE = re.compile(r"<w:footnoteRef\s*/>")
+
+
+def _run_styles(run_xml: str) -> dict:
+    """Run-level style flags (convertDocDocx.js parseRunElement
+    :351-390) — bold/italic/smallCaps/underline/superscript."""
+    def flag(tag):
+        return bool(re.search(
+            rf"<w:{tag}\s*/>|<w:{tag}\s+w:val=\"(?:true|1)\"", run_xml))
+
+    underline = bool(re.search(r"<w:u\s+w:val=\"single\"", run_xml)) \
+        or (bool(re.search(r"<w:u\s*/>", run_xml))
+            and not re.search(r"<w:u\s+w:val=\"none\"", run_xml))
+    return {
+        "bold": flag("b"),
+        "italic": flag("i"),
+        "small_caps": flag("smallCaps"),
+        "underline": underline,
+        "sup": bool(_VERTALIGN_RE.search(run_xml)),
+    }
+
+
+def _run_text(run_xml: str) -> str:
+    return "".join(unescape_xml(m.group(1))
+                   for m in _W_T_RE.finditer(run_xml))
+
+
+def _par_type(style_id: str) -> str:
+    """Paragraph style → par type (convertDocDocx.js:495-506)."""
+    s = (style_id or "").lower()
+    if s == "title" or s.startswith("heading") or s.startswith("toc"):
+        return "title"
+    if s.startswith("quote") or s == "intensequote":
+        return "blockquote"
+    return "body"
+
+
+def _parse_footnotes(footnotes_xml: str) -> dict:
+    """word/footnotes.xml → {id: [(text, styles)]}, skipping the
+    separator footnotes (ids -1/0) and <w:footnoteRef/> marker runs
+    (convertDocDocx.js parseFootnotes :402-441)."""
+    out: dict = {}
+    for m in _FOOTNOTE_RE.finditer(footnotes_xml):
+        fid, content = m.group(1), m.group(2)
+        if fid in ("-1", "0"):
+            continue
+        runs = []
+        for rm in _W_R_RE.finditer(content):
+            run = rm.group(0)
+            if _FOOTNOTE_MARK_RE.search(run):
+                continue
+            text = _run_text(run)
+            if text:
+                runs.append((text, _run_styles(run)))
+        if runs:
+            out[fid] = runs
+    return out
 
 
 def parse_docx(data: bytes) -> list[Page]:
-    """DOCX bytes → typeset synthetic pages (text content + heading/
-    style structure; footnote bodies appended after the main flow)."""
+    """DOCX bytes → typeset synthetic pages.
+
+    Faithful decision surface (convertDocDocx.js): per-run style flags
+    (:351-390), title/quote/toc paragraph typing (:495-506), inline
+    footnote-reference markers emitted as superscript index words in
+    first-reference order (:525-547), and footnote bodies appended as
+    'footnote' paragraphs after the main flow (:572-595).  Word merging
+    across run boundaries follows the typesetter's stylesMatch rule
+    (:787-790: merge only when the sup flag agrees)."""
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         doc_xml = z.read("word/document.xml").decode("utf-8", "replace")
+        try:
+            fn_xml = z.read("word/footnotes.xml").decode("utf-8",
+                                                         "replace")
+        except KeyError:
+            fn_xml = ""
 
-    paragraphs: list[tuple[str, str]] = []  # (style, text)
+    footnotes = _parse_footnotes(fn_xml) if fn_xml else {}
+    footnote_order: list[str] = []
+
+    paragraphs = []  # (par_type, [(text, styles)])
     for pm in _W_P_RE.finditer(doc_xml):
         content = pm.group(1)
         style_m = _PSTYLE_RE.search(content)
-        style = style_m.group(1) if style_m else ""
-        parts = []
+        par_type = _par_type(style_m.group(1) if style_m else "")
+        runs = []
         for rm in _W_R_RE.finditer(content):
-            run = rm.group(1)
-            for tm in _W_T_RE.finditer(run):
-                parts.append(unescape_xml(tm.group(1)))
-        text = "".join(parts).strip()
-        if text:
-            paragraphs.append((style, text))
+            run = rm.group(0)
+            fr = _FOOTNOTE_REF_RE.search(run)
+            if fr:
+                fid = fr.group(1)
+                if fid not in footnotes:
+                    continue
+                if fid not in footnote_order:
+                    footnote_order.append(fid)
+                idx = footnote_order.index(fid) + 1
+                runs.append((str(idx), {
+                    "bold": False, "italic": False, "small_caps": False,
+                    "underline": False, "sup": True}))
+                continue
+            text = _run_text(run)
+            if text:
+                runs.append((text, _run_styles(run)))
+        if runs:
+            paragraphs.append((par_type, runs))
 
-    # One source paragraph per text line → the text typesetter treats each
-    # as its own Par (textlayout source-line rule).
-    from .textlayout import parse_text_pages
-    body = "\n".join(text for _, text in paragraphs)
-    pages = parse_text_pages(body)
-    # Mark heading paragraphs: a source paragraph may span a page break
-    # and split into SEVERAL consecutive Pars, so walk the flat par list
-    # consuming pars until each source paragraph's word count is covered.
-    flat_pars = [p for page in pages for p in page.pars]
-    pi = 0
-    for style, text in paragraphs:
-        remaining = len(text.split())
-        while remaining > 0 and pi < len(flat_pars):
-            par = flat_pars[pi]
-            n_words = sum(len(ln.words) for ln in par.lines)
-            if style.startswith("Heading"):
-                par.type = "title"
-            elif style == "Quote":
-                par.type = "blockquote"
-            remaining -= n_words
-            pi += 1
-    return pages
+    for fid in footnote_order:
+        paragraphs.append(("footnote", footnotes[fid]))
+
+    from .textlayout import typeset_styled_paragraphs
+    return typeset_styled_paragraphs(paragraphs, text_source="docx")
 
 
 _DOC_START = (

@@ -227,27 +227,39 @@ def write_markdown(pages, reflow_text: bool = False,
                 new_line = True
 
             for word in line.words:
-                style = word.style
-                style_key = ((("b" if style.bold else "") +
-                              ("i" if style.italic else ""))
-                             if apply_formatting else "")
-                word_text = _escape_markdown(word.text)
-                if apply_formatting and style.sup:
-                    word_text = f"<sup>{word_text}</sup>"
+                # Intra-word style runs render as separate pieces
+                # (writeMarkdown.js:217-246, getWordStyleSegments).
+                from ..model import get_word_style_segments
+                segments = get_word_style_segments(word) \
+                    if apply_formatting else None
+                if segments:
+                    pieces = [(word.text[s:e], st)
+                              for s, e, st in segments]
+                else:
+                    pieces = [(word.text, word.style)]
 
-                if style_key != current_style_key and styled_words:
-                    flush()
+                for p, (ptext, style) in enumerate(pieces):
+                    style_key = ((("b" if style.bold else "") +
+                                  ("i" if style.italic else ""))
+                                 if apply_formatting else "")
+                    word_text = _escape_markdown(ptext)
+                    if apply_formatting and style.sup:
+                        word_text = f"<sup>{word_text}</sup>"
 
-                if new_line and not is_first_content:
-                    flush()
-                    md.append("\n")
-                elif not is_first_content and not styled_words:
-                    md.append(" ")
-                new_line = False
-                is_first_content = False
+                    if style_key != current_style_key and styled_words:
+                        flush()
 
-                current_style_key = style_key
-                styled_words.append(word_text)
+                    if p == 0:
+                        if new_line and not is_first_content:
+                            flush()
+                            md.append("\n")
+                        elif not is_first_content and not styled_words:
+                            md.append(" ")
+                        new_line = False
+                        is_first_content = False
+
+                    current_style_key = style_key
+                    styled_words.append(word_text)
 
             flush()
 

@@ -1063,6 +1063,29 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
 
             word.chars = chars_out
             word.text = replace_ligatures(word.text)
+            # Intra-word style runs (parsePdfDoc.js:3223-3241): run
+            # indices count ligature-EXPANDED text; a word whose first
+            # char's style differs from the word style is skipped (a
+            # run cannot express a styled prefix).
+            if (wc[0].bold == word.style.bold
+                    and wc[0].italic == word.style.italic
+                    and wc[0].smallcaps == word.style.small_caps):
+                text_off = len(replace_ligatures(wc[0].text))
+                for ci in range(1, len(wc)):
+                    pch, cch = wc[ci - 1], wc[ci]
+                    if (cch.bold != pch.bold or cch.italic != pch.italic
+                            or cch.smallcaps != pch.smallcaps):
+                        delta = {}
+                        if cch.bold != word.style.bold:
+                            delta["bold"] = cch.bold
+                        if cch.italic != word.style.italic:
+                            delta["italic"] = cch.italic
+                        if cch.smallcaps != word.style.small_caps:
+                            delta["small_caps"] = cch.smallcaps
+                        word.style_runs = word.style_runs or []
+                        word.style_runs.append(
+                            {"i": text_off, "style": delta})
+                    text_off += len(replace_ligatures(cch.text))
             line.words.append(word)
 
         if not line.words:

@@ -1,5 +1,6 @@
 """Plain text → synthetic typeset pages (reference:
-/root/reference/js/import/convertPageText.js:1-299).
+/root/reference/js/import/convertPageText.js:1-299), plus the run-styled
+variant the DOCX import uses (convertDocDocx.js:700-870).
 
 Semantics mirrored: letter-size pages (612×792), Times 14 pt, 14.4 pt line
 height, 30/20 pt margins; whitespace-preserving tokenization (:62-87);
@@ -7,6 +8,11 @@ greedy word wrap against the available width with the
 leading-whitespace-must-fit and oversized-word force-place rules
 (:150-265); one source text line → one paragraph (possibly page-spanning);
 page breaks on vertical overflow including on blank lines (:131-143).
+
+The styled variant adds the DOCX typesetter's run semantics: per-word
+bold/italic/smallCaps/underline/superscript flags, superscripts at 0.6×
+size with a raised box (convertDocDocx.js:817-843), and cross-run word
+merging gated on the sup flag agreeing (:787-790 stylesMatch).
 
 Metrics difference (documented): the reference measures advances + kerning
 + side bearings through its embedded opentype Times; this container has no
@@ -32,9 +38,13 @@ MARGIN_VERTICAL = 30
 MARGIN_HORIZONTAL = 20
 _ASCENDER = 0.683  # Times-Roman AFM ascender / unitsPerEm
 _DESCENDER = -0.217
+_SUP_RATIO = 0.6   # superscript render size (convertDocDocx.js:818)
 
 _WS_RE = re.compile(r"\s")
 _TIMES = base14_widths("Times-Roman")
+
+_PLAIN_STYLE = {"bold": False, "italic": False, "small_caps": False,
+                "underline": False, "sup": False}
 
 
 def _text_width(text: str, size: float = FONT_SIZE) -> float:
@@ -59,21 +69,27 @@ def _split_tokens(line: str):
     return tokens
 
 
-def parse_text_pages(text_str: str, page_dims=None) -> list[Page]:
-    """Raw text → list of synthetic Page trees."""
+def typeset_styled_paragraphs(paragraphs, page_dims=None,
+                              text_source: str = "text") -> list[Page]:
+    """Typeset ``(par_type, runs)`` paragraphs into synthetic pages.
+
+    ``runs`` is a list of ``(text, styles)`` — ``styles`` a dict with
+    bold/italic/small_caps/underline/sup keys, or None for plain.  A
+    paragraph of ``None`` runs is a blank source line (vertical advance
+    only).  Word wrap / page break rules are convertPageText.js's; run
+    styles ride each word; a non-whitespace run boundary merges into
+    the previous word only when the sup flag agrees
+    (convertDocDocx.js:787-790)."""
     if page_dims is None:
         page_dims = (612, 792)  # letter
     width, height = page_dims
     asc_h = _ASCENDER * FONT_SIZE
     desc_h = _DESCENDER * FONT_SIZE
 
-    lines = re.split(r"\r?\n", text_str)
     page_index = 0
     page = Page(page_index, width, height)
-    page.text_source = "text"
+    page.text_source = text_source
     pages = [page]
-    if not lines or all(not ln.strip() for ln in lines):
-        return pages
 
     available_width = width - MARGIN_HORIZONTAL * 2
     current_y = MARGIN_VERTICAL + LINE_HEIGHT / 2
@@ -82,18 +98,29 @@ def parse_text_pages(text_str: str, page_dims=None) -> list[Page]:
         nonlocal page, page_index, current_y
         page_index += 1
         page = Page(page_index, width, height)
-        page.text_source = "text"
+        page.text_source = text_source
         pages.append(page)
         current_y = MARGIN_VERTICAL + LINE_HEIGHT / 2
 
-    for line_text in lines:
-        if not line_text.strip():
+    any_content = False
+    for par_type, runs in paragraphs:
+        if runs is None:  # blank source line
             current_y += LINE_HEIGHT
             if current_y + FONT_SIZE > height - MARGIN_VERTICAL:
                 new_page()
             continue
 
-        tokens = _split_tokens(line_text)
+        # Flatten runs into a styled token stream.  run_start marks the
+        # first token of each run (the cross-run merge candidate).
+        tokens = []  # (text, is_ws, styles, run_start)
+        for text, styles in runs:
+            st = styles or _PLAIN_STYLE
+            for ti, (tok, is_ws) in enumerate(_split_tokens(text)):
+                tokens.append((tok, is_ws, st, ti == 0))
+        if not tokens:
+            continue
+        any_content = True
+
         par_lines: list[Line] = []
         par_right = MARGIN_HORIZONTAL
 
@@ -104,11 +131,25 @@ def parse_text_pages(text_str: str, page_dims=None) -> list[Page]:
                     MARGIN_HORIZONTAL, par_lines[0].bbox.top,
                     par_right, par_lines[-1].bbox.bottom))
                 par.lines = list(par_lines)
+                par.type = par_type
                 for ln in par_lines:
                     ln.par = par
                 page.pars.append(par)
             par_lines = []
             par_right = MARGIN_HORIZONTAL
+
+        def word_size(st):
+            return FONT_SIZE * _SUP_RATIO if st["sup"] else FONT_SIZE
+
+        def apply_style(word, st):
+            word.style.font = FONT_FAMILY
+            word.style.bold = st["bold"]
+            word.style.italic = st["italic"]
+            word.style.small_caps = st["small_caps"]
+            word.style.underline = st["underline"]
+            if st["sup"]:
+                word.style.sup = True
+                word.style.size = round(FONT_SIZE * _SUP_RATIO, 3)
 
         idx = 0
         while idx < len(tokens):
@@ -124,46 +165,98 @@ def parse_text_pages(text_str: str, page_dims=None) -> list[Page]:
             line = Line(page, BBox(MARGIN_HORIZONTAL, line_top,
                                    MARGIN_HORIZONTAL, line_bottom),
                         baseline, asc_h, None)
+            last_was_ws = True
+
+            def place(tok_text, st, wbox_left, tok_width):
+                if st["sup"]:
+                    # raised box at the reduced size
+                    # (convertDocDocx.js:829-836)
+                    sup_asc = asc_h * _SUP_RATIO
+                    w_bottom = round(current_y - asc_h * 0.7)
+                    w_top = round(w_bottom - sup_asc)
+                else:
+                    w_top, w_bottom = line_top, line_bottom
+                wbox = BBox(round(wbox_left), w_top,
+                            round(wbox_left + tok_width), w_bottom)
+                wid = (f"word_{page_index + 1}_"
+                       f"{len(page.lines) + 1}_{len(line.words) + 1}")
+                word = Word(line, wid, tok_text, wbox)
+                word.conf = 100
+                apply_style(word, st)
+                line.words.append(word)
+                return word
 
             last_consumed = idx
+            last_styles = None
             for j in range(idx, len(tokens)):
-                tok_text, is_ws = tokens[j]
-                tok_width = _text_width(tok_text)
+                tok_text, is_ws, st, run_start = tokens[j]
                 if is_ws:
+                    tok_width = _text_width(tok_text)
                     if not line.words and \
                             width_so_far + tok_width > available_width:
                         break
                     current_x += tok_width
                     width_so_far += tok_width
                     last_consumed = j + 1
-                else:
-                    if line.words and \
-                            width_so_far + tok_width > available_width:
-                        break  # wrap before this word
-                    wbox = BBox(round(current_x), line_top,
-                                round(current_x + tok_width), line_bottom)
-                    wid = (f"word_{page_index + 1}_"
-                           f"{len(page.lines) + 1}_{len(line.words) + 1}")
-                    word = Word(line, wid, tok_text, wbox)
-                    word.conf = 100
-                    word.style.font = FONT_FAMILY
-                    line.words.append(word)
-                    current_x += tok_width
-                    width_so_far += tok_width
+                    last_was_ws = True
+                    continue
+                tok_width = _text_width(tok_text, word_size(st))
+                # cross-run merge: first token of a run directly after
+                # a word (no whitespace) with the sup flag agreeing
+                if (run_start and not last_was_ws and line.words
+                        and j > idx
+                        and line.words[-1].style.sup == st["sup"]):
+                    prev_w = line.words[-1]
+                    merged = prev_w.text + tok_text
+                    merged_width = _text_width(
+                        merged, word_size({"sup": prev_w.style.sup}))
+                    if width_so_far - (prev_w.bbox.right
+                                       - prev_w.bbox.left) \
+                            + merged_width > available_width:
+                        break
+                    # intra-word style change → styleRun delta vs the
+                    # word's base style (convertDocDocx.js:800-812)
+                    tail = prev_w.style
+                    if prev_w.style_runs:
+                        from ..model import get_word_style_segments
+                        tail = get_word_style_segments(prev_w)[-1][2]
+                    if (tail.bold != st["bold"]
+                            or tail.italic != st["italic"]
+                            or tail.small_caps != st["small_caps"]):
+                        delta = {}
+                        if st["bold"] != prev_w.style.bold:
+                            delta["bold"] = st["bold"]
+                        if st["italic"] != prev_w.style.italic:
+                            delta["italic"] = st["italic"]
+                        if st["small_caps"] != prev_w.style.small_caps:
+                            delta["small_caps"] = st["small_caps"]
+                        prev_w.style_runs = prev_w.style_runs or []
+                        prev_w.style_runs.append(
+                            {"i": len(prev_w.text), "style": delta})
+                    width_so_far += merged_width \
+                        - (prev_w.bbox.right - prev_w.bbox.left)
+                    current_x = prev_w.bbox.left + merged_width
+                    prev_w.text = merged
+                    prev_w.bbox = BBox(prev_w.bbox.left, prev_w.bbox.top,
+                                       round(current_x), prev_w.bbox.bottom)
                     last_consumed = j + 1
+                    last_was_ws = False
+                    continue
+                if line.words and \
+                        width_so_far + tok_width > available_width:
+                    break  # wrap before this word
+                place(tok_text, st, current_x, tok_width)
+                current_x += tok_width
+                width_so_far += tok_width
+                last_consumed = j + 1
+                last_was_ws = False
+                last_styles = st
 
             if not line.words:
-                tok_text, is_ws = tokens[idx]
+                tok_text, is_ws, st, _rs = tokens[idx]
                 if not is_ws:  # force-place an oversized word
-                    tok_width = _text_width(tok_text)
-                    wbox = BBox(round(current_x), line_top,
-                                round(current_x + tok_width), line_bottom)
-                    wid = (f"word_{page_index + 1}_"
-                           f"{len(page.lines) + 1}_1")
-                    word = Word(line, wid, tok_text, wbox)
-                    word.conf = 100
-                    word.style.font = FONT_FAMILY
-                    line.words.append(word)
+                    tok_width = _text_width(tok_text, word_size(st))
+                    place(tok_text, st, current_x, tok_width)
                     current_x += tok_width
                     last_consumed = idx + 1
                 else:
@@ -179,5 +272,30 @@ def parse_text_pages(text_str: str, page_dims=None) -> list[Page]:
 
         close_par()
 
-    page.angle = 0
+    if not any_content and len(pages) == 1:
+        page.angle = 0
+        return pages
+    for p in pages:
+        p.angle = 0
     return pages
+
+
+def parse_text_pages(text_str: str, page_dims=None) -> list[Page]:
+    """Raw text → list of synthetic Page trees: one source line per
+    paragraph, blank lines advance the cursor
+    (convertPageText.js:131-143)."""
+    lines = re.split(r"\r?\n", text_str)
+    if not lines or all(not ln.strip() for ln in lines):
+        if page_dims is None:
+            page_dims = (612, 792)
+        page = Page(0, page_dims[0], page_dims[1])
+        page.text_source = "text"
+        return [page]
+    paragraphs = []
+    for ln in lines:
+        if not ln.strip():
+            paragraphs.append(("body", None))
+        else:
+            paragraphs.append(("body", [(ln, None)]))
+    return typeset_styled_paragraphs(paragraphs, page_dims=page_dims,
+                                     text_source="text")

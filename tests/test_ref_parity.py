@@ -1416,3 +1416,126 @@ def test_kitchen_sink11_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink11_{seed} md"
+
+
+def _sink12_docx(r):
+    """Round-12 sink: raw randomized DOCX — run styles (b/i/smallCaps/
+    u/vertAlign), Heading/Title/TOC/Quote paragraph styles,
+    footnote references (repeats + unknown ids), mid-word run
+    splits (the stylesMatch merge + intra-word styleRuns in md),
+    xml escapes.  Seeds 0-14 drove the rich parse_docx port
+    (footnote markers/bodies, styled typesetting, word styleRuns)."""
+    import io
+    import zipfile
+
+    from scribe_js_ray.sources.synth import _sentence
+
+    W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+    CT = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+     '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+     '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+     '<Default Extension="xml" ContentType="application/xml"/>'
+     '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+     '</Types>')
+    RELS = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+     '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+     '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/></Relationships>')
+
+    def esc(s):
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    def run_xml(text, r, allow_sup=True):
+        props = []
+        if r.random() < 0.18:
+            props.append(r.choice(['<w:b/>', '<w:b w:val="true"/>',
+                                   '<w:b w:val="1"/>']))
+        if r.random() < 0.12:
+            props.append('<w:i/>')
+        if r.random() < 0.06:
+            props.append('<w:smallCaps/>')
+        if r.random() < 0.06:
+            props.append(r.choice(['<w:u w:val="single"/>',
+                                   '<w:u w:val="none"/>']))
+        if allow_sup and r.random() < 0.06:
+            props.append('<w:vertAlign w:val="superscript"/>')
+        rpr = f"<w:rPr>{''.join(props)}</w:rPr>" if props else ""
+        return (f'<w:r>{rpr}<w:t xml:space="preserve">{esc(text)}</w:t>'
+                f'</w:r>')
+
+    def _gen(r):
+        n_footnotes = r.randint(0, 3)
+        fn_ids = [str(i + 2) for i in range(n_footnotes)]
+        pars = []
+        used_refs = []
+        for _ in range(r.randint(3, 8)):
+            kind = r.random()
+            ppr = ""
+            if kind < 0.15:
+                ppr = ('<w:pPr><w:pStyle w:val="%s"/></w:pPr>'
+                       % r.choice(["Heading1", "Heading2", "Title", "TOC1",
+                                   "Quote", "IntenseQuote", "Normal"]))
+            text = " ".join(_sentence(r, r.randint(4, 14)))
+            # split the paragraph text into 1-4 runs, sometimes mid-word
+            runs = []
+            pieces = [text]
+            for _ in range(r.randint(0, 3)):
+                k = r.randrange(len(pieces))
+                s = pieces[k]
+                if len(s) < 4:
+                    continue
+                cut = r.randrange(1, len(s))
+                pieces[k:k + 1] = [s[:cut], s[cut:]]
+            for p_ in pieces:
+                runs.append(run_xml(p_, r))
+            # sprinkle a footnote reference
+            if fn_ids and r.random() < 0.5:
+                fid = r.choice(fn_ids + (["99"] if r.random() < 0.2 else []))
+                if fid != "99":
+                    used_refs.append(fid)
+                at = r.randrange(len(runs) + 1)
+                runs.insert(at, '<w:r><w:rPr><w:vertAlign w:val='
+                                '"superscript"/></w:rPr>'
+                                f'<w:footnoteReference w:id="{fid}"/></w:r>')
+            pars.append(f"<w:p>{ppr}{''.join(runs)}</w:p>")
+        body = "".join(pars)
+        doc = (f'<?xml version="1.0"?><w:document {W}><w:body>{body}'
+               f'</w:body></w:document>')
+
+        files = {"[Content_Types].xml": CT, "_rels/.rels": RELS,
+                 "word/document.xml": doc}
+        if n_footnotes:
+            fns = ['<w:footnote w:id="-1"><w:p><w:r><w:separator/></w:r>'
+                   '</w:p></w:footnote>',
+                   '<w:footnote w:id="0"><w:p><w:r><w:continuationSeparator/>'
+                   '</w:r></w:p></w:footnote>']
+            for fid in fn_ids:
+                body_runs = ('<w:r><w:rPr><w:vertAlign w:val="superscript"/>'
+                             '</w:rPr><w:footnoteRef/></w:r>')
+                for _ in range(r.randint(1, 2)):
+                    body_runs += run_xml(" ".join(_sentence(r, r.randint(4, 9))),
+                                         r, allow_sup=False)
+                fns.append(f'<w:footnote w:id="{fid}"><w:p>{body_runs}'
+                           f'</w:p></w:footnote>')
+            files["word/footnotes.xml"] = (f'<?xml version="1.0"?>'
+                                           f'<w:footnotes {W}>'
+                                           + "".join(fns) + "</w:footnotes>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for name, content in files.items():
+                z.writestr(name, content)
+        return buf.getvalue()
+
+    return _gen(r)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 4, 27])
+def test_kitchen_sink12_parity(seed, tmp_path):
+    data = _sink12_docx(random.Random(seed))
+    p = tmp_path / f"sink12_{seed}.docx"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink12_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink12_{seed} md"
