@@ -1539,3 +1539,97 @@ def test_kitchen_sink12_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink12_{seed} md"
+
+
+def _sink13_stext(r):
+    """Round-13 sink: raw randomized stext — mid-line font changes
+    (word splits on formatting), size changes through the running-
+    size model, trailing raised reduced-size markers, multi-block
+    multi-page.  0/160 seeds diverged — pinned as regression cover."""
+    from scribe_js_ray.sources.synth import _sentence
+
+    FONTS = ["Times-Roman", "Helvetica", "Courier",
+             "TimesNewRoman-Bold", "Arial-ItalicMT"]
+
+    def char_xml(ch, x, y, size):
+        # quad: x0 y0 x1 y1 x2 y2 x3 y3 (top-left, top-right, bot-left, bot-right)
+        w = size * 0.55
+        asc, desc = size * 0.8, size * 0.25
+        return (f'<char quad="{x:.1f} {y - asc:.1f} {x + w:.1f} {y - asc:.1f} '
+                f'{x:.1f} {y + desc:.1f} {x + w:.1f} {y + desc:.1f}" '
+                f'x="{x:.1f}" y="{y:.1f}" c="{ch}"/>'), w
+
+    def _gen(r):
+        pages = []
+        for _ in range(r.randint(1, 2)):
+            y = 200.0
+            blocks = []
+            for _ in range(r.randint(2, 4)):
+                lines_xml = []
+                for _ in range(r.randint(1, 5)):
+                    base_size = r.choice([10, 12, 12, 12, 18])
+                    font = r.choice(FONTS[:3])
+                    x = 150.0
+                    x0 = x
+                    parts = [f'<font name="{font}" size="{base_size}">']
+                    words = _sentence(r, r.randint(3, 9))
+                    for wi, text in enumerate(words):
+                        if wi > 0:
+                            cx, w = char_xml(" ", x, y, base_size)
+                            parts.append(cx)
+                            x += w
+                        # mid-line font/size change sometimes
+                        if r.random() < 0.18:
+                            nf = r.choice(FONTS)
+                            ns = base_size if r.random() < 0.5 \
+                                else round(base_size * r.choice([0.6, 1.5]), 1)
+                            parts.append(f'<font name="{nf}" size="{ns}">')
+                            cur_size = ns
+                        else:
+                            cur_size = base_size
+                        # raised superscript digit glued to a word
+                        if r.random() < 0.08:
+                            text += ""
+                        for ch in text:
+                            if ch in "<>&\"'":
+                                continue
+                            cx, w = char_xml(ch, x, y, cur_size)
+                            parts.append(cx)
+                            x += w
+                        if r.random() < 0.06:
+                            # trailing raised marker at reduced size
+                            sup_size = round(base_size * 0.6, 1)
+                            sy = y - base_size * 0.35
+                            for ch in str(r.randint(1, 9)):
+                                cx, w = char_xml(ch, x, sy, sup_size)
+                                parts.append(
+                                    cx.replace(f'size="{cur_size}"', ""))
+                                x += w
+                    parts.append("</font>")
+                    asc = base_size * 0.9
+                    lines_xml.append(
+                        f'<line bbox="{x0:.1f} {y - asc:.1f} {x:.1f} '
+                        f'{y + base_size * 0.3:.1f}" dir="1 0">'
+                        + "".join(parts) + "</line>")
+                    y += base_size * r.choice([1.2, 1.2, 1.2, 2.4])
+                blocks.append(f'<block bbox="100 100 1800 {y:.0f}">'
+                              + "".join(lines_xml) + "</block>")
+                y += r.choice([0, 30, 80])
+            pages.append('<page id="page0" width="2000" height="3000">'
+                         + "".join(blocks) + "</page>")
+        return ('<?xml version="1.0"?><document name="x">'
+                + "".join(pages) + "</document>").encode()
+
+    return _gen(r)
+
+
+@pytest.mark.parametrize("seed", [6, 31, 49, 77])
+def test_kitchen_sink13_parity(seed, tmp_path):
+    data = _sink13_stext(random.Random(seed))
+    p = tmp_path / f"sink13_{seed}.stext"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink13_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink13_{seed} md"
