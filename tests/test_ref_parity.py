@@ -1633,3 +1633,90 @@ def test_kitchen_sink13_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink13_{seed} md"
+
+
+def _sink14_abbyy(r):
+    """Round-14 sink: raw randomized Abbyy — formatting splits (bold/
+    italic/smallcaps/superscript ff attrs), suspicious chars, blank
+    charParams beside formatting changes, size-only formatting
+    churn, multi-par multi-page.  0/160 seeds diverged — pinned."""
+    from scribe_js_ray.sources.synth import _sentence
+
+    def char_xml(ch, x, y, w=42, h=56, fmt=None, suspicious=False):
+        sus = ' suspicious="1"' if suspicious else ""
+        pre = fmt or ""
+        return (f'{pre}<charParams l="{x}" t="{y}" r="{x + w}" '
+                f'b="{y + h}"{sus}>{ch}</charParams>')
+
+    def fmt_tag(r, base_size=12):
+        attrs = [f' lang="EnglishUnitedStates" ff="Times New Roman"']
+        size = base_size
+        if r.random() < 0.3:
+            size = r.choice([8, 10, 12, 12, 16])
+        attrs.append(f' fs="{size}."')
+        for name, p in (("bold", 0.2), ("italic", 0.12), ("smallcaps", 0.05),
+                        ("superscript", 0.06), ("underline", 0.05)):
+            if r.random() < p:
+                attrs.append(f' {name}="true"')
+        return f'<formatting{"".join(attrs)}>', size
+
+    def _gen(r):
+        pages = []
+        for _ in range(r.randint(1, 2)):
+            pars = []
+            y = 200
+            for _ in range(r.randint(2, 5)):
+                lines_xml = []
+                for _ in range(r.randint(1, 4)):
+                    x = 150 + r.choice([0, 0, 120])
+                    x0 = x
+                    parts = []
+                    open_fmt, _ = fmt_tag(r)
+                    parts.append(open_fmt)
+                    words = _sentence(r, r.randint(3, 9))
+                    for wi, text in enumerate(words):
+                        if wi > 0:
+                            parts.append(char_xml(" ", x, y))
+                            x += 42
+                        if r.random() < 0.2:
+                            # mid-line formatting change (closes + reopens)
+                            parts.append("</formatting>")
+                            nf, _ = fmt_tag(r)
+                            parts.append(nf)
+                            if r.random() < 0.3:
+                                # blank charParams beside the change
+                                parts.append(char_xml(" ", x, y))
+                                x += 42
+                        for ch in text:
+                            if ch in "<>&\"'":
+                                continue
+                            parts.append(char_xml(
+                                ch, x, y, suspicious=(r.random() < 0.04)))
+                            x += 42
+                    parts.append("</formatting>")
+                    lines_xml.append(
+                        f'<line baseline="{y + 56}" l="{x0}" t="{y}" '
+                        f'r="{x}" b="{y + 60}">' + "".join(parts) + "</line>")
+                    y += r.choice([72, 72, 72, 130])
+                pars.append("<par>" + "".join(lines_xml) + "</par>")
+                y += r.choice([0, 40, 90])
+            pages.append('<page width="2000" height="3000" rotation="Normal">'
+                         "<text>" + "".join(pars) + "</text></page>")
+        return ('<?xml version="1.0" encoding="UTF-8"?>'
+                '<document xmlns="http://www.abbyy.com/FineReader_xml/'
+                'FineReader10-schema-v1.xml" version="1.0">'
+                + "".join(pages) + "</document>").encode()
+
+    return _gen(r)
+
+
+@pytest.mark.parametrize("seed", [9, 36, 61, 74])
+def test_kitchen_sink14_parity(seed, tmp_path):
+    data = _sink14_abbyy(random.Random(seed))
+    p = tmp_path / f"sink14_{seed}.xml"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink14_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink14_{seed} md"
