@@ -48,6 +48,7 @@ _HEX_ENT_RE = re.compile(r"&#x([0-9a-f]+);")
 # (miscUtils.js:5-7).
 ASC_CHARS = frozenset("ABCDEFGHIKLMNOPRSTUVWXYZbdhklt0123456789")
 X_CHARS = frozenset("acemnorsuvwxz")
+DESC_CHARS = frozenset("gjpqy")
 
 
 def unescape_xml(s: str) -> str:

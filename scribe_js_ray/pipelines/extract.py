@@ -191,7 +191,8 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
 def extract_document(url: str, payload: bytes, text: str, lang: str,
                      reflow: bool = True, drop_furniture: bool = False,
                      emit_format: str = "text", edits: list | None = None,
-                     emit_opts: dict | None = None):
+                     emit_opts: dict | None = None,
+                     source_payload: bytes | None = None):
     """Pure per-document extraction; returns a flat result dict.
 
     ``emit_format``: "text" (byte-identical golden surface, default),
@@ -200,7 +201,11 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
     ``emit_opts``: format-specific switches mirroring the reference
     CLI (extract.js): ``line_numbers`` prepends page:line prefixes
     (txt only), ``char_boxes=False`` drops per-char boxes from
-    .scribe output."""
+    .scribe output.
+    ``source_payload``: optional paired image/PDF supplying page
+    metrics for OCR-JSON payloads — the reference's two-file import
+    (import.js:716 passes doc.pageMetrics from the PDF into
+    convertOCR; Textract/Azure require it, recognizeConvert.js:549)."""
     kind = classify_payload(payload or b"", text or "")
     out = {"url": url, "extracted_text": "", "spans": [], "n_pages": 0,
            "doc_type": "image", "payload_kind": kind, "error": ""}
@@ -267,14 +272,17 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                       "azure_doc_intel"):
             raw = payload.decode("utf-8", "replace")
             from ..stages import cloud
+            page_dims = (cloud.pdf_page_dims_300(source_payload)
+                         if source_payload else None)
             if kind == "textract":
-                pages = cloud.parse_textract_doc(raw)
+                pages = cloud.parse_textract_doc(raw, page_dims=page_dims)
             elif kind == "google_vision":
                 pages = [cloud.parse_google_vision_page(raw, 0)]
             elif kind == "google_doc_ai":
-                pages = cloud.parse_google_doc_ai(raw)
+                pages = cloud.parse_google_doc_ai(raw, page_dims=page_dims)
             else:
-                pages = cloud.parse_azure_doc_intel(raw)
+                pages = cloud.parse_azure_doc_intel(raw,
+                                                    page_dims=page_dims)
             if drop_furniture:
                 analyze_layout(pages, pdf_type="ocr")
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,

@@ -23,19 +23,229 @@ side ⏳ items in SURVEY §2.11).
 from __future__ import annotations
 
 import json
+import math
 
-from ..functions.stats import mean50
+from ..functions.stats import js_round, mean50
+from ..functions.textnorm import ASC_CHARS, DESC_CHARS, X_CHARS
 from ..model import BBox, Line, Page, Par, Word, bbox_union
 from .shared import pass3, split_unicode_superscripts
 
 DEFAULT_PAGE_DIMS = (612, 792)
 
 
+def pdf_page_dims_300(payload: bytes) -> list[tuple[int, int]]:
+    """Per-page pixel dims the reference derives from a paired PDF for
+    Textract/Azure imports (imageContainer.js:890-920): visual mediaBox
+    points (post-/Rotate) × 300/72, re-scaled so width caps at 3500."""
+    from .pdf.doc import _walk_pages
+    from .pdf.objects import PdfFile
+    pdf = PdfFile(payload)
+    dims = []
+    for info in _walk_pages(pdf):
+        mb = [float(pdf.resolve(v)) for v in
+              (pdf.resolve(info.get("MediaBox")) or [0, 0, 612, 792])]
+        width_pts = abs(mb[2] - mb[0])
+        height_pts = abs(mb[3] - mb[1])
+        rotate = int(pdf.resolve(info.get("Rotate")) or 0) % 360
+        if rotate in (90, 270):
+            width_pts, height_pts = height_pts, width_pts
+        w300 = js_round(width_pts * 300 / 72)
+        h300 = js_round(height_pts * 300 / 72)
+        dpi = 300 * min(w300, 3500) / w300 if w300 else 300
+        dims.append((js_round(w300 * dpi / 300), js_round(h300 * dpi / 300)))
+    return dims
+
+
 # ---------------------------------------------------------------------------
 # AWS Textract
 
 
-def parse_textract_doc(ocr_str: str, page_dims=None) -> list[Page]:
+def _detect_poly_orientation(poly) -> int:
+    """convertDocTextract.js:22-40 — orientation from the PAGE polygon."""
+    if poly[0]["X"] > poly[2]["X"] and poly[0]["Y"] < poly[2]["Y"]:
+        return 1  # 90° clockwise
+    if poly[0]["X"] > poly[2]["X"] and poly[0]["Y"] > poly[2]["Y"]:
+        return 2  # 180°
+    if (poly[0]["X"] < poly[2]["X"] and poly[1]["X"] < poly[3]["X"]
+            and poly[0]["Y"] > poly[2]["Y"]):
+        return 3  # 90° counter-clockwise
+    return 0
+
+
+def _convert_bbox(tb, w, h) -> BBox:
+    """convertDocTextract.js:419-426 — normalized 0-1 bbox → pixel BBox."""
+    return BBox(js_round(tb["Left"] * w), js_round(tb["Top"] * h),
+                js_round((tb["Left"] + tb["Width"]) * w),
+                js_round((tb["Top"] + tb["Height"]) * h))
+
+
+# Polygon corner-index remap per page orientation
+# (convertDocTextract.js:435-457): (tl, tr, br, bl) source indices.
+_POLY_IDX = {0: (0, 1, 2, 3), 1: (3, 0, 1, 2), 2: (2, 3, 0, 1),
+             3: (1, 2, 3, 0)}
+
+
+def _convert_polygon(tp, w, h, orientation) -> dict:
+    """convertDocTextract.js:435-476 — polygon points → pixel corners."""
+    tl, tr, br, bl = _POLY_IDX.get(orientation, _POLY_IDX[0])
+    pt = lambda k: (js_round(tp[k]["X"] * w), js_round(tp[k]["Y"] * h))  # noqa: E731
+    return {"tl": pt(tl), "tr": pt(tr), "br": pt(br), "bl": pt(bl)}
+
+
+def _convert_line_textract(lb, block_map, rel_map, page, page_num,
+                           line_index, w, h, page_orientation):
+    """convertDocTextract.js:205-411 — one LINE block → Line with
+    polygon-derived baseline/x-height/asc-height metrics."""
+    if not lb.get("Text") or not lb.get("Geometry"):
+        return None
+    bbox_line = _convert_bbox(lb["Geometry"]["BoundingBox"], w, h)
+    poly0 = _convert_polygon(lb["Geometry"]["Polygon"], w, h,
+                             page_orientation)
+    poly_line = dict(poly0)
+
+    line = Line(page, bbox_line, [0, 0])
+    baseline = line.baseline  # shared list, mutated in place like the JS
+
+    child_ids = rel_map.get(lb.get("Id")) or []
+    word_blocks = [block_map.get(cid) for cid in child_ids]
+    word_blocks = [x for x in word_blocks
+                   if x and x.get("BlockType") == "WORD"]
+
+    word_polys: dict[str, dict] = {}
+    for wi, wb in enumerate(word_blocks):
+        wbox = _convert_bbox(wb["Geometry"]["BoundingBox"], w, h)
+        wid = f"word_{page_num + 1}_{line_index + 1}_{wi + 1}"
+        word_polys[wid] = _convert_polygon(wb["Geometry"]["Polygon"], w, h,
+                                           page_orientation)
+        word = Word(line, wid, wb.get("Text"), wbox)
+        word.conf = wb.get("Confidence") or 100
+        line.words.append(word)
+
+    if not word_blocks or not line.words:
+        return None
+
+    line_orientation = (word_blocks[0]["Geometry"].get("RotationAngle")
+                        or 0) / 90
+    orient = page_orientation - line_orientation
+    if orient < 0:
+        orient += 4
+    line.orientation = orient
+
+    def _remap_bbox(b, fn):
+        return BBox(*fn(b))
+
+    if orient == 1:
+        # convertDocTextract.js:248-274 (uses pageDims.width, as the JS)
+        fn = lambda b: (b.top, w - b.right, b.bottom, w - b.left)  # noqa: E731
+        pfn = lambda p: {  # noqa: E731
+            "tl": (p["tr"][1], w - p["tr"][0]),
+            "tr": (p["br"][1], w - p["br"][0]),
+            "br": (p["bl"][1], w - p["bl"][0]),
+            "bl": (p["tl"][1], w - p["tl"][0])}
+    elif orient == 2:
+        fn = lambda b: (w - b.right, h - b.bottom, w - b.left, h - b.top)  # noqa: E731
+        pfn = lambda p: {  # noqa: E731
+            "tl": (w - p["br"][0], h - p["br"][1]),
+            "tr": (w - p["bl"][0], h - p["bl"][1]),
+            "br": (w - p["tl"][0], h - p["tl"][1]),
+            "bl": (w - p["tr"][0], h - p["tr"][1])}
+    elif orient == 3:
+        fn = lambda b: (h - b.bottom, b.left, h - b.top, b.right)  # noqa: E731
+        pfn = lambda p: {  # noqa: E731
+            "tl": (h - p["bl"][1], p["bl"][0]),
+            "tr": (h - p["tl"][1], p["tl"][0]),
+            "br": (h - p["tr"][1], p["tr"][0]),
+            "bl": (h - p["br"][1], p["br"][0])}
+    else:
+        fn = pfn = None
+    if fn is not None:
+        line.bbox = _remap_bbox(line.bbox, fn)
+        for word in line.words:
+            word.bbox = _remap_bbox(word.bbox, fn)
+        for wid in list(word_polys):
+            word_polys[wid] = pfn(word_polys[wid])
+        poly_line = pfn(poly0)
+
+    # Baseline slope from the line polygon (convertDocTextract.js:333-335);
+    # set BEFORE the per-word delta pass below, which reads it.
+    if poly_line["br"][0] != poly_line["bl"][0]:
+        baseline[0] = ((poly_line["br"][1] - poly_line["bl"][1])
+                       / (poly_line["br"][0] - poly_line["bl"][0]))
+
+    split_unicode_superscripts(line, word_polys)
+
+    desc_words = []
+    non_desc_polys = []
+    x_only_words, x_only_polys = [], []
+    asc_only_words, asc_only_polys = [], []
+    for word in line.words:
+        wp = word_polys.get(word.id)
+        t = word.text
+        has_desc = any(c in DESC_CHARS for c in t)
+        has_x = any(c in X_CHARS for c in t)
+        has_asc = any(c in ASC_CHARS for c in t)
+        if has_desc:
+            desc_words.append(word)
+        if not has_desc and (has_x or has_asc):
+            non_desc_polys.append(wp)
+        # `f`/`i` excluded from x-only evidence like the JS
+        # (convertDocTextract.js:363-370).
+        if (has_x and not has_asc and not has_desc
+                and "f" not in t and "i" not in t):
+            x_only_words.append(word)
+            x_only_polys.append(wp)
+        if has_asc and not has_desc:
+            asc_only_words.append(word)
+            asc_only_polys.append(wp)
+
+    def poly_h(wp):
+        return ((wp["bl"][1] - wp["tl"][1]) + (wp["br"][1] - wp["tr"][1])) / 2
+
+    x_height = mean50([poly_h(wp) for wp in x_only_polys])
+    asc_height = mean50([poly_h(wp) for wp in asc_only_polys])
+    if x_height and asc_height and x_height > asc_height * 0.8:
+        if len(asc_only_words) > len(x_only_words):
+            x_height = None
+
+    deltas = []
+    for wp in non_desc_polys:
+        word_bottom_mid = js_round((wp["bl"][1] + wp["br"][1]) / 2)
+        word_x_mid = js_round((wp["bl"][0] + wp["br"][0]) / 2)
+        offset = word_x_mid - line.bbox.left
+        expected = poly_line["bl"][1] + baseline[0] * offset
+        deltas.append(word_bottom_mid - expected)
+    non_desc_delta = mean50(deltas)
+
+    line_height = ((poly_line["br"][1] - poly_line["tr"][1])
+                   + (poly_line["bl"][1] - poly_line["tl"][1])) / 2
+    # Bug-for-bug: the delta (not an absolute y) is compared against
+    # bbox.bottom, exactly as convertDocTextract.js:398 does.
+    if (non_desc_delta is not None and math.isfinite(non_desc_delta)
+            and non_desc_delta < line.bbox.bottom
+            and non_desc_delta < line_height / 2):
+        baseline[1] = non_desc_delta - (line.bbox.bottom
+                                        - poly_line["bl"][1])
+    else:
+        baseline[1] = (line_height * -1 / 3
+                       - (line.bbox.bottom - poly_line["bl"][1]))
+
+    # Negative metrics are skipped (reference TODO for rotated text).
+    if x_height and x_height > 0:
+        line.x_height = x_height
+    if asc_height and asc_height > 0:
+        line.asc_height = asc_height
+    return line
+
+
+def parse_textract_doc(ocr_str: str, page_dims=None,
+                       page_num=None) -> list[Page]:
+    """convertDocTextract.js:50-192 — Textract JSON → pages.
+
+    ``page_dims``: per-page pixel dims (the reference REQUIRES these,
+    supplied by a paired image/PDF import via pageMetrics,
+    recognizeConvert.js:549; pair with :func:`pdf_page_dims_300`).
+    Falls back to US-Letter points when absent (our extension — the
+    reference cannot import standalone Textract at all)."""
     data = json.loads(ocr_str)
     blocks = data.get("Blocks")
     if not isinstance(blocks, list):
@@ -61,54 +271,39 @@ def parse_textract_doc(ocr_str: str, page_dims=None) -> list[Page]:
             d["layouts"].append(b)
 
     pages = []
-    for i, _page_block in enumerate(page_blocks):
+    for i, page_block in enumerate(page_blocks):
+        n = page_num if page_num is not None else i
         dims = (page_dims[i] if page_dims and i < len(page_dims)
                 else DEFAULT_PAGE_DIMS)
         w, h = dims
-        page = Page(i, w, h)
+        page_poly = (page_block.get("Geometry") or {}).get("Polygon")
+        if not page_poly:
+            raise ValueError(f"No page polygon data for page {n + 1}.")
+        page_orientation = _detect_poly_orientation(page_poly)
+
+        page = Page(n, w, h)
         page.text_source = "textract"
         pdata = by_page.get(i + 1, {"lines": [], "layouts": []})
+        if not pdata["lines"]:
+            pages.append(page)
+            continue
 
         line_obj_map = {}
         for li, lb in enumerate(pdata["lines"]):
-            if not lb.get("Text") or not lb.get("Geometry"):
-                continue
-            bb = lb["Geometry"].get("BoundingBox") or {}
-            lbox = BBox(bb.get("Left", 0) * w, bb.get("Top", 0) * h,
-                        (bb.get("Left", 0) + bb.get("Width", 0)) * w,
-                        (bb.get("Top", 0) + bb.get("Height", 0)) * h)
-            line = Line(page, lbox, [0, 0])
-            child_ids = rel_map.get(lb.get("Id")) or []
-            word_blocks = [block_map.get(cid) for cid in child_ids]
-            word_blocks = [x for x in word_blocks
-                           if x and x.get("BlockType") == "WORD"]
-            for wi, wb in enumerate(word_blocks):
-                wbb = wb.get("Geometry", {}).get("BoundingBox") or {}
-                wbox = BBox(wbb.get("Left", 0) * w, wbb.get("Top", 0) * h,
-                            (wbb.get("Left", 0) + wbb.get("Width", 0)) * w,
-                            (wbb.get("Top", 0) + wbb.get("Height", 0)) * h)
-                word = Word(line, f"word_{i + 1}_{li + 1}_{wi + 1}",
-                            wb.get("Text") or "", wbox)
-                conf = wb.get("Confidence")
-                word.conf = round(conf) if conf is not None else 100
-                line.words.append(word)
-            if not line.words:
-                continue
-            # word-height metrics (simplified from the poly math,
-            # convertDocTextract.js:374-416)
-            heights = [wd.bbox.bottom - wd.bbox.top for wd in line.words]
-            med = mean50(heights) or 0
-            line.asc_height = med
-            line.baseline[1] = -med * 0.25
-            page.lines.append(line)
-            line_obj_map[lb.get("Id")] = line
+            line = _convert_line_textract(lb, block_map, rel_map, page, n,
+                                          li, w, h, page_orientation)
+            if line is not None:
+                page.lines.append(line)
+                line_obj_map[lb.get("Id")] = line
 
-        # LAYOUT_* blocks → paragraphs (createParagraphsFromLayout)
+        # LAYOUT_* blocks → paragraphs (createParagraphsFromLayout,
+        # convertDocTextract.js:486-540).  No par-dedup filter: a line
+        # claimed by two layout blocks re-parents (last wins), exactly
+        # like the JS — the reorder pass then detects the mismatch.
         for lay in pdata["layouts"]:
             par_lines = [line_obj_map[cid]
                          for cid in (rel_map.get(lay.get("Id")) or [])
                          if cid in line_obj_map]
-            par_lines = [ln for ln in par_lines if ln.par is None]
             if not par_lines:
                 continue
             par = Par(page, bbox_union(ln.bbox for ln in par_lines))
@@ -120,10 +315,17 @@ def parse_textract_doc(ocr_str: str, page_dims=None) -> list[Page]:
         unassigned = [ln for ln in page.lines if ln.par is None]
         if unassigned:
             par = Par(page, bbox_union(ln.bbox for ln in unassigned))
+            par.reason = "UNASSIGNED_LINES"
             par.lines = unassigned
             for ln in unassigned:
                 ln.par = par
             page.pars.append(par)
+
+        # Reorder lines to paragraph reading order — Textract does not
+        # (convertDocTextract.js:173-184); skipped on count mismatch.
+        lines2 = [ln for p in page.pars for ln in p.lines]
+        if len(lines2) == len(page.lines):
+            page.lines = lines2
 
         pass3(page)
         pages.append(page)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 import re
 
-from ..functions.stats import mean50, quantile
+from ..functions.stats import js_round, mean50, quantile
 from ..functions.textnorm import (
     ASC_CHARS, SUPERSCRIPT_CHARS, X_CHARS, remove_superscript,
     replace_ligatures,
@@ -31,8 +31,13 @@ _CLOSE_QUOTE_RE = re.compile(r"[a-z\d][.,!?;]?['\"]$", re.I)
 _ASC_LETTER_RE = re.compile(r"[a-pr-z]", re.I)
 
 
-def split_unicode_superscripts(line: Line) -> None:
-    """convertPageShared.js:19-138 — split words on unicode superscripts."""
+def split_unicode_superscripts(line: Line, word_polys: dict | None = None
+                               ) -> None:
+    """convertPageShared.js:19-138 — split words on unicode superscripts.
+
+    ``word_polys`` (quadrilateral word bounds keyed by word id, Textract
+    path) is edited in place: each split segment gets a proportional
+    polygon slice (convertPageShared.js:92-122)."""
     new_words = []
     for word in line.words:
         text = word.text
@@ -59,19 +64,39 @@ def split_unicode_superscripts(line: Line) -> None:
         width = word.bbox.right - word.bbox.left
         total = len(text)
         offset = 0
+        word_poly = word_polys.get(word.id) if word_polys else None
         for j, (seg_text, is_sup) in enumerate(segments):
             start_ratio = offset / total
             end_ratio = (offset + len(seg_text)) / total
             h = word.bbox.bottom - word.bbox.top
+            sup_height_ratio = 0.58
             sup_bottom_offset = h * 0.42
             bbox = BBox(
-                round(word.bbox.left + width * start_ratio),
+                js_round(word.bbox.left + width * start_ratio),
                 word.bbox.top,
-                round(word.bbox.left + width * end_ratio),
-                round(word.bbox.top + sup_bottom_offset) if is_sup
+                js_round(word.bbox.left + width * end_ratio),
+                js_round(word.bbox.top + sup_bottom_offset) if is_sup
                 else word.bbox.bottom,
             )
             seg_id = word.id if j == 0 else f"{word.id}_{j}"
+            if word_poly is not None:
+                # Proportional polygon slice; the first segment overwrites
+                # the original word's entry (same id).
+                tl, tr, bl, br = (word_poly["tl"], word_poly["tr"],
+                                  word_poly["bl"], word_poly["br"])
+                poly_width = tr[0] - tl[0]
+                poly_bottom_width = br[0] - bl[0]
+                poly_height = ((bl[1] - tl[1]) + (br[1] - tr[1])) / 2
+                bl_y = (tl[1] + poly_height * sup_height_ratio
+                        if is_sup else bl[1])
+                br_y = (tr[1] + poly_height * sup_height_ratio
+                        if is_sup else br[1])
+                word_polys[seg_id] = {
+                    "tl": (tl[0] + poly_width * start_ratio, tl[1]),
+                    "tr": (tl[0] + poly_width * end_ratio, tr[1]),
+                    "bl": (bl[0] + poly_bottom_width * start_ratio, bl_y),
+                    "br": (bl[0] + poly_bottom_width * end_ratio, br_y),
+                }
             seg_word = Word(line, seg_id,
                             remove_superscript(seg_text) if is_sup else seg_text,
                             bbox)

@@ -15,6 +15,18 @@ from scribe_js_ray.stages.cloud import (
 # fixture builders
 
 
+def _tx_geom(left, top, width, height):
+    """Geometry dict with BoundingBox + Polygon (real Textract output
+    always carries both; the reference requires Polygon)."""
+    return {"BoundingBox": {"Left": left, "Top": top,
+                            "Width": width, "Height": height},
+            "Polygon": [
+                {"X": left, "Y": top},
+                {"X": left + width, "Y": top},
+                {"X": left + width, "Y": top + height},
+                {"X": left, "Y": top + height}]}
+
+
 def make_textract(lines, page=1):
     """lines: list of word-text lists."""
     blocks = [{"BlockType": "PAGE", "Id": "page1", "Page": page,
@@ -29,8 +41,7 @@ def make_textract(lines, page=1):
         blocks.append({
             "BlockType": "LINE", "Id": f"line{i}", "Page": page,
             "Text": " ".join(words),
-            "Geometry": {"BoundingBox": {
-                "Left": 0.1, "Top": y, "Width": 0.8, "Height": 0.03}},
+            "Geometry": _tx_geom(0.1, y, 0.8, 0.03),
             "Relationships": [{"Type": "CHILD", "Ids": wids}]})
         x = 0.1
         for j, wtext in enumerate(words):
@@ -38,8 +49,7 @@ def make_textract(lines, page=1):
             blocks.append({
                 "BlockType": "WORD", "Id": wids[j], "Page": page,
                 "Text": wtext, "Confidence": 99.0,
-                "Geometry": {"BoundingBox": {
-                    "Left": x, "Top": y, "Width": ww, "Height": 0.03}}})
+                "Geometry": _tx_geom(x, y, ww, 0.03)})
             x += ww + 0.01
         y += 0.05
     return json.dumps({"DetectDocumentTextModelVersion": "1.0",
@@ -219,11 +229,16 @@ def test_cloud_json_with_gt_in_text_still_classified():
     assert classify_payload(blob.encode()) == "textract"
 
 
-def test_textract_zero_confidence_preserved():
+def test_textract_zero_confidence_falsy():
+    # Reference quirk: `wordBlock.Confidence || 100` treats a 0.0
+    # confidence as missing (convertDocTextract.js:230).
     import json as _json
     data = _json.loads(make_textract([["shaky"]]))
     for b in data["Blocks"]:
         if b["BlockType"] == "WORD":
             b["Confidence"] = 0.0
     pages = parse_textract_doc(_json.dumps(data))
-    assert pages[0].lines[0].words[0].conf == 0
+    assert pages[0].lines[0].words[0].conf == 100
+    # Fractional confidences pass through unrounded, like the JS.
+    pages = parse_textract_doc(make_textract([["solid"]]))
+    assert pages[0].lines[0].words[0].conf == 99.0

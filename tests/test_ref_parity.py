@@ -1720,3 +1720,218 @@ def test_kitchen_sink14_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink14_{seed} md"
+
+
+# ---------------------------------------------------------------------
+# Textract paired import (convertDocTextract.js): JSON + blank PDF for
+# page metrics (recognizeConvert.js:549 requires pageMetrics; the PDF
+# supplies pdfDims300, imageContainer.js:890-920).
+
+PAIR_HARNESS = "/root/repo/tests/refharness/extract_pair.mjs"
+
+_TX_VOCAB = ("the quick brown fox jumps over lazy dog pack my box with "
+             "five dozen liquor jugs amazingly few discotheques provide "
+             "jukeboxes Heavy Boxes perform Quick waltzes and jigs B2B "
+             "offering 3.5% growth (net) [sic] e.g. qty. James' "
+             "party-goers").split()
+_TX_SUPS = ["word¹", "note²", "cited³", "ref⁴"]
+
+
+def _gen_textract(seed):
+    """Random multi-line/multi-page Textract JSON: sloped word/line
+    polygons (baseline + x/asc-height metrics), LAYOUT_* paragraph
+    blocks incl. shuffled order (line-reorder path) and unassigned
+    tails, unicode superscripts, falsy-zero confidences, Text-less
+    lines."""
+    import json as _json
+    r = random.Random(seed)
+    n_pages = r.choice([1, 1, 2])
+    blocks = []
+    for p in range(n_pages):
+        line_ids = []
+        y = r.uniform(0.04, 0.10)
+        for li in range(r.randint(3, 9)):
+            lid = f"l{p}_{li}"
+            words = []
+            for _ in range(r.randint(1, 7)):
+                t = r.choice(_TX_VOCAB)
+                if r.random() < 0.08:
+                    t = r.choice(_TX_SUPS)
+                if r.random() < 0.1:
+                    t += r.choice([".", ",", ":", "?"])
+                words.append(t)
+            slope = r.uniform(-0.004, 0.004)
+            x = r.uniform(0.06, 0.14)
+            h = r.uniform(0.012, 0.020)
+            wids, wblocks = [], []
+            for wi, t in enumerate(words):
+                ww = 0.011 * len(t) + r.uniform(0, 0.004)
+                has_desc = any(c in "gjpqy" for c in t)
+                has_asc = any(
+                    c in "ABCDEFGHIKLMNOPRSTUVWXYZbdhklt0123456789"
+                    for c in t)
+                top = y - (h * 0.55 if has_asc else h * 0.30)
+                bot = y + (h * 0.28 if has_desc else h * 0.02)
+                dy = slope * (x - 0.06)
+                poly = [{"X": x, "Y": top + dy},
+                        {"X": x + ww, "Y": top + dy + slope * ww},
+                        {"X": x + ww, "Y": bot + dy + slope * ww},
+                        {"X": x, "Y": bot + dy}]
+                xs = [pt["X"] for pt in poly]
+                ys = [pt["Y"] for pt in poly]
+                wid = f"w{p}_{li}_{wi}"
+                wblocks.append({
+                    "BlockType": "WORD", "Id": wid, "Page": p + 1,
+                    "Text": t,
+                    "Confidence": r.choice([99.21, 87.5, 100.0, 0.0,
+                                            65.3]),
+                    "Geometry": {"BoundingBox": {
+                        "Left": min(xs), "Top": min(ys),
+                        "Width": max(xs) - min(xs),
+                        "Height": max(ys) - min(ys)}, "Polygon": poly}})
+                wids.append(wid)
+                x += ww + r.uniform(0.004, 0.012)
+            lx0, lx1 = 0.06, x
+            lt, lb_ = y - h * 0.55, y + h * 0.28
+            lpoly = [{"X": lx0, "Y": lt},
+                     {"X": lx1, "Y": lt + slope * (lx1 - lx0)},
+                     {"X": lx1, "Y": lb_ + slope * (lx1 - lx0)},
+                     {"X": lx0, "Y": lb_}]
+            lys = [pt["Y"] for pt in lpoly]
+            lblock = {"BlockType": "LINE", "Id": lid, "Page": p + 1,
+                      "Text": " ".join(words),
+                      "Geometry": {"BoundingBox": {
+                          "Left": lx0, "Top": min(lys),
+                          "Width": lx1 - lx0,
+                          "Height": max(lys) - min(lys)},
+                          "Polygon": lpoly},
+                      "Relationships": [{"Type": "CHILD", "Ids": wids}]}
+            if r.random() < 0.04:
+                del lblock["Text"]
+            blocks.append(lblock)
+            blocks.extend(wblocks)
+            line_ids.append(lid)
+            y += r.uniform(0.025, 0.045)
+        layout_ids = []
+        if r.random() < 0.85:
+            i, runs = 0, []
+            while i < len(line_ids):
+                k = min(r.randint(1, 4), len(line_ids) - i)
+                runs.append(line_ids[i:i + k])
+                i += k
+            if r.random() < 0.25 and len(runs) > 1:
+                runs = runs[:-1]
+            order = list(range(len(runs)))
+            if r.random() < 0.3:
+                r.shuffle(order)
+            for oi in order:
+                lay_id = f"lay{p}_{oi}"
+                blocks.append({
+                    "BlockType": "LAYOUT_TITLE"
+                    if oi == 0 and r.random() < 0.3 else "LAYOUT_TEXT",
+                    "Id": lay_id, "Page": p + 1,
+                    "Geometry": {"BoundingBox": {
+                        "Left": 0.05, "Top": 0.05, "Width": 0.9,
+                        "Height": 0.9}, "Polygon": [
+                        {"X": 0.05, "Y": 0.05}, {"X": 0.95, "Y": 0.05},
+                        {"X": 0.95, "Y": 0.95}, {"X": 0.05, "Y": 0.95}]},
+                    "Relationships": [{"Type": "CHILD",
+                                       "Ids": runs[oi]}]})
+                layout_ids.append(lay_id)
+        blocks.append({
+            "BlockType": "PAGE", "Id": f"page{p}", "Page": p + 1,
+            "Geometry": {"Polygon": [
+                {"X": 0, "Y": 0}, {"X": 1, "Y": 0},
+                {"X": 1, "Y": 1}, {"X": 0, "Y": 1}]},
+            "Relationships": [{"Type": "CHILD",
+                               "Ids": line_ids + layout_ids}]})
+    return _json.dumps({"DetectDocumentTextModelVersion": "1.0",
+                        "Blocks": blocks}), n_pages
+
+
+_TX_PAGE_POLY = {0: [(0, 0), (1, 0), (1, 1), (0, 1)],
+                 1: [(1, 0), (1, 1), (0, 1), (0, 0)],
+                 2: [(1, 1), (0, 1), (0, 0), (1, 0)],
+                 3: [(0, 1), (0, 0), (1, 0), (1, 1)]}
+
+
+def _rotate_textract(js, orient, rotation_angle=0.0):
+    """Re-express an orientation-0 fixture as a page scanned rotated by
+    90°×orient (PAGE polygon + all geometry mapped into image space)."""
+    import json as _json
+
+    def rot(x, y):
+        if orient == 1:
+            return 1 - y, x
+        if orient == 2:
+            return 1 - x, 1 - y
+        if orient == 3:
+            return y, 1 - x
+        return x, y
+
+    data = _json.loads(js)
+    for b in data["Blocks"]:
+        g = b.get("Geometry") or {}
+        if b["BlockType"] == "PAGE":
+            g["Polygon"] = [{"X": float(x), "Y": float(y)}
+                            for x, y in _TX_PAGE_POLY[orient]]
+            continue
+        if "Polygon" in g:
+            pts = [rot(pt["X"], pt["Y"]) for pt in g["Polygon"]]
+            g["Polygon"] = [{"X": x, "Y": y} for x, y in pts]
+            xs = [x for x, _ in pts]
+            ys = [y for _, y in pts]
+            g["BoundingBox"] = {"Left": min(xs), "Top": min(ys),
+                                "Width": max(xs) - min(xs),
+                                "Height": max(ys) - min(ys)}
+        if b["BlockType"] == "WORD" and rotation_angle:
+            g["RotationAngle"] = rotation_angle
+    return _json.dumps(data)
+
+
+def _ref_pair(fmt, *paths):
+    r = subprocess.run(["node", PAIR_HARNESS, fmt, *paths],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-500:]
+    return r.stdout
+
+
+def _check_textract_pair(js, n_pages, tmp_path, name, fmts=("text", "md"),
+                         page_wh=(612, 792)):
+    from scribe_js_ray.sources import synth_pdf
+    ow, oh = synth_pdf._PAGE_W, synth_pdf._PAGE_H
+    synth_pdf._PAGE_W, synth_pdf._PAGE_H = page_wh
+    try:
+        pdf = synth_pdf._make_pdf([""] * n_pages, {})
+    finally:
+        synth_pdf._PAGE_W, synth_pdf._PAGE_H = ow, oh
+    jp = tmp_path / f"{name}.json"
+    pp = tmp_path / f"{name}.pdf"
+    jp.write_text(js)
+    pp.write_bytes(pdf)
+    for fmt in fmts:
+        ref = _ref_pair(fmt, str(pp), str(jp))
+        ours = extract_document(
+            "u", js.encode(), "", "eng", source_payload=pdf,
+            emit_format="markdown" if fmt == "md" else "text")
+        assert not ours["error"], ours["error"]
+        assert ours["extracted_text"] == ref, f"{name} {fmt}"
+
+
+@pytest.mark.parametrize("seed", [3, 10, 22, 31])
+def test_textract_pair_parity(seed, tmp_path):
+    js, n_pages = _gen_textract(seed)
+    _check_textract_pair(js, n_pages, tmp_path, f"tx{seed}")
+
+
+@pytest.mark.parametrize("seed,orient,page_wh,rot", [
+    (41, 1, (842, 1191), 0.0),
+    (43, 3, (1000, 500), 0.0),   # width300 > 3500 → DPI-cap dims path
+    (46, 2, (612, 792), 0.0),
+    (45, 1, (612, 792), 90.0),   # word RotationAngle → line orientation
+])
+def test_textract_rotated_parity(seed, orient, page_wh, rot, tmp_path):
+    js, n_pages = _gen_textract(seed)
+    js = _rotate_textract(js, orient, rot)
+    _check_textract_pair(js, n_pages, tmp_path, f"txr{seed}",
+                         fmts=("text",), page_wh=page_wh)
