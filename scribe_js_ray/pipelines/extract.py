@@ -277,7 +277,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             if kind == "textract":
                 pages = cloud.parse_textract_doc(raw, page_dims=page_dims)
             elif kind == "google_vision":
-                pages = [cloud.parse_google_vision_page(raw, 0)]
+                pages = [cloud.parse_google_vision_page(
+                    raw, 0, page_dims[0] if page_dims else None)]
             elif kind == "google_doc_ai":
                 pages = cloud.parse_google_doc_ai(raw, page_dims=page_dims)
             else:

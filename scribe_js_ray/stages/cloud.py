@@ -336,15 +336,22 @@ def parse_textract_doc(ocr_str: str, page_dims=None,
 # Google Vision
 
 
-def parse_google_vision_page(ocr_str: str, n: int = 0) -> Page:
+def parse_google_vision_page(ocr_str: str, n: int = 0,
+                             page_dims=None) -> Page:
+    """convertPageGoogleVision.js:21-220 — fullTextAnnotation → Page.
+
+    ``page_dims``: paired image/PDF page size; coordinates scale by
+    pageDims/visionDims like the reference (js:43-44)."""
     data = json.loads(ocr_str)
-    if data.get("fullTextAnnotation"):
+    if isinstance(data, list):
+        result = data[0] if data else None
+    elif data.get("fullTextAnnotation"):
         result = data
     elif (data.get("responses") or [{}])[0].get("fullTextAnnotation"):
         result = data["responses"][0]
-    elif isinstance(data, list) and data:
-        result = data[0]
     else:
+        result = None
+    if not isinstance(result, dict):
         result = None
     if not result or not result.get("fullTextAnnotation"):
         raise ValueError("Failed to parse Google Vision OCR data.")
@@ -354,16 +361,21 @@ def parse_google_vision_page(ocr_str: str, n: int = 0) -> Page:
     h = page_vision.get("height")
     if not w or not h:
         raise ValueError("Failed to parse page dimensions.")
+    scale_x = page_dims[0] / w if page_dims else 1
+    scale_y = page_dims[1] / h if page_dims else 1
+    out_w, out_h = page_dims if page_dims else (w, h)
 
     def vertices(bp):
         if bp.get("vertices"):
-            return [(v.get("x", 0), v.get("y", 0)) for v in bp["vertices"]]
+            return [((v.get("x") or 0) * scale_x, (v.get("y") or 0) * scale_y)
+                    for v in bp["vertices"]]
         if bp.get("normalizedVertices"):
-            return [(v.get("x", 0) * w, v.get("y", 0) * h)
+            return [((v.get("x") or 0) * w * scale_x,
+                     (v.get("y") or 0) * h * scale_y)
                     for v in bp["normalizedVertices"]]
         raise ValueError("No vertices found in bounding box.")
 
-    page = Page(n, w, h)
+    page = Page(n, out_w, out_h)
     page.text_source = "google_vision"
 
     for bi, block in enumerate(page_vision.get("blocks") or []):
@@ -392,7 +404,8 @@ def parse_google_vision_page(ocr_str: str, n: int = 0) -> Page:
                 word = Word(line, wid,
                             "".join(s.get("text") or "" for s in symbols),
                             wbox)
-                word.conf = round((word_v.get("confidence") or 0) * 100)
+                # Unrounded, like the JS (js:153).
+                word.conf = (word_v.get("confidence") or 0) * 100
                 line.words.append(word)
 
                 has_break = any(
@@ -438,7 +451,11 @@ def parse_google_doc_ai(ocr_str: str, page_dims=None) -> list[Page]:
         w, h = dim.get("width"), dim.get("height")
         if not w or not h:
             raise ValueError(f"Failed to parse page dimensions for page {i}.")
-        page = Page(i, int(w), int(h))
+        dims_n = (page_dims[i] if page_dims and i < len(page_dims)
+                  else None)
+        scale_x = dims_n[0] / w if dims_n else 1
+        scale_y = dims_n[1] / h if dims_n else 1
+        page = Page(i, *(dims_n if dims_n else (w, h)))
         page.text_source = "google_doc_ai"
         tokens = pd.get("tokens") or []
         lines_v = pd.get("lines") or []
@@ -453,11 +470,15 @@ def parse_google_doc_ai(ocr_str: str, page_dims=None) -> list[Page]:
                     int(seg.get("endIndex") or 0))
 
         def verts(layout):
+            # Absolute vertices preferred only when some point carries a
+            # coordinate (convertDocGoogleDocAI.js:241-255).
             bp = (layout or {}).get("boundingPoly") or {}
-            if bp.get("vertices"):
-                return [(v.get("x", 0), v.get("y", 0))
-                        for v in bp["vertices"]]
-            return [(v.get("x", 0) * w, v.get("y", 0) * h)
+            vv = bp.get("vertices")
+            if vv and any("x" in v or "y" in v for v in vv):
+                return [((v.get("x") or 0) * scale_x,
+                         (v.get("y") or 0) * scale_y) for v in vv]
+            return [((v.get("x") or 0) * w * scale_x,
+                     (v.get("y") or 0) * h * scale_y)
                     for v in bp.get("normalizedVertices") or []]
 
         line_ranges = []
@@ -494,8 +515,8 @@ def parse_google_doc_ai(ocr_str: str, page_dims=None) -> list[Page]:
                 word = Word(line, f"word_{i + 1}_"
                             f"{len(page.lines) + 1}_{li + 1}",
                             word_text, wbox)
-                word.conf = round(((t_layout or {}).get("confidence")
-                                   or 0) * 100)
+                word.conf = js_round(((t_layout or {}).get("confidence")
+                                      or 0) * 100)
                 line.words.append(word)
             if line.words:
                 split_unicode_superscripts(line)
@@ -507,12 +528,18 @@ def parse_google_doc_ai(ocr_str: str, page_dims=None) -> list[Page]:
                 line_ranges.append((ls, le))
                 page.lines.append(line)
 
-        for par_v in pd.get("paragraphs") or []:
+        # Paragraphs from textAnchor ranges; the unassigned-line fallback
+        # par exists ONLY when the JSON carries paragraphs at all —
+        # otherwise pars stay empty and the text export reflows
+        # (convertDocGoogleDocAI.js:186-219 scoping).
+        paragraphs = pd.get("paragraphs") or []
+        for par_v in paragraphs:
             ps, pe = seg_of(par_v.get("layout"))
+            # No par-claimed filter: a line matching two ranges
+            # re-parents, exactly like the JS (js:193-204).
             par_lines = [page.lines[k] for k, (ls, le)
                          in enumerate(line_ranges)
-                         if ls >= ps and le <= pe
-                         and page.lines[k].par is None]
+                         if ls >= ps and le <= pe]
             if not par_lines:
                 continue
             par = Par(page, bbox_union(ln.bbox for ln in par_lines))
@@ -520,13 +547,14 @@ def parse_google_doc_ai(ocr_str: str, page_dims=None) -> list[Page]:
             for ln in par_lines:
                 ln.par = par
             page.pars.append(par)
-        unassigned = [ln for ln in page.lines if ln.par is None]
-        if unassigned:
-            par = Par(page, bbox_union(ln.bbox for ln in unassigned))
-            par.lines = unassigned
-            for ln in unassigned:
-                ln.par = par
-            page.pars.append(par)
+        if paragraphs:
+            unassigned = [ln for ln in page.lines if ln.par is None]
+            if unassigned:
+                par = Par(page, bbox_union(ln.bbox for ln in unassigned))
+                par.lines = unassigned
+                for ln in unassigned:
+                    ln.par = par
+                page.pars.append(par)
 
         pass3(page)
         pages.append(page)
@@ -548,23 +576,33 @@ def parse_azure_doc_intel(ocr_str: str, page_dims=None) -> list[Page]:
         pw, ph = pd.get("width"), pd.get("height")
         if not pw or not ph:
             raise ValueError("Failed to parse page dimensions.")
+        dims_n = (page_dims[n] if page_dims and n < len(page_dims)
+                  else None)
         if pd.get("unit") != "pixel":
-            if page_dims and n < len(page_dims):
-                dims = page_dims[n]
+            if dims_n:
+                dims = dims_n
                 mult_w, mult_h = dims[0] / pw, dims[1] / ph
             else:
-                # No target dims: scale inches/points to 72 dpi pixels.
+                # No target dims: scale inches/points to 72 dpi pixels
+                # (our standalone extension; the reference throws,
+                # convertDocAzureDocIntel.js:48-49).
                 mult_w = mult_h = 72.0 if pd.get("unit") == "inch" else 1.0
                 dims = (round(pw * mult_w), round(ph * mult_h))
         else:
+            # Pixel-unit coordinates stay unscaled, but the paired page
+            # metrics still set the page size (js:37 uses pageDimsN
+            # unconditionally).
             mult_w = mult_h = 1.0
-            dims = (round(pw), round(ph))
+            dims = dims_n if dims_n else (round(pw), round(ph))
         page = Page(n, dims[0], dims[1])
         page.text_source = "azure_doc_intel"
         words_pd = pd.get("words") or []
         if not words_pd:
+            # Reference quirk: the zero-word early result is pushed
+            # WITHOUT a continue, so the same page object appears twice
+            # in the output and shifts later page indices
+            # (convertDocAzureDocIntel.js:40-45).
             pages.append(page)
-            continue
 
         def scaled_poly(poly):
             return [v * (mult_w if i % 2 == 0 else mult_h)
@@ -588,14 +626,15 @@ def parse_azure_doc_intel(ocr_str: str, page_dims=None) -> list[Page]:
             line = Line(page, BBox(min(all_x), min(all_y),
                                    max(all_x), max(all_y)), [0, 0])
             for j, (wv, poly) in enumerate(zip(line_words, polys)):
-                content = (wv.get("content") or "").strip()
-                if not content:
+                content = wv.get("content")
+                if not content or not content.strip():
                     continue
                 wx, wy = poly[0::2], poly[1::2]
+                # Untrimmed content, like the JS (js:100-113).
                 word = Word(line, f"word_{n + 1}_"
                             f"{len(page.lines) + 1}_{j + 1}", content,
                             BBox(min(wx), min(wy), max(wx), max(wy)))
-                word.conf = round((wv.get("confidence") or 0) * 100)
+                word.conf = js_round((wv.get("confidence") or 0) * 100)
                 line.words.append(word)
             if line.words:
                 lp = scaled_poly(line_v.get("polygon"))

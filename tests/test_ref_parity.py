@@ -1935,3 +1935,237 @@ def test_textract_rotated_parity(seed, orient, page_wh, rot, tmp_path):
     js = _rotate_textract(js, orient, rot)
     _check_textract_pair(js, n_pages, tmp_path, f"txr{seed}",
                          fmts=("text",), page_wh=page_wh)
+
+
+# ---------------------------------------------------------------------
+# Google Vision / Google Doc AI / Azure Document Intelligence paired
+# imports (convertPageGoogleVision.js / convertDocGoogleDocAI.js /
+# convertDocAzureDocIntel.js) — same two-file harness as Textract.
+
+
+def _cf_words(r, lo=1, hi=7, sups=False):
+    out = []
+    for _ in range(r.randint(lo, hi)):
+        t = r.choice(_TX_VOCAB)
+        if sups and r.random() < 0.08:
+            t = r.choice(_TX_SUPS)
+        if r.random() < 0.1:
+            t += r.choice([".", ",", ":", "?"])
+        out.append(t)
+    return out
+
+
+def _gen_google_vision(seed):
+    """blocks→paragraphs→words→symbols with detectedBreak line splits,
+    absolute + normalized vertices, missing-coordinate points, empty
+    symbol lists, numeric blockType, all three envelope shapes."""
+    import json as _json
+    r = random.Random(seed)
+    W, H = r.choice([(1000, 1400), (2480, 3508)])
+    blocks = []
+    y = r.randint(60, 140)
+    for _ in range(r.randint(1, 4)):
+        paragraphs = []
+        for _ in range(r.randint(1, 3)):
+            par_words = []
+            n_lines = r.randint(1, 4)
+            top0 = y
+            for ln in range(n_lines):
+                words = _cf_words(r)
+                x = r.randint(80, 160)
+                h = r.randint(24, 40)
+                for wi, t in enumerate(words):
+                    ww = int(h * 0.55) * len(t)
+                    vs = [(x, y), (x + ww, y), (x + ww, y + h),
+                          (x, y + h)]
+                    if r.random() < 0.15:
+                        bb = {"normalizedVertices": [
+                            {"x": vx / W, "y": vy / H} for vx, vy in vs]}
+                    else:
+                        bb = {"vertices": [{"x": vx, "y": vy}
+                                           for vx, vy in vs]}
+                        if r.random() < 0.1:
+                            bb["vertices"][0] = {"y": y}
+                    symbols = [{"text": c} for c in t]
+                    if wi == len(words) - 1 and ln != n_lines - 1:
+                        symbols[-1]["property"] = {"detectedBreak": {
+                            "type": r.choice(["LINE_BREAK",
+                                              "EOL_SURE_SPACE"])}}
+                    w_v = {"boundingBox": bb, "symbols": symbols,
+                           "confidence": r.choice([0.97, 0.5, 0.0,
+                                                   0.8312])}
+                    if r.random() < 0.03:
+                        w_v["symbols"] = []
+                    par_words.append(w_v)
+                    x += ww + r.randint(8, 16)
+                y += h + r.randint(8, 20)
+            paragraphs.append({"boundingBox": {"vertices": [
+                {"x": 70, "y": top0}, {"x": x, "y": top0},
+                {"x": x, "y": y}, {"x": 70, "y": y}]},
+                "words": par_words})
+            y += r.randint(10, 30)
+        blocks.append({"blockType": r.choice(["TEXT", "TEXT", 1]),
+                       "paragraphs": paragraphs})
+        y += r.randint(20, 50)
+    doc = {"fullTextAnnotation": {
+        "pages": [{"width": W, "height": H, "blocks": blocks}],
+        "text": "x"}}
+    shape = r.random()
+    if shape < 0.33:
+        doc = {"responses": [doc]}
+    elif shape < 0.5:
+        doc = [doc]
+    return _json.dumps(doc), 1
+
+
+def _gen_google_doc_ai(seed):
+    """Shared-fullText token/line/paragraph textAnchors (zero
+    startIndex omitted like real Doc AI), sloped line polys, unicode
+    superscripts (split path), unassigned-line fallback par, and the
+    no-paragraphs variant (reflow path)."""
+    import json as _json
+    r = random.Random(seed)
+    n_pages = r.choice([1, 1, 2])
+    full, pos, pages = [], 0, []
+    for _p in range(n_pages):
+        W, H = r.choice([(1000, 1400), (2480, 3508)])
+        tokens, lines_v, paragraphs = [], [], []
+        y = r.randint(60, 120)
+        for _par in range(r.randint(1, 4)):
+            par_start = pos
+            for _ln in range(r.randint(1, 4)):
+                words = _cf_words(r, sups=True)
+                line_start = pos
+                x = r.randint(70, 150)
+                h = r.randint(26, 40)
+                for t in words:
+                    ww = int(h * 0.55) * len(t)
+                    seg = {"endIndex": str(pos + len(t) + 1)}
+                    if pos:
+                        seg["startIndex"] = str(pos)
+                    vs = [(x, y), (x + ww, y), (x + ww, y + h),
+                          (x, y + h)]
+                    if r.random() < 0.2:
+                        bp = {"normalizedVertices": [
+                            {"x": vx / W, "y": vy / H} for vx, vy in vs]}
+                    else:
+                        bp = {"vertices": [{"x": vx, "y": vy}
+                                           for vx, vy in vs]}
+                    tokens.append({"layout": {
+                        "textAnchor": {"textSegments": [seg]},
+                        "confidence": r.choice([0.99, 0.5, 0.0, 0.731]),
+                        "boundingPoly": bp}})
+                    full.append(t + " ")
+                    pos += len(t) + 1
+                    x += ww + r.randint(8, 16)
+                full[-1] = full[-1][:-1] + "\n"
+                lseg = {"endIndex": str(pos)}
+                if line_start:
+                    lseg["startIndex"] = str(line_start)
+                slope = r.uniform(-3, 3)
+                lines_v.append({"layout": {
+                    "textAnchor": {"textSegments": [lseg]},
+                    "boundingPoly": {"vertices": [
+                        {"x": 70, "y": y}, {"x": x, "y": y + slope},
+                        {"x": x, "y": y + h + slope},
+                        {"x": 70, "y": y + h}]}}})
+                y += h + r.randint(8, 18)
+            pseg = {"endIndex": str(pos)}
+            if par_start:
+                pseg["startIndex"] = str(par_start)
+            paragraphs.append({"layout": {
+                "textAnchor": {"textSegments": [pseg]}}})
+            y += r.randint(10, 30)
+        if r.random() < 0.2:
+            paragraphs = paragraphs[:-1]
+        if r.random() < 0.15:
+            paragraphs = []
+        pages.append({"dimension": {"width": W, "height": H,
+                                    "unit": "pixels"},
+                      "tokens": tokens, "lines": lines_v,
+                      "paragraphs": paragraphs})
+    return _json.dumps({"text": "".join(full), "pages": pages}), n_pages
+
+
+def _gen_azure(seed):
+    """analyzeResult pages in inch AND pixel units, sloped 8-point
+    polygons, span-matched words, fractional/zero confidences."""
+    import json as _json
+    r = random.Random(seed)
+    n_pages = r.choice([1, 1, 2])
+    pages = []
+    for p in range(n_pages):
+        unit = r.choice(["inch", "pixel"])
+        W, H, k = (8.5, 11.0, 1 / 150.0) if unit == "inch" \
+            else (2550, 3300, 1.0)
+        words_pd, lines_pd = [], []
+        offset = 0
+        y = 300 * k
+        for _ln in range(r.randint(2, 8)):
+            words = _cf_words(r)
+            x = r.uniform(200, 400) * k
+            h = r.uniform(28, 44) * k
+            lw, l0, x0 = [], offset, x
+            slope = r.uniform(-2, 2) * k
+            for t in words:
+                ww = h * 0.55 * len(t)
+                poly = [x, y, x + ww, y + slope, x + ww, y + h + slope,
+                        x, y + h]
+                words_pd.append({
+                    "content": t,
+                    "polygon": [round(v, 4) for v in poly],
+                    "confidence": r.choice([0.993, 0.5, 0.0, 0.8213]),
+                    "span": {"offset": offset, "length": len(t)}})
+                lw.append(t)
+                offset += len(t) + 1
+                x += ww + r.uniform(8, 16) * k
+            lines_pd.append({
+                "content": " ".join(lw),
+                "polygon": [round(v, 4) for v in
+                            [x0, y, x, y + slope, x, y + h + slope,
+                             x0, y + h]],
+                "spans": [{"offset": l0, "length": offset - l0 - 1}]})
+            y += h + r.uniform(10, 25) * k
+        pages.append({"pageNumber": p + 1, "angle": r.choice([0, 0.12]),
+                      "width": W, "height": H, "unit": unit,
+                      "words": words_pd, "lines": lines_pd})
+    return _json.dumps(
+        {"status": "succeeded",
+         "createdDateTime": "2024-01-01T00:00:00Z",
+         "analyzeResult": {"apiVersion": "2023-07-31",
+                           "modelId": "prebuilt-read",
+                           "content": "", "pages": pages}}), n_pages
+
+
+def _check_cloud_pair(gen, seed, tmp_path):
+    import json as _json  # noqa: F401
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    js, n_pages = gen(seed)
+    pdf = _make_pdf([""] * n_pages, {})
+    name = f"{gen.__name__}_{seed}"
+    jp = tmp_path / f"{name}.json"
+    pp = tmp_path / f"{name}.pdf"
+    jp.write_text(js)
+    pp.write_bytes(pdf)
+    for fmt in ("text", "md"):
+        ref = _ref_pair(fmt, str(pp), str(jp))
+        ours = extract_document(
+            "u", js.encode(), "", "eng", source_payload=pdf,
+            emit_format="markdown" if fmt == "md" else "text")
+        assert not ours["error"], ours["error"]
+        assert ours["extracted_text"] == ref, f"{name} {fmt}"
+
+
+@pytest.mark.parametrize("seed", [2, 4, 9])
+def test_google_vision_pair_parity(seed, tmp_path):
+    _check_cloud_pair(_gen_google_vision, seed, tmp_path)
+
+
+@pytest.mark.parametrize("seed", [1, 6, 11])
+def test_google_doc_ai_pair_parity(seed, tmp_path):
+    _check_cloud_pair(_gen_google_doc_ai, seed, tmp_path)
+
+
+@pytest.mark.parametrize("seed", [0, 5, 10])
+def test_azure_pair_parity(seed, tmp_path):
+    _check_cloud_pair(_gen_azure, seed, tmp_path)
