@@ -259,6 +259,14 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             # (writeText.js:49 assignParagraphs fallback) and carry no
             # roles — headers/folios/margin numbers all emit.
             pages = _parse_paged_payload(kind, payload)
+            if source_payload:
+                # Paired image/PDF import: OCR pages beyond the image
+                # page count are dropped (import.js:604 slices hocrRaw
+                # for every format except textract/google_doc_ai).
+                from ..stages import cloud
+                n_img = len(cloud.pdf_page_dims_300(source_payload))
+                if len(pages) > n_img:
+                    pages = pages[:n_img]
             if drop_furniture:
                 # main-content mode is OUR corpus feature (north-rule
                 # boilerplate strip): roles are needed to drop, so the

@@ -8,7 +8,14 @@ const files = process.argv.slice(3);
 scribe.ScribeDoc.defaults.reflow = true;
 scribe.ScribeDoc.defaults.usePDFText.ocr.main = true;
 scribe.ScribeDoc.defaults.displayMode = 'ebook';
+// Font optimization (paired image+hOCR imports) needs the canvas
+// adapter this sandbox lacks; it tunes render metrics only — the
+// exported text is unaffected.
+scribe.ScribeDoc.defaults.skipFontOpt = true;
 scribe.opt.inProcess = true;
+// The import path console.log()s page-count warnings; keep stdout
+// reserved for the export bytes.
+console.log = console.error;
 const doc = await scribe.openDocument(files);
 const out = await doc.exportData(fmt);
 process.stdout.write(typeof out === 'string' ? out : Buffer.from(out).toString('latin1'));

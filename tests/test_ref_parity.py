@@ -2169,3 +2169,57 @@ def test_google_doc_ai_pair_parity(seed, tmp_path):
 @pytest.mark.parametrize("seed", [0, 5, 10])
 def test_azure_pair_parity(seed, tmp_path):
     _check_cloud_pair(_gen_azure, seed, tmp_path)
+
+
+# ---------------------------------------------------------------------
+# Mixed-source pairs: an OCR upload owns the active text layer even
+# when the paired PDF carries its own native text (import.js:716
+# mainData=true), and OCR pages beyond the image page count are
+# dropped (import.js:604 slicing).
+
+
+def test_mixed_pair_ocr_wins(tmp_path):
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.sources.synth_pdf import _make_pdf, make_pdf_simple
+    for seed in (0, 2):
+        pdf_text = make_pdf_simple(random.Random(seed))
+        js, n_pages = _gen_textract(seed + 60)
+        pdf = pdf_text if n_pages <= pdf_text.count(b"/Type /Page ") \
+            else _make_pdf([""] * n_pages, {})
+        _check_textract_pair(js, n_pages, tmp_path, f"mixtx{seed}",
+                             fmts=("text",))
+        # text-native PDF + hOCR: the hOCR layer is exported, not the
+        # PDF's own text
+        hocr = make_hocr_paragraphs(random.Random(seed)).encode()
+        pp = tmp_path / f"mixh{seed}.pdf"
+        hp = tmp_path / f"mixh{seed}.hocr"
+        pp.write_bytes(pdf_text)
+        hp.write_bytes(hocr)
+        ref = _ref_pair("text", str(pp), str(hp))
+        ours = extract_document("u", hocr, "", "eng",
+                                source_payload=pdf_text)
+        assert ours["extracted_text"] == ref, f"mixh{seed}"
+
+
+def test_mixed_pair_page_slicing(tmp_path):
+    """2-page hOCR + 1-page PDF: only the first OCR page survives."""
+    import re
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    h1 = make_hocr_paragraphs(random.Random(1))
+    h2 = make_hocr_paragraphs(random.Random(2))
+    m = re.search(r"(<div class='ocr_page'.*</div>)\s*</body>", h2, re.S) \
+        or re.search(r'(<div class="ocr_page".*</div>)\s*</body>', h2, re.S)
+    two = h1.replace("</body>", m.group(1) + "</body>")
+    pdf = _make_pdf([""], {})
+    pp = tmp_path / "one.pdf"
+    hp = tmp_path / "two.hocr"
+    pp.write_bytes(pdf)
+    hp.write_text(two)
+    ref = _ref_pair("text", str(pp), str(hp))
+    ours = extract_document("u", two.encode(), "", "eng",
+                            source_payload=pdf)
+    assert ours["extracted_text"] == ref
+    # And unpaired, both pages emit (no slicing without image data).
+    unpaired = extract_document("u", two.encode(), "", "eng")
+    assert unpaired["n_pages"] == 2
