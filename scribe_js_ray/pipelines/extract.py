@@ -264,7 +264,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 # page count are dropped (import.js:604 slices hocrRaw
                 # for every format except textract/google_doc_ai).
                 from ..stages import cloud
-                n_img = len(cloud.pdf_page_dims_300(source_payload))
+                n_img = len(cloud.paired_page_dims(source_payload))
                 if len(pages) > n_img:
                     pages = pages[:n_img]
             if drop_furniture:
@@ -280,7 +280,7 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                       "azure_doc_intel"):
             raw = payload.decode("utf-8", "replace")
             from ..stages import cloud
-            page_dims = (cloud.pdf_page_dims_300(source_payload)
+            page_dims = (cloud.paired_page_dims(source_payload)
                          if source_payload else None)
             if kind == "textract":
                 pages = cloud.parse_textract_doc(raw, page_dims=page_dims)

@@ -56,6 +56,17 @@ def pdf_page_dims_300(payload: bytes) -> list[tuple[int, int]]:
     return dims
 
 
+def paired_page_dims(source_payload: bytes) -> list[tuple[int, int]]:
+    """Page pixel dims from a paired source: a PDF contributes one entry
+    per page via the 300-dpi rule above; a raster image is one page at
+    its natural pixel dims (the reference's pageMetrics come from the
+    decoded bitmap for image pairs, imageContainer.js:449-501)."""
+    if source_payload[:5] == b"%PDF-":
+        return pdf_page_dims_300(source_payload)
+    from .codecs import image_dims
+    return [image_dims(source_payload)]
+
+
 # ---------------------------------------------------------------------------
 # AWS Textract
 
@@ -117,7 +128,10 @@ def _convert_line_textract(lb, block_map, rel_map, page, page_num,
         wid = f"word_{page_num + 1}_{line_index + 1}_{wi + 1}"
         word_polys[wid] = _convert_polygon(wb["Geometry"]["Polygon"], w, h,
                                            page_orientation)
-        word = Word(line, wid, wb.get("Text"), wbox)
+        # Text may be absent on malformed WORD blocks; coerce to "" so
+        # the regex/char scans below never see None (the JS tolerates
+        # undefined, convertDocTextract.js:229).
+        word = Word(line, wid, wb.get("Text") or "", wbox)
         word.conf = wb.get("Confidence") or 100
         line.words.append(word)
 
@@ -272,7 +286,10 @@ def parse_textract_doc(ocr_str: str, page_dims=None,
 
     pages = []
     for i, page_block in enumerate(page_blocks):
-        n = page_num if page_num is not None else i
+        # page_num is a CHUNK OFFSET: Textract JSON arrives in arbitrary
+        # multi-page chunks (import.js:602-603), so a caller stitching
+        # chunks passes the running page count of prior chunks.
+        n = (page_num or 0) + i
         dims = (page_dims[i] if page_dims and i < len(page_dims)
                 else DEFAULT_PAGE_DIMS)
         w, h = dims

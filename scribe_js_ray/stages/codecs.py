@@ -481,6 +481,54 @@ def decode_image(data: bytes) -> np.ndarray:
         "unsupported image format (PNG/BMP/GIF/JPEG/TIFF supported)")
 
 
+def image_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) in pixels from the container header alone — no
+    pixel decode.  TIFF falls back to the full decoder (rare; its dims
+    live in IFD tags interleaved with the strip layout)."""
+    kind = sniff_image_format(data)
+    if kind == "png":
+        if len(data) < 24:
+            raise ValueError("PNG: truncated header")
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h
+    if kind == "bmp":
+        if len(data) < 26:
+            raise ValueError("BMP: truncated header")
+        w, h = struct.unpack("<ii", data[18:26])
+        return abs(w), abs(h)
+    if kind == "gif":
+        if len(data) < 10:
+            raise ValueError("GIF: truncated header")
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h
+    if kind == "jpeg":
+        # Walk marker segments to the first frame header (SOF0-SOF15,
+        # excluding DHT/JPG/DAC which share the 0xC* range).
+        pos = 2
+        n = len(data)
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > n:
+                    break
+                h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                return w, h
+            pos += 2 + seg_len
+        raise ValueError("JPEG: no frame header found")
+    if kind == "tiff":
+        px = tiff_decode(data)
+        return px.shape[1], px.shape[0]
+    raise ValueError(
+        "unsupported image format (PNG/BMP/GIF/JPEG/TIFF supported)")
+
+
 def to_rgb(px: np.ndarray) -> np.ndarray:
     """Any decoded channel layout → (h, w, 3) RGB (gray replicated,
     alpha dropped)."""

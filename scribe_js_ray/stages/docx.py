@@ -3,7 +3,10 @@
 * ``parse_docx`` — reference /root/reference/js/import/convertDocDocx.js:
   unzip (stdlib ``zipfile``), regex-scan ``word/document.xml`` for
   ``<w:p>`` paragraphs and ``<w:r>`` runs (:466-570), run style from
-  ``<w:b/>``/``<w:i/>``/``vertAlign`` (:351-390), heading level from
+  ``<w:b/>``/``<w:i/>``/``vertAlign`` plus per-run ``w:sz``/``w:rFonts``
+  (:355-390), size/font inheritance run → ``w:pStyle`` → docDefaults
+  from ``word/styles.xml`` (:290-336, :551-560; FootnoteText size for
+  footnote bodies :573-592), heading level from
   ``<w:pStyle w:val="HeadingN"/>`` (:495); the text is then typeset into
   synthetic Times pages by the same layout engine as plain text
   (convertPageText pathway — the reference does the same via its font
@@ -38,9 +41,16 @@ _FOOTNOTE_REF_RE = re.compile(r"<w:footnoteReference\s+[^>]*w:id=\"([^\"]+)\"")
 _FOOTNOTE_MARK_RE = re.compile(r"<w:footnoteRef\s*/>")
 
 
+_RFONTS_ASCII_RE = re.compile(r"<w:rFonts\s+[^>]*w:ascii=\"([^\"]+)\"")
+_RFONTS_HANSI_RE = re.compile(r"<w:rFonts\s+[^>]*w:hAnsi=\"([^\"]+)\"")
+_SZ_RE = re.compile(r"<w:sz\s+w:val=\"(\d+)\"")
+
+
 def _run_styles(run_xml: str) -> dict:
-    """Run-level style flags (convertDocDocx.js parseRunElement
-    :351-390) — bold/italic/smallCaps/underline/superscript."""
+    """Run-level style flags + per-run font/size (convertDocDocx.js
+    parseRunElement :355-390) — bold/italic/smallCaps/underline/
+    superscript, ``font`` from rFonts ascii→hAnsi, ``size`` in points
+    (w:sz half-points ÷ 2), both None when absent."""
     def flag(tag):
         return bool(re.search(
             rf"<w:{tag}\s*/>|<w:{tag}\s+w:val=\"(?:true|1)\"", run_xml))
@@ -48,13 +58,52 @@ def _run_styles(run_xml: str) -> dict:
     underline = bool(re.search(r"<w:u\s+w:val=\"single\"", run_xml)) \
         or (bool(re.search(r"<w:u\s*/>", run_xml))
             and not re.search(r"<w:u\s+w:val=\"none\"", run_xml))
+    font = None
+    fm = _RFONTS_ASCII_RE.search(run_xml) or _RFONTS_HANSI_RE.search(run_xml)
+    if fm:
+        font = unescape_xml(fm.group(1))
+    size = None
+    sm = _SZ_RE.search(run_xml)
+    if sm:
+        size = int(sm.group(1)) / 2
     return {
         "bold": flag("b"),
         "italic": flag("i"),
         "small_caps": flag("smallCaps"),
         "underline": underline,
         "sup": bool(_VERTALIGN_RE.search(run_xml)),
+        "font": font,
+        "size": size,
     }
+
+
+_STYLE_RE = re.compile(
+    r"<w:style\s+[^>]*w:styleId=\"([^\"]+)\"[^>]*>(.*?)</w:style>", re.S)
+_DOC_DEFAULTS_RE = re.compile(r"<w:docDefaults>.*?</w:docDefaults>", re.S)
+
+
+def _parse_styles(styles_xml: str):
+    """word/styles.xml → ({styleId: {size, font}}, default size) —
+    docDefaults w:sz plus per-style sz/rFonts ascii
+    (convertDocDocx.js parseStyles :290-336)."""
+    styles: dict = {}
+    default_size = None
+    dm = _DOC_DEFAULTS_RE.search(styles_xml)
+    if dm:
+        sm = _SZ_RE.search(dm.group(0))
+        if sm:
+            default_size = int(sm.group(1)) / 2
+    for m in _STYLE_RE.finditer(styles_xml):
+        content = m.group(2)
+        info = {"size": None, "font": None}
+        sm = _SZ_RE.search(content)
+        if sm:
+            info["size"] = int(sm.group(1)) / 2
+        fm = _RFONTS_ASCII_RE.search(content)
+        if fm:
+            info["font"] = unescape_xml(fm.group(1))
+        styles[m.group(1)] = info
+    return styles, default_size
 
 
 def _run_text(run_xml: str) -> str:
@@ -111,15 +160,24 @@ def parse_docx(data: bytes) -> list[Page]:
                                                          "replace")
         except KeyError:
             fn_xml = ""
+        try:
+            styles_xml = z.read("word/styles.xml").decode("utf-8",
+                                                          "replace")
+        except KeyError:
+            styles_xml = ""
 
     footnotes = _parse_footnotes(fn_xml) if fn_xml else {}
     footnote_order: list[str] = []
+    styles_map, default_size = (_parse_styles(styles_xml)
+                                if styles_xml else ({}, None))
 
     paragraphs = []  # (par_type, [(text, styles)])
     for pm in _W_P_RE.finditer(doc_xml):
         content = pm.group(1)
         style_m = _PSTYLE_RE.search(content)
-        par_type = _par_type(style_m.group(1) if style_m else "")
+        style_id = style_m.group(1) if style_m else ""
+        par_type = _par_type(style_id)
+        par_style = styles_map.get(style_id)
         runs = []
         for rm in _W_R_RE.finditer(content):
             run = rm.group(0)
@@ -133,16 +191,38 @@ def parse_docx(data: bytes) -> list[Page]:
                 idx = footnote_order.index(fid) + 1
                 runs.append((str(idx), {
                     "bold": False, "italic": False, "small_caps": False,
-                    "underline": False, "sup": True}))
+                    "underline": False, "sup": True,
+                    "font": None, "size": None}))
                 continue
             text = _run_text(run)
             if text:
-                runs.append((text, _run_styles(run)))
+                st = _run_styles(run)
+                # size/font inherit paragraph style → docDefaults
+                # (convertDocDocx.js:551-560)
+                if st["size"] is None:
+                    if par_style and par_style["size"] is not None:
+                        st["size"] = par_style["size"]
+                    elif default_size is not None:
+                        st["size"] = default_size
+                if st["font"] is None and par_style \
+                        and par_style["font"] is not None:
+                    st["font"] = par_style["font"]
+                runs.append((text, st))
         if runs:
             paragraphs.append((par_type, runs))
 
+    # Footnote bodies inherit the FootnoteText style size → docDefaults
+    # (convertDocDocx.js:573-592).
+    fn_style = styles_map.get("FootnoteText")
+    fn_size = (fn_style["size"] if fn_style
+               and fn_style["size"] is not None else default_size)
     for fid in footnote_order:
-        paragraphs.append(("footnote", footnotes[fid]))
+        fruns = []
+        for text, st in footnotes[fid]:
+            if st.get("size") is None and fn_size is not None:
+                st = dict(st, size=fn_size)
+            fruns.append((text, st))
+        paragraphs.append(("footnote", fruns))
 
     from .textlayout import typeset_styled_paragraphs
     return typeset_styled_paragraphs(paragraphs, text_source="docx")

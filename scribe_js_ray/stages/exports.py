@@ -22,6 +22,7 @@ import re
 
 from ..functions.stats import round6
 from ..functions.textnorm import escape_xml
+from ..model import get_word_style_segments
 
 _MD_ESCAPE_RE = re.compile(r"([\\`*_\[\]])")
 
@@ -229,7 +230,6 @@ def write_markdown(pages, reflow_text: bool = False,
             for word in line.words:
                 # Intra-word style runs render as separate pieces
                 # (writeMarkdown.js:217-246, getWordStyleSegments).
-                from ..model import get_word_style_segments
                 segments = get_word_style_segments(word) \
                     if apply_formatting else None
                 if segments:

@@ -847,6 +847,7 @@ def _collect_body_ref_labels(pages):
     for p, page in enumerate(pages):
         for line in page.lines:
             ws = line.words
+            line_cjk = any(_CJK_RE.search(w.text or "") for w in ws)
             for wi in range(1, len(ws)):
                 wt = (ws[wi].text or "").strip()
                 if not wt:
@@ -858,13 +859,33 @@ def _collect_body_ref_labels(pages):
                 if m:
                     _add(p, m.group(1))
                 m = re.search(r"[⁰¹²³⁴-⁹]{1,4}$", wt)
-                if m:
+                # Ordinary digits in CJK text get spuriously flagged
+                # superscript, so CJK lines never source labels here
+                # (analyzeLayout.js:687).
+                if m and not line_cjk:
                     _add(p, "".join(_SUP_DIGITS.get(c, "")
                                     for c in m.group(0)))
                 if ws[wi].style.sup:
+                    # A preceding raised word means a uniform-size marker
+                    # cluster, not a reference after running text; the
+                    # walk-back first steps over Word's tiny "0F"
+                    # cross-reference bookmarks (<0.5x of the marker's
+                    # size) (analyzeLayout.js:692-698).
+                    pi = wi - 1
+                    w_size = ws[wi].style.size or 0
+                    while pi > 0 and ws[pi].style.sup \
+                            and (ws[pi].style.size or 0) < w_size * 0.5:
+                        pi -= 1
+                    if ws[pi].style.sup:
+                        continue
                     label = re.sub(r"[.)\]/]+$", "", wt)
-                    if re.match(r"^[\d*†‡∗]{1,3}$", label):
-                        _add(p, label)
+                    if not re.match(r"^[\d*†‡∗]{1,3}$", label):
+                        continue
+                    # Plain-digit markers are rejected on CJK lines;
+                    # symbol markers survive (analyzeLayout.js:700).
+                    if line_cjk and not re.search(r"[*†‡∗]", label):
+                        continue
+                    _add(p, label)
     return labels, by_page
 
 

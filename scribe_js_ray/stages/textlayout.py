@@ -10,9 +10,12 @@ leading-whitespace-must-fit and oversized-word force-place rules
 page breaks on vertical overflow including on blank lines (:131-143).
 
 The styled variant adds the DOCX typesetter's run semantics: per-word
-bold/italic/smallCaps/underline/superscript flags, superscripts at 0.6×
-size with a raised box (convertDocDocx.js:817-843), and cross-run word
-merging gated on the sup flag agreeing (:787-790 stylesMatch).
+bold/italic/smallCaps/underline/superscript flags, per-run font size
+(w:sz ÷ 2 with pStyle → docDefaults inheritance) driving widths and
+word boxes (convertDocDocx.js:776-830 runFontSize), superscripts at
+0.6× the run size with a raised box (:817-843), DOCX-only single-space
+whitespace advance (:777), and cross-run word merging gated on sup AND
+raw size agreeing (:787-790 stylesMatch).
 
 Metrics difference (documented): the reference measures advances + kerning
 + side bearings through its embedded opentype Times; this container has no
@@ -44,7 +47,8 @@ _WS_RE = re.compile(r"\s")
 _TIMES = base14_widths("Times-Roman")
 
 _PLAIN_STYLE = {"bold": False, "italic": False, "small_caps": False,
-                "underline": False, "sup": False}
+                "underline": False, "sup": False, "font": None,
+                "size": None}
 
 
 def _text_width(text: str, size: float = FONT_SIZE) -> float:
@@ -85,6 +89,7 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
     width, height = page_dims
     asc_h = _ASCENDER * FONT_SIZE
     desc_h = _DESCENDER * FONT_SIZE
+    docx_mode = text_source == "docx"
 
     page_index = 0
     page = Page(page_index, width, height)
@@ -138,18 +143,29 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
             par_lines = []
             par_right = MARGIN_HORIZONTAL
 
+        def run_size(st):
+            # per-run w:sz (half-points/2) with FONT_SIZE fallback
+            # (convertDocDocx.js:776 runFontSize)
+            return st.get("size") or FONT_SIZE
+
         def word_size(st):
-            return FONT_SIZE * _SUP_RATIO if st["sup"] else FONT_SIZE
+            # superscripts render at 0.6x the RUN size
+            # (convertDocDocx.js:818-820 effectiveFontSize)
+            rs = run_size(st)
+            return rs * _SUP_RATIO if st["sup"] else rs
 
         def apply_style(word, st):
-            word.style.font = FONT_FAMILY
+            word.style.font = st.get("font") or FONT_FAMILY
             word.style.bold = st["bold"]
             word.style.italic = st["italic"]
             word.style.small_caps = st["small_caps"]
             word.style.underline = st["underline"]
+            # style.size carries the RAW nullable run fontSize, exactly
+            # like the reference (convertDocDocx.js:861 wordObj.style.size
+            # = run.styles.fontSize) — null when no w:sz anywhere.
+            word.style.size = st.get("size")
             if st["sup"]:
                 word.style.sup = True
-                word.style.size = round(FONT_SIZE * _SUP_RATIO, 3)
 
         idx = 0
         while idx < len(tokens):
@@ -168,14 +184,19 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
             last_was_ws = True
 
             def place(tok_text, st, wbox_left, tok_width):
+                # per-word vertical extent at the RUN size (the
+                # reference recomputes asc/desc from runFontSize per
+                # word, convertDocDocx.js:828-830)
+                rs = run_size(st)
                 if st["sup"]:
                     # raised box at the reduced size
-                    # (convertDocDocx.js:829-836)
-                    sup_asc = asc_h * _SUP_RATIO
-                    w_bottom = round(current_y - asc_h * 0.7)
+                    # (convertDocDocx.js:829-843)
+                    sup_asc = _ASCENDER * rs * _SUP_RATIO
+                    w_bottom = round(current_y - _ASCENDER * rs * 0.7)
                     w_top = round(w_bottom - sup_asc)
                 else:
-                    w_top, w_bottom = line_top, line_bottom
+                    w_top = round(current_y - _ASCENDER * rs)
+                    w_bottom = round(current_y + _DESCENDER * rs)
                 wbox = BBox(round(wbox_left), w_top,
                             round(wbox_left + tok_width), w_bottom)
                 wid = (f"word_{page_index + 1}_"
@@ -187,11 +208,15 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                 return word
 
             last_consumed = idx
-            last_styles = None
             for j in range(idx, len(tokens)):
                 tok_text, is_ws, st, run_start = tokens[j]
                 if is_ws:
-                    tok_width = _text_width(tok_text)
+                    # DOCX counts ONE space width at the run size per
+                    # whitespace token (convertDocDocx.js:777); the
+                    # plain-text path measures the full token
+                    # (convertPageText.js:195-201).
+                    tok_width = (_text_width(" ", run_size(st))
+                                 if docx_mode else _text_width(tok_text))
                     if not line.words and \
                             width_so_far + tok_width > available_width:
                         break
@@ -202,14 +227,18 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                     continue
                 tok_width = _text_width(tok_text, word_size(st))
                 # cross-run merge: first token of a run directly after
-                # a word (no whitespace) with the sup flag agreeing
+                # a word (no whitespace) with sup AND raw size agreeing
+                # (convertDocDocx.js:788 stylesMatch)
                 if (run_start and not last_was_ws and line.words
                         and j > idx
-                        and line.words[-1].style.sup == st["sup"]):
+                        and line.words[-1].style.sup == st["sup"]
+                        and line.words[-1].style.size == st.get("size")):
                     prev_w = line.words[-1]
                     merged = prev_w.text + tok_text
-                    merged_width = _text_width(
-                        merged, word_size({"sup": prev_w.style.sup}))
+                    # the combined width is measured at the merging
+                    # run's PLAIN size — no sup ratio — exactly like
+                    # the reference (convertDocDocx.js:793)
+                    merged_width = _text_width(merged, run_size(st))
                     if width_so_far - (prev_w.bbox.right
                                        - prev_w.bbox.left) \
                             + merged_width > available_width:
@@ -250,7 +279,6 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                 width_so_far += tok_width
                 last_consumed = j + 1
                 last_was_ws = False
-                last_styles = st
 
             if not line.words:
                 tok_text, is_ws, st, _rs = tokens[idx]

@@ -242,3 +242,62 @@ def test_textract_zero_confidence_falsy():
     # Fractional confidences pass through unrounded, like the JS.
     pages = parse_textract_doc(make_textract([["solid"]]))
     assert pages[0].lines[0].words[0].conf == 99.0
+
+
+# ---------------------------------------------------------------------------
+# paired-source page dims (image OR PDF) + malformed-block tolerance
+
+
+def test_textract_word_missing_text_tolerated():
+    """A WORD block without Text must not poison the document
+    (convertDocTextract.js:229 tolerates undefined word text)."""
+    js = json.loads(make_textract([["alpha", "beta", "gamma."]]))
+    for b in js["Blocks"]:
+        if b.get("BlockType") == "WORD" and b.get("Text") == "beta":
+            del b["Text"]
+    pages = parse_textract_doc(json.dumps(js))
+    txt = page_text(pages[0])
+    assert "alpha" in txt and "gamma" in txt
+
+
+def test_paired_page_dims_image_and_pdf():
+    import numpy as np
+
+    from scribe_js_ray.stages.cloud import paired_page_dims
+    from scribe_js_ray.stages.codecs import png_encode
+    img = png_encode(np.zeros((40, 60, 3), np.uint8))
+    assert paired_page_dims(img) == [(60, 40)]
+
+
+def test_paired_image_textract_import():
+    """Image (not PDF) paired payload: page metrics come from the
+    raster's pixel dims (imageContainer.js pageMetrics for image
+    pairs) — previously crashed in the PDF parser."""
+    import numpy as np
+
+    from scribe_js_ray.pipelines.extract import extract_document
+    from scribe_js_ray.stages.codecs import png_encode
+    img = png_encode(np.zeros((400, 600, 3), np.uint8))
+    out = extract_document(
+        "u", make_textract([["hello", "world."]]).encode(), "", "eng",
+        source_payload=img)
+    assert out["error"] == ""
+    assert "hello world." in out["extracted_text"]
+
+
+def test_paired_image_hocr_page_slice():
+    """OCR pages beyond the paired image's page count (1) are dropped
+    (import.js:604)."""
+    import random as _random
+
+    import numpy as np
+
+    from scribe_js_ray.pipelines.extract import extract_document
+    from scribe_js_ray.sources.synth import make_hocr_furniture
+    from scribe_js_ray.stages.codecs import png_encode
+    hocr = make_hocr_furniture(_random.Random(3)).encode()
+    img = png_encode(np.zeros((50, 80, 3), np.uint8))
+    full = extract_document("u", hocr, "", "eng")
+    sliced = extract_document("u", hocr, "", "eng", source_payload=img)
+    assert full["n_pages"] >= 3
+    assert sliced["error"] == "" and sliced["n_pages"] == 1

@@ -510,3 +510,26 @@ def test_png_adam7_interlaced_decode():
         chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)) + \
         chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
     assert np.array_equal(png_decode(data), px)
+
+
+def test_image_dims_header_only():
+    """image_dims reads container headers without pixel decode."""
+    import numpy as np
+
+    from scribe_js_ray.stages.codecs import (bmp_encode, gif_encode,
+                                             image_dims, png_encode,
+                                             tiff_encode)
+    from scribe_js_ray.stages.jpeg import jpeg_encode
+    px = np.random.default_rng(0).integers(
+        0, 255, (24, 37, 3), dtype=np.uint8)
+    flat = np.full((24, 37, 3), 80, dtype=np.uint8)  # GIF needs <=256 colors
+    assert image_dims(png_encode(px)) == (37, 24)
+    assert image_dims(bmp_encode(px)) == (37, 24)
+    assert image_dims(gif_encode([flat])) == (37, 24)
+    assert image_dims(jpeg_encode(px)) == (37, 24)
+    assert image_dims(tiff_encode(px)) == (37, 24)
+    import pytest
+    with pytest.raises(ValueError):
+        image_dims(b"not an image at all")
+    with pytest.raises(ValueError):
+        image_dims(b"\x89PNG\r\n\x1a\n\x00")  # truncated header

@@ -264,3 +264,41 @@ def test_enumerated_list_items_split_paragraphs():
     analyze_layout([page])
     assert len(page.pars) == 3
     assert all(len(p.lines) == 1 for p in page.pars)
+
+
+def test_body_ref_labels_cjk_and_marker_cluster_gates():
+    """In-text label collection gates (analyzeLayout.js:687-700):
+    CJK lines never source digit labels (Unicode-sup or sup-styled);
+    symbol markers survive; a uniform-size preceding sup word means a
+    marker cluster, not a reference, and is skipped — but the tiny
+    '0F' bookmark (<0.5x size) is stepped over."""
+    from scribe_js_ray.stages.layout import _collect_body_ref_labels
+
+    page = Page(0, 612, 792)
+    # CJK line with a literal Unicode superscript digit → no label
+    _mk_line(page, 80, [("東京は", 100, 160), ("大きい¹", 170, 230)])
+    # CJK line with a sup-styled digit marker → no label
+    _mk_line(page, 110, [("東京", 100, 140), ("5", 145, 152, True)])
+    # CJK line with a sup-styled SYMBOL marker → label kept
+    _mk_line(page, 140, [("東京", 100, 140), ("d†", 145, 158, True)])
+    # Latin line: sup marker cluster "8 9" (uniform size) — the FIRST
+    # cluster word follows running text and is collected; followers
+    # are skipped by the walk-back
+    _mk_line(page, 170, [("text", 100, 140), ("8", 145, 150, True),
+                         ("9", 155, 160, True)])
+    # Latin line: tiny bookmark (size 3) then real sup ref → kept
+    ln = _mk_line(page, 200, [("body", 100, 140), ("0F", 145, 147, True),
+                              ("7", 150, 155, True)])
+    ln.words[1].style.size = 3.0
+    # plain Latin Unicode-sup digit → kept
+    _mk_line(page, 230, [("flow", 100, 140), ("rate²", 145, 190)])
+
+    labels, by_page = _collect_body_ref_labels([page])
+    assert "†" in labels
+    assert "7" in labels
+    assert "2" in labels      # from rate² (Latin line)
+    assert "8" in labels      # first word of the cluster
+    assert "9" not in labels  # cluster follower gated
+    assert "5" not in labels  # sup-styled digit on a CJK line gated
+    assert "1" not in labels  # Unicode-sup digit on a CJK line gated
+    assert by_page[0] == labels

@@ -2223,3 +2223,148 @@ def test_mixed_pair_page_slicing(tmp_path):
     # And unpaired, both pages emit (no slicing without image data).
     unpaired = extract_document("u", two.encode(), "", "eng")
     assert unpaired["n_pages"] == 2
+
+
+def _sink14_docx(r):
+    """Round-14 sink: DOCX with per-run w:sz / w:rFonts and a
+    word/styles.xml carrying docDefaults + paragraph-style sizes
+    (Heading/Quote/FootnoteText) — exercises the size-inheritance
+    chain (run → pStyle → docDefaults, convertDocDocx.js:290-336,
+    :551-560, :573-592), the per-run-size typeset widths/wraps, and
+    the stylesMatch size term in cross-run word merging (:788).
+    Seeds 0-59 fuzzed clean against the live reference on the first
+    run of the w:sz port."""
+    import io
+    import zipfile
+
+    from scribe_js_ray.sources.synth import _sentence
+
+    W = ('xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/'
+         '2006/main"')
+    CT = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+          '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+          'content-types">'
+          '<Default Extension="rels" ContentType="application/vnd.'
+          'openxmlformats-package.relationships+xml"/>'
+          '<Default Extension="xml" ContentType="application/xml"/>'
+          '<Override PartName="/word/document.xml" ContentType='
+          '"application/vnd.openxmlformats-officedocument.'
+          'wordprocessingml.document.main+xml"/></Types>')
+    RELS = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships"><Relationship Id="rId1" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+            'relationships/officeDocument" Target="word/document.xml"/>'
+            '</Relationships>')
+
+    def esc(s):
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    def run_xml(text, r, allow_sup=True):
+        props = []
+        if r.random() < 0.15:
+            props.append('<w:b/>')
+        if r.random() < 0.10:
+            props.append('<w:i/>')
+        if allow_sup and r.random() < 0.06:
+            props.append('<w:vertAlign w:val="superscript"/>')
+        if r.random() < 0.45:
+            sz = r.choice([16, 18, 20, 22, 24, 28, 32, 36, 44])
+            props.append(f'<w:sz w:val="{sz}"/>')
+        if r.random() < 0.2:
+            font = r.choice(["Calibri", "Arial", "Georgia &amp; Co"])
+            props.append(f'<w:rFonts w:ascii="{font}" w:hAnsi="{font}"/>')
+        rpr = f"<w:rPr>{''.join(props)}</w:rPr>" if props else ""
+        return (f'<w:r>{rpr}<w:t xml:space="preserve">{esc(text)}</w:t>'
+                f'</w:r>')
+
+    n_footnotes = r.randint(0, 3)
+    fn_ids = [str(i + 2) for i in range(n_footnotes)]
+    pars = []
+    for _ in range(r.randint(3, 8)):
+        ppr = ""
+        if r.random() < 0.25:
+            ppr = ('<w:pPr><w:pStyle w:val="%s"/></w:pPr>'
+                   % r.choice(["Heading1", "Heading2", "Title", "Quote",
+                               "Normal", "BigBody"]))
+        text = " ".join(_sentence(r, r.randint(4, 14)))
+        pieces = [text]
+        for _ in range(r.randint(0, 3)):
+            k = r.randrange(len(pieces))
+            s = pieces[k]
+            if len(s) < 4:
+                continue
+            cut = r.randrange(1, len(s))
+            pieces[k:k + 1] = [s[:cut], s[cut:]]
+        runs = [run_xml(p_, r) for p_ in pieces]
+        if fn_ids and r.random() < 0.5:
+            fid = r.choice(fn_ids)
+            at = r.randrange(len(runs) + 1)
+            runs.insert(at, '<w:r><w:rPr><w:vertAlign w:val='
+                            '"superscript"/></w:rPr>'
+                            f'<w:footnoteReference w:id="{fid}"/></w:r>')
+        pars.append(f"<w:p>{ppr}{''.join(runs)}</w:p>")
+    doc = (f'<?xml version="1.0"?><w:document {W}><w:body>'
+           + "".join(pars) + '</w:body></w:document>')
+
+    files = {"[Content_Types].xml": CT, "_rels/.rels": RELS,
+             "word/document.xml": doc}
+
+    if r.random() < 0.8:
+        parts = []
+        if r.random() < 0.6:
+            dsz = r.choice([20, 22, 24])
+            parts.append(f'<w:docDefaults><w:rPrDefault><w:rPr>'
+                         f'<w:sz w:val="{dsz}"/></w:rPr></w:rPrDefault>'
+                         f'</w:docDefaults>')
+        for sid, szs in (("Heading1", [28, 32, 36]),
+                         ("Quote", [20, 22]),
+                         ("BigBody", [26, 30]),
+                         ("FootnoteText", [16, 18, 20])):
+            if r.random() < 0.6:
+                sz = r.choice(szs)
+                font = ('<w:rFonts w:ascii="Cambria"/>'
+                        if r.random() < 0.3 else "")
+                parts.append(f'<w:style w:type="paragraph" '
+                             f'w:styleId="{sid}"><w:rPr>{font}'
+                             f'<w:sz w:val="{sz}"/></w:rPr></w:style>')
+        if parts:
+            files["word/styles.xml"] = (f'<?xml version="1.0"?>'
+                                        f'<w:styles {W}>'
+                                        + "".join(parts) + "</w:styles>")
+
+    if n_footnotes:
+        fns = ['<w:footnote w:id="-1"><w:p><w:r><w:separator/></w:r>'
+               '</w:p></w:footnote>',
+               '<w:footnote w:id="0"><w:p><w:r>'
+               '<w:continuationSeparator/></w:r></w:p></w:footnote>']
+        for fid in fn_ids:
+            body_runs = ('<w:r><w:rPr><w:vertAlign w:val="superscript"/>'
+                         '</w:rPr><w:footnoteRef/></w:r>')
+            for _ in range(r.randint(1, 2)):
+                body_runs += run_xml(
+                    " ".join(_sentence(r, r.randint(4, 9))), r,
+                    allow_sup=False)
+            fns.append(f'<w:footnote w:id="{fid}"><w:p>{body_runs}'
+                       f'</w:p></w:footnote>')
+        files["word/footnotes.xml"] = (f'<?xml version="1.0"?>'
+                                       f'<w:footnotes {W}>'
+                                       + "".join(fns) + "</w:footnotes>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in files.items():
+            z.writestr(name, content)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("seed", [0, 2, 7, 31, 44])
+def test_kitchen_sink14_parity(seed, tmp_path):
+    data = _sink14_docx(random.Random(seed))
+    p = tmp_path / f"sink14_{seed}.docx"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink14_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink14_{seed} md"
