@@ -318,7 +318,10 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                        doc_type="html")
         elif kind == "docx":
             from ..stages.docx import parse_docx
-            pages = parse_docx(payload)
+            # docxLineSplitMode: 'width' (default) or 'sentence'
+            # (scribeDocDefaults.js:42, recognizeConvert.js:546)
+            pages = parse_docx(payload, line_split_mode=str(
+                (emit_opts or {}).get("docx_line_split_mode", "width")))
             txt, spans = _emit(pages, emit_format, True, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,

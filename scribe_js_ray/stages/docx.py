@@ -143,7 +143,7 @@ def _parse_footnotes(footnotes_xml: str) -> dict:
     return out
 
 
-def parse_docx(data: bytes) -> list[Page]:
+def parse_docx(data: bytes, line_split_mode: str = "width") -> list[Page]:
     """DOCX bytes → typeset synthetic pages.
 
     Faithful decision surface (convertDocDocx.js): per-run style flags
@@ -225,7 +225,8 @@ def parse_docx(data: bytes) -> list[Page]:
         paragraphs.append(("footnote", fruns))
 
     from .textlayout import typeset_styled_paragraphs
-    return typeset_styled_paragraphs(paragraphs, text_source="docx")
+    return typeset_styled_paragraphs(paragraphs, text_source="docx",
+                                     line_split_mode=line_split_mode)
 
 
 _DOC_START = (

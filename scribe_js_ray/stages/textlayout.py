@@ -46,6 +46,42 @@ _SUP_RATIO = 0.6   # superscript render size (convertDocDocx.js:818)
 _WS_RE = re.compile(r"\s")
 _TIMES = base14_widths("Times-Roman")
 
+# Abbreviations that end in a period without ending a sentence
+# (convertDocDocx.js:16-27 SENTENCE_ABBREVS).
+_SENT_ABBREVS = frozenset((
+    "mr", "mrs", "ms", "dr", "prof", "rev", "sr", "jr",
+    "etc", "vs", "vol", "no",
+    "eg", "ie", "al", "cf",
+    "p", "pp", "pg", "sec", "ch", "art", "cl", "fig", "tab", "ex",
+    "us", "uk",
+))
+
+_SENT_TRAIL_RE = re.compile(r"^(.+[.!?])([\"')\]}>]*)$")
+
+
+def _is_sentence_ending(word: str) -> bool:
+    """Sentence-ending word test for lineSplitMode='sentence'
+    (convertDocDocx.js:34-58 isSentenceEnding): trailing close-quotes/
+    brackets are peeled, '!'/'?' always end, ellipses / single-initial
+    'A.' / digit-period / known abbreviations never do."""
+    m = _SENT_TRAIL_RE.match(word)
+    if not m and not re.search(r"[.!?]$", word):
+        return False
+    core = m.group(1) if m else word
+    if re.search(r"[!?]$", core):
+        return True
+    if re.search(r"\.{2,}$", core):
+        return False
+    if re.match(r"^[A-Z]\.$", core):
+        return False
+    if re.search(r"\d\.$", core):
+        return False
+    if core[:-1].lower() in _SENT_ABBREVS:
+        return False
+    if core.replace(".", "").lower() in _SENT_ABBREVS:
+        return False
+    return True
+
 _PLAIN_STYLE = {"bold": False, "italic": False, "small_caps": False,
                 "underline": False, "sup": False, "font": None,
                 "size": None}
@@ -74,7 +110,8 @@ def _split_tokens(line: str):
 
 
 def typeset_styled_paragraphs(paragraphs, page_dims=None,
-                              text_source: str = "text") -> list[Page]:
+                              text_source: str = "text",
+                              line_split_mode: str = "width") -> list[Page]:
     """Typeset ``(par_type, runs)`` paragraphs into synthetic pages.
 
     ``runs`` is a list of ``(text, styles)`` — ``styles`` a dict with
@@ -83,13 +120,20 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
     only).  Word wrap / page break rules are convertPageText.js's; run
     styles ride each word; a non-whitespace run boundary merges into
     the previous word only when the sup flag agrees
-    (convertDocDocx.js:787-790)."""
+    (convertDocDocx.js:787-790).
+
+    ``line_split_mode``: 'width' (default) wraps against the page
+    width; 'sentence' disables the width checks and breaks the line at
+    the whitespace after each sentence-ending word instead — the
+    reference's docxLineSplitMode option (convertDocDocx.js:609-611,
+    :772-775, :872-874; scribeDocDefaults.js:42)."""
     if page_dims is None:
         page_dims = (612, 792)  # letter
     width, height = page_dims
     asc_h = _ASCENDER * FONT_SIZE
     desc_h = _DESCENDER * FONT_SIZE
     docx_mode = text_source == "docx"
+    sentence_mode = line_split_mode == "sentence"
 
     page_index = 0
     page = Page(page_index, width, height)
@@ -208,16 +252,22 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                 return word
 
             last_consumed = idx
+            pending_sentence_end = False
             for j in range(idx, len(tokens)):
                 tok_text, is_ws, st, run_start = tokens[j]
                 if is_ws:
+                    # sentence mode: the whitespace AFTER a sentence-
+                    # ending word completes the line, unconsumed
+                    # (convertDocDocx.js:772-775)
+                    if sentence_mode and pending_sentence_end:
+                        break
                     # DOCX counts ONE space width at the run size per
                     # whitespace token (convertDocDocx.js:777); the
                     # plain-text path measures the full token
                     # (convertPageText.js:195-201).
                     tok_width = (_text_width(" ", run_size(st))
                                  if docx_mode else _text_width(tok_text))
-                    if not line.words and \
+                    if not sentence_mode and not line.words and \
                             width_so_far + tok_width > available_width:
                         break
                     current_x += tok_width
@@ -239,8 +289,9 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                     # run's PLAIN size — no sup ratio — exactly like
                     # the reference (convertDocDocx.js:793)
                     merged_width = _text_width(merged, run_size(st))
-                    if width_so_far - (prev_w.bbox.right
-                                       - prev_w.bbox.left) \
+                    if not sentence_mode and \
+                            width_so_far - (prev_w.bbox.right
+                                            - prev_w.bbox.left) \
                             + merged_width > available_width:
                         break
                     # intra-word style change → styleRun delta vs the
@@ -271,7 +322,7 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                     last_consumed = j + 1
                     last_was_ws = False
                     continue
-                if line.words and \
+                if not sentence_mode and line.words and \
                         width_so_far + tok_width > available_width:
                     break  # wrap before this word
                 place(tok_text, st, current_x, tok_width)
@@ -279,6 +330,8 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                 width_so_far += tok_width
                 last_consumed = j + 1
                 last_was_ws = False
+                if sentence_mode and _is_sentence_ending(tok_text):
+                    pending_sentence_end = True
 
             if not line.words:
                 tok_text, is_ws, st, _rs = tokens[idx]

