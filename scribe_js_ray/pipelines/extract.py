@@ -141,16 +141,27 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
         from ..stages.docx import write_docx
         return write_docx(pages).decode("latin-1"), []
     if emit_format == "xlsx":
-        # writeTabular: detected data-table regions → sheet rows
+        # writeTabular: detected data-table regions → sheet rows, with
+        # the reference's default filename + 1-based page-number lead
+        # columns (writeTabular.js:205-215 extraCols;
+        # scribeDocDefaults.js xlsxFilenameColumn/xlsxPageNumberColumn
+        # both default true)
         from ..model import BBox
         from ..stages.docx import write_xlsx
         from ..stages.tables import (detect_tables_in_page,
                                      extract_table_content)
+        opts = emit_opts or {}
+        fname = (str(opts.get("xlsx_filename", ""))
+                 if opts.get("xlsx_filename_column", True) else None)
+        page_col = bool(opts.get("xlsx_page_number_column", True))
         rows: list = []
-        for page in pages:
+        for i, page in enumerate(pages):
+            extra = ([fname] if fname is not None else []) \
+                + ([str(i + 1)] if page_col else [])
+            prows: list = []
             boxes = getattr(page, "table_boxes", None) or []
             for tb in boxes:
-                rows.extend(extract_table_content(
+                prows.extend(extract_table_content(
                     page,
                     BBox(tb["left"], tb["top"], tb["right"],
                          tb["bottom"]),
@@ -160,7 +171,8 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
                 # (text/docx branches) fall back to the OCR detector;
                 # stamped pages already carry every qualifying region
                 for bb in detect_tables_in_page(page):
-                    rows.extend(extract_table_content(page, bb))
+                    prows.extend(extract_table_content(page, bb))
+            rows.extend([extra + r for r in prows] if extra else prows)
         return write_xlsx(rows).decode("latin-1"), []
     if emit_format == "scribe":
         # Emits the reference's UNCOMPRESSED segmented form (the CLI's
@@ -172,11 +184,17 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
         return write_scribe(
             pages,
             char_boxes=bool((emit_opts or {}).get("char_boxes", True)),
+            include_text=bool(
+                (emit_opts or {}).get("include_extra_text")),
         ).decode("utf-8"), []
     if emit_format == "pdf":
         from ..stages.pdf_export import write_pdf
         # binary export: latin-1 round-trip keeps it a string column
-        return write_pdf(pages).decode("latin-1"), []
+        return write_pdf(
+            pages,
+            standardize_page_size=bool(
+                (emit_opts or {}).get("standardize_page_size")),
+        ).decode("latin-1"), []
     return write_text_spans(
         pages, reflow_text=reflow, drop_furniture=drop_furniture,
         # Reference parity: writeText emits every line — headers, folios
@@ -209,6 +227,11 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
     kind = classify_payload(payload or b"", text or "")
     out = {"url": url, "extracted_text": "", "spans": [], "n_pages": 0,
            "doc_type": "image", "payload_kind": kind, "error": ""}
+    if emit_format == "xlsx":
+        # the xlsx filename lead column carries the input name
+        # (writeTabular.js:207-212 inputData.inputFileNames)
+        emit_opts = dict(emit_opts or {})
+        emit_opts.setdefault("xlsx_filename", url)
     try:
         if kind == "pdf":
             from ..stages.pdf import parse_pdf_document

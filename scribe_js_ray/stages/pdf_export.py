@@ -170,7 +170,8 @@ def _glyph_path_ops(src, metrics, text: str, x: float, y: float,
 def write_pdf(pages, text_mode: str = "ebook",
               embed_fonts: bool = True,
               path_regions: dict | None = None,
-              path_pages: set | None = None) -> bytes:
+              path_pages: set | None = None,
+              standardize_page_size: bool = False) -> bytes:
     """pages: list of model Pages → PDF bytes.
 
     ``embed_fonts``: when the source document carried TrueType programs
@@ -186,9 +187,17 @@ def write_pdf(pages, text_mode: str = "ebook",
     the source font's glyf outlines instead of text operators — they
     no longer extract as text, matching the reference's
     convertRegionsToPaths / convertFullPages rebuild options
-    (subsetPdf.js:332-333, convertTextRegionsToPaths.js:538)."""
+    (subsetPdf.js:332-333, convertTextRegionsToPaths.js:538).
+
+    ``standardize_page_size``: every page uses the document's max
+    width/height (the reference's standardizePageSize option —
+    export.js:406-412 dimsLimit → writePdf.js outputDims)."""
     if text_mode not in ("ebook", "invis"):
         raise ValueError(f"unsupported text_mode: {text_mode}")
+    std_w = std_h = None
+    if standardize_page_size and pages:
+        std_w = max(max(int(round(p.width or 612)), 1) for p in pages)
+        std_h = max(max(int(round(p.height or 792)), 1) for p in pages)
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -242,7 +251,7 @@ def write_pdf(pages, text_mode: str = "ebook",
 
     page_bodies = []
     for page_idx, page in enumerate(pages):
-        h_px = max(int(round(page.height or 792)), 1)
+        h_px = std_h or max(int(round(page.height or 792)), 1)
         regions = (path_regions or {}).get(page_idx) or []
         whole_page = bool(path_pages and page_idx in path_pages)
         parts = ["BT"]
@@ -307,8 +316,8 @@ def write_pdf(pages, text_mode: str = "ebook",
     all_refs = " ".join(x for x in (font_refs, emb_refs) if x)
 
     for i, page in enumerate(pages):
-        w_px = max(int(round(page.width or 612)), 1)
-        h_px = max(int(round(page.height or 792)), 1)
+        w_px = std_w or max(int(round(page.width or 612)), 1)
+        h_px = std_h or max(int(round(page.height or 792)), 1)
         page_id = add(
             (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w_px} {h_px}] "
              f"/Resources << /Font << {all_refs} >> >> "

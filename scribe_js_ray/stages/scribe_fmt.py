@@ -38,7 +38,8 @@ def _bbox_json(b: BBox) -> dict:
             "right": float(b.right), "bottom": float(b.bottom)}
 
 
-def _page_json(page: Page, char_boxes: bool = True) -> dict:
+def _page_json(page: Page, char_boxes: bool = True,
+               include_text: bool = False) -> dict:
     par_ids = {id(p): f"par_{page.n + 1}_{i + 1}"
                for i, p in enumerate(page.pars)}
     par_lines: dict[str, list[str]] = {pid: [] for pid in par_ids.values()}
@@ -84,6 +85,10 @@ def _page_json(page: Page, char_boxes: bool = True) -> dict:
             "orientation": int(ln.orientation or 0),
             "words": words,
         }
+        if include_text:
+            # plain space-join, the reference's getLineText
+            # (ocrObjects.js:402-409)
+            ld["text"] = " ".join(w.text or "" for w in ln.words)
         pid = par_ids.get(id(ln.par))
         if pid is not None:
             ld["parId"] = pid
@@ -92,10 +97,16 @@ def _page_json(page: Page, char_boxes: bool = True) -> dict:
     pars = []
     for i, p in enumerate(page.pars):
         pid = par_ids[id(p)]
-        pars.append({"id": pid, "bbox": _bbox_json(p.bbox),
-                     "type": p.type, "reason": p.reason or "",
-                     "lineIds": par_lines[pid]})
-    return {
+        pd = {"id": pid, "bbox": _bbox_json(p.bbox),
+              "type": p.type, "reason": p.reason or "",
+              "lineIds": par_lines[pid]}
+        if include_text:
+            # getParText: space-joined line texts (ocrObjects.js:414-421)
+            pd["text"] = " ".join(
+                " ".join(w.text or "" for w in ln.words)
+                for ln in p.lines)
+        pars.append(pd)
+    out = {
         "n": page.n,
         "dims": {"width": page.width, "height": page.height},
         "angle": float(page.angle or 0.0),
@@ -103,6 +114,12 @@ def _page_json(page: Page, char_boxes: bool = True) -> dict:
         "lines": lines,
         "pars": pars,
     }
+    if include_text:
+        # getPageText: newline-joined line texts (ocrObjects.js:426-433)
+        out["text"] = "\n".join(
+            " ".join(w.text or "" for w in ln.words)
+            for ln in page.lines)
+    return out
 
 
 def _annots_json(pages: list[Page]) -> list:
@@ -150,7 +167,8 @@ def _annots_json(pages: list[Page]) -> list:
 def write_scribe(pages: list[Page], segmented: bool = True,
                  gzip_out: bool = False, outline: list | None = None,
                  text_edits: list | None = None,
-                 char_boxes: bool = True) -> bytes:
+                 char_boxes: bool = True,
+                 include_text: bool = False) -> bytes:
     """Page trees → reference-format ``.scribe`` bytes.  Carried marks
     ride as ``annotations`` (header field in the segmented layout,
     import.js:220-227); ``text_edits`` (per-page edit-record lists from
@@ -158,7 +176,10 @@ def write_scribe(pages: list[Page], segmented: bool = True,
     ``textEdits`` field per page record (import.js:240).
     ``char_boxes=False`` drops per-char bounding boxes (export.js:152
     pageForScribe includeCharBoxes; the reference CLI's --char-boxes
-    default, roughly halving file size)."""
+    default, roughly halving file size).  ``include_text=True`` adds
+    plain-join ``text`` fields at page/par/line level
+    (includeExtraTextScribe, export.js:294 →
+    ocrObjects.js:1030-1070 removeCircularRefsOcr includeText)."""
     annots = _annots_json(pages)
     has_annots = any(annots)
     if segmented:
@@ -171,7 +192,7 @@ def write_scribe(pages: list[Page], segmented: bool = True,
             header["session"] = {}
         chunks = [json.dumps(header)]
         for i, page in enumerate(pages):
-            rec: dict = {"i": i, "ocr": _page_json(page, char_boxes) if page
+            rec: dict = {"i": i, "ocr": _page_json(page, char_boxes, include_text) if page
                          else None}
             if text_edits is not None and i < len(text_edits) \
                     and text_edits[i]:
@@ -179,7 +200,7 @@ def write_scribe(pages: list[Page], segmented: bool = True,
             chunks.append("\n" + json.dumps(rec))
         data = "".join(chunks).encode("utf-8")
     else:
-        obj: dict = {"ocr": [_page_json(p, char_boxes) if p else None
+        obj: dict = {"ocr": [_page_json(p, char_boxes, include_text) if p else None
                              for p in pages]}
         if has_annots:
             obj["annotations"] = annots

@@ -183,3 +183,55 @@ def test_scribe_char_boxes_opt_out():
     from scribe_js_ray.stages.scribe_fmt import parse_scribe
     assert write_text(parse_scribe(lean.encode())) \
         == write_text(parse_scribe(full.encode()))
+
+
+def test_xlsx_filename_and_page_columns():
+    """writeTabular prepends filename + 1-based page-number columns by
+    default (writeTabular.js:205-215, scribeDocDefaults
+    xlsxFilenameColumn/xlsxPageNumberColumn); both are opt-out."""
+    import io
+    import zipfile
+
+    from scribe_js_ray.pipelines.extract import extract_document
+
+    # title + 6 rows x 4 widely-spaced columns so the OCR-side
+    # whitespace-column detector fires.
+    def word(t, x, y):
+        return (f"<span class='ocrx_word' title='bbox {x} {y} "
+                f"{x + 12 * len(t)} {y + 20}; x_wconf 96'>{t}</span>")
+
+    rows_html = [
+        "<span class='ocr_line' title='bbox 150 60 400 80; "
+        "baseline 0 -4; x_size 24'>" + word("Quarterly", 150, 60)
+        + word("Report", 280, 60) + "</span>"]
+    for i in range(6):
+        y = 100 + i * 30
+        xs = [150, 900, 1400, 1800]
+        texts = [f"r{i}c0v1", f"{100 + i}", f"{200 + i}", f"{300 + i}"]
+        cells = "".join(word(t, x, y) for t, x in zip(texts, xs))
+        rows_html.append(
+            f"<span class='ocr_line' title='bbox 150 {y} 1900 {y + 20}; "
+            f"baseline 0 -4; x_size 24'>{cells}</span>")
+    payload = ("<html><body><div class='ocr_page' title='image \"p\"; "
+               "bbox 0 0 2200 2800; ppageno 0'>"
+               + "".join(rows_html) + "</div></body></html>").encode()
+
+    def sheet_of(out):
+        raw = out["extracted_text"].encode("latin-1")
+        with zipfile.ZipFile(io.BytesIO(raw)) as z:
+            return z.read("xl/worksheets/sheet1.xml").decode()
+
+    out = extract_document("docs/report.hocr", payload, "", "eng",
+                           emit_format="xlsx")
+    sheet = sheet_of(out)
+    assert out["error"] == ""
+    assert "docs/report.hocr" in sheet
+    # 1-based page number rides the second column of every row
+    assert ">1</t>" in sheet
+
+    # opt-out drops both lead columns
+    out2 = extract_document("docs/report.hocr", payload, "", "eng",
+                            emit_format="xlsx",
+                            emit_opts={"xlsx_filename_column": False,
+                                       "xlsx_page_number_column": False})
+    assert "docs/report.hocr" not in sheet_of(out2)

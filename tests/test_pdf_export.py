@@ -181,3 +181,36 @@ def test_overlay_handles_floats_and_indirect_contents():
     text = page_text(re_pages[0])
     assert "Original body" in text    # flattened contents kept original
     assert "layer" in text            # overlay present
+
+
+def test_standardize_page_size():
+    """standardizePageSize: all exported pages take the document max
+    dims (export.js:406-412 dimsLimit → outputDims) — and the text
+    still round-trips through our own parser."""
+    from scribe_js_ray.model import BBox, Line, Page, Word
+    from scribe_js_ray.stages.pdf import parse_pdf_document
+    from scribe_js_ray.stages.pdf_export import write_pdf
+
+    pages = []
+    for n, (w, h) in enumerate([(400, 500), (612, 792)]):
+        page = Page(n, w, h)
+        line = Line(page, BBox(50, 100, 200, 120), [0, -4], 15, None)
+        word = Word(line, f"w{n}", f"page{n}", BBox(50, 100, 200, 120))
+        word.conf = 100
+        line.words.append(word)
+        page.lines.append(line)
+        pages.append(page)
+
+    data = write_pdf(pages, standardize_page_size=True)
+    rt, _, _ = parse_pdf_document(data, with_outline=True)
+    assert len(rt) == 2
+    # the parser reports 300-dpi pixel dims; both pages take the max
+    # (612x792 pt -> 2550x3300 px)
+    assert all(int(p.width) == 2550 and int(p.height) == 3300
+               for p in rt)
+    assert "page0" in " ".join(w.text for ln in rt[0].lines
+                               for w in ln.words)
+
+    # default keeps per-page dims (page 0 smaller than page 1)
+    rt2, _, _ = parse_pdf_document(write_pdf(pages), with_outline=True)
+    assert int(rt2[0].width) < int(rt2[1].width) == 2550

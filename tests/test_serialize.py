@@ -233,3 +233,38 @@ def test_scribe_session_annotations_and_edits_roundtrip():
     data = write_scribe(pages, segmented=True)
     _, extras = parse_scribe_session(data)
     assert extras["outline"] is None
+
+
+def test_scribe_include_extra_text():
+    """includeExtraTextScribe analog: page/par/line 'text' fields with
+    the reference's plain joins (ocrObjects.js:402-433 getters,
+    :1030-1070 removeCircularRefsOcr includeText); off by default."""
+    import gzip as _g
+    import json
+    import random
+
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    from scribe_js_ray.stages.layout import analyze_layout
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe, write_scribe
+
+    page, _ = parse_hocr_page(make_hocr_paragraphs(random.Random(1)), 0)
+    analyze_layout([page])
+
+    blob = write_scribe([page], segmented=False, include_text=True)
+    obj = json.loads(blob)
+    pj = obj["ocr"][0]
+    exp_lines = [" ".join(w.text for w in ln.words) for ln in page.lines]
+    assert pj["text"] == "\n".join(exp_lines)
+    assert [ld["text"] for ld in pj["lines"]] == exp_lines
+    assert pj["pars"], "layout should have assigned pars"
+    for pd in pj["pars"]:
+        by_id = {ld["id"]: ld["text"] for ld in pj["lines"]}
+        assert pd["text"] == " ".join(by_id[i] for i in pd["lineIds"])
+
+    # default emits no text fields; either form round-trips
+    plain = json.loads(write_scribe([page], segmented=False))
+    assert "text" not in plain["ocr"][0]
+    rt = parse_scribe(blob)
+    assert [" ".join(w.text for w in ln.words) for ln in rt[0].lines] \
+        == exp_lines
