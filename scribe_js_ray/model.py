@@ -180,7 +180,8 @@ def par_is_furniture(par: Optional[Par]) -> bool:
 class Page:
     __slots__ = ("n", "width", "height", "angle", "lines", "pars",
                  "text_source", "rules", "table_boxes", "mcid_roles",
-                 "mcid_elems", "marks", "font_programs", "annots")
+                 "mcid_elems", "marks", "font_programs", "annots",
+                 "layout_regions")
 
     def __init__(self, n: int, width: int, height: int):
         self.n = n
@@ -209,6 +210,11 @@ class Page:
         # Form-field annotation rows (doc.annotations.pages analog) —
         # the set_form_value edit surface (formFields.js:15-87).
         self.annots: list = []
+        # User layout regions restored from a scribeocr reimport
+        # (doc.layoutRegions.pages analog, import.js:407-411); applied
+        # only by the opt-in reorder stage, matching the reference's
+        # enableLayout default-off.
+        self.layout_regions: dict = {}
 
     @property
     def dims(self):

@@ -18,6 +18,8 @@ Per-row failures land in the ``error`` column and never kill the job
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 from ..sources.classify import classify_payload
@@ -60,6 +62,15 @@ def _parse_paged_payload(kind: str, payload: bytes):
     raw = payload.decode("utf-8", "replace")
     if kind == "hocr":
         splitter, parser = _split_hocr_pages, parse_hocr_page
+        # scribeocr-produced hOCR parses in scribeMode (x_fsize /
+        # x_asc_height / x_x_height metrics) — the reference threads
+        # reimportHocrMode into convertPageHocr (import.js:716,
+        # convertPageHocr.js:122)
+        if re.search(r"<meta name=[\"']ocr-system[\"']\s+"
+                     r"content=[\"']scribeocr[\"']",
+                     raw.split("<body>", 1)[0]):
+            def parser(chunk, i):  # noqa: E306
+                return parse_hocr_page(chunk, i, scribe_mode=True)
     elif kind == "alto":
         from ..stages.alto import parse_alto_page, split_alto_pages
         splitter, parser = split_alto_pages, parse_alto_page
@@ -282,6 +293,17 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             # (writeText.js:49 assignParagraphs fallback) and carry no
             # roles — headers/folios/margin numbers all emit.
             pages = _parse_paged_payload(kind, payload)
+            if kind == "hocr":
+                # scribeocr reimport: restore layout data tables (and
+                # user regions) from the header meta so table-aware
+                # exports reproduce (importOCR.js:196-219,
+                # import.js:407-418)
+                from ..stages.hocr import (apply_hocr_layout_meta,
+                                           parse_hocr_layout_meta)
+                apply_hocr_layout_meta(
+                    pages,
+                    parse_hocr_layout_meta(
+                        payload.decode("utf-8", "replace")))
             if source_payload:
                 # Paired image/PDF import: OCR pages beyond the image
                 # page count are dropped (import.js:604 slices hocrRaw

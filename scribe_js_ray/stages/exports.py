@@ -27,8 +27,52 @@ from ..model import get_word_style_segments
 _MD_ESCAPE_RE = re.compile(r"([\\`*_\[\]])")
 
 
+def _layout_meta_json(pages) -> tuple[str, str]:
+    """(layout, layout-data-table) meta payloads in the reference's
+    serialized shapes (layoutObjects.js LayoutPage/LayoutDataTablePage;
+    scribeDoc.js:956-968 serializeLayoutDataTables) so a scribeocr
+    reimport restores our detected tables (importOCR.js:212-219,
+    import.js:407-418)."""
+    import json
+    layout_pages = []
+    table_pages = []
+    for page in pages:
+        regions = getattr(page, "layout_regions", None) or {}
+        layout_pages.append({"n": page.n, "default": not regions,
+                             "boxes": regions})
+        tables = []
+        for ti, tb in enumerate(getattr(page, "table_boxes", None) or []):
+            seps = sorted(tb.get("col_separators") or [])
+            edges = [tb["left"]] + [s for s in seps
+                                    if tb["left"] < s < tb["right"]] \
+                + [tb["right"]]
+            boxes = []
+            for ci in range(len(edges) - 1):
+                boxes.append({
+                    "id": f"col_{page.n + 1}_{ti + 1}_{ci + 1}",
+                    "coords": {"left": edges[ci], "top": tb["top"],
+                               "right": edges[ci + 1],
+                               "bottom": tb["bottom"]},
+                    "inclusionRule": "majority",
+                    "inclusionLevel": "word",
+                    "type": "dataColumn",
+                })
+            tables.append({"id": f"table_{page.n + 1}_{ti + 1}",
+                           "boxes": boxes, "rowBounds": None,
+                           "detectionMethod": tb.get("method") or "text",
+                           "title": None})
+        table_pages.append({"n": page.n, "default": not tables,
+                            "tables": tables})
+    return json.dumps(layout_pages), json.dumps(table_pages)
+
+
 def write_hocr(pages) -> str:
-    """Page trees → one hOCR document string (writeHocr.js:42-151)."""
+    """Page trees → one hOCR document string (writeHocr.js:42-151),
+    including the scribeocr-dialect layout/layout-data-table meta and
+    the 'ocr-system scribeocr' marker that gates the reference's
+    layout-restoring reimport path (writeHocr.js:32-57,
+    importOCR.js:196)."""
+    layout_json, tables_json = _layout_meta_json(pages)
     out = []
     out.append('<?xml version="1.0" encoding="UTF-8"?>\n'
                '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 '
@@ -39,9 +83,13 @@ def write_hocr(pages) -> str:
                'xml:lang="en" lang="en">')
     out.append("<head>")
     out.append("\n\t<title></title>")
+    out.append(f"\n\t<meta name='layout' content='{layout_json}'>"
+               f"</meta>")
+    out.append(f"\n\t<meta name='layout-data-table' content='"
+               f"{tables_json}'></meta>")
     out.append('\n\t<meta http-equiv="Content-Type" '
                'content="text/html;charset=utf-8"/>')
-    out.append("\n\t<meta name='ocr-system' content='scribe_js_ray' />")
+    out.append("\n\t<meta name='ocr-system' content='scribeocr' />")
     out.append("\n\t<meta name='ocr-capabilities' content='ocr_page "
                "ocr_carea ocr_par ocr_line ocrx_word ocrp_wconf ocrp_lang "
                "ocrp_dir ocrp_font ocrp_fsize'/>")

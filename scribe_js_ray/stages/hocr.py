@@ -283,3 +283,80 @@ def parse_hocr_page(ocr_str: str, n: int, page_dims=None, scribe_mode=False):
     pass2(page, 0)
     lang_set = pass3(page)
     return page, lang_set
+
+
+def parse_hocr_layout_meta(hocr_str: str):
+    """Legacy-reimport header meta (importOCR.js:186-223 getMeta):
+    returns ``{"layout": [...]|None, "tables": [...]|None}`` when the
+    hOCR header carries ``ocr-system scribeocr`` (the reimport marker,
+    importOCR.js:196), else None.  ``tables`` is the serialized
+    LayoutDataTablePage list (scribeDoc.js:956-968); ``layout`` the
+    LayoutPage region list."""
+    import json
+
+    head = hocr_str.split("<body>", 1)[0]
+
+    def get_meta(name):
+        m = re.search(rf"<meta name=[\"']{name}[\"'][^<]+", head, re.I)
+        if not m:
+            return None
+        c = re.search(r"content=[\"']([\s\S]+?)(?=[\"']\s{0,5}/?>)",
+                      m.group(0), re.I)
+        if not c:
+            return None
+        return c.group(1).replace("&quot;", '"')
+
+    if get_meta("ocr-system") != "scribeocr":
+        return None
+    out = {"layout": None, "tables": None}
+    for key, name in (("layout", "layout"),
+                      ("tables", "layout-data-table")):
+        raw = get_meta(name)
+        if raw:
+            try:
+                parsed = json.loads(raw)
+            except ValueError:
+                continue
+            if isinstance(parsed, list):
+                out[key] = parsed
+    return out
+
+
+def apply_hocr_layout_meta(pages, meta) -> None:
+    """Stamp restored layout data tables onto parsed pages: column
+    boxes → ``page.table_boxes`` (+``col_separators`` from interior
+    column edges), restored regions → ``page.layout_regions`` (applied
+    by the opt-in reorder stage, like the reference's enableLayout
+    default-off) — import.js:407-418."""
+    if not meta:
+        return
+    by_n_tables = {p.get("n"): p.get("tables") or []
+                   for p in (meta.get("tables") or [])
+                   if isinstance(p, dict)}
+    by_n_regions = {p.get("n"): p.get("boxes") or {}
+                    for p in (meta.get("layout") or [])
+                    if isinstance(p, dict)}
+    for i, page in enumerate(pages):
+        for t in by_n_tables.get(i) or []:
+            boxes = [b for b in (t.get("boxes") or [])
+                     if isinstance(b, dict) and isinstance(
+                         b.get("coords"), dict)]
+            if not boxes:
+                continue
+            coords = [b["coords"] for b in boxes]
+            try:
+                tb = {
+                    "left": min(float(c["left"]) for c in coords),
+                    "top": min(float(c["top"]) for c in coords),
+                    "right": max(float(c["right"]) for c in coords),
+                    "bottom": max(float(c["bottom"]) for c in coords),
+                }
+                seps = sorted(float(c["left"]) for c in coords)[1:]
+            except (KeyError, TypeError, ValueError):
+                continue
+            if seps:
+                tb["col_separators"] = seps
+            page.table_boxes.append(tb)
+        regions = by_n_regions.get(i)
+        if regions:
+            page.layout_regions = regions

@@ -16,6 +16,11 @@ const needsFonts = /\.(txt|docx)$/i.test(inputFile);
 scribe.opt.inProcess = !needsFonts;
 if (needsFonts) await scribe.init({ font: true });
 const doc = await scribe.openDocument([inputFile]);
-const out = await doc.exportData(fmt);
-process.stdout.write(typeof out === 'string' ? out : Buffer.from(out).toString('latin1'));
+const exportOpts = {};
+// OCR-only imports have no inputFileNames; the reference's filename
+// column would crash on undefined (writeTabular.js:70)
+if (fmt === 'xlsx') exportOpts.xlsxFilenameColumn = false;
+const out = await doc.exportData(fmt, exportOpts);
+// binary exports (xlsx/docx/pdf) travel base64 — a text pipe mangles raw bytes
+process.stdout.write(typeof out === 'string' ? out : Buffer.from(out).toString('base64'));
 process.exit(0);

@@ -74,3 +74,52 @@ def test_char_level_mode():
     assert word.chars[0].bbox.left == 10
     # Line bbox recomputed from words by pass2.
     assert page.lines[0].bbox.left == 10
+
+
+def test_hocr_layout_meta_roundtrip():
+    """write_hocr embeds the scribeocr layout/layout-data-table meta;
+    our reimport restores table_boxes (+col_separators) and parses in
+    scribeMode (importOCR.js:196-219, import.js:407-418, :716)."""
+    from scribe_js_ray.model import Page
+    from scribe_js_ray.pipelines.extract import extract_document
+    from scribe_js_ray.stages.exports import write_hocr
+    from scribe_js_ray.stages.hocr import (apply_hocr_layout_meta,
+                                           parse_hocr_layout_meta)
+
+    src = """<html><body><div class='ocr_page' title='bbox 0 0 2000 2000'>
+<span class='ocr_line' title='bbox 100 100 900 130; baseline 0 -4; x_size 30'>
+<span class='ocrx_word' title='bbox 100 100 220 130; x_wconf 95'>alpha</span>
+<span class='ocrx_word' title='bbox 600 100 700 130; x_wconf 95'>42</span>
+</span></div></body></html>"""
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    page, _ = parse_hocr_page(src, 0)
+    page.table_boxes.append({"left": 90, "top": 90, "right": 950,
+                             "bottom": 140, "col_separators": [500.0]})
+    hocr = write_hocr([page])
+    assert "ocr-system' content='scribeocr'" in hocr
+    meta = parse_hocr_layout_meta(hocr)
+    assert meta and meta["tables"], "meta must parse back"
+
+    fresh = Page(0, 2000, 2000)
+    apply_hocr_layout_meta([fresh], meta)
+    tb = fresh.table_boxes[0]
+    assert (tb["left"], tb["right"]) == (90, 950)
+    assert tb["col_separators"] == [500.0]
+
+    # end-to-end: reimported hOCR keeps the table through xlsx emit
+    import io
+    import zipfile
+    out = extract_document("t.hocr", hocr.encode(), "", "eng",
+                           emit_format="xlsx")
+    assert out["error"] == ""
+    sheet = zipfile.ZipFile(io.BytesIO(
+        out["extracted_text"].encode("latin1"))).read(
+        "xl/worksheets/sheet1.xml").decode()
+    assert "alpha" in sheet and "42" in sheet
+
+
+def test_hocr_meta_non_scribe_ignored():
+    from scribe_js_ray.stages.hocr import parse_hocr_layout_meta
+    assert parse_hocr_layout_meta(
+        "<html><head><meta name='ocr-system' content='tesseract'/>"
+        "</head><body></body></html>") is None

@@ -2404,3 +2404,50 @@ def test_docx_sentence_split_parity(seed, tmp_path):
             "u", data, "", "eng", emit_format="markdown",
             emit_opts=opts)["extracted_text"] \
             == _ref_sentence(str(p), "md"), f"{tag}_{seed} md"
+
+
+def test_hocr_table_meta_reference_restore(tmp_path):
+    """The reference's reimport path (ocr-system scribeocr,
+    importOCR.js:196-219) restores our layout-data-table meta: its
+    xlsx export emits the table cells our detector found."""
+    import base64
+    import io
+    import zipfile
+
+    from scribe_js_ray.stages.exports import write_hocr
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    from scribe_js_ray.stages.tables import detect_tables_in_page
+
+    def word(t, x, y):
+        return (f"<span class='ocrx_word' title='bbox {x} {y} "
+                f"{x + 12 * len(t)} {y + 20}; x_wconf 96'>{t}</span>")
+
+    rows_html = [
+        "<span class='ocr_line' title='bbox 150 60 400 80; "
+        "baseline 0 -4; x_size 24'>" + word("Quarterly", 150, 60)
+        + word("Report", 280, 60) + "</span>"]
+    for i in range(6):
+        y = 100 + i * 30
+        xs = [150, 900, 1400, 1800]
+        texts = [f"r{i}c0v1", f"{100 + i}", f"{200 + i}", f"{300 + i}"]
+        cells = "".join(word(t, x, y) for t, x in zip(texts, xs))
+        rows_html.append(
+            f"<span class='ocr_line' title='bbox 150 {y} 1900 "
+            f"{y + 20}; baseline 0 -4; x_size 24'>{cells}</span>")
+    src = ("<html><body><div class='ocr_page' title='image \"p\"; "
+           "bbox 0 0 2200 2800; ppageno 0'>"
+           + "".join(rows_html) + "</div></body></html>")
+    page, _ = parse_hocr_page(src, 0)
+    for bb in detect_tables_in_page(page):
+        page.table_boxes.append({
+            "left": bb.left, "top": bb.top, "right": bb.right,
+            "bottom": bb.bottom, "col_separators": [880, 1390, 1790]})
+    assert page.table_boxes
+
+    p = tmp_path / "reimport.hocr"
+    p.write_text(write_hocr([page]))
+    raw = base64.b64decode(_ref_fmt(str(p), "xlsx"))
+    z = zipfile.ZipFile(io.BytesIO(raw))
+    sheets = "".join(z.read(n).decode("utf-8", "replace")
+                     for n in z.namelist() if n.endswith(".xml"))
+    assert "r3c0v1" in sheets, "reference did not restore the table"
