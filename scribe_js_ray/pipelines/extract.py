@@ -330,8 +330,25 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             if kind == "textract":
                 pages = cloud.parse_textract_doc(raw, page_dims=page_dims)
             elif kind == "google_vision":
+                # Batch Vision JSON carries a "responses" array — one
+                # page per response, sorted by context.pageNumber
+                # (importOCR.js:128-134)
+                chunks = [raw]
+                if '"responses"' in raw[:500]:
+                    import json
+                    try:
+                        resp = json.loads(raw).get("responses")
+                    except ValueError:
+                        resp = None
+                    if isinstance(resp, list) and resp:
+                        resp.sort(key=lambda r: (
+                            (r.get("context") or {}).get("pageNumber")
+                            or 0) if isinstance(r, dict) else 0)
+                        chunks = [json.dumps(r) for r in resp]
                 pages = [cloud.parse_google_vision_page(
-                    raw, 0, page_dims[0] if page_dims else None)]
+                    c, i, page_dims[i]
+                    if page_dims and i < len(page_dims) else None)
+                    for i, c in enumerate(chunks)]
             elif kind == "google_doc_ai":
                 pages = cloud.parse_google_doc_ai(raw, page_dims=page_dims)
             else:

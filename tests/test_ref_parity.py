@@ -2451,3 +2451,32 @@ def test_hocr_table_meta_reference_restore(tmp_path):
     sheets = "".join(z.read(n).decode("utf-8", "replace")
                      for n in z.namelist() if n.endswith(".xml"))
     assert "r3c0v1" in sheets, "reference did not restore the table"
+
+
+def _gen_google_vision_batch(seed):
+    """Multi-page batch Vision JSON: one response per page wrapped in
+    {"responses": [...]}, each tagged context.pageNumber, emitted in
+    SHUFFLED order — the reference re-sorts by page number before
+    splitting (importOCR.js:128-134)."""
+    import json as _json
+    r = random.Random(seed)
+    n = r.choice([2, 3])
+    responses = []
+    for k in range(n):
+        js, _ = _gen_google_vision(seed * 100 + k + 1)
+        doc = _json.loads(js)
+        if isinstance(doc, list):
+            doc = doc[0]
+        if "responses" in doc:
+            doc = doc["responses"][0]
+        doc["context"] = {"pageNumber": k + 1}
+        responses.append(doc)
+    order = list(range(n))
+    r.shuffle(order)
+    return _json.dumps({"responses": [responses[i] for i in order]}), n
+
+
+@pytest.mark.parametrize("seed", [0, 5, 7])
+def test_google_vision_batch_parity(seed, tmp_path):
+    """10 fuzz seeds ran clean on the first try of the split port."""
+    _check_cloud_pair(_gen_google_vision_batch, seed, tmp_path)
