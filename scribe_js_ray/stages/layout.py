@@ -994,11 +994,28 @@ def _pass_endnotes(pages, feats, schemes, body_ref_labels, body_size,
 def _pass_hang_markers(pages, feats, page_columns, body_size):
     """Recurring outdent column of short leads with same-row body text at
     the body column: transcript speaker markers / hanging-list labels
-    (analyzeLayout.js:1882-1910)."""
-    lefts = [f.left for f in feats if not f.line_num]
-    if not lefts:
-        return
-    body_text_left = quantile(lefts, 0.5) or 0
+    (analyzeLayout.js:1882-1910).
+
+    ``bodyTextLeft`` is the MAJORITY body-line left peak over prose-like
+    features (sizeRatio 0.92-1.08, not all-caps, 4+ chars) — never a
+    plain median, which a data table's numeric columns would drag
+    rightward and turn its label column into phantom markers
+    (analyzeLayout.js:448-460)."""
+    body_feats = [f for f in feats
+                  if 0.92 <= f.size_ratio <= 1.08 and not f.all_caps
+                  and f.n_char >= 4]
+    body_lefts = [f.left for f in body_feats]
+    left_peaks = [pk for pk in _cluster_peaks(body_lefts, body_size * 0.3)
+                  if pk["count"] >= max(3, len(body_feats) * 0.05)]
+    if left_peaks:
+        body_text_left = max(left_peaks,
+                             key=lambda pk: pk["count"])["center"]
+    else:
+        lefts = [f.left for f in feats if not f.line_num]
+        if not lefts:
+            return
+        body_text_left = quantile(body_lefts, 0.5) \
+            or quantile(lefts, 0.5) or 0
     by_page: dict = {}
     for f in feats:
         by_page.setdefault(f.page, []).append(f)

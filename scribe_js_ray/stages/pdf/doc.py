@@ -117,11 +117,11 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     # Vector paths → underline/rule rects, checkbox squares, column
     # rulings (M28; parsePdfDoc.js:843-1008).  Heavy streams skip this
     # (the 2 MB guard lives in execute_path_operators).
-    graphics = {"underline_rects": [], "fill_squares": [], "v_segments": [],
-                "band_fills": []}
+    graphics = {"underline_rects": [], "fill_squares": [],
+                "v_segments": []}
+    paths = []
     try:
-        from .paths import (detect_ruled_tables, execute_path_operators,
-                            harvest_page_graphics)
+        from .paths import execute_path_operators, harvest_page_graphics
         paths = execute_path_operators(pdf, content, xobjects, base,
                                        tokens=shared_tokens)
         graphics = harvest_page_graphics(paths, height_pt, scale)
@@ -142,106 +142,21 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     page.rules = [{"y": r["y"], "left": r["left"], "right": r["right"]}
                   for r in graphics["underline_rects"]
                   if not r.get("is_underline")]
+    # The full arbitrated table-detection pipeline (M27): strict vector
+    # grids, segmented-hline, header-rule, borderless text candidates,
+    # and row-band shading, integrated exactly like the reference
+    # (detectPdfTables.js:66-770; consumption shape parsePdfDoc.js:
+    # 3263-3279).  table_boxes entries carry col_separators + method
+    # alongside the bbox keys so exports reuse the detector's column
+    # evidence instead of re-deriving it from the bbox alone.
     try:
-        # table_boxes entries carry col_separators + method alongside the
-        # bbox keys so exports reuse the detector's column evidence
-        # instead of re-deriving it from the bbox alone.
+        from .tabledetect import detect_table_regions
         page.table_boxes = [
-            dict(t["bbox"], col_separators=t["col_separators"],
-                 method="ruled")
-            for t in detect_ruled_tables(
-                graphics["underline_rects"], graphics["v_segments"])]
+            dict(t["bbox"], col_separators=list(t["col_separators"]),
+                 method=t["method"], title=t.get("title"))
+            for t in detect_table_regions(page, paths, scale, height_pt)]
     except Exception:
         page.table_boxes = []
-    # Header-rule anchored tables (detectPdfTables.js:3354): a y-band
-    # of 3+ disjoint column rules (financial-statement separators)
-    # anchors a header scan up and a data scan down.
-    try:
-        from .paths import detect_header_rule_tables
-        for t in detect_header_rule_tables(
-                graphics["underline_rects"], page):
-            tb = dict(t["bbox"], col_separators=t["col_separators"],
-                      method="header-rule")
-            clash = False
-            for g in page.table_boxes:
-                ox = min(tb["right"], g["right"]) - max(tb["left"],
-                                                        g["left"])
-                oy = min(tb["bottom"], g["bottom"]) - max(tb["top"],
-                                                          g["top"])
-                if ox > 0 and oy > 0:
-                    area = (tb["right"] - tb["left"]) * \
-                        (tb["bottom"] - tb["top"])
-                    if area > 0 and (ox * oy) / area > 0.3:
-                        clash = True
-                        break
-            if not clash:
-                page.table_boxes.append(tb)
-    except Exception:
-        pass
-    # Borderless tables from text alignment (detectPdfTables.js text
-    # candidates, M27): grid regions take precedence — a text candidate
-    # overlapping a ruled grid is dropped (:292-295 grid override).
-    try:
-        from ..text_tables import detect_text_tables
-        for t in detect_text_tables(page):
-            tb = dict(t["bbox"], col_separators=t["col_separators"],
-                      method="text")
-            clash = False
-            for g in page.table_boxes:
-                ox = min(tb["right"], g["right"]) - max(tb["left"],
-                                                        g["left"])
-                oy = min(tb["bottom"], g["bottom"]) - max(tb["top"],
-                                                          g["top"])
-                if ox > 0 and oy > 0:
-                    area = (tb["right"] - tb["left"]) * \
-                        (tb["bottom"] - tb["top"])
-                    if area > 0 and (ox * oy) / area > 0.3:
-                        clash = True
-                        break
-            if not clash:
-                page.table_boxes.append(tb)
-    except Exception:
-        pass
-    # Row-band shading signals (detectPdfTables.js:282-357, 440-445):
-    # a wide banded region extends an overlapping detected table to the
-    # band extent; an unattached region with 8+ bands IS a table (one
-    # that coheres by row shading, not column-aligned text) with column
-    # separators read from the dominant fill-cell anchors.
-    try:
-        from .paths import extract_row_band_regions
-        heights = sorted(
-            (ln.bbox.bottom - ln.bbox.top) / scale
-            for ln in page.lines
-            if 2 < (ln.bbox.bottom - ln.bbox.top) / scale < 100)
-        body_h = heights[len(heights) // 2] if heights else 30.0
-        for rbr in extract_row_band_regions(
-                graphics["band_fills"], body_h, scale):
-            if rbr["right"] - rbr["left"] < page.width * 0.3:
-                continue
-            attached = False
-            for tb in page.table_boxes:
-                ox = min(tb["right"], rbr["right"]) - \
-                    max(tb["left"], rbr["left"])
-                oy = min(tb["bottom"], rbr["bottom"]) - \
-                    max(tb["top"], rbr["top"])
-                area = (tb["right"] - tb["left"]) * \
-                    (tb["bottom"] - tb["top"])
-                if ox > 0 and oy > 0 and area > 0 \
-                        and (ox * oy) / area > 0.3:
-                    tb["left"] = min(tb["left"], rbr["left"])
-                    tb["top"] = min(tb["top"], rbr["top"])
-                    tb["right"] = max(tb["right"], rbr["right"])
-                    tb["bottom"] = max(tb["bottom"], rbr["bottom"])
-                    attached = True
-                    break
-            if not attached and len(rbr["row_ys"]) >= 8:
-                page.table_boxes.append({
-                    "left": rbr["left"], "top": rbr["top"],
-                    "right": rbr["right"], "bottom": rbr["bottom"],
-                    "col_separators": rbr["col_xs"],
-                    "method": "row-band"})
-    except Exception:
-        pass
 
     # Form-field value lift + annotation summaries (M28 subset,
     # parsePdfDoc.js:1100-1176).

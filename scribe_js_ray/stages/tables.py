@@ -208,49 +208,89 @@ def detect_tables_in_page(page: Page) -> list[BBox]:
         for table in tables]
 
 
+def _overlap_frac(a: BBox, b) -> float:
+    """Intersection area over box A's area (miscUtils.js:27-42
+    calcBoxOverlap)."""
+    left = max(a.left, b[0])
+    top = max(a.top, b[1])
+    right = min(a.right, b[2])
+    bottom = min(a.bottom, b[3])
+    w = right - left
+    h = bottom - top
+    if w < 0 or h < 0:
+        return 0.0
+    area_a = (a.bottom - a.top) * (a.right - a.left)
+    return (w * h) / area_a if area_a > 0 else 0.0
+
+
 def extract_table_content(page: Page, table_bbox: BBox,
                           col_separators=None):
-    """Table bbox → rows of column-ordered cell texts (simplified
-    extractTables.js surface: row = line group, column = bound cluster).
-    ``col_separators`` (from the ruled-grid or text-alignment detector)
-    take precedence over re-derived bounds — the detector saw the whole
-    region's alignment evidence, the re-derivation only this bbox."""
-    from .combine import _box_overlap
+    """Table bbox → rows of column-ordered cell texts — the reference's
+    word-level extraction (extractTables.js:26-222
+    extractSingleTableContent, inclusionLevel='word' /
+    inclusionRule='majority' as detection-created columns carry): each
+    word joins the leftmost column box its bbox majority-overlaps; rows
+    build greedily from the highest unassigned word's bottom, pulling
+    every column's next words whose boxes majority-overlap the row band
+    (multiple hOCR lines on one visual baseline land in one row).
 
-    lines = [ln for ln in page.lines
-             if _box_overlap(ln.bbox, table_bbox) > 0.5]
-    if not lines:
-        return []
-    split_lines = []
-    for ln in lines:
-        split_lines.extend(split_line_aggressively(ln))
+    ``col_separators`` (from the detector) take precedence over
+    re-derived bounds; the column boxes span the full table height like
+    parsePdfDoc.js:3268-3274."""
     if col_separators:
         edges = [table_bbox.left] + sorted(col_separators) + \
             [table_bbox.right]
         bounds = list(zip(edges[:-1], edges[1:]))
     else:
+        lines = [ln for ln in page.lines
+                 if _overlap_frac(ln.bbox,
+                                  (table_bbox.left, table_bbox.top,
+                                   table_bbox.right,
+                                   table_bbox.bottom)) > 0.5]
+        split_lines = []
+        for ln in lines:
+            split_lines.extend(split_line_aggressively(ln))
         bounds = calc_column_bounds([ln.bbox for ln in split_lines])
+    if not bounds:
+        return []
+    col_boxes = [(lo, table_bbox.top, hi, table_bbox.bottom)
+                 for lo, hi in bounds]
 
-    rows: list[dict] = []
-    for ln in sorted(split_lines, key=lambda x: x.bbox.top):
-        for row in rows:
-            if abs(ln.bbox.top - row["avg_top"]) <= 10:
-                row["items"].append(ln)
-                row["avg_top"] = sum(x.bbox.top for x in row["items"]) / \
-                    len(row["items"])
-                break
-        else:
-            rows.append({"avg_top": ln.bbox.top, "items": [ln]})
-
-    out = []
-    for row in rows:
-        cells = [""] * len(bounds)
-        for ln in row["items"]:
-            center = (ln.bbox.left + ln.bbox.right) / 2
-            for ci, (lo, hi) in enumerate(bounds):
-                if lo <= center <= hi:
-                    text = " ".join(w.text for w in ln.words)
-                    cells[ci] = (cells[ci] + " " + text).strip()
+    # Word → leftmost majority-overlapping column (:89-130).
+    cols: list[list] = [[] for _ in bounds]
+    for ln in page.lines:
+        if ln.bbox.left > table_bbox.right \
+                or ln.bbox.right < table_bbox.left \
+                or ln.bbox.top > table_bbox.bottom \
+                or ln.bbox.bottom < table_bbox.top:
+            continue
+        for w in ln.words:
+            for ci, cb in enumerate(col_boxes):
+                if _overlap_frac(w.bbox, cb) > 0.5:
+                    cols[ci].append(w)
                     break
+    for c in cols:
+        c.sort(key=lambda w: w.bbox.bottom)
+
+    # Greedy spatial row construction (:180-219).
+    idx = [0] * len(cols)
+    out = []
+    while any(idx[i] < len(cols[i]) for i in range(len(cols))):
+        comp_bottom = min(cols[i][idx[i]].bbox.bottom
+                          for i in range(len(cols))
+                          if idx[i] < len(cols[i]))
+        row_box = (0.0, 0.0, 5000.0, comp_bottom)
+        cells = []
+        for i in range(len(cols)):
+            texts = []
+            j = idx[i]
+            while j < len(cols[i]):
+                if _overlap_frac(cols[i][j].bbox, row_box) > 0.5:
+                    texts.append(cols[i][j].text)
+                    idx[i] += 1
+                    j += 1
+                else:
+                    break
+            cells.append(" ".join(texts))
         out.append(cells)
     return out
