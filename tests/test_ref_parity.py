@@ -2577,3 +2577,119 @@ def test_kitchen_sink15_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink15_{seed} md"
+
+
+_S16_WORDS = ["alpha", "beta", "gamma", "delta", "total", "net", "rate",
+              "count", "items", "price", "assets", "cash"]
+_S16_HDRS = ["Revenue", "Expenses", "Margin", "Change", "Balance", "Units"]
+
+
+def _sink16_pdf(r):
+    from scribe_js_ray.sources.synth import _sentence
+    from scribe_js_ray.sources.synth_pdf import (_make_pdf,
+                                                 _Typesetter)
+    t = _Typesetter()
+    extra = ["1 w"]
+    for _ in range(r.randint(1, 2)):
+        t.flow(_sentence(r, r.randint(10, 22)))
+        t.y -= r.randint(6, 14)
+
+    feature = r.choice(["titled_grid", "follows_table", "header_band",
+                        "label_grid", "stacked_total", "two_bands"])
+
+    n_rows = r.randint(4, 7)
+    n_cols = r.randint(2, 3)
+    col_w = r.choice([120, 140])
+    x0 = r.choice([100, 130])
+    row_h = r.choice([22, 26])
+
+    if feature == "titled_grid":
+        # "Table N" title line above a bordered grid
+        t.line(f"Table {r.randint(1, 9)} Summary of results", dy=18)
+        t.y -= 6
+    elif feature == "follows_table":
+        t.line("The results were as follows:", dy=18)
+        t.y -= 6
+    elif feature == "header_band":
+        # header label row(s) above the data (no rules)
+        y = t.y - 14
+        for c in range(n_cols):
+            t.ops.append(f"BT /F1 9 Tf {x0 + (c + 1) * col_w + 8} "
+                         f"{y:.1f} Td ({r.choice(_S16_HDRS)}) Tj ET")
+        t.y = y - 4
+        n_cols += 1  # label column in data below
+
+    top = t.y - 6
+    ys = [top - i * row_h for i in range(n_rows + 1)]
+    xs = [x0 + c * col_w for c in range(n_cols + 1)]
+
+    if feature == "label_grid":
+        # grid borders drawn only around the NUMERIC columns; the label
+        # column sits unstroked to the left (extend pass)
+        gx = xs[1:]
+        for y in ys:
+            extra.append(f"{gx[0]} {y:.1f} m {gx[-1]} {y:.1f} l S")
+        for x in gx:
+            extra.append(f"{x} {ys[-1]:.1f} m {x} {ys[0]:.1f} l S")
+    elif feature == "stacked_total":
+        # one header rule row; two data groups each ending in Total
+        for c in range(n_cols):
+            extra.append(f"{xs[c] + 2} {ys[0] - 2:.1f} m "
+                         f"{xs[c] + col_w - 6} {ys[0] - 2:.1f} l S")
+    elif feature == "two_bands":
+        pass
+    else:
+        for y in ys:
+            extra.append(f"{xs[0]} {y:.1f} m {xs[-1]} {y:.1f} l S")
+        for x in xs:
+            extra.append(f"{x} {ys[-1]:.1f} m {x} {ys[0]:.1f} l S")
+
+    gap_row = n_rows // 2 if feature == "stacked_total" else -1
+    for i in range(n_rows):
+        y = ys[i] - row_h + 7
+        if feature == "stacked_total" and i in (gap_row, n_rows - 1):
+            t.ops.append(f"BT /F1 9 Tf {xs[0] + 8} {y:.1f} Td "
+                         f"(Total) Tj ET")
+            for c in range(1, n_cols):
+                t.ops.append(
+                    f"BT /F1 9 Tf {xs[c] + 8} {y:.1f} Td "
+                    f"({r.randint(100, 999)}.{r.randint(0, 99):02d}) "
+                    f"Tj ET")
+            continue
+        for c in range(n_cols):
+            if c == 0:
+                cell = r.choice(_S16_WORDS)
+            else:
+                cell = f"{r.randint(1, 999)}.{r.randint(0, 99):02d}"
+            t.ops.append(f"BT /F1 9 Tf {xs[c] + 8} {y:.1f} Td "
+                         f"({cell}) Tj ET")
+        if feature == "two_bands" and i % 2 == 0:
+            for c in range(n_cols):
+                extra.append(
+                    f"0.9 0.92 0.95 rg {xs[c] + 2} {ys[i + 1] + 2:.1f} "
+                    f"{col_w - 4} {row_h - 4} re f 0 0 0 rg")
+
+    t.y = ys[-1] - r.randint(20, 40)
+    t.flow(_sentence(r, r.randint(8, 18)))
+    return _make_pdf([t.stream() + " " + " ".join(extra)],
+                     {"F1": "Helvetica"}), feature
+
+
+
+
+@pytest.mark.parametrize("seed", [0, 2, 4, 6, 13, 14])
+def test_kitchen_sink16_parity(seed, tmp_path):
+    """Round-16 sink: table-pipeline INTEGRATION phases — 'Table N'
+    titles, 'follows:' intro prose, header bands above data (refine/
+    detectHeaders), unstroked label columns beside grids (extend pass),
+    stacked sibling groups ending in Total rows (band split), and
+    alternating two-band shading (attach).  60 seeds fuzzed clean on
+    the first run after the tabledetect port."""
+    data, feature = _sink16_pdf(random.Random(seed))
+    p = tmp_path / f"sink16_{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink16_{seed} {feature} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink16_{seed} {feature} md"
