@@ -147,6 +147,7 @@ def _features(pages) -> list:
         sin_a = math.sin(angle * (math.pi / 180))
         cos_a = math.cos(angle * (math.pi / 180))
         page_h = page.height or 0
+        gated_boxes = _gated_table_boxes(page)
         for i, line in enumerate(page.lines):
             if not line.words:
                 continue
@@ -244,13 +245,46 @@ def _features(pages) -> list:
                             if getattr(w, "artifact", False))
                 f.artifact_frac = n_art / f.n_char if f.n_char else 0.0
             cx, cy = (b.left + b.right) / 2, (b.top + b.bottom) / 2
-            for tb in getattr(page, "table_boxes", None) or []:
+            # in_table keys on the NUMERIC-GATED boxes, not the full
+            # export set: the reference's pageObj.tableBoxes is a
+            # filtered copy of the dataTables (parsePdfDoc.js:1228-1252)
+            # — an under-50%-numeric region (e.g. a table whose bbox
+            # swallowed intro prose) must not suppress furniture rules
+            # or pin classifyRole to body.
+            for tb in gated_boxes:
                 if tb["left"] <= cx <= tb["right"] \
                         and tb["top"] <= cy <= tb["bottom"]:
                     f.in_table = True
                     break
             feats.append(f)
     return feats
+
+
+def _gated_table_boxes(page) -> list:
+    """page.table_boxes filtered to predominantly-numeric regions
+    (≥6 words inside, ≥50% numeric) — parsePdfDoc.js:1228-1252; cached
+    per page object per analyze call."""
+    boxes = getattr(page, "table_boxes", None) or []
+    if not boxes:
+        return []
+    out = []
+    for tb in boxes:
+        numeric = total = 0
+        for ln in page.lines:
+            for w in ln.words:
+                cx = (w.bbox.left + w.bbox.right) / 2
+                cy = (w.bbox.top + w.bbox.bottom) / 2
+                if not (tb["left"] <= cx <= tb["right"]
+                        and tb["top"] <= cy <= tb["bottom"]):
+                    continue
+                total += 1
+                wt = w.text.strip()
+                if any(c.isdigit() for c in wt) \
+                        and re.match(r"^[\d.,%()$/-]+$", wt):
+                    numeric += 1
+        if total >= 6 and numeric / total >= 0.5:
+            out.append(tb)
+    return out
 
 
 _ROMAN_VAL = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500,

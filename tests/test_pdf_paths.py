@@ -95,15 +95,18 @@ def test_checkbox_squares_harvested():
 
 
 def test_table_region_suppresses_line_number_rule():
-    # A bordered table whose first column is 1..10 must NOT read as a
-    # line-number margin (in_table gate).
+    # A bordered NUMERIC table whose first column is 1..10 must NOT
+    # read as a line-number margin (in_table gate).  The gate requires
+    # the region to be predominantly numeric (parsePdfDoc.js:1240-1250)
+    # — a transcript-like region of prose cells stays ELIGIBLE for the
+    # line-number rules (its margin numbers are real furniture).
     body = []
     for p in range(3):
         rows = []
         for i in range(10):
             y = 700 - i * 20
             rows.append(f"BT /F1 10 Tf 80 {y} Td ({i + 1}) Tj ET")
-            rows.append(f"BT /F1 10 Tf 160 {y} Td (data value here) Tj ET")
+            rows.append(f"BT /F1 10 Tf 160 {y} Td ({i * 7}.25) Tj ET")
         # grid: verticals at 280 span + horizontals
         for yy in (520, 600, 712):
             rows.append(f"70 {yy} m 300 {yy} l S")

@@ -2693,3 +2693,84 @@ def test_kitchen_sink16_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink16_{seed} {feature} md"
+
+
+_S17_LABELS = ["Net revenue", "Operating costs", "Interest income",
+               "Tax provision", "Capital expenditure", "Deferred assets",
+               "Gross margin", "Working capital"]
+
+
+def _sink17_pdf(r):
+    from scribe_js_ray.sources.synth import _sentence
+    from scribe_js_ray.sources.synth_pdf import (_make_pdf,
+                                                 _Typesetter)
+    t = _Typesetter()
+    for _ in range(r.randint(1, 2)):
+        t.flow(_sentence(r, r.randint(10, 22)))
+        t.y -= r.randint(6, 12)
+
+    feature = r.choice(["currency", "dotleader", "yearhdr", "stacked2"])
+    n_rows = r.randint(5, 8)
+    x_label = r.choice([90, 110])
+    col_xs = [330, 450]
+    if r.random() < 0.4:
+        col_xs.append(570)
+    row_h = r.choice([20, 24])
+
+    if feature == "yearhdr":
+        # header row of year labels over the numeric columns
+        y = t.y - 14
+        for c, x in enumerate(col_xs):
+            t.ops.append(f"BT /F1 9 Tf {x} {y:.1f} Td "
+                         f"({2015 + c}) Tj ET")
+        t.y = y - 4
+    elif feature == "stacked2":
+        for k, texts in enumerate((["As", "at"],
+                                   ["March", "June"])):
+            y = t.y - 13
+            for c, x in enumerate(col_xs[:2]):
+                t.ops.append(f"BT /F1 9 Tf {x} {y:.1f} Td "
+                             f"({texts[c % len(texts)]}) Tj ET")
+            t.y = y - 2
+        t.y -= 3
+
+    for i in range(n_rows):
+        y = t.y - 6 - i * row_h
+        label = r.choice(_S17_LABELS)
+        t.ops.append(f"BT /F1 9 Tf {x_label} {y:.1f} Td "
+                     f"({label}) Tj ET")
+        x_cursor = x_label + len(label) * 5 + 6
+        if feature == "dotleader":
+            dots = "." * r.randint(8, 20)
+            t.ops.append(f"BT /F1 9 Tf {x_cursor} {y:.1f} Td "
+                         f"({dots}) Tj ET")
+        for c, x in enumerate(col_xs):
+            val = f"{r.randint(1, 99)},{r.randint(100, 999)}"
+            if feature == "currency" and (c == 0 or r.random() < 0.3):
+                t.ops.append(f"BT /F1 9 Tf {x - 12} {y:.1f} Td "
+                             f"($) Tj ET")
+            t.ops.append(f"BT /F1 9 Tf {x} {y:.1f} Td ({val}) Tj ET")
+    t.y -= 6 + n_rows * row_h + r.randint(16, 36)
+    t.flow(_sentence(r, r.randint(8, 18)))
+    return _make_pdf([t.stream()], {"F1": "Helvetica"}), feature
+
+
+
+
+@pytest.mark.parametrize("seed", [2, 4, 12, 0, 15])
+def test_kitchen_sink17_parity(seed, tmp_path):
+    """Round-17 sink: financial-statement column inference — $ currency
+    chains, dot-leader rows, year header rows, stacked 2-cell headers.
+    Seed 15 exposed that in_table must key on the NUMERIC-GATED table
+    boxes (parsePdfDoc.js:1228-1252 filters pageObj.tableBoxes), not
+    the full export set: a text table whose bbox swallowed intro prose
+    pinned that prose to body where the reference sizes it as a title.
+    60 seeds clean after the fix."""
+    data, feature = _sink17_pdf(random.Random(seed))
+    p = tmp_path / f"sink17_{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink17_{seed} {feature} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink17_{seed} {feature} md"
