@@ -258,3 +258,69 @@ def test_analyze_layout_never_crashes_on_random_geometry(data):
     for page in pages:
         for ln in page.lines:
             assert ln.par is not None or not page.pars
+
+
+def test_tabledetect_survives_arbitrary_geometry():
+    """detect_table_regions must never raise on arbitrary line/path
+    geometry (doc.py wraps it in try/except, so a crash silently
+    disables table detection for the page — make crashes loud here)."""
+    import random
+
+    from scribe_js_ray.model import BBox, Line, Page, Word
+    from scribe_js_ray.stages.pdf.paths import PaintedPath
+    from scribe_js_ray.stages.pdf.tabledetect import detect_table_regions
+
+    def rand_page(r):
+        page = Page(0, r.choice([600, 2550]), r.choice([800, 3300]))
+        for i in range(r.randint(0, 40)):
+            x0 = r.uniform(-50, page.width)
+            y0 = r.uniform(-50, page.height)
+            w = r.uniform(0, 400)
+            h = r.uniform(0, 40)
+            ln = Line(page, BBox(x0, y0, x0 + w, y0 + h), [0, -2], 10,
+                      None)
+            for j in range(r.randint(0, 6)):
+                t = r.choice(["word", "123", "45.6", "$", "...", "",
+                              "a" * 30, "Total", "follows:", "(1)",
+                              "2019"])
+                wx = x0 + j * 30
+                word = Word(ln, f"w{i}_{j}", t,
+                            BBox(wx, y0, wx + 25, y0 + h))
+                word.conf = 90
+                ln.words.append(word)
+            if ln.words:
+                page.lines.append(ln)
+        return page
+
+    def rand_paths(r):
+        out = []
+        for _ in range(r.randint(0, 60)):
+            kind = r.random()
+            cmds = []
+            if kind < 0.4:
+                x1, y1 = r.uniform(0, 612), r.uniform(0, 792)
+                cmds = [("M", [(x1, y1)]),
+                        ("L", [(x1 + r.uniform(0, 300),
+                                y1 + r.uniform(0, 5))])]
+            elif kind < 0.7:
+                x, y = r.uniform(0, 612), r.uniform(0, 792)
+                w, h = r.uniform(0, 200), r.uniform(0, 200)
+                cmds = [("M", [(x, y)]), ("L", [(x + w, y)]),
+                        ("L", [(x + w, y + h)]), ("L", [(x, y + h)]),
+                        ("Z", [])]
+            else:
+                for _ in range(r.randint(1, 12)):
+                    op = r.choice(["M", "L", "C", "Z"])
+                    pts = [] if op == "Z" else \
+                        [(r.uniform(-100, 700), r.uniform(-100, 900))
+                         for _ in range(3 if op == "C" else 1)]
+                    cmds.append((op, pts))
+            out.append(PaintedPath(
+                cmds, r.random() < 0.5, r.random() < 0.7,
+                [r.random() for _ in range(r.choice([1, 3, 4]))],
+                "rgb", [0.0], "gray", r.uniform(0, 3)))
+        return out
+
+    for seed in range(120):
+        r = random.Random(seed)
+        detect_table_regions(rand_page(r), rand_paths(r), 300 / 72, 792)
