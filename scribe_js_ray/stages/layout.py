@@ -2201,9 +2201,15 @@ def analyze_layout(pages: list, outline_titles=None,
     # a transcript's line-number margin also reads as a columnar table
     # and must stay eligible for the furniture rules,
     # parsePdfDoc.js:1224-1252) so in_table can suppress folio/linenum
-    # rules inside genuine tables on ANY page type, not just ruled PDFs.
+    # rules inside genuine tables on OCR-imported pages.  PDF-parsed
+    # pages (text_source None) are EXCLUDED: their tables come solely
+    # from the faithful detectPdfTables pipeline, and layering the
+    # OCR-side whitespace detector on top adds regions the reference
+    # never detects (found by sink15 seed 68).
     from .tables import detect_tables_in_page
     for page in pages:
+        if getattr(page, "text_source", None) is None:
+            continue
         try:
             detected = detect_tables_in_page(page)
         except Exception:
