@@ -2774,3 +2774,76 @@ def test_kitchen_sink17_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink17_{seed} {feature} md"
+
+
+_S18_WORDS = ["alpha", "beta", "gamma", "delta", "total", "net",
+              "rate"]
+
+
+def _sink18_pdf(r):
+    from scribe_js_ray.sources.synth import _sentence
+    from scribe_js_ray.sources.synth_pdf import (_make_pdf,
+                                                 _Typesetter)
+    t = _Typesetter()
+    col_x = [60, 320]
+    col_w = 230
+    variant = r.choice(["both_tables", "one_table", "table_vs_prose"])
+
+    # interleave column content row-wise to mimic column-major streams
+    y_start = t.y - 10
+    ys = [y_start, y_start]
+
+    def emit_prose(ci, n_lines):
+        y = ys[ci]
+        for _ in range(n_lines):
+            words = _sentence(r, r.randint(4, 7))
+            t.ops.append(f"BT /F1 10 Tf {col_x[ci]} {y:.1f} Td "
+                         f"({' '.join(words)[:44]}) Tj ET")
+            y -= 14
+        ys[ci] = y
+
+    def emit_table(ci, n_rows):
+        y = ys[ci] - 6
+        for i in range(n_rows):
+            label = r.choice(_S18_WORDS)
+            t.ops.append(f"BT /F1 9 Tf {col_x[ci]} {y:.1f} Td "
+                         f"({label}) Tj ET")
+            for c in range(2):
+                v = f"{r.randint(1, 99)},{r.randint(100, 999)}"
+                t.ops.append(f"BT /F1 9 Tf {col_x[ci] + 90 + c * 70} "
+                             f"{y:.1f} Td ({v}) Tj ET")
+            y -= r.choice([18, 22])
+        ys[ci] = y - 8
+
+    emit_prose(0, r.randint(2, 4))
+    emit_prose(1, r.randint(2, 4))
+    if variant == "both_tables":
+        emit_table(0, r.randint(4, 7))
+        emit_table(1, r.randint(4, 7))
+    elif variant == "one_table":
+        emit_table(0, r.randint(4, 7))
+        emit_prose(1, r.randint(4, 7))
+    else:
+        emit_table(1, r.randint(5, 8))
+        emit_prose(0, r.randint(5, 8))
+    emit_prose(0, r.randint(2, 3))
+    emit_prose(1, r.randint(2, 3))
+    return _make_pdf([t.stream()], {"F1": "Helvetica"}), variant
+
+
+
+
+@pytest.mark.parametrize("seed", [1, 5, 7, 10])
+def test_kitchen_sink18_parity(seed, tmp_path):
+    """Round-18 sink: two-column pages with per-column tables —
+    x-overlap union-find clustering, sub-row splitting of same-y rows
+    across page columns, column-scoped gap bridging.  60 seeds clean
+    on the first run."""
+    data, variant = _sink18_pdf(random.Random(seed))
+    p = tmp_path / f"sink18_{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink18_{seed} {variant} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink18_{seed} {variant} md"
