@@ -65,10 +65,11 @@ def _parse_paged_payload(kind: str, payload: bytes):
         # scribeocr-produced hOCR parses in scribeMode (x_fsize /
         # x_asc_height / x_x_height metrics) — the reference threads
         # reimportHocrMode into convertPageHocr (import.js:716,
-        # convertPageHocr.js:122)
-        if re.search(r"<meta name=[\"']ocr-system[\"']\s+"
-                     r"content=[\"']scribeocr[\"']",
-                     raw.split("<body>", 1)[0]):
+        # convertPageHocr.js:122).  Detection reuses the faithful
+        # getMeta matcher so reimport parsing and layout-meta restore
+        # can never disagree on the same header.
+        from ..stages.hocr import parse_hocr_layout_meta
+        if parse_hocr_layout_meta(raw) is not None:
             def parser(chunk, i):  # noqa: E306
                 return parse_hocr_page(chunk, i, scribe_mode=True)
     elif kind == "alto":

@@ -1045,11 +1045,10 @@ def _pass_hang_markers(pages, feats, page_columns, body_size):
         body_text_left = max(left_peaks,
                              key=lambda pk: pk["count"])["center"]
     else:
-        lefts = [f.left for f in feats if not f.line_num]
-        if not lefts:
-            return
-        body_text_left = quantile(body_lefts, 0.5) \
-            or quantile(lefts, 0.5) or 0
+        # fallback = bodyLeft = quantile(bodyLefts, 0.5) || 0 — never
+        # an all-features median (analyzeLayout.js:455-459); with no
+        # prose-like lines this is 0 and no line qualifies as a marker
+        body_text_left = quantile(body_lefts, 0.5) or 0
     by_page: dict = {}
     for f in feats:
         by_page.setdefault(f.page, []).append(f)

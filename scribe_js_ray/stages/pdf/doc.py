@@ -117,8 +117,7 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
     # Vector paths → underline/rule rects, checkbox squares, column
     # rulings (M28; parsePdfDoc.js:843-1008).  Heavy streams skip this
     # (the 2 MB guard lives in execute_path_operators).
-    graphics = {"underline_rects": [], "fill_squares": [],
-                "v_segments": []}
+    graphics = {"underline_rects": [], "fill_squares": []}
     paths = []
     try:
         from .paths import execute_path_operators, harvest_page_graphics

@@ -217,12 +217,18 @@ def harvest_page_graphics(paths: list[PaintedPath], height_pt: float,
 
     - ``underline_rects``: thin (h<2pt) wide (w>10pt) horizontal bars —
       underline candidates / separator rules
-    - ``fill_squares``: small unfilled squares (checkbox candidates, D4)
-    - ``v_segments``: thin tall vertical bars (table column rulings)
+    - ``fill_squares``: small unfilled squares — the fillSquares raw
+      surface parsePdfDoc.js:844-847 carries per page ("raw material
+      for fillable-area detection"; the context gates live in the
+      detector, not here)
+
+    Table-detection geometry (h/v rulings, dash trains, band fills) is
+    NOT harvested here — tabledetect.py classifies raw paths itself,
+    mirroring the reference's split between the parsePdfDoc harvest
+    and detectPdfTables' classifyPaths.
     """
     underline_rects = []
     fill_squares = []
-    v_segments = []
 
     def to_px_y(y):
         return (height_pt - y) * scale
@@ -263,16 +269,7 @@ def harvest_page_graphics(paths: list[PaintedPath], height_pt: float,
                     "y": to_px_y(max_y), "color": color,
                     "is_underline": False})
             elif thin_v:
-                # filled thin rects count too — a 0.5pt `re f` bar is
-                # the common way producers draw column rulings
-                # (detectPdfTables.js:1392 takes w<2 fills OR strokes);
-                # page-spanning margin rules (>80% of page height) are
-                # not column rulings (:1398), and chromatic bars are
-                # chart/decor content (isPathAchromatic, :1172).
-                if h <= height_pt * 0.8 and _is_achromatic(color):
-                    v_segments.append({
-                        "x": (min_x + max_x) / 2 * scale,
-                        "top": to_px_y(max_y), "bottom": to_px_y(min_y)})
+                pass  # vertical rulings are tabledetect's concern
             elif axis_rect and 5 <= w <= 24 and 5 <= h <= 24 \
                     and 0.7 < (w / h if h else 0) < 1.43 \
                     and len(fill_squares) < 200 and not ink:
@@ -292,8 +289,7 @@ def harvest_page_graphics(paths: list[PaintedPath], height_pt: float,
         else:
             by_key[key] = sq
     return {"underline_rects": underline_rects,
-            "fill_squares": list(by_key.values()),
-            "v_segments": v_segments}
+            "fill_squares": list(by_key.values())}
 
 
 def _is_achromatic(color) -> bool:

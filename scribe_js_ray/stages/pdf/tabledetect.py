@@ -36,8 +36,7 @@ from __future__ import annotations
 import re
 
 from ..text_tables import (find_table_like_rows, group_lines_into_rows,
-                           group_rows_into_candidates,
-                           is_right_clustered_numeric, validate_candidate)
+                           group_rows_into_candidates, validate_candidate)
 
 MAX_TABLE_DETECTION_PATHS = 20000
 
@@ -305,6 +304,11 @@ def classify_paths(paths, scale, visual_height_pts, page):
                                 "bottom": max(ys)})
     for i in range(len(rect_bounds)):
         a = rect_bounds[i]
+        # the reference skips rects already marked tiling, so a chain
+        # A-B-C marks only {A,B} — the B-C pair is never examined
+        # (detectPdfTables.js:1210)
+        if a["idx"] in tiling:
+            continue
         for j in range(i + 1, len(rect_bounds)):
             b = rect_bounds[j]
             x_ov = min(a["right"], b["right"]) - max(a["left"], b["left"])
@@ -459,11 +463,12 @@ def classify_paths(paths, scale, visual_height_pts, page):
                 "right": display_right, "bottom": display_bottom,
                 "color": path.fill_color or []})
         elif path.fill and w > min_hline_w_pts * 5 \
-                and min_hline_w_pts * 3 <= h < page_height * 0.3 / scale \
+                and min_hline_w_pts * 3 <= h < page_height * 0.3 \
                 and _is_path_achromatic(path):
             # header background fill (:1423-1433); the JS compares h
-            # (pts) against pageHeight (px) * 0.3 — a unit quirk kept
-            # as written: h < pageHeight*0.3 in its own mixed units
+            # (pts) against pageHeight (PX) * 0.3 — a mixed-unit quirk
+            # kept verbatim for parity (it makes the bound ~4x looser
+            # than a same-unit comparison would be)
             header_fills.append({
                 "left": display_left, "top": display_top,
                 "right": display_right, "bottom": display_bottom,

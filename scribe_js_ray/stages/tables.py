@@ -281,6 +281,7 @@ def extract_table_content(page: Page, table_bbox: BBox,
                           if idx[i] < len(cols[i]))
         row_box = (0.0, 0.0, 5000.0, comp_bottom)
         cells = []
+        consumed = 0
         for i in range(len(cols)):
             texts = []
             j = idx[i]
@@ -289,8 +290,21 @@ def extract_table_content(page: Page, table_bbox: BBox,
                     texts.append(cols[i][j].text)
                     idx[i] += 1
                     j += 1
+                    consumed += 1
                 else:
                     break
             cells.append(" ".join(texts))
+        if consumed == 0:
+            # Progress guard: a word whose box lies outside the 5000px
+            # row band (e.g. a >5000px-wide 600-dpi page) can never
+            # reach >0.5 overlap; force-consume the band-defining word
+            # so the loop terminates (the JS shares the 5000 constant
+            # and the latent hang, extractTables.js:196).
+            for i in range(len(cols)):
+                if idx[i] < len(cols[i]) \
+                        and cols[i][idx[i]].bbox.bottom == comp_bottom:
+                    cells[i] = cols[i][idx[i]].text
+                    idx[i] += 1
+                    break
         out.append(cells)
     return out

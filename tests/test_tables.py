@@ -267,3 +267,27 @@ def test_header_band_detected_and_rendered():
     flat = md.replace("  ", " ")
     assert "Alpha | Beta" in flat          # header rows inside the table
     assert "| North | 1,234" in flat
+
+
+def test_extract_table_content_terminates_beyond_row_band():
+    """A word whose bbox lies entirely right of the 5000px row band can
+    never majority-overlap the greedy row box; the progress guard must
+    force-consume it instead of spinning forever (600-dpi pages exceed
+    5000px width; the reference shares the 5000 constant and the
+    latent hang, extractTables.js:196)."""
+    from scribe_js_ray.model import BBox, Line, Page, Word
+    from scribe_js_ray.stages.tables import extract_table_content
+
+    page = Page(0, 6000, 4000)
+    ln = Line(page, BBox(100, 100, 5600, 130), [0, -4], 20, None)
+    for i, (x0, x1, t) in enumerate([(100, 300, "label"),
+                                     (5100, 5300, "far1"),
+                                     (5400, 5600, "far2")]):
+        w = Word(ln, f"w{i}", t, BBox(x0, 100, x1, 130))
+        w.conf = 95
+        ln.words.append(w)
+    page.lines.append(ln)
+    rows = extract_table_content(page, BBox(50, 50, 5700, 200),
+                                 col_separators=[4000.0])
+    flat = " ".join(c for r in rows for c in r if c)
+    assert "label" in flat and "far1" in flat and "far2" in flat
