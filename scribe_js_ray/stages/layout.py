@@ -1225,12 +1225,17 @@ def _pass_running_furniture(pages, feats):
         return set()
     keys = {}
     for f in feats:
-        in_top = f.top_frac < 0.15
+        in_top = f.top_frac < 0.12
         in_bottom = f.bottom_frac > 0.88
         if not in_top and not in_bottom:
             continue
-        norm = re.sub(r"\d+", "#", re.sub(r"\s+", " ", f.text)).strip().lower()
-        if not norm or len(norm) > 80:
+        # The reference's margin key strips digits ENTIRELY and keeps
+        # only letters, then requires 3+ of them — so a data table's
+        # pure-numeric rows near a page edge can never key a running-
+        # header group (analyzeLayout.js:1134-1136; found by sink19).
+        norm = re.sub(r"[^a-z]+", " ", re.sub(r"\d+", "",
+                                              f.text.lower())).strip()
+        if len(norm) < 3 or len(norm) > 80:
             continue
         band = "t" if in_top else "b"
         keys.setdefault((norm, band), []).append(f)

@@ -2847,3 +2847,77 @@ def test_kitchen_sink18_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink18_{seed} {variant} md"
+
+
+_S19_WORDS = ["alpha", "beta", "gamma", "delta", "total", "net"]
+
+
+def _s19_page_stream(r, pageno, with_table, with_note):
+    from scribe_js_ray.sources.synth import _sentence
+    from scribe_js_ray.sources.synth_pdf import _Typesetter
+    t = _Typesetter()
+    # running folio at top or bottom
+    folio_top = r.random() < 0.5
+    if folio_top:
+        t.ops.append(f"BT /F1 9 Tf 300 755 Td ({pageno}) Tj ET")
+    # prose with an inline superscript-ish reference
+    t.flow(_sentence(r, r.randint(12, 22)))
+    t.y -= r.randint(8, 14)
+    if with_table:
+        n_rows = r.randint(4, 6)
+        x0 = r.choice([100, 130])
+        for i in range(n_rows):
+            y = t.y - 6 - i * 22
+            t.ops.append(f"BT /F1 9 Tf {x0} {y:.1f} Td "
+                         f"({r.choice(_S19_WORDS)}) Tj ET")
+            for c in range(2):
+                v = f"{r.randint(1, 99)},{r.randint(100, 999)}"
+                t.ops.append(f"BT /F1 9 Tf {x0 + 160 + c * 90} {y:.1f} "
+                             f"Td ({v}) Tj ET")
+        t.y -= 6 + n_rows * 22 + r.randint(16, 30)
+    t.flow(_sentence(r, r.randint(10, 18)))
+    t.y -= r.randint(10, 16)
+    if with_note:
+        # footnote separator rule + small-print note block at the bottom
+        y = 120
+        t.ops.append(f"72 {y + 24} m 220 {y + 24} l S")
+        t.ops.append(f"BT /F1 7 Tf 72 {y + 8} Td "
+                     f"(1 {' '.join(_sentence(r, 8))[:60]}) Tj ET")
+        t.ops.append(f"BT /F1 7 Tf 72 {y - 4} Td "
+                     f"({' '.join(_sentence(r, 6))[:50]}) Tj ET")
+    if not folio_top:
+        t.ops.append(f"BT /F1 9 Tf 300 50 Td ({pageno}) Tj ET")
+    return t.stream()
+
+
+def _sink19_pdf(r):
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    n_pages = r.choice([2, 3])
+    streams = []
+    for p in range(n_pages):
+        streams.append(_s19_page_stream(
+            r, p + 1,
+            with_table=r.random() < 0.8,
+            with_note=r.random() < 0.5))
+    return _make_pdf(streams, {"F1": "Helvetica"})
+
+
+
+
+@pytest.mark.parametrize("seed", [2, 9, 12, 13])
+def test_kitchen_sink19_parity(seed, tmp_path):
+    """Round-19 sink: numeric tables x page furniture — folios beside
+    tables, footnote blocks below them, multi-page.  Seeds 9/12/13
+    exposed that the running-furniture margin key must strip digits and
+    require 3+ letters like the reference (analyzeLayout.js:1134-1136)
+    — pure-numeric table rows near a page edge were keying phantom
+    running-header groups across pages.  60 seeds clean after the
+    fix."""
+    data = _sink19_pdf(random.Random(seed))
+    p = tmp_path / f"sink19_{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink19_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink19_{seed} md"
