@@ -771,6 +771,15 @@ def _pass_line_numbers(pages, feats, body_size):
                 words = ws[j:]
             f.enumerator = _line_enumerator(_L)
             f.first_word_sup = bool(ws[j].style.sup)
+            # f.left must point at the first CONTENT word too
+            # (analyzeLayout.js:345-349): the layout model's bodyLeft
+            # and decideBreak's sameColumn otherwise key on the fused
+            # margin digit's x, skewing the whole column model left
+            # (found by sink20 — a table beside a fused transcript then
+            # reads as the same column and never column-shifts).
+            f.left = ws[j].bbox.left
+            f.first_word_width = (ws[j].bbox.right
+                                  - ws[j].bbox.left) or 0
         else:
             f.enumerator = None
 
@@ -2370,6 +2379,7 @@ def analyze_layout(pages: list, outline_titles=None,
     # order, so the region walk sees final body roles.
     from .parbreaks import assign_block_regions
     assign_block_regions(pages, feats, model, page_columns, body_size)
+    feats = _split_fused_line_numbers(pages, feats)
     rebuild_pars(pages, feats, model, _ROLE_TO_TYPE)
 
     _apply_struct_elements(pages, feats,
@@ -2402,3 +2412,59 @@ def analyze_layout(pages: list, outline_titles=None,
                 and abs(left_indent - right_inset) < col_width * 0.06
             if id(par) in quote_pars or geo:
                 par.type = "blockquote"
+
+
+def _split_fused_line_numbers(pages, feats):
+    """Split a fused case-B margin number off its body line into a
+    standalone linenum LINE inserted into page.lines in reading order
+    (analyzeLayout.js:2091-2128): the body line then opens with its
+    real first word and regroups through the inline-line-number
+    transparency, and writeText emits the number as its own line like
+    the reference.  Returns the (possibly extended) feats list."""
+    from ..model import Line, bbox_union
+    out = []
+    for f in feats:
+        ws = f.line.words
+        j = 0
+        if not f.line_num and ws and ws[0].line_num:
+            while j < len(ws) and ws[j].line_num:
+                j += 1
+        if not (0 < j < len(ws)):
+            out.append(f)
+            continue
+        ln_words = ws[:j]
+        ln_line = Line(f.line.page, bbox_union(w.bbox for w in ln_words),
+                       list(f.line.baseline), f.line.asc_height,
+                       f.line.x_height)
+        ln_line.words = list(ln_words)
+        ln_line.orientation = f.line.orientation
+        lf = _Feat()
+        for slot in _Feat.__slots__:
+            try:
+                setattr(lf, slot, getattr(f, slot))
+            except AttributeError:
+                pass
+        lf.line = ln_line
+        lf.line_num = True
+        lf.role = "linenum"
+        lf.hang_marker = False
+        lf.folio = False
+        lf.left = ln_line.bbox.left
+        lf.right = ln_line.bbox.right
+        lf.text = " ".join(w.text for w in ln_words)
+        lf.n_char = sum(len(w.text) or 1 for w in ln_words)
+        f.line.words = ws[j:]
+        f.line.bbox = bbox_union(w.bbox for w in f.line.words)
+        f.text = " ".join(w.text for w in f.line.words)
+        f.left = f.line.bbox.left
+        f.right = f.line.bbox.right
+        f.ln_split = True
+        page = pages[f.page]
+        try:
+            li = page.lines.index(f.line)
+            page.lines.insert(li, ln_line)
+        except ValueError:
+            pass
+        out.append(lf)
+        out.append(f)
+    return out

@@ -43,15 +43,24 @@ def test_case_b_line_numbers_split_prefix():
             _mk_line(page, y, spec)
         pages.append(page)
     analyze_layout(pages)
-    # the leading integer words are flagged line_num, body words are not
+    # fused case-B numbers are SPLIT into standalone linenum lines
+    # inserted before their body lines (analyzeLayout.js:2091-2128):
+    # page.lines alternates number-line / body-line
     for page in pages:
-        for ln in page.lines:
-            assert ln.words[0].line_num, ln.words[0].text
-            assert not ln.words[1].line_num
-    # and the lines themselves stay body (not furniture)
+        assert len(page.lines) == 20
+        for k, ln in enumerate(page.lines):
+            if k % 2 == 0:
+                assert all(w.line_num for w in ln.words), ln.words[0].text
+            else:
+                assert not any(w.line_num for w in ln.words)
+    # split number lines form linenum pars; body lines stay body
     for page in pages:
+        types = {par.type for par in page.pars}
+        assert "linenum" in types and "body" in types
         for par in page.pars:
-            assert par.type != "linenum"
+            if par.type == "body":
+                assert not any(w.line_num for ln in par.lines
+                               for w in ln.words)
 
 
 def test_case_b_rejected_for_numeric_table():

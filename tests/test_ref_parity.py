@@ -2921,3 +2921,73 @@ def test_kitchen_sink19_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink19_{seed} md"
+
+
+_S20_WORDS = ["alpha", "beta", "gamma", "delta", "total", "net"]
+
+
+def _s20_page_stream(r, pageno, with_table):
+    from scribe_js_ray.sources.synth import _sentence
+    from scribe_js_ray.sources.synth_pdf import _Typesetter
+    t = _Typesetter()
+    n_lines = 18
+    y0 = 700
+    pitch = 28
+    body_x = 120
+    fused = r.random() < 0.35  # case B: number fused into the body line
+    for i in range(n_lines):
+        y = y0 - i * pitch
+        if fused:
+            words = " ".join(_sentence(r, r.randint(5, 9)))
+            t.ops.append(f"BT /F1 11 Tf 70 {y} Td "
+                         f"({i + 1} {words[:52]}) Tj ET")
+        else:
+            t.ops.append(f"BT /F1 11 Tf 70 {y} Td ({i + 1}) Tj ET")
+            words = " ".join(_sentence(r, r.randint(5, 9)))
+            t.ops.append(f"BT /F1 11 Tf {body_x} {y} Td "
+                         f"({words[:52]}) Tj ET")
+    if with_table:
+        # small numeric table in the lower half, right of the numbers
+        x0 = r.choice([200, 240])
+        ty0 = y0 - n_lines * pitch - 20
+        for i in range(r.randint(4, 6)):
+            y = ty0 - i * 20
+            t.ops.append(f"BT /F1 9 Tf {x0} {y} Td "
+                         f"({r.choice(_S20_WORDS)}) Tj ET")
+            for c in range(2):
+                v = f"{r.randint(1, 99)},{r.randint(100, 999)}"
+                t.ops.append(f"BT /F1 9 Tf {x0 + 140 + c * 80} {y} Td "
+                             f"({v}) Tj ET")
+    t.ops.append(f"BT /F1 9 Tf 300 40 Td ({pageno}) Tj ET")
+    return t.stream()
+
+
+def _sink20_pdf(r):
+    from scribe_js_ray.sources.synth_pdf import _make_pdf
+    n_pages = r.choice([2, 3])
+    return _make_pdf([_s20_page_stream(r, p + 1, r.random() < 0.6)
+                      for p in range(n_pages)], {"F1": "Helvetica"})
+
+
+
+
+@pytest.mark.parametrize("seed", [0, 5, 7, 9, 12])
+def test_kitchen_sink20_parity(seed, tmp_path):
+    """Round-20 sink: line-numbered transcript pages (standalone and
+    case-B fused margin numbers) with embedded numeric tables.  Found
+    two divergences: (1) a fused case-B number must be SPLIT into its
+    own linenum line inserted into page.lines (analyzeLayout.js:
+    2091-2128), so writeText emits it standalone and the body line
+    regroups through the inline-LN transparency; (2) the post-flag
+    feature refresh must also repoint f.left/firstWordWidth at the
+    first CONTENT word (:345-349) — a fused digit's x otherwise skews
+    bodyLeft and the sameColumn test, so a table right of a transcript
+    never column-shifts.  60 seeds clean after both fixes."""
+    data = _sink20_pdf(random.Random(seed))
+    p = tmp_path / f"sink20_{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink20_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink20_{seed} md"
