@@ -2991,3 +2991,67 @@ def test_kitchen_sink20_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink20_{seed} md"
+
+
+_S21_WORDS = ["alpha", "beta", "gamma", "delta", "total", "net"]
+
+
+def _sink21_pdf(r):
+    from scribe_js_ray.sources.synth import _sentence
+    from scribe_js_ray.sources.synth_pdf import (_make_pdf,
+                                                 _Typesetter)
+    t = _Typesetter()
+    blocks = r.sample(["toc", "quote", "table", "prose"],
+                      k=r.randint(2, 4))
+    if "prose" not in blocks:
+        blocks.append("prose")
+    r.shuffle(blocks)
+    for kind in blocks:
+        if kind == "prose":
+            t.flow(_sentence(r, r.randint(12, 24)))
+            t.y -= r.randint(8, 16)
+        elif kind == "toc":
+            # 4-7 leader entries: "Title words .... 123"
+            for i in range(r.randint(4, 7)):
+                title = " ".join(_sentence(r, r.randint(2, 5)))[:30]
+                dots = ". " * r.randint(6, 14)
+                pno = r.randint(1, 99)
+                t.line(f"{title} {dots}{pno}", size=11, dy=18)
+            t.y -= r.randint(8, 14)
+        elif kind == "quote":
+            # inset tight-pitch block
+            for _ in range(r.randint(2, 4)):
+                words = " ".join(_sentence(r, r.randint(5, 9)))
+                t.line(words[:44], x=150, size=10, dy=13)
+            t.y -= r.randint(8, 14)
+        elif kind == "table":
+            x0 = r.choice([100, 130])
+            n_rows = r.randint(4, 6)
+            for i in range(n_rows):
+                y = t.y - 6 - i * 20
+                t.ops.append(f"BT /F1 9 Tf {x0} {y:.1f} Td "
+                             f"({r.choice(_S21_WORDS)}) Tj ET")
+                for c in range(2):
+                    v = f"{r.randint(1, 99)},{r.randint(100, 999)}"
+                    t.ops.append(f"BT /F1 9 Tf {x0 + 150 + c * 80} "
+                                 f"{y:.1f} Td ({v}) Tj ET")
+            t.y -= 6 + n_rows * 20 + r.randint(14, 26)
+    return _make_pdf([t.stream()], {"F1": "Helvetica"})
+
+
+
+
+@pytest.mark.parametrize("seed", [0, 5, 11])
+def test_kitchen_sink21_parity(seed, tmp_path):
+    """Round-21 sink: dot-leader TOC/reference pages mixed with numeric
+    tables and inset block quotes — the leader-page machinery, block
+    regions, and tabledetect coexisting on one page.  70 seeds fuzzed
+    clean on the first run (regression cover)."""
+    data = _sink21_pdf(random.Random(seed))
+    p = tmp_path / f"sink21_{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink21_{seed} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink21_{seed} md"
