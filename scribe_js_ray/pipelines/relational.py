@@ -890,7 +890,8 @@ WITH windows AS (
 )
 SELECT w.window_id, e.event_type,
        count(*) AS n_events,
-       sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_value_c
 FROM events e
 JOIN windows w ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.window_id, e.event_type

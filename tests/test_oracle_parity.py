@@ -84,6 +84,43 @@ def test_rows_only_queries_run(ray_session):
         assert len(df) >= 0
 
 
+def test_curate_oracle_preconditions(ray_session):
+    """The corpus_curate_e2e oracle is valid ONLY because (a) extraction
+    of the synthetic hOCR pages round-trips to exactly
+    ``' '.join(text.split())`` per document, and (b) pdf_image_dedup's
+    doc ids (first 48 of documents.parquet) are 0..47 — pin both."""
+    import __ray_entry__ as e
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    assert docs["doc_id"].to_pylist()[:48] == list(range(48))
+
+    by_url = {f"https://docs.test/{d:08d}": t
+              for d, t in zip(docs["doc_id"].to_pylist(),
+                              docs["text"].to_pylist())}
+    out = _to_pandas(e._extract_corpus(SF_DIR))
+    assert len(out) == docs.num_rows
+    for url, et in zip(out["url"], out["extracted_text"]):
+        assert et == " ".join(by_url[url].split()), url
+
+
+def test_oracle_queries_ordered_first():
+    """Every oracle-backed query must PRECEDE every rows-only one in
+    queries(): the driver's correctness check may truncate the dict (r4
+    stopped at 50/60 and silently dropped green oracle rows), and dict
+    order is the only knob we control."""
+    import __ray_entry__ as e
+    names = list(e.queries())
+    oracle = set(e.oracle_sql())
+    assert oracle <= set(names)
+    first_rows_only = next(i for i, n in enumerate(names)
+                           if n not in oracle)
+    late_oracle = [n for n in names[first_rows_only:] if n in oracle]
+    assert not late_oracle, \
+        f"oracle-backed queries listed after rows-only ones: {late_oracle}"
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as e
     ds = e.entry()
