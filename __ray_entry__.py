@@ -152,7 +152,13 @@ def _pdf_subset_scrub(sf_dir: str):
 
 def _ocr_consensus(sf_dir: str):
     """Two synthetic OCR layers per doc (base with an injected typo +
-    two clean comparators) → distributed consensus vote (J1/J2)."""
+    two clean comparators) → distributed consensus vote (J1/J2).
+
+    The typo is SAME-LENGTH ('z'*len), so the corrupted layer typesets
+    with identical geometry and the spatial vote is exact — the golden
+    twin (tests/test_consensus_eval_goldens.py) pins consensus_text ==
+    clean text byte-for-byte, n_replaced == 1 and n_high == n_words-1
+    per document."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -169,7 +175,8 @@ def _ocr_consensus(sf_dir: str):
             url = f"https://fix.test/doc/{doc_id:06d}"
             words = (text or "").split()
             if words:
-                words = ["tyop"] + words[1:]  # corrupt the base layer
+                # corrupt the base layer, same-width so layers align
+                words = ["z" * len(words[0])] + words[1:]
             base = hocr_from_text(" ".join(words), doc_id)
             clean = hocr_from_text(text or "", doc_id)
             for layer, payload in ((0, base), (1, clean), (2, clean)):

@@ -1545,22 +1545,30 @@ def image_near_dup_pairs(images_ds, max_hamming: int = 6):
         .filter(expr="phash != -1")
 
     def bands(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        objs = batch["obj_num"].to_pylist()
-        ph = batch["phash"].to_pylist()
-        b_keys, b_urls, b_ph = [], [], []
-        for u, o, h in zip(urls, objs, ph):
-            hu = h & 0xFFFFFFFFFFFFFFFF  # two's-complement view
-            uid = f"{u}#{o}"
-            for b in range(n_bands):
-                band_val = (hu >> shifts[b]) & ((1 << widths[b]) - 1)
-                b_keys.append(f"{b}:{band_val:04x}")
-                b_urls.append(uid)
-                b_ph.append(h)
+        # Vectorized (VERDICT r4 #5): numpy shift/mask over the int64
+        # phash column; the band key is an int64 ``(band << 56) |
+        # band_val`` (band widths are ≤ 32 bits whenever n_bands ≥ 2,
+        # so the composite never collides across bands; the degenerate
+        # single-band mode keys on the raw hash).  8-byte keys also
+        # shrink the exchange vs the old per-row f-string loop.
+        n = batch.num_rows
+        ph = batch["phash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hu = ph.view(np.uint64)
+        uid = pc.binary_join_element_wise(
+            pc.cast(batch["url"], pa.string()),
+            pc.cast(batch["obj_num"], pa.string()), "#")
+        keys = np.empty((n, n_bands), np.uint64)
+        for b in range(n_bands):
+            band_val = (hu >> np.uint64(shifts[b])) \
+                & np.uint64((1 << widths[b]) - 1)
+            keys[:, b] = band_val if n_bands == 1 \
+                else (np.uint64(b) << np.uint64(56)) | band_val
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
         return pa.table({
-            "band_key": pa.array(b_keys, pa.string()),
-            "img": pa.array(b_urls, pa.string()),
-            "phash": pa.array(b_ph, pa.int64()),
+            "band_key": pa.array(keys.reshape(-1).view(np.int64)),
+            "img": pc.take(uid, idx),
+            "phash": pa.array(np.repeat(ph, n_bands)),
         })
 
     cap = 512  # hot-bucket member cap (same rationale as the text LSH)

@@ -3055,3 +3055,242 @@ def test_kitchen_sink21_parity(seed, tmp_path):
     assert extract_document("u", data, "", "eng",
                             emit_format="markdown")["extracted_text"] \
         == _ref_fmt(str(p), "md"), f"sink21_{seed} md"
+
+
+_S22_WORDS = ["alpha", "beta", "gamma", "delta", "total", "net", "rate",
+              "count", "items", "price", "assets", "cash"]
+_S22_HDRS = ["Revenue", "Expenses", "Margin", "Change", "Units"]
+
+
+def _sink22_pdf(r):
+    """Round-22 sink: ONE table region carrying a random COMBINATION of
+    vector signals simultaneously — solid grid lines × dashed rules ×
+    alternating row-band fills × header underlines × outer border ×
+    title — the detectPdfTables arbitration (detectPdfTables.js:66-770)
+    when several classifyPaths families fire on the same region."""
+    from scribe_js_ray.sources.synth import _sentence
+    from scribe_js_ray.sources.synth_pdf import _make_pdf, _Typesetter
+
+    def dashes_h(y, x0, x1, seg=18.0, gap=1.5):
+        out, x = [], x0
+        while x + seg <= x1:
+            out.append(f"{x:.1f} {y:.1f} m {x + seg:.1f} {y:.1f} l S")
+            x += seg + gap
+        return out
+
+    def dashes_v(x, y0, y1, seg=9.0, gap=1.0):
+        out, y = [], y0
+        while y + seg <= y1:
+            out.append(f"{x:.1f} {y:.1f} m {x:.1f} {y + seg:.1f} l S")
+            y += seg + gap
+        return out
+
+    t = _Typesetter()
+    extra = ["1 w"]
+    for _ in range(r.randint(1, 2)):
+        t.flow(_sentence(r, r.randint(10, 22)))
+        t.y -= r.randint(6, 14)
+
+    signals = r.sample(["outer", "solid_h", "solid_v", "dashed_h",
+                        "dashed_v", "rowband", "headrule"],
+                       k=r.randint(2, 3))
+    with_title = r.random() < 0.5
+    with_header_row = r.random() < 0.6
+
+    n_rows = r.randint(3, 6)
+    n_cols = r.randint(2, 4)
+    col_w = r.choice([110, 130, 150])
+    x0 = r.choice([90, 100, 120])
+    row_h = r.choice([24, 30])
+
+    if with_title:
+        t.ops.append(f"BT /F1 11 Tf {x0} {t.y - 4:.1f} Td "
+                     f"(Table {r.randint(1, 9)}) Tj ET")
+        t.y -= 22
+
+    top = t.y - 6
+    body_rows = n_rows + (1 if with_header_row else 0)
+    ys = [top - i * row_h for i in range(body_rows + 1)]
+    xs = [x0 + c * col_w for c in range(n_cols + 1)]
+    ri = 0
+    if with_header_row:
+        y = ys[0] - row_h + 8
+        for c in range(n_cols):
+            t.ops.append(f"BT /F1 9 Tf {xs[c] + 8} {y:.1f} Td "
+                         f"({r.choice(_S22_HDRS)}) Tj ET")
+        ri = 1
+    for i in range(n_rows):
+        y = ys[ri + i] - row_h + 8
+        for c in range(n_cols):
+            cell = r.choice(_S22_WORDS) if c == 0 else \
+                f"{r.randint(1, 999)}.{r.randint(0, 99):02d}"
+            t.ops.append(f"BT /F1 9 Tf {xs[c] + 8} {y:.1f} Td "
+                         f"({cell}) Tj ET")
+
+    if "outer" in signals:
+        extra.append(f"{xs[0]} {ys[-1]:.1f} {xs[-1] - xs[0]} "
+                     f"{ys[0] - ys[-1]:.1f} re S")
+    if "solid_h" in signals:
+        for y in ys:
+            extra.append(f"{xs[0]} {y:.1f} m {xs[-1]} {y:.1f} l S")
+    if "solid_v" in signals:
+        for x in xs:
+            extra.append(f"{x} {ys[-1]:.1f} m {x} {ys[0]:.1f} l S")
+    if "dashed_h" in signals:
+        for y in ys:
+            extra.extend(dashes_h(y, xs[0], xs[-1]))
+    if "dashed_v" in signals:
+        for x in xs:
+            extra.extend(dashes_v(x, ys[-1], ys[0]))
+    if "rowband" in signals:
+        for i in range(0, body_rows, 2):
+            for c in range(n_cols):
+                extra.append(
+                    f"0.92 0.92 0.95 rg {xs[c] + 2} "
+                    f"{ys[i + 1] + 2:.1f} {col_w - 4} {row_h - 4} "
+                    f"re f 0 0 0 rg")
+    if "headrule" in signals:
+        for c in range(n_cols):
+            extra.append(f"{xs[c] + 2} {ys[1] + row_h - 4:.1f} m "
+                         f"{xs[c] + col_w - 6} "
+                         f"{ys[1] + row_h - 4:.1f} l S")
+
+    t.y = ys[-1] - r.randint(18, 40)
+    t.flow(_sentence(r, r.randint(8, 20)))
+    stream = t.stream() + " " + " ".join(extra)
+    return _make_pdf([stream], {"F1": "Helvetica"}), "+".join(
+        sorted(signals)) + ("/hdr" if with_header_row else "") + (
+        "/title" if with_title else "")
+
+
+@pytest.mark.parametrize("seed", [0, 2, 3, 7, 13, 21])
+def test_kitchen_sink22_parity(seed, tmp_path):
+    """Round-22 sink (VERDICT r4 #6): combined vector-signal tables —
+    100 seeds fuzzed byte-identical vs the live reference on the first
+    run (regression cover for the classifyPaths arbitration)."""
+    data, feature = _sink22_pdf(random.Random(seed))
+    p = tmp_path / f"sink22_{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"sink22_{seed} {feature} text"
+    assert extract_document("u", data, "", "eng",
+                            emit_format="markdown")["extracted_text"] \
+        == _ref_fmt(str(p), "md"), f"sink22_{seed} {feature} md"
+
+
+def _gen_textract_table(seed):
+    """Textract JSON whose LINE/WORD geometry forms a numeric TABLE
+    (label column + column-aligned decimal cells) sandwiched between
+    prose paragraphs — the cloud-import × table-detection interaction
+    (convertDocTextract.js × detectTables.js) the r4 batteries never
+    mixed.  Optional LAYOUT_TEXT grouping over the prose only."""
+    import json as _json
+    r = random.Random(seed)
+    blocks, line_ids = [], []
+    y = r.uniform(0.05, 0.09)
+
+    def add_line(words_xs, li):
+        nonlocal y
+        lid = f"l{li}"
+        wids, wblocks = [], []
+        x_left = min(x for x, _ in words_xs)
+        x_right = 0.0
+        h = 0.016
+        for wi, (x, t) in enumerate(words_xs):
+            ww = 0.0105 * len(t)
+            poly = [{"X": x, "Y": y - h * 0.55},
+                    {"X": x + ww, "Y": y - h * 0.55},
+                    {"X": x + ww, "Y": y + h * 0.28},
+                    {"X": x, "Y": y + h * 0.28}]
+            wid = f"w{li}_{wi}"
+            wblocks.append({
+                "BlockType": "WORD", "Id": wid, "Page": 1, "Text": t,
+                "Confidence": 99.0,
+                "Geometry": {"BoundingBox": {
+                    "Left": x, "Top": y - h * 0.55, "Width": ww,
+                    "Height": h * 0.83}, "Polygon": poly}})
+            wids.append(wid)
+            x_right = max(x_right, x + ww)
+        blocks.append({
+            "BlockType": "LINE", "Id": lid, "Page": 1,
+            "Text": " ".join(t for _, t in words_xs),
+            "Geometry": {"BoundingBox": {
+                "Left": x_left, "Top": y - h * 0.55,
+                "Width": x_right - x_left, "Height": h * 0.83},
+                "Polygon": [
+                    {"X": x_left, "Y": y - h * 0.55},
+                    {"X": x_right, "Y": y - h * 0.55},
+                    {"X": x_right, "Y": y + h * 0.28},
+                    {"X": x_left, "Y": y + h * 0.28}]},
+            "Relationships": [{"Type": "CHILD", "Ids": wids}]})
+        blocks.extend(wblocks)
+        line_ids.append(lid)
+
+    li = 0
+    prose_ids = []
+    for _ in range(r.randint(2, 4)):
+        words, x = [], r.uniform(0.07, 0.10)
+        for t in [r.choice(_TX_VOCAB) for _ in range(r.randint(5, 9))]:
+            words.append((x, t))
+            x += 0.0105 * len(t) + 0.008
+        add_line(words, li)
+        prose_ids.append(f"l{li}")
+        li += 1
+        y += r.uniform(0.022, 0.032)
+
+    y += r.uniform(0.015, 0.03)
+    n_rows = r.randint(4, 7)
+    n_cols = r.randint(2, 3)
+    x0 = r.uniform(0.08, 0.14)
+    col_pitch = r.choice([0.16, 0.20])
+    for _ in range(n_rows):
+        cells = [(x0, r.choice(["alpha", "beta", "gamma", "delta",
+                                "total", "net"]))]
+        for c in range(n_cols):
+            v = f"{r.randint(1, 99)},{r.randint(100, 999)}"
+            cells.append((x0 + 0.12 + c * col_pitch, v))
+        add_line(cells, li)
+        li += 1
+        y += r.choice([0.024, 0.03])
+
+    y += r.uniform(0.02, 0.04)
+    for _ in range(r.randint(1, 3)):
+        words, x = [], r.uniform(0.07, 0.10)
+        for t in [r.choice(_TX_VOCAB) for _ in range(r.randint(5, 9))]:
+            words.append((x, t))
+            x += 0.0105 * len(t) + 0.008
+        add_line(words, li)
+        prose_ids.append(f"l{li}")
+        li += 1
+        y += r.uniform(0.022, 0.032)
+
+    layout_ids = []
+    if r.random() < 0.5:
+        blocks.append({
+            "BlockType": "LAYOUT_TEXT", "Id": "lay0", "Page": 1,
+            "Geometry": {"BoundingBox": {
+                "Left": 0.05, "Top": 0.03, "Width": 0.9, "Height": 0.9},
+                "Polygon": [{"X": 0.05, "Y": 0.03},
+                            {"X": 0.95, "Y": 0.03},
+                            {"X": 0.95, "Y": 0.93},
+                            {"X": 0.05, "Y": 0.93}]},
+            "Relationships": [{"Type": "CHILD", "Ids": prose_ids}]})
+        layout_ids.append("lay0")
+    blocks.append({
+        "BlockType": "PAGE", "Id": "page0", "Page": 1,
+        "Geometry": {"Polygon": [
+            {"X": 0, "Y": 0}, {"X": 1, "Y": 0},
+            {"X": 1, "Y": 1}, {"X": 0, "Y": 1}]},
+        "Relationships": [{"Type": "CHILD",
+                           "Ids": line_ids + layout_ids}]})
+    return _json.dumps({"DetectDocumentTextModelVersion": "1.0",
+                        "Blocks": blocks}), 1
+
+
+@pytest.mark.parametrize("seed", [0, 4, 9, 17])
+def test_textract_table_parity(seed, tmp_path):
+    """Cloud-import × table interaction (VERDICT r4 #6): 24 seeds
+    fuzzed byte-identical (txt + md) vs the live reference via the
+    paired-PDF harness on the first run."""
+    js, n_pages = _gen_textract_table(seed)
+    _check_textract_pair(js, n_pages, tmp_path, f"txt{seed}")
