@@ -853,8 +853,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": _doc_sample_stratified,
         "doc_key_terms": _doc_key_terms,
         "doc_domain_stats": _doc_domain_stats,
-        # image dedup over the extracted-image stream
+        # image dedup / near-dup over the extracted-image stream
         "pdf_image_dedup": _pdf_image_dedup,
+        "img_near_dup_phash": _img_near_dup_phash,
         # embeddings / similarity search
         "emb_label_counts": _emb_label_counts,
         "emb_knn_top10": _emb_knn_top10,
@@ -1105,6 +1106,104 @@ def _stage_image_hashes() -> str:
     return _IMAGE_HASH_STAGE
 
 
+_IMAGE_PHASH_STAGE = "/tmp/scribe_oracle_stage/image_phash.parquet"
+
+
+def _stage_image_phashes() -> str:
+    """Sequential twin of ``_img_near_dup_phash``'s per-image hash
+    table (ids 0..47, PNG payloads keyed off doc_id, brightness-nudged
+    twins for every 4th doc), staged for the SQL oracle.  Also asserts
+    the LSH hot-bucket cap (512) does NOT bind on this fixture, so the
+    oracle's uncapped band join is exactly equivalent to the capped
+    distributed aggregate."""
+    import os
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scribe_js_ray.pipelines.corpus import _image_hash_batch
+    from scribe_js_ray.sources.synth import synth_image_payload
+    from scribe_js_ray.stages.codecs import decode_image, png_encode, to_rgb
+
+    urls, objs, datas = [], [], []
+    for d in range(48):
+        payload = synth_image_payload(d)
+        urls.append(f"https://img.test/{d:06d}")
+        objs.append(0)
+        datas.append(payload)
+        if d % 4 == 0:
+            try:
+                px = to_rgb(decode_image(payload)).astype(np.int16)
+                px = np.clip(px + 9, 0, 255).astype(np.uint8)
+                urls.append(f"https://img.test/{d:06d}-twin")
+                objs.append(0)
+                datas.append(png_encode(px))
+            except Exception:
+                pass
+    hashed = _image_hash_batch(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "obj_num": pa.array(objs, pa.int32()),
+        "data": pa.array(datas, pa.large_binary()),
+    }))
+    # cap-equivalence check: no (band, band_val) bucket reaches 512
+    n_bands = 7
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+              for i in range(n_bands)]
+    shifts = [sum(widths[:i]) for i in range(n_bands)]
+    counts = Counter()
+    for h in hashed["phash"].to_pylist():
+        if h == -1:
+            continue
+        hu = h & 0xFFFFFFFFFFFFFFFF
+        for b in range(n_bands):
+            counts[(b, (hu >> shifts[b]) & ((1 << widths[b]) - 1))] += 1
+    assert max(counts.values()) < 512, "LSH cap binds; oracle invalid"
+    os.makedirs(os.path.dirname(_IMAGE_PHASH_STAGE), exist_ok=True)
+    pq.write_table(hashed, _IMAGE_PHASH_STAGE)
+    return _IMAGE_PHASH_STAGE
+
+
+def _image_near_dup_sql(max_hamming: int = 6) -> str:
+    """Bit-exact twin of ``corpus.image_near_dup_pairs`` over the staged
+    hash table: the same max_hamming+1 contiguous band split expressed
+    as (2^shift, 2^width) divisors, candidate pairs from shared band
+    values, Hamming verify via two's-complement xor + bit_count (DuckDB
+    semantics verified equal to the Python popcount)."""
+    path = _stage_image_phashes()
+    n_bands = min(max_hamming + 1, 64)
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+              for i in range(n_bands)]
+    shifts = [sum(widths[:i]) for i in range(n_bands)]
+    bands = ",".join(f"({b},{1 << shifts[b]}::HUGEINT,"
+                     f"{1 << widths[b]}::HUGEINT)"
+                     for b in range(n_bands))
+    return f"""
+        WITH b(band, p, m) AS (VALUES {bands}),
+        h AS (
+          SELECT url || '#' || CAST(obj_num AS VARCHAR) AS img, phash,
+                 CAST(phash AS HUGEINT)
+                   + CASE WHEN phash < 0
+                     THEN 18446744073709551616::HUGEINT
+                     ELSE 0 END AS hu
+          FROM '{path}' WHERE phash <> -1
+        ), bd AS (
+          SELECT img, phash, b.band, (hu // b.p) % b.m AS v
+          FROM h CROSS JOIN b
+        ), cand AS (
+          SELECT DISTINCT a.img AS img_a, b2.img AS img_b,
+                 a.phash AS pa, b2.phash AS pb
+          FROM bd a JOIN bd b2
+            ON a.band = b2.band AND a.v = b2.v AND a.img < b2.img
+        )
+        SELECT img_a, img_b,
+               CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(pa, pb)) <= {max_hamming}
+        ORDER BY img_a, img_b
+    """
+
+
 def _image_dedup_sql() -> str:
     path = _stage_image_hashes()
     return f"""
@@ -1211,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fp": _rolling_fp_sql(),
         "corpus_curate_e2e": _curate_funnel_sql(),
         "pdf_image_dedup": _image_dedup_sql(),
+        "img_near_dup_phash": _image_near_dup_sql(),
         "emb_knn_ivf_full": """
             SELECT e.vec_id
             FROM embeddings e,
