@@ -489,8 +489,9 @@ def _doc_domain_stats(sf_dir: str):
 
 def _doc_pack_sequences(sf_dir: str):
     """Greedy next-fit sequence packing into 2048-token budgets within
-    deterministic doc_id-mod shards (rows-only: sequential greedy state
-    is not SQL-expressible; invariants pinned in test_corpus_ops)."""
+    deterministic doc_id-mod shards.  Bit-exact oracle (r5): the greedy
+    state machine as a per-shard recursive CTE (_pack_sequences_sql);
+    invariants additionally pinned in test_corpus_ops."""
     import ray.data as rd
 
     from scribe_js_ray.pipelines.corpus import pack_sequences
@@ -586,8 +587,10 @@ def _pdf_extract_images(sf_dir: str):
     extractImages): deterministic image-bearing PDFs keyed off doc_id →
     doc-wide XObject enumeration → one row per image with metadata +
     converted-payload crc32 (Flate rasters re-encoded PNG, DCT
-    passthrough jpg).  Rows-only check; pixel exactness is covered by
-    tests/test_pdf_images.py goldens."""
+    passthrough jpg).  Oracle (r5): staged sequential twin
+    (_pdf_images_sql) — distributed flat-map ≡ sequential extraction;
+    pixel exactness additionally covered by tests/test_pdf_images.py
+    goldens."""
     import random
 
     import pyarrow as pa
@@ -853,7 +856,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": _doc_sample_stratified,
         "doc_key_terms": _doc_key_terms,
         "doc_domain_stats": _doc_domain_stats,
-        # image dedup / near-dup over the extracted-image stream
+        "doc_pack_sequences": _doc_pack_sequences,
+        # image extraction / dedup / near-dup over the image stream
+        "pdf_extract_images": _pdf_extract_images,
         "pdf_image_dedup": _pdf_image_dedup,
         "img_near_dup_phash": _img_near_dup_phash,
         # embeddings / similarity search
@@ -871,10 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scribe_session_roundtrip": _scribe_session_roundtrip,
         "pdf_subset_scrub": _pdf_subset_scrub,
         "events_distinct_users_hll": rel.events_distinct_users_hll,
-        "doc_pack_sequences": _doc_pack_sequences,
         # multimodal (real stdlib PNG/BMP/WAV/MPNG decode + features)
-        "pdf_extract_images": _pdf_extract_images,
-        "img_near_dup_phash": _img_near_dup_phash,
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
@@ -1204,6 +1206,40 @@ def _image_near_dup_sql(max_hamming: int = 6) -> str:
     """
 
 
+_PDF_IMAGES_STAGE = "/tmp/scribe_oracle_stage/pdf_images_meta.parquet"
+
+
+def _pdf_images_sql() -> str:
+    """Staged oracle for ``pdf_extract_images``: the same 48 seeded
+    image-bearing PDFs extracted SEQUENTIALLY (no Ray) through the same
+    per-batch function, metadata staged to parquet; the SQL is a plain
+    ordered SELECT.  What the comparison verifies is that the
+    distributed flat-map over arbitrary block boundaries produces
+    exactly the sequential result (row set, schema, values) — the
+    map-only analog of the pdf_image_dedup machinery oracle."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scribe_js_ray.sources.synth_pdf import make_pdf_images
+    from scribe_js_ray.stages.multimodal import extract_pdf_images_batch
+
+    ids = list(range(48))
+    pdfs = pa.table({
+        "url": pa.array([f"https://docs.test/{d:08d}.pdf" for d in ids],
+                        pa.string()),
+        "payload": pa.array([make_pdf_images(random.Random(d))
+                             for d in ids], pa.large_binary()),
+    })
+    meta = extract_pdf_images_batch(pdfs).drop_columns(["data"])
+    os.makedirs(os.path.dirname(_PDF_IMAGES_STAGE), exist_ok=True)
+    pq.write_table(meta, _PDF_IMAGES_STAGE)
+    return (f"SELECT * FROM '{_PDF_IMAGES_STAGE}' "
+            f"ORDER BY url, obj_num")
+
+
 def _image_dedup_sql() -> str:
     path = _stage_image_hashes()
     return f"""
@@ -1218,6 +1254,42 @@ def _image_dedup_sql() -> str:
                  count(DISTINCT url)
           FROM h WHERE phash <> -1 GROUP BY phash HAVING count(*) >= 2
         ) ORDER BY kind, key
+    """
+
+
+def _pack_sequences_sql(budget: int = 2048, n_shards: int = 64) -> str:
+    """Bit-exact twin of ``corpus.pack_sequences``: the greedy next-fit
+    state machine (seq_id / token_offset / running used) expressed as a
+    per-shard recursive CTE stepping one doc per iteration in doc_id
+    order — sequential greedy state IS SQL-expressible because the
+    shards are deterministic and the within-shard order is total."""
+    return f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, doc_id % {n_shards} AS shard,
+                 CAST(array_length(regexp_split_to_array(trim(text),
+                      '\\s+')) AS BIGINT) AS n_tokens,
+                 row_number() OVER (PARTITION BY doc_id % {n_shards}
+                                    ORDER BY doc_id) AS rn
+          FROM documents
+        ), packed AS (
+          SELECT shard, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS seq_id,
+                 CAST(0 AS BIGINT) AS token_offset,
+                 n_tokens AS used
+          FROM toks WHERE rn = 1
+          UNION ALL
+          SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN p.used > 0 AND p.used + t.n_tokens > {budget}
+                      THEN p.seq_id + 1 ELSE p.seq_id END,
+                 CASE WHEN p.used > 0 AND p.used + t.n_tokens > {budget}
+                      THEN 0 ELSE p.used END,
+                 CASE WHEN p.used > 0 AND p.used + t.n_tokens > {budget}
+                      THEN t.n_tokens ELSE p.used + t.n_tokens END
+          FROM packed p JOIN toks t
+            ON t.shard = p.shard AND t.rn = p.rn + 1
+        )
+        SELECT shard, seq_id, doc_id, n_tokens, token_offset
+        FROM packed ORDER BY shard, seq_id, doc_id
     """
 
 
@@ -1311,6 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate_e2e": _curate_funnel_sql(),
         "pdf_image_dedup": _image_dedup_sql(),
         "img_near_dup_phash": _image_near_dup_sql(),
+        "doc_pack_sequences": _pack_sequences_sql(),
+        "pdf_extract_images": _pdf_images_sql(),
         "emb_knn_ivf_full": """
             SELECT e.vec_id
             FROM embeddings e,
