@@ -487,6 +487,20 @@ def _doc_domain_stats(sf_dir: str):
     return domain_stats(ds)
 
 
+def _doc_dup_spans(sf_dir: str):
+    """Exact duplicate 8-gram span profile (discovery pass of
+    exact-substring dedup): grams explode + pre-aggregate map-side, one
+    gram-keyed exchange, Sum/Count finalize.  Bit-exact SQL oracle via
+    list slicing over generate_series."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dup_span_profile
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_span_profile(ds, n=8)
+
+
 def _doc_pack_sequences(sf_dir: str):
     """Greedy next-fit sequence packing into 2048-token budgets within
     deterministic doc_id-mod shards.  Bit-exact oracle (r5): the greedy
@@ -830,6 +844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": rel.events_distinct_users,
         "events_window_join": rel.events_window_join,
         "events_retention": rel.events_retention,
+        "events_funnel": rel.events_funnel,
+        "part_price_quantiles": rel.part_price_quantiles,
         "nation_top_customers": rel.nation_top_customers,
         "regional_revenue": rel.regional_revenue,
         # documents corpus ops
@@ -857,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_key_terms": _doc_key_terms,
         "doc_domain_stats": _doc_domain_stats,
         "doc_pack_sequences": _doc_pack_sequences,
+        "doc_dup_spans": _doc_dup_spans,
         # image extraction / dedup / near-dup over the image stream
         "pdf_extract_images": _pdf_extract_images,
         "pdf_image_dedup": _pdf_image_dedup,
@@ -1408,8 +1425,23 @@ def oracle_sql() -> dict[str, str]:
         "events_running_total": rel.EVENTS_RUNNING_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "events_retention": rel.EVENTS_RETENTION_SQL,
+        "events_funnel": rel.EVENTS_FUNNEL_SQL,
+        "part_price_quantiles": rel.PART_PRICE_QUANTILES_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "regional_revenue": rel.REGIONAL_REVENUE_SQL,
+        "doc_dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text, ' '), ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+            )
+            SELECT gram, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM grams GROUP BY gram HAVING count(*) > 1
+            ORDER BY n_occurrences DESC, gram
+        """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,

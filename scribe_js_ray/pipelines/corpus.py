@@ -1879,3 +1879,67 @@ def pack_sequences(docs_ds, budget_tokens: int = 2048,
     return docs_ds.select_columns(["doc_id", "text"]) \
         .map_batches(prep, batch_format="pyarrow") \
         .groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span profile (the discovery half of exact-substring dedup)
+
+
+def dup_span_profile(docs_ds, n: int = 8):
+    """Corpus-wide exact duplicate n-gram span profile: every whitespace
+    ``n``-gram that occurs more than once anywhere in the corpus, with
+    its total occurrence count and distinct-document count — the
+    discovery pass of exact-substring deduplication (the published
+    suffix-array method of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", re-expressed as a
+    shuffle-friendly n-gram profile).
+
+    Distributed shape: n-grams explode MAP-SIDE with a per-batch Arrow
+    ``group_by`` pre-aggregation, so the single gram-keyed exchange
+    carries ONE (gram, doc_id, n_occ) row per distinct (gram, doc) —
+    never the raw span stream (each document is one input row, so the
+    per-batch group fully dedups the pair).  ``n_docs`` is then a plain
+    Count and ``n_occurrences`` a Sum.  At 100 TB you'd key the
+    exchange on a 128-bit gram hash and keep one representative string
+    per group (same shape, smaller exchange); at oracle scale the gram
+    string itself is the key so the profile is directly consumable."""
+    from ray.data.aggregate import Count, Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        grams: list[str] = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            w = (txt or "").strip(" ").split(" ")
+            m = len(w) - n + 1
+            if m <= 0:
+                continue
+            doc_ids.extend([did] * m)
+            grams.extend(" ".join(w[i:i + n]) for i in range(m))
+        pairs = pa.table({
+            "gram": pa.array(grams, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+        })
+        agg = pairs.group_by(["gram", "doc_id"]).aggregate(
+            [("doc_id", "count")])
+        return pa.table({
+            "gram": agg["gram"],
+            "doc_id": agg["doc_id"],
+            "n_occ": pc.cast(agg["doc_id_count"], pa.int64()),
+        })
+
+    prof = docs_ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("gram") \
+        .aggregate(Sum("n_occ", alias_name="n_occurrences"),
+                   Count(alias_name="n_docs"))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_occurrences"], 1))
+        return pa.table({
+            "gram": t["gram"],
+            "n_occurrences": pc.cast(t["n_occurrences"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+        })
+
+    return prof.map_batches(only_dups, batch_format="pyarrow") \
+        .sort(["n_occurrences", "gram"], descending=[True, False])

@@ -1039,3 +1039,149 @@ FROM ud JOIN coh USING (user_id)
 GROUP BY cohort_day, day_offset
 ORDER BY cohort_day, day_offset
 """
+
+
+def events_funnel(sf_dir: str,
+                  steps: tuple[str, ...] = ("signup", "click", "purchase")):
+    """Ordered n-step funnel (web-analytics staple): for each step k,
+    how many users completed steps 1..k IN ORDER — earliest-completion
+    semantics (step k's timestamp is the user's first event of that
+    type STRICTLY AFTER step k-1's timestamp).
+
+    Distributed shape: events are filtered to the funnel's event types
+    map-side, so the single user-keyed exchange carries only
+    (user_id, ts, event_type) for those types; each per-user group runs
+    the earliest-completion scan over its own (tiny) event list; a
+    final step-keyed Count over one row per (user, completed step) is
+    the funnel.  No global sort, no all-pairs."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    step_list = list(steps)
+    value_set = pa.array(step_list)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def relevant(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=value_set))
+
+    def steps_of_user(g: pd.DataFrame) -> pa.Table:
+        reached = 0
+        prev = None
+        for s in step_list:
+            ts = g.loc[g["event_type"] == s, "ts"]
+            if prev is not None:
+                ts = ts[ts > prev]
+            if ts.empty:
+                break
+            prev = ts.min()
+            reached += 1
+        # typed Arrow return: an empty pandas frame would emit a
+        # schema-less block and trip the executor's schema warning
+        return pa.table({"step": pa.array(range(1, reached + 1),
+                                          pa.int64())})
+
+    names = pa.array(step_list, pa.string())
+
+    def attach_names(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.subtract(t["step"], 1), pa.int64())
+        return pa.table({
+            "step": pc.cast(t["step"], pa.int64()),
+            "step_name": pc.take(names, idx),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        })
+
+    per_user = ds.map_batches(relevant, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(steps_of_user,
+                                       batch_format="pandas")
+    return per_user.groupby("step") \
+        .aggregate(Count(alias_name="n_users")) \
+        .map_batches(attach_names, batch_format="pyarrow") \
+        .sort("step")
+
+
+# Oracle twin: iterated earliest-completion semi-joins.  Steps nobody
+# reached are filtered on BOTH sides (the Ray groupby emits no row for
+# an empty step; the WHERE keeps the SQL identical).
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+         count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+) WHERE n_users > 0 ORDER BY step
+"""
+
+
+def part_price_quantiles(sf_dir: str,
+                         qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)):
+    """Grouped EXACT discrete quantiles of part retail price per brand
+    (DuckDB ``quantile_disc`` parity: the element at index
+    ``ceil(q*n) - 1`` of the sorted group — rule pinned empirically
+    against DuckDB for n = 4, 5, 6, 9).
+
+    Distributed shape: prices are projected to int64 cents MAP-SIDE
+    (``floor(x*100 + 0.5)``, the repo's standard float-free hashing
+    projection), so the one brand-keyed exchange carries two small
+    columns; per-group numpy sort (groups are per-brand slices, never
+    the table).  Exact grouped quantiles genuinely need the group's
+    values co-located — this is the documented partitioning assumption;
+    for sketched quantiles at extreme group cardinality see the
+    HyperLogLog pattern (events_distinct_users_hll)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_retailprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["p_retailprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"p_brand": t["p_brand"], "cents": cents})
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["cents"].to_numpy())
+        n = len(v)
+        row: dict[str, list] = {"p_brand": [g["p_brand"].iloc[0]],
+                                "n_parts": pd.Series([n], dtype="int64")}
+        for q in qs:
+            idx = max(int(math.ceil(q * n)) - 1, 0)
+            row[f"p{int(q * 100)}"] = pd.Series([int(v[idx])],
+                                                dtype="int64")
+        return pd.DataFrame(row)
+
+    return ds.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby("p_brand").map_groups(quants, batch_format="pandas") \
+        .sort("p_brand")
+
+
+PART_PRICE_QUANTILES_SQL = """
+WITH c AS (
+  SELECT p_brand,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+)
+SELECT p_brand, count(*) AS n_parts,
+       quantile_disc(cents, 0.25) AS p25,
+       quantile_disc(cents, 0.50) AS p50,
+       quantile_disc(cents, 0.75) AS p75,
+       quantile_disc(cents, 0.90) AS p90
+FROM c GROUP BY p_brand ORDER BY p_brand
+"""
