@@ -459,3 +459,31 @@ def test_domain_stats_distinct_and_quality(ray_session):
     assert out.loc["a"].n_distinct_texts == 2
     assert out.loc["a"].n_quality == 2      # both copies of the good text
     assert out.loc["b"].n_quality == 0
+
+
+def test_dup_span_profile_counts(ray_session):
+    """Shared 8-gram counted once per doc occurrence; an in-doc repeat
+    raises n_occurrences but not n_docs; short docs emit nothing;
+    unique grams are filtered."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dup_span_profile
+
+    shared = "a b c d e f g h"
+    docs = rd.from_items([
+        {"doc_id": 0, "text": shared + " tail0"},
+        {"doc_id": 1, "text": "head1 " + shared},
+        # doc 2 contains the shared gram TWICE (overlapping windows
+        # around the repeat also create unique grams — filtered out)
+        {"doc_id": 2, "text": shared + " " + shared},
+        {"doc_id": 3, "text": "too short"},
+    ])
+    out = dup_span_profile(docs, n=8).to_pandas()
+    row = out[out.gram == shared]
+    assert len(row) == 1
+    assert int(row.n_occurrences.iloc[0]) == 4  # docs 0,1 + twice in 2
+    assert int(row.n_docs.iloc[0]) == 3
+    # every emitted gram is genuinely duplicated
+    assert (out.n_occurrences > 1).all()
+    # profile is sorted by n_occurrences desc then gram asc
+    assert out.n_occurrences.is_monotonic_decreasing or len(out) <= 1

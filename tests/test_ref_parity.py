@@ -3294,3 +3294,186 @@ def test_textract_table_parity(seed, tmp_path):
     paired-PDF harness on the first run."""
     js, n_pages = _gen_textract_table(seed)
     _check_textract_pair(js, n_pages, tmp_path, f"txt{seed}")
+
+
+# ---------------------------------------------------------------------
+# Google Vision paired import (convertPageGoogleVision.js:21-220): JSON
+# + blank PDF for page metrics.  Fuzz axes: wrapper variants (bare /
+# responses[] incl. pageNumber-sorted multi-page / bare array),
+# vertices vs normalizedVertices (falsy-zero coordinate keys omitted),
+# detectedBreak line cutting (LINE_BREAK / EOL_SURE_SPACE cut; SPACE /
+# SURE_SPACE / HYPHEN do not), blockType -> par.reason, falsy-zero and
+# missing confidences, empty paragraphs / symbol-less words /
+# paragraph-less blocks (all skipped), median-height asc/baseline
+# metrics, pageDims scaling vs the paired PDF.
+
+
+def _gen_gvision(seed):
+    """Random Google Vision fullTextAnnotation JSON (absolute-pixel or
+    normalized vertices) + its page count."""
+    import json as _json
+    r = random.Random(seed)
+    n_pages = r.choice([1, 1, 2])
+    vis_w, vis_h = r.choice([(1000, 1400), (2550, 3300), (816, 1056)])
+    use_norm = r.random() < 0.35
+
+    def bbox_obj(x0, y0, x1, y1):
+        pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        if use_norm:
+            return {"normalizedVertices":
+                    [{"x": round(x / vis_w, 6), "y": round(y / vis_h, 6)}
+                     for x, y in pts]}
+        out = []
+        for x, y in pts:
+            v = {}
+            xi, yi = int(round(x)), int(round(y))
+            if xi:                       # falsy-zero keys omitted
+                v["x"] = xi
+            if yi:
+                v["y"] = yi
+            out.append(v)
+        return {"vertices": out}
+
+    responses = []
+    for p in range(n_pages):
+        blocks = []
+        y = r.uniform(0.06, 0.10) * vis_h
+        for _bi in range(r.randint(1, 3)):
+            if r.random() < 0.05:
+                blocks.append({"blockType": "PICTURE"})  # no paragraphs
+                continue
+            paragraphs = []
+            for _pi in range(r.randint(1, 3)):
+                words = []
+                wboxes = []
+                for li in range(r.randint(1, 4)):
+                    x = r.uniform(0.06, 0.12) * vis_w
+                    h = r.uniform(0.014, 0.020) * vis_h
+                    n_words = r.randint(1, 6)
+                    for wi in range(n_words):
+                        t = r.choice(_TX_VOCAB)
+                        if r.random() < 0.08:
+                            t = r.choice(_TX_SUPS)
+                        if r.random() < 0.1:
+                            t += r.choice([".", ",", ":", "?"])
+                        ww = (0.011 * len(t) + r.uniform(0, 0.004)) * vis_w
+                        has_desc = any(c in "gjpqy" for c in t)
+                        has_asc = any(
+                            c in "ABCDEFGHIKLMNOPRSTUVWXYZbdhklt0123456789"
+                            for c in t)
+                        top = y - (h * 0.55 if has_asc else h * 0.30)
+                        bot = y + (h * 0.28 if has_desc else h * 0.02)
+                        cw = ww / len(t)
+                        last_of_line = wi == n_words - 1
+                        symbols = []
+                        for ci, ch in enumerate(t):
+                            s = {"text": ch,
+                                 "boundingBox": bbox_obj(
+                                     x + ci * cw, top,
+                                     x + (ci + 1) * cw, bot)}
+                            if ci == len(t) - 1:
+                                if last_of_line:
+                                    br = r.choice(["LINE_BREAK",
+                                                   "LINE_BREAK",
+                                                   "EOL_SURE_SPACE"])
+                                elif r.random() < 0.9:
+                                    br = r.choice(["SPACE", "SPACE",
+                                                   "SURE_SPACE",
+                                                   "HYPHEN"])
+                                else:
+                                    br = None
+                                if br:
+                                    s["property"] = {
+                                        "detectedBreak": {"type": br}}
+                            symbols.append(s)
+                        word = {"boundingBox": bbox_obj(x, top,
+                                                        x + ww, bot),
+                                "symbols": symbols}
+                        c = r.choice([None, 0.0, 0.87, 0.9934, 1.0])
+                        if c is not None:
+                            word["confidence"] = c
+                        if r.random() < 0.03:
+                            word = {"boundingBox": word["boundingBox"],
+                                    "symbols": []}     # skipped
+                        else:
+                            wboxes.append((x, top, x + ww, bot))
+                        words.append(word)
+                        x += ww + r.uniform(0.004, 0.012) * vis_w
+                    y += r.uniform(0.025, 0.045) * vis_h
+                if not wboxes:
+                    continue
+                px0 = min(b[0] for b in wboxes)
+                py0 = min(b[1] for b in wboxes)
+                px1 = max(b[2] for b in wboxes)
+                py1 = max(b[3] for b in wboxes)
+                paragraphs.append({"boundingBox": bbox_obj(px0, py0,
+                                                           px1, py1),
+                                   "words": words})
+                if r.random() < 0.06:
+                    paragraphs.append({
+                        "boundingBox": bbox_obj(px0, py1 + 5,
+                                                px1, py1 + 25),
+                        "words": []})                  # skipped
+                y += r.uniform(0.01, 0.03) * vis_h
+            block = {"paragraphs": paragraphs}
+            bt = r.choice([None, "TEXT", "TEXT", "TABLE"])
+            if bt:
+                block["blockType"] = bt
+            blocks.append(block)
+        page = {"width": vis_w, "height": vis_h, "blocks": blocks}
+        responses.append({
+            "fullTextAnnotation": {"pages": [page], "text": ""},
+            "context": {"pageNumber": p + 1}})
+
+    if n_pages > 1:
+        order = list(range(n_pages))
+        r.shuffle(order)               # importOCR.js:130-133 re-sorts
+        js = _json.dumps({"responses": [responses[i] for i in order]})
+    else:
+        wrapper = r.choice(["bare", "responses", "array"])
+        if wrapper == "bare":
+            js = _json.dumps({"fullTextAnnotation":
+                              responses[0]["fullTextAnnotation"]})
+        elif wrapper == "responses":
+            js = _json.dumps({"responses": responses})
+        else:
+            js = _json.dumps([{"fullTextAnnotation":
+                               responses[0]["fullTextAnnotation"]}])
+    return js, n_pages
+
+
+def _check_gvision_pair(js, n_pages, tmp_path, name,
+                        fmts=("text", "md"), page_wh=(612, 792)):
+    from scribe_js_ray.sources import synth_pdf
+    ow, oh = synth_pdf._PAGE_W, synth_pdf._PAGE_H
+    synth_pdf._PAGE_W, synth_pdf._PAGE_H = page_wh
+    try:
+        pdf = synth_pdf._make_pdf([""] * n_pages, {})
+    finally:
+        synth_pdf._PAGE_W, synth_pdf._PAGE_H = ow, oh
+    jp = tmp_path / f"{name}.json"
+    pp = tmp_path / f"{name}.pdf"
+    jp.write_text(js)
+    pp.write_bytes(pdf)
+    for fmt in fmts:
+        ref = _ref_pair(fmt, str(pp), str(jp))
+        ours = extract_document(
+            "u", js.encode(), "", "eng", source_payload=pdf,
+            emit_format="markdown" if fmt == "md" else "text")
+        assert not ours["error"], ours["error"]
+        assert ours["extracted_text"] == ref, f"{name} {fmt}"
+
+
+@pytest.mark.parametrize("seed", [2, 7, 11, 19, 23, 29, 37, 41,
+                                  53, 61, 67, 71, 83, 89, 97, 101])
+def test_gvision_pair_parity(seed, tmp_path):
+    js, n_pages = _gen_gvision(seed)
+    _check_gvision_pair(js, n_pages, tmp_path, f"gv{seed}")
+
+
+def test_gvision_scaled_dims_parity(tmp_path):
+    """Vision dims != paired-PDF dims: coordinates scale by
+    pageDims/visionDims (convertPageGoogleVision.js:43-44)."""
+    js, n_pages = _gen_gvision(7)
+    _check_gvision_pair(js, n_pages, tmp_path, "gvs",
+                        fmts=("text",), page_wh=(842, 1191))
