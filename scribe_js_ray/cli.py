@@ -388,6 +388,12 @@ def main(argv=None) -> int:
         "scribe_js_ray.tools", fromlist=["main_tools"]
     ).main_tools(a.tool_args))
 
+    mc = sub.add_parser(
+        "mcp", help="MCP JSON-RPC server over stdio exposing the "
+                    "document tools (mcp/index.js analog)")
+    mc.set_defaults(fn=lambda a: __import__(
+        "scribe_js_ray.mcp_server", fromlist=["serve"]).serve())
+
     args = ap.parse_args(argv)
     return args.fn(args)
 
