@@ -291,7 +291,7 @@ def main(argv=None) -> int:
                     help="reprocess shards even if their manifest is ok")
     ex.add_argument("--emit", default="text",
                     choices=["text", "markdown", "hocr", "alto", "html",
-                             "docx", "xlsx", "pdf", "scribe",
+                             "html_viewer", "docx", "xlsx", "pdf", "scribe",
                              "debug_csv"],
                     help="output format (exportData dispatch analog)")
     ex.add_argument("--line-numbers", action="store_true",

@@ -85,7 +85,7 @@ class Char:
 class Word:
     __slots__ = ("text", "bbox", "style", "lang", "conf", "chars", "line",
                  "line_num", "id", "mcid", "artifact", "text_alt",
-                 "style_runs")
+                 "style_runs", "visual_coords")
 
     def __init__(self, line: "Line", wid: str, text: str, bbox: BBox):
         self.line = line
@@ -109,6 +109,13 @@ class Word:
         # (ocrObjects.js word.styleRuns; set by the PDF/DOCX paths when
         # a word spans runs of differing bold/italic/smallCaps).
         self.style_runs = None
+        # True when the bbox traces visible pixels (OCR imports); False
+        # when it comes from font metrics and includes side bearings
+        # (PDF-native, stext, DOCX, lifted form/fill words —
+        # ocrObjects.js:209 default true; parsePdfDoc.js:3070,
+        # convertPageStext.js:544/575, convertDocDocx.js:862,
+        # fillSign.js:83, formFields.js:74 clear it).
+        self.visual_coords = True
 
 
 def get_word_style_segments(word: "Word"):
@@ -221,11 +228,18 @@ class Page:
         return {"width": self.width, "height": self.height}
 
 
-def update_line_bbox(line: Line) -> None:
-    """Recompute the line bbox from word bboxes (ocr.updateLineBbox analog)."""
+def update_line_bbox(line: Line, adjust_baseline: bool = True) -> None:
+    """Recompute the line bbox from word bboxes and keep the baseline at
+    the same absolute y by shifting its bottom-relative offset
+    (ocrObjects.js updateLineBbox; every reference call site uses the
+    adjusting default except the rotation arm, which does its own
+    baseline math)."""
     if not line.words:
         return
+    bottom_orig = line.bbox.bottom
     line.bbox = bbox_union(w.bbox for w in line.words)
+    if adjust_baseline:
+        line.baseline[1] += bottom_orig - line.bbox.bottom
 
 
 def calc_word_bbox(word: Word) -> None:

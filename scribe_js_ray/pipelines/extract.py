@@ -129,7 +129,8 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
     if edits:
         _apply_edits(pages, edits)
     if emit_format not in ("text", "markdown", "hocr", "alto", "html",
-                           "docx", "xlsx", "pdf", "scribe", "debug_csv"):
+                           "html_viewer", "docx", "xlsx", "pdf", "scribe",
+                           "debug_csv"):
         # pdf_overlay is handled in the pdf branch only; anything else
         # must fail into the error column rather than silently emitting
         # plain text
@@ -146,6 +147,17 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
     if emit_format == "html":
         from ..stages.exports import write_html
         return write_html(pages, reflow_text=reflow), []
+    if emit_format == "html_viewer":
+        # The reference's exportData('html') positioned-viewer document
+        # (writeHtml.js) — byte-parity surface; our semantic HTML stays
+        # available as plain 'html'.
+        from ..stages.html_viewer import write_html_viewer
+        opts = emit_opts or {}
+        kw = {k: opts[k] for k in
+              ("display_mode", "conf_thresh_high", "conf_thresh_med",
+               "overlay_opacity", "kerning", "ligatures", "remove_margins",
+               "embed_fonts") if k in opts}
+        return write_html_viewer(pages, **kw), []
     if emit_format == "debug_csv":
         from ..stages.exports import write_debug_csv
         return write_debug_csv(pages), []

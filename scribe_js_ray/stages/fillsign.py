@@ -140,6 +140,7 @@ def sync_fill_text(page: Page, row: dict, prev_bbox: BBox | None = None):
             w.conf = 100
             w.lang = calc_lang(tok)
             w.style.font = "Helvetica"
+            w.visual_coords = False  # fillSign.js:83
             w.style.size = round(font_size * 1000) / 1000
             width = _helv_width(tok, font_size)
             w.bbox = BBox(round(x), round(baseline_y - asc),

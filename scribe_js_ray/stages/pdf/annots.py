@@ -293,6 +293,7 @@ def lift_one_field(page, a: dict, page_height_dev: float, scale: float,
             word = Word(line, f"word_{page.n + 1}_f{tag}"
                         f"{lift_line_idx}_{wi + 1}", wt, wb)
             word.conf = 100
+            word.visual_coords = False  # parsePdfDoc.js:1163
             word.lang = calc_lang(wt)
             word.style.font = "Helvetica"
             word.style.size = round3(font_size * scale)

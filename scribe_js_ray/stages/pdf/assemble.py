@@ -960,9 +960,16 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
                         for c in wc)
             w_bottom = max(round((c.y + DESC_FRAC * c.size) * scale)
                            for c in wc)
-            word = Word(line, f"w{n}_{len(page.lines)}_{len(line.words)}",
+            # Reference id scheme (parsePdfDoc.js:3048): the word index is
+            # the loop position INCLUDING whitespace-skipped specs, and the
+            # line component counts lines already appended to the page.
+            word = Word(line,
+                        f"word_{n + 1}_{len(page.lines) + 1}_{wi + 1}",
                         text, BBox(w_left, w_top, w_right, w_bottom))
             word.conf = 100
+            # PDF glyph bboxes come from font metrics, bearings included
+            # (parsePdfDoc.js:3070).
+            word.visual_coords = False
             word.lang = calc_lang(text)
             word.artifact = any(c.artifact for c in wc)
             mcids = [c.mcid for c in wc if c.mcid is not None]

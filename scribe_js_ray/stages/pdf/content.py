@@ -178,7 +178,7 @@ class SimpleFont:
                  "two_byte", "cid_widths", "default_width",
                  "family", "smallcaps", "base_encoding",
                  "embedded_encoding", "to_unicode_broken", "is_type3",
-                 "embedded_bytes")
+                 "embedded_bytes", "widths_map")
 
     def __init__(self, name, widths_table, first_char=None, widths_arr=None,
                  to_unicode=None, differences=None, two_byte=False,
@@ -216,6 +216,11 @@ class SimpleFont:
         from .fonts_embedded import to_unicode_is_broken
         self.to_unicode_broken = to_unicode_is_broken(to_unicode)
         self.is_type3 = False
+        # charCode -> advance map for simple fonts without a /Widths
+        # array: the standard-font fill + remaps of parsePdfFonts.js
+        # 1468-1540 (built by build_font; None keeps the legacy
+        # char-keyed fallback).
+        self.widths_map = None
 
     def decode_byte(self, b: int) -> str:
         if self.differences and b in self.differences:
@@ -255,7 +260,9 @@ class SimpleFont:
             return "�"
 
     def width_of(self, b: int, ch: str) -> float:
-        """Advance in 1/1000 em."""
+        """Advance in 1/1000 em — font.widths.get(widthKey) ?? defaultWidth
+        (parsePdfDoc.js:1893-1894; widthKey is the charCode for simple
+        fonts)."""
         if self.two_byte:
             if self.cid_widths is not None and b in self.cid_widths:
                 return self.cid_widths[b]
@@ -263,14 +270,19 @@ class SimpleFont:
         if self.widths_arr is not None and self.first_char is not None:
             idx = b - self.first_char
             if 0 <= idx < len(self.widths_arr):
-                w = self.widths_arr[idx]
-                if w:
-                    return w
+                # Zero entries stay zero: the reference keeps declared
+                # 0-advances (parsePdfFonts.js:1457-1459 stores them;
+                # the ?? fallback only fires on a MISSING code).
+                return self.widths_arr[idx]
+            return self.default_width
         if self.is_type3:
             # A Type3 char outside the encoding has no glyph: it
             # advances nothing, not an average width
             # (parsePdfFonts.js:2205 defaultWidth = 0).
             return self.default_width
+        if self.widths_map is not None:
+            w = self.widths_map.get(b)
+            return w if w is not None else self.default_width
         from .widths import char_width
         return char_width(self.widths_table, ch)
 
@@ -514,6 +526,7 @@ def build_font(pdf, font_dict) -> SimpleFont:
         except Exception:
             to_unicode = None
     differences = None
+    differences_names = {}
     base_encoding = None
     enc = pdf.resolve(d.get("Encoding"))
     from .encodings import encoding_by_name
@@ -525,6 +538,7 @@ def build_font(pdf, font_dict) -> SimpleFont:
             base_encoding = encoding_by_name(str(be))
         if "Differences" in enc:
             differences = {}
+            differences_names = {}
             code = 0
             from .glyphnames import glyph_to_unicode
             for item in pdf.resolve(enc["Differences"]) or []:
@@ -533,6 +547,7 @@ def build_font(pdf, font_dict) -> SimpleFont:
                     code = int(item)
                 elif isinstance(item, Name):
                     differences[code] = glyph_to_unicode(str(item))
+                    differences_names[code] = str(item)
                     code += 1
     # Embedded font program → code-to-unicode via its own glyph names;
     # the recovery path for subset fonts without (or with broken)
@@ -561,11 +576,135 @@ def build_font(pdf, font_dict) -> SimpleFont:
     if embedded and base_encoding:
         embedded = {**embedded, **base_encoding}
         base_encoding = None
+
+    # --- advance-width assembly (parsePdfFonts.js:1440-1541 standard
+    # fill + remaps, 1986-1990 MissingWidth, 2286-2305 sanity clamp) ---
+    first_char_out = int(first_char) \
+        if isinstance(first_char, (int, float)) else None
+    default_width = 1000.0
+    widths_map = None
+    if widths_arr is not None and not widths_arr:
+        # An empty /Widths array falls through to the standard fill
+        # exactly like a missing one (widths.size === 0 gate).
+        widths_arr = None
+    if widths_arr is not None:
+        if first_char_out is None:
+            # /FirstChar is required by the spec but some generators omit
+            # it while supplying /Widths + /LastChar
+            # (parsePdfFonts.js:1452-1456).
+            last_char = pdf.resolve(d.get("LastChar"))
+            first_char_out = max(0, int(last_char) - len(widths_arr) + 1) \
+                if isinstance(last_char, (int, float)) else 0
+        if widths_arr:
+            default_width = sum(widths_arr) / len(widths_arr)
+    else:
+        from .widths import (std_widths_by_code, standard_ligature_width,
+                             dingbats_glyph_width)
+        std, avg = std_widths_by_code(base)
+        widths_map = dict(std) if std is not None else {}
+        if avg is not None:
+            default_width = avg
+        if std is not None:
+            from .encodings import WIN_ANSI, MAC_ROMAN
+
+            def _uni_to_width():
+                out = {}
+                for code in range(32, 256):
+                    w = widths_map.get(code)
+                    if w is not None:
+                        wch = WIN_ANSI.get(code)
+                        if wch:
+                            out[wch] = w
+                return out
+
+            # /Encoding /MacRomanEncoding remaps each high charCode's
+            # width to that of its MacRoman glyph
+            # (parsePdfFonts.js:1475-1494).
+            if isinstance(enc, (Name, str)) \
+                    and "MacRomanEncoding" in str(enc) and widths_map:
+                uni_w = _uni_to_width()
+                for code in range(128, 256):
+                    mc = MAC_ROMAN.get(code)
+                    if mc:
+                        w = uni_w.get(mc)
+                        if w is not None:
+                            widths_map[code] = w
+                        else:
+                            widths_map.pop(code, None)
+            # /Differences remaps each code's width to its mapped
+            # glyph's WinAnsi width (parsePdfFonts.js:1496-1512).
+            if differences and widths_map:
+                uni_w = _uni_to_width()
+                for code, uni in differences.items():
+                    if uni:
+                        w = uni_w.get(uni[0])
+                        if w is not None:
+                            widths_map[code] = w
+            # fi/fl ligature advances are absent from WinAnsi coding, so
+            # any encoding entry resolving to the precomposed ligature
+            # gets the AFM ligature width (parsePdfFonts.js:1514-1521).
+            _LIG = {"ﬁ": "fi", "ﬂ": "fl"}
+            for src in (base_encoding, embedded):
+                if not src:
+                    continue
+                for code, uni in src.items():
+                    g = _LIG.get(uni)
+                    if g:
+                        w = standard_ligature_width(base, g)
+                        if w is not None:
+                            widths_map[code] = w
+            for code, gname in differences_names.items():
+                if gname in ("fi", "fl"):
+                    w = standard_ligature_width(base, gname)
+                    if w is not None:
+                        widths_map[code] = w
+        # Dingbats /Differences typically remap codes below 32, which the
+        # 32-plus standard fill leaves without widths
+        # (parsePdfFonts.js:1524-1536).
+        if re.search(r"ZapfDingbats", base, re.I) and differences_names:
+            for code, gname in differences_names.items():
+                if code not in widths_map:
+                    w = dingbats_glyph_width(gname)
+                    if w is not None:
+                        widths_map[code] = w
+            if widths_map and default_width == 1000.0:
+                default_width = sum(widths_map.values()) / len(widths_map)
+
+    # MissingWidth from the FontDescriptor becomes defaultWidth for
+    # uncovered charCodes — spec default 0 (parsePdfFonts.js:1986-1990).
+    if isinstance(desc, dict) and (widths_arr or widths_map):
+        mw = pdf.resolve(desc.get("MissingWidth"))
+        default_width = float(mw) if isinstance(mw, (int, float)) and mw \
+            else 0.0
+
+    # Sanity clamp: packed/garbage width values poison bbox math
+    # (parsePdfFonts.js:2286-2305; Type3 exempt).
+    _SANE_MAX = 4000
+    vals = widths_arr if widths_arr is not None else \
+        list(widths_map.values()) if widths_map else []
+    sane = [w for w in vals
+            if isinstance(w, (int, float)) and w == w and 0 <= w <= _SANE_MAX]
+    if len(sane) != len(vals):
+        from ...functions.stats import js_round
+        fallback = js_round(sum(sane) / len(sane)) if sane else 1000
+        if widths_arr is not None:
+            widths_arr = [w if (w == w and 0 <= w <= _SANE_MAX) else fallback
+                          for w in widths_arr]
+        elif widths_map:
+            widths_map = {c: (w if (w == w and 0 <= w <= _SANE_MAX)
+                              else fallback)
+                          for c, w in widths_map.items()}
+        if not (default_width == default_width
+                and 0 <= default_width <= _SANE_MAX):
+            default_width = fallback
+
     font = SimpleFont(
         base, base14_widths(base),
-        first_char=int(first_char) if isinstance(first_char, (int, float)) else None,
+        first_char=first_char_out,
         widths_arr=widths_arr, to_unicode=to_unicode, differences=differences,
-        base_encoding=base_encoding, embedded_encoding=embedded)
+        base_encoding=base_encoding, embedded_encoding=embedded,
+        default_width=default_width)
+    font.widths_map = widths_map
     font.embedded_bytes = embedded_bytes
     return font
 

@@ -67,6 +67,7 @@ def _page_json(page: Page, char_boxes: bool = True,
                     "opacity": w.style.opacity,
                 },
                 "conf": int(w.conf), "lang": w.lang,
+                "visualCoords": bool(w.visual_coords),
             }
             if w.line_num:
                 wd["lineNum"] = True
@@ -260,6 +261,8 @@ def _page_from_json(pd: dict) -> Page:
             word.conf = int(conf) if conf is not None else 100
             word.lang = wd.get("lang")
             word.line_num = bool(wd.get("lineNum"))
+            vc = wd.get("visualCoords")
+            word.visual_coords = True if vc is None else bool(vc)
             chars = wd.get("chars")
             if chars:
                 word.chars = [Char(c.get("text") or "",

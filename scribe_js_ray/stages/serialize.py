@@ -26,6 +26,7 @@ _WORD_T = pa.struct([
     ("sup", pa.bool_()), ("dropcap", pa.bool_()),
     ("conf", pa.int16()), ("lang", pa.string()),
     ("line_num", pa.bool_()),
+    ("visual_coords", pa.bool_()),
     ("chars", pa.list_(_CHAR_T)),
 ])
 _LINE_T = pa.struct([
@@ -90,6 +91,7 @@ def pages_to_py(pages: list[Page]) -> list[dict]:
                     "sup": w.style.sup, "dropcap": w.style.dropcap,
                     "conf": int(w.conf), "lang": w.lang,
                     "line_num": w.line_num,
+                    "visual_coords": w.visual_coords,
                     "chars": [{"text": c.text, "bbox": _bbox_py(c.bbox)}
                               for c in w.chars] if w.chars else None,
                 })
@@ -184,6 +186,8 @@ def py_to_pages(page_dicts: list[dict]) -> list[Page]:
                 word.conf = wd["conf"]
                 word.lang = wd["lang"]
                 word.line_num = wd["line_num"]
+                vc = wd.get("visual_coords")
+                word.visual_coords = True if vc is None else vc
                 if wd["chars"]:
                     word.chars = [
                         Char(cd["text"],

@@ -223,6 +223,8 @@ def pass2(page: Page, rotate_angle: float) -> None:
             sup_word.lang = word.lang
             sup_word.chars = sup_chars
             sup_word.style.sup = True
+            # cloneWord carries visualCoords (ocrObjects.js:807).
+            sup_word.visual_coords = word.visual_coords
             calc_word_bbox(sup_word)
 
             word.text = "".join(c.text for c in core_chars)

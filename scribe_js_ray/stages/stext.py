@@ -411,6 +411,9 @@ def parse_stext_page(ocr_str: str, n: int):
                     w = Word(line, f"{wid}_{j}", unescape_xml(letter), bbs[j])
                     w.conf = 100
                     w.lang = word_lang
+                    # stext boxes are font bounding boxes
+                    # (convertPageStext.js:544).
+                    w.visual_coords = False
                     line.words.append(w)
                     letters_kept += 1
                 continue
@@ -426,6 +429,8 @@ def parse_stext_page(ocr_str: str, n: int):
             word.lang = word_lang
             word.chars = char_objs
             word.conf = 100
+            # stext boxes are font bounding boxes (convertPageStext.js:575).
+            word.visual_coords = False
             if small_caps_alt_arr[i] and \
                     not re.search(r"[a-z]", word.text) and \
                     re.search(r"[A-Z].?[A-Z]", word.text):

@@ -247,6 +247,10 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                        f"{len(page.lines) + 1}_{len(line.words) + 1}")
                 word = Word(line, wid, tok_text, wbox)
                 word.conf = 100
+                if docx_mode:
+                    # convertDocDocx.js:862 clears visualCoords; the plain
+                    # txt import (convertPageText.js) leaves the default.
+                    word.visual_coords = False
                 apply_style(word, st)
                 line.words.append(word)
                 return word

@@ -12,7 +12,9 @@ if (process.env.DOCX_LINE_SPLIT_MODE) {
 // txt/docx imports typeset with the raw font registry, which only
 // propagates to the import workers when the scheduler exists — so those
 // formats run in worker mode; everything else stays on the main thread.
-const needsFonts = /\.(txt|docx)$/i.test(inputFile);
+// The positioned-HTML export (writeHtml.js) measures every word against
+// the raw font registry, so it needs fonts loaded regardless of input type.
+const needsFonts = /\.(txt|docx)$/i.test(inputFile) || fmt === 'html';
 scribe.opt.inProcess = !needsFonts;
 if (needsFonts) await scribe.init({ font: true });
 const doc = await scribe.openDocument([inputFile]);

@@ -152,9 +152,13 @@ def test_alto_baseline_and_xheight():
     page, _ = parse_alto_page(xml, 0)
     ln = page.lines[0]
     assert ln.x_height == 100
-    # "dog" has a descender; baseline = median bottom of non-descender
-    # words (300) minus the DECLARED TextLine bottom (320) → -20
-    assert ln.baseline[1] == -20
+    # "dog" has a descender; convertPageAlto computes -20 against the
+    # DECLARED TextLine bottom (320), then pass2's updateLineBbox shrinks
+    # the bbox to the word union (bottom 300) and shifts the offset by
+    # the same amount (ocrObjects.js updateLineBbox adjustBaseline) → 0.
+    # Live-verified: the reference's hOCR export prints `baseline 0 0`.
+    assert ln.baseline[1] == 0
+    assert ln.bbox.bottom == 300
 
 
 def test_alto_multipage_split():
