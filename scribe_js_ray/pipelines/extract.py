@@ -413,7 +413,10 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
             # paragraph breaks (the reference's text import keeps
             # convertPageText's pars; applyDocParagraphLayout is the
             # PDF-only doc-level pass, extractPDFText.js:100-110).
-            pages = parse_text_pages(body.strip())
+            # No strip: the reference feeds the raw string straight to
+            # convertPageText, so leading whitespace indents the first
+            # line and leading/trailing blank lines advance the cursor.
+            pages = parse_text_pages(body)
             txt, spans = _emit(pages, emit_format, True, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,

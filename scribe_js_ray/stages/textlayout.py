@@ -17,14 +17,12 @@ word boxes (convertDocDocx.js:776-830 runFontSize), superscripts at
 whitespace advance (:777), and cross-run word merging gated on sup AND
 raw size agreeing (:787-790 stylesMatch).
 
-Metrics difference (documented): the reference measures advances + kerning
-+ side bearings through its embedded opentype Times; this container has no
-font files, so widths come from the published Adobe AFM Times-Roman
-advance table (``stages/pdf/widths.py``) with ascender 0.683 em /
-descender −0.217 em (Times AFM values) and no kerning.  Layout decisions
-(wraps, page breaks) are therefore deterministic but not glyph-identical
-to the reference's — the extracted TEXT is identical either way, which is
-the golden surface.
+Metrics (r5): widths, bearings and asc/desc heights come from the SAME
+built-in NimbusRoman face the reference measures with — the numeric
+registry dump in ``stages/fontregistry.py`` — so both the layout
+decisions AND the emitted coordinates are byte-identical to the
+reference's (pinned live in tests/test_html_viewer.py; the shipped
+faces carry no kerning tables, verified).
 """
 
 from __future__ import annotations
@@ -32,19 +30,15 @@ from __future__ import annotations
 import re
 
 from ..model import BBox, Line, Page, Par, Word
-from .pdf.widths import base14_widths
 
 FONT_FAMILY = "Times New Roman"
 FONT_SIZE = 14
 LINE_HEIGHT = 14.4
 MARGIN_VERTICAL = 30
 MARGIN_HORIZONTAL = 20
-_ASCENDER = 0.683  # Times-Roman AFM ascender / unitsPerEm
-_DESCENDER = -0.217
 _SUP_RATIO = 0.6   # superscript render size (convertDocDocx.js:818)
 
 _WS_RE = re.compile(r"\s")
-_TIMES = base14_widths("Times-Roman")
 
 # Abbreviations that end in a period without ending a sentence
 # (convertDocDocx.js:16-27 SENTENCE_ABBREVS).
@@ -87,10 +81,6 @@ _PLAIN_STYLE = {"bold": False, "italic": False, "small_caps": False,
                 "size": None}
 
 
-def _text_width(text: str, size: float = FONT_SIZE) -> float:
-    return sum(_TIMES.get(c, 500) for c in text) * size / 1000.0
-
-
 def _split_tokens(line: str):
     """Whitespace-preserving tokenization (convertPageText.js:62-87)."""
     tokens = []
@@ -127,11 +117,18 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
     the whitespace after each sentence-ending word instead — the
     reference's docxLineSplitMode option (convertDocDocx.js:609-611,
     :772-775, :872-874; scribeDocDefaults.js:42)."""
+    from .fontregistry import get_font, js_round
+
+    class _St:
+        font = FONT_FAMILY
+        bold = italic = False
+
+    face = get_font(_St())
     if page_dims is None:
         page_dims = (612, 792)  # letter
     width, height = page_dims
-    asc_h = _ASCENDER * FONT_SIZE
-    desc_h = _DESCENDER * FONT_SIZE
+    asc_h = face.ascender * (FONT_SIZE / face.units_per_em)
+    desc_h = face.descender * (FONT_SIZE / face.units_per_em)
     docx_mode = text_source == "docx"
     sentence_mode = line_split_mode == "sentence"
 
@@ -153,10 +150,14 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
 
     any_content = False
     for par_type, runs in paragraphs:
-        if runs is None:  # blank source line
+        # Page-break check happens once per PARAGRAPH — the reference's
+        # docx flow has no mid-paragraph page breaks; long paragraphs
+        # spill past the bottom margin (convertDocDocx.js:711-722).
+        if current_y + FONT_SIZE > height - MARGIN_VERTICAL:
+            new_page()
+
+        if runs is None:  # blank source line: one wordless line iteration
             current_y += LINE_HEIGHT
-            if current_y + FONT_SIZE > height - MARGIN_VERTICAL:
-                new_page()
             continue
 
         # Flatten runs into a styled token stream.  run_start marks the
@@ -167,6 +168,10 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
             for ti, (tok, is_ws) in enumerate(_split_tokens(text)):
                 tokens.append((tok, is_ws, st, ti == 0))
         if not tokens:
+            # empty-text runs still run one wordless line iteration
+            # (convertDocDocx.js:735-902: words=[''] all skipped,
+            # currentY advances once)
+            current_y += LINE_HEIGHT
             continue
         any_content = True
 
@@ -213,15 +218,13 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
 
         idx = 0
         while idx < len(tokens):
-            if current_y + FONT_SIZE > height - MARGIN_VERTICAL:
-                close_par()
-                new_page()
-
             baseline = [0, desc_h]
-            line_top = round(current_y - asc_h)
-            line_bottom = round(current_y + desc_h)
+            line_top = js_round(current_y - asc_h)
+            # MINUS the (negative) descender: the docx typesetter's line
+            # bottom sits below the baseline (convertDocDocx.js:738),
+            # unlike convertPageText's `currentY + DESCENDER_HEIGHT`.
+            line_bottom = js_round(current_y - desc_h)
             current_x = float(MARGIN_HORIZONTAL)
-            width_so_far = 0.0
             line = Line(page, BBox(MARGIN_HORIZONTAL, line_top,
                                    MARGIN_HORIZONTAL, line_bottom),
                         baseline, asc_h, None)
@@ -232,23 +235,25 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                 # reference recomputes asc/desc from runFontSize per
                 # word, convertDocDocx.js:828-830)
                 rs = run_size(st)
+                word_asc = face.ascender * (rs / face.units_per_em)
+                word_desc = face.descender * (rs / face.units_per_em)
                 if st["sup"]:
-                    # raised box at the reduced size
-                    # (convertDocDocx.js:829-843)
-                    sup_asc = _ASCENDER * rs * _SUP_RATIO
-                    w_bottom = round(current_y - _ASCENDER * rs * 0.7)
-                    w_top = round(w_bottom - sup_asc)
+                    # raised box at the reduced size, bottom at the
+                    # x-height (convertDocDocx.js:832-843)
+                    sup_height = word_asc * _SUP_RATIO
+                    w_bottom = js_round(current_y - word_asc * 0.7)
+                    w_top = js_round(w_bottom - sup_height)
                 else:
-                    w_top = round(current_y - _ASCENDER * rs)
-                    w_bottom = round(current_y + _DESCENDER * rs)
-                wbox = BBox(round(wbox_left), w_top,
-                            round(wbox_left + tok_width), w_bottom)
+                    w_top = js_round(current_y - word_asc)
+                    w_bottom = js_round(current_y - word_desc)
+                wbox = BBox(js_round(wbox_left), w_top,
+                            js_round(wbox_left + tok_width), w_bottom)
                 wid = (f"word_{page_index + 1}_"
                        f"{len(page.lines) + 1}_{len(line.words) + 1}")
                 word = Word(line, wid, tok_text, wbox)
                 word.conf = 100
                 if docx_mode:
-                    # convertDocDocx.js:862 clears visualCoords; the plain
+                    # convertDocDocx.js:865 clears visualCoords; the plain
                     # txt import (convertPageText.js) leaves the default.
                     word.visual_coords = False
                 apply_style(word, st)
@@ -265,21 +270,14 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                     # (convertDocDocx.js:772-775)
                     if sentence_mode and pending_sentence_end:
                         break
-                    # DOCX counts ONE space width at the run size per
-                    # whitespace token (convertDocDocx.js:777); the
-                    # plain-text path measures the full token
-                    # (convertPageText.js:195-201).
-                    tok_width = (_text_width(" ", run_size(st))
-                                 if docx_mode else _text_width(tok_text))
-                    if not sentence_mode and not line.words and \
-                            width_so_far + tok_width > available_width:
-                        break
-                    current_x += tok_width
-                    width_so_far += tok_width
+                    # One space width at the run size per whitespace
+                    # token, consumed unconditionally — the docx flow
+                    # has no leading-whitespace fit rule
+                    # (convertDocDocx.js:776-780).
+                    current_x += _ref_text_width(" ", run_size(st), face)
                     last_consumed = j + 1
                     last_was_ws = True
                     continue
-                tok_width = _text_width(tok_text, word_size(st))
                 # cross-run merge: first token of a run directly after
                 # a word (no whitespace) with sup AND raw size agreeing
                 # (convertDocDocx.js:788 stylesMatch)
@@ -291,12 +289,12 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                     merged = prev_w.text + tok_text
                     # the combined width is measured at the merging
                     # run's PLAIN size — no sup ratio — exactly like
-                    # the reference (convertDocDocx.js:793)
-                    merged_width = _text_width(merged, run_size(st))
+                    # the reference (convertDocDocx.js:792)
+                    merged_width = _ref_text_width(merged, run_size(st),
+                                                   face)
                     if not sentence_mode and \
-                            width_so_far - (prev_w.bbox.right
-                                            - prev_w.bbox.left) \
-                            + merged_width > available_width:
+                            prev_w.bbox.left + merged_width > \
+                            MARGIN_HORIZONTAL + available_width:
                         break
                     # intra-word style change → styleRun delta vs the
                     # word's base style (convertDocDocx.js:800-812)
@@ -317,42 +315,46 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                         prev_w.style_runs = prev_w.style_runs or []
                         prev_w.style_runs.append(
                             {"i": len(prev_w.text), "style": delta})
-                    width_so_far += merged_width \
-                        - (prev_w.bbox.right - prev_w.bbox.left)
-                    current_x = prev_w.bbox.left + merged_width
                     prev_w.text = merged
                     prev_w.bbox = BBox(prev_w.bbox.left, prev_w.bbox.top,
-                                       round(current_x), prev_w.bbox.bottom)
+                                       js_round(prev_w.bbox.left
+                                                + merged_width),
+                                       prev_w.bbox.bottom)
+                    # currentX snaps to the ROUNDED right edge
+                    # (convertDocDocx.js:815 currentX = lastWord.bbox.right)
+                    current_x = float(prev_w.bbox.right)
                     last_consumed = j + 1
                     last_was_ws = False
                     continue
+                tok_width = _ref_text_width(tok_text, word_size(st), face)
                 if not sentence_mode and line.words and \
-                        width_so_far + tok_width > available_width:
+                        current_x + tok_width > \
+                        MARGIN_HORIZONTAL + available_width:
                     break  # wrap before this word
                 place(tok_text, st, current_x, tok_width)
                 current_x += tok_width
-                width_so_far += tok_width
                 last_consumed = j + 1
                 last_was_ws = False
                 if sentence_mode and _is_sentence_ending(tok_text):
                     pending_sentence_end = True
 
-            if not line.words:
-                tok_text, is_ws, st, _rs = tokens[idx]
-                if not is_ws:  # force-place an oversized word
-                    tok_width = _text_width(tok_text, word_size(st))
-                    place(tok_text, st, current_x, tok_width)
-                    current_x += tok_width
-                    last_consumed = idx + 1
-                else:
-                    break  # oversized leading whitespace: drop the rest
-
-            line.bbox = BBox(line.words[0].bbox.left, line_top,
-                             round(current_x), line_bottom)
-            page.lines.append(line)
-            par_lines.append(line)
-            par_right = max(par_right, line.bbox.right)
+            if line.words:
+                # line bbox right = last word's ROUNDED right edge
+                # (convertDocDocx.js:888-894), unlike convertPageText's
+                # round(currentX) incl. trailing whitespace.
+                line.bbox = BBox(line.words[0].bbox.left, line_top,
+                                 line.words[-1].bbox.right, line_bottom)
+                page.lines.append(line)
+                par_lines.append(line)
+                par_right = max(par_right, line.bbox.right)
+            # advance even for wordless iterations (whitespace-only or
+            # empty-text tails, convertDocDocx.js:901)
             current_y += LINE_HEIGHT
+            if last_consumed == idx and not line.words:
+                # nothing consumed and nothing placed: all remaining
+                # tokens were unplaceable — cannot occur in the
+                # reference's run-walk, so just stop rather than spin
+                break
             idx = last_consumed
 
         close_par()
@@ -365,22 +367,169 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
     return pages
 
 
+def _ref_text_width(text: str, size: float, face) -> float:
+    """convertPageText.js getTextWidth: advance sum minus first/last side
+    bearings, in px (CHAR_SPACING is 0)."""
+    advance_total = 0
+    for ch in text:
+        advance_total = advance_total + face.glyph(ch)[0]
+    last_g = face.glyph(text[-1])
+    first_g = face.glyph(text[0])
+    left_bearing = first_g[1] if (first_g[1] == first_g[1]
+                                  and first_g[1] != 0) else 0
+    last_max = last_g[2] if (last_g[2] == last_g[2]
+                             and last_g[2] != 0) else 0
+    right_bearing = face.glyph(text[-1])[0] - last_max
+    word_width1 = advance_total + 0 - left_bearing - right_bearing
+    return word_width1 * (size / face.units_per_em)
+
+
 def parse_text_pages(text_str: str, page_dims=None) -> list[Page]:
-    """Raw text → list of synthetic Page trees: one source line per
-    paragraph, blank lines advance the cursor
-    (convertPageText.js:131-143)."""
+    """Raw text → list of synthetic Page trees — exact port of
+    convertPageText.js:94-299 measured against the real built-in
+    NimbusRoman metrics (fontregistry), byte-parity with the reference's
+    positioned output: one source line per paragraph, blank lines advance
+    the cursor, greedy wrap with the leading-whitespace-must-fit and
+    oversized-word force-place rules, page breaks on vertical overflow."""
+    from .fontregistry import get_font, js_round
+
+    class _St:
+        font = FONT_FAMILY
+        bold = italic = False
+
+    face = get_font(_St())
+    asc_h = face.ascender * (FONT_SIZE / face.units_per_em)
+    desc_h = face.descender * (FONT_SIZE / face.units_per_em)
+
+    if page_dims is None:
+        page_dims = (612, 792)
+    page_w, page_h = page_dims
+
     lines = re.split(r"\r?\n", text_str)
+    page_index = 0
+    page = Page(page_index, page_w, page_h)
+    page.text_source = "text"
     if not lines or all(not ln.strip() for ln in lines):
-        if page_dims is None:
-            page_dims = (612, 792)
-        page = Page(0, page_dims[0], page_dims[1])
-        page.text_source = "text"
         return [page]
-    paragraphs = []
-    for ln in lines:
-        if not ln.strip():
-            paragraphs.append(("body", None))
-        else:
-            paragraphs.append(("body", [(ln, None)]))
-    return typeset_styled_paragraphs(paragraphs, page_dims=page_dims,
-                                     text_source="text")
+
+    pages = [page]
+    available_width = page_w - MARGIN_HORIZONTAL * 2
+    current_y = MARGIN_VERTICAL + LINE_HEIGHT / 2
+
+    def new_page():
+        nonlocal page, page_index, current_y
+        page_index += 1
+        page = Page(page_index, page_w, page_h)
+        page.text_source = "text"
+        pages.append(page)
+        current_y = MARGIN_VERTICAL + LINE_HEIGHT / 2
+
+    for line_text in lines:
+        if not line_text or not line_text.strip():
+            current_y += LINE_HEIGHT
+            if current_y + FONT_SIZE > page_h - MARGIN_VERTICAL:
+                new_page()
+            continue
+
+        word_tokens = _split_tokens(line_text)
+
+        par_lines: list[Line] = []
+        par_right = MARGIN_HORIZONTAL
+
+        def close_par():
+            nonlocal par_lines, par_right
+            if par_lines:
+                par = Par(par_lines[0].page,
+                          BBox(MARGIN_HORIZONTAL, par_lines[0].bbox.top,
+                               par_right, par_lines[-1].bbox.bottom))
+                par.lines = list(par_lines)
+                for ln in par_lines:
+                    ln.par = par
+                par_lines[0].page.pars.append(par)
+                par_lines = []
+                par_right = MARGIN_HORIZONTAL
+
+        idx = 0
+        while idx < len(word_tokens):
+            if current_y + FONT_SIZE > page_h - MARGIN_VERTICAL:
+                close_par()
+                new_page()
+
+            line_top = js_round(current_y - asc_h)
+            line_bottom = js_round(current_y + desc_h)
+            line = Line(page, BBox(MARGIN_HORIZONTAL, line_top,
+                                   MARGIN_HORIZONTAL, line_bottom),
+                        [0, desc_h], asc_h, None)
+
+            current_x = float(MARGIN_HORIZONTAL)
+            width_so_far = 0.0
+            last_consumed = idx
+
+            for j in range(idx, len(word_tokens)):
+                tok_text, is_ws = word_tokens[j]
+                tok_width = _ref_text_width(tok_text, FONT_SIZE, face)
+                if is_ws:
+                    if not line.words:
+                        # leading whitespace allowed only if it fits
+                        if width_so_far + tok_width > available_width:
+                            break
+                        current_x += tok_width
+                        width_so_far += tok_width
+                        last_consumed = j + 1
+                    else:
+                        # trailing/middle whitespace always consumed
+                        current_x += tok_width
+                        width_so_far += tok_width
+                        last_consumed = j + 1
+                else:
+                    if line.words and \
+                            width_so_far + tok_width > available_width:
+                        break  # wrap before this word
+                    wid = (f"word_{page_index + 1}_"
+                           f"{len(page.lines) + 1}_{len(line.words) + 1}")
+                    word = Word(line, wid, tok_text,
+                                BBox(js_round(current_x), line_top,
+                                     js_round(current_x + tok_width),
+                                     line_bottom))
+                    word.conf = 100
+                    word.style.font = FONT_FAMILY
+                    line.words.append(word)
+                    current_x += tok_width
+                    width_so_far += tok_width
+                    last_consumed = j + 1
+
+            if not line.words:
+                # Force-place a single oversized word; oversized leading
+                # whitespace drops the rest of the source line
+                # (convertPageText.js:240-264).
+                nxt = word_tokens[idx] if idx < len(word_tokens) else None
+                if nxt and not nxt[1]:
+                    tok_text = nxt[0]
+                    tok_width = _ref_text_width(tok_text, FONT_SIZE, face)
+                    wid = (f"word_{page_index + 1}_"
+                           f"{len(page.lines) + 1}_{len(line.words) + 1}")
+                    word = Word(line, wid, tok_text,
+                                BBox(js_round(current_x), line_top,
+                                     js_round(current_x + tok_width),
+                                     line_bottom))
+                    word.conf = 100
+                    word.style.font = FONT_FAMILY
+                    line.words.append(word)
+                    current_x += tok_width
+                    width_so_far += tok_width
+                    last_consumed = idx + 1
+                else:
+                    break
+
+            if line.words:
+                line.bbox = BBox(line.words[0].bbox.left, line_top,
+                                 js_round(current_x), line_bottom)
+                page.lines.append(line)
+                par_lines.append(line)
+                par_right = max(par_right, line.bbox.right)
+                current_y += LINE_HEIGHT
+                idx = last_consumed
+
+        close_par()
+
+    return pages

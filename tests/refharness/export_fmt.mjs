@@ -2,6 +2,9 @@ import scribe from '/root/reference/scribe.js';
 import { loadBuiltInFontsRaw } from '/root/reference/js/fontContainerMain.js';
 const inputFile = process.argv[2];
 const fmt = process.argv[3] || 'text';
+// The reference logs diagnostics (e.g. missing-glyph notices) via
+// console.log; route them to stderr so stdout stays pure export bytes.
+console.log = console.error;
 scribe.ScribeDoc.defaults.reflow = true;
 scribe.ScribeDoc.defaults.usePDFText.ocr.main = true;
 scribe.ScribeDoc.defaults.displayMode = 'ebook';
@@ -24,5 +27,14 @@ const exportOpts = {};
 if (fmt === 'xlsx') exportOpts.xlsxFilenameColumn = false;
 const out = await doc.exportData(fmt, exportOpts);
 // binary exports (xlsx/docx/pdf) travel base64 — a text pipe mangles raw bytes
-process.stdout.write(typeof out === 'string' ? out : Buffer.from(out).toString('base64'));
-process.exit(0);
+const payload = typeof out === 'string' ? out : Buffer.from(out).toString('base64');
+if (process.env.REF_OUT) {
+  // File sink: immune to worker-thread console noise interleaving on
+  // stdout (worker console.log bypasses the main-thread patch above).
+  const fs = await import('fs');
+  fs.writeFileSync(process.env.REF_OUT, payload);
+  process.exit(0);
+}
+// write callback before exit: process.exit drops anything past the 64 KiB
+// pipe buffer, truncating large exports mid-flush
+process.stdout.write(payload, () => process.exit(0));

@@ -24,10 +24,21 @@ pytestmark = pytest.mark.skipif(
 
 
 def _ref_html(path: str) -> str:
-    r = subprocess.run(["node", HARNESS, path, "html"], capture_output=True,
-                       text=True, timeout=120)
-    assert r.returncode == 0, r.stderr[-500:]
-    return r.stdout
+    # REF_OUT file sink: large exports overflow the 64 KiB pipe buffer and
+    # worker-thread diagnostics interleave on stdout.
+    import os
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".out", delete=False) as f:
+        outp = f.name
+    try:
+        r = subprocess.run(["node", HARNESS, path, "html"],
+                           capture_output=True, text=True, timeout=120,
+                           env=dict(os.environ, REF_OUT=outp))
+        assert r.returncode == 0, r.stderr[-500:]
+        with open(outp) as f:
+            return f.read()
+    finally:
+        os.unlink(outp)
 
 
 def _check(payload: bytes, ext: str, tmp_path, name: str):
@@ -59,6 +70,44 @@ def test_html_viewer_hocr_parity(seed, tmp_path):
            tmp_path, f"hvh{seed}")
 
 
+def test_html_viewer_txt_parity(tmp_path):
+    """Plain-text imports now typeset against the real NimbusRoman
+    metrics (exact convertPageText port), so the positioned output is
+    byte-identical too — incl. tab .notdef advances, indent-preserving
+    leading whitespace, oversized-word force-place, and multi-page flow
+    past the 64 KiB pipe limit the harness used to truncate at."""
+    import random as _r
+    from scribe_js_ray.sources.synth import _paragraph_words
+    r = _r.Random(11)
+    _check(("\n\n".join(" ".join(_paragraph_words(r, 2))
+                        for _ in range(3))).encode(), "txt", tmp_path, "hvt1")
+    _check(b"col1\tcol2\tcol3\nind:    four spaces   gap  end",
+           "txt", tmp_path, "hvt2")
+    _check(("          deeply indented start\n" + " " * 300
+            + "oversized-lead rest dropped\n" + "x" * 400).encode(),
+           "txt", tmp_path, "hvt3")
+    long_doc = "\n\n".join(" ".join(_paragraph_words(r, 6))
+                           for _ in range(20))
+    _check(long_doc.encode(), "txt", tmp_path, "hvt4")
+
+
+def test_html_viewer_docx_parity(tmp_path):
+    """DOCX imports: the styled typesetter now measures with the real
+    registry metrics — per-run w:sz widths, sup boxes, cross-run merges
+    and rounded-right-edge currentX snaps all land byte-identical."""
+    import random as _r
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from scribe_js_ray.sources.synth import make_hocr_paragraphs
+    from scribe_js_ray.stages.docx import write_docx
+    from scribe_js_ray.stages.hocr import parse_hocr_page
+    import test_ref_parity as T
+    page, _ = parse_hocr_page(make_hocr_paragraphs(_r.Random(1)), 0)
+    _check(write_docx([page]), "docx", tmp_path, "hvd1")
+    _check(T._sink12_docx(_r.Random(0)), "docx", tmp_path, "hvd2")
+    _check(T._sink14_docx(_r.Random(1)), "docx", tmp_path, "hvd3")
+
+
 def test_html_viewer_stext_abbyy_parity(tmp_path):
     import sys
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
@@ -70,6 +119,40 @@ def test_html_viewer_stext_abbyy_parity(tmp_path):
                        [("Second", None), ("line", None),
                         ("here.", None)]]).encode(),
            "xml", tmp_path, "hvab")
+
+
+@pytest.mark.parametrize("seed", [2, 11])
+def test_html_viewer_gvision_pair_parity(seed, tmp_path):
+    """Cloud-OCR (Google Vision) paired imports through the pair harness
+    (the reference needs the PDF for page metrics; writeHtml needs the
+    font registry loaded explicitly on this path)."""
+    import os
+    import sys
+    import tempfile
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import test_ref_parity as T
+    from scribe_js_ray.sources import synth_pdf
+    js, n_pages = T._gen_gvision(seed)
+    pdf = synth_pdf._make_pdf([""] * n_pages, {})
+    jp = tmp_path / f"gv{seed}.json"
+    pp = tmp_path / f"gv{seed}.pdf"
+    jp.write_text(js)
+    pp.write_bytes(pdf)
+    with tempfile.NamedTemporaryFile(suffix=".out", delete=False) as f:
+        outp = f.name
+    r = subprocess.run(
+        ["node", HARNESS.replace("export_fmt.mjs", "extract_pair.mjs"),
+         "html", str(pp), str(jp)],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, REF_OUT=outp))
+    assert r.returncode == 0, r.stderr[-500:]
+    with open(outp, encoding="utf-8") as f:
+        ref = f.read()
+    os.unlink(outp)
+    res = extract_document("u", js.encode(), "", "eng", source_payload=pdf,
+                           emit_format="html_viewer")
+    assert not res.get("error"), res.get("error")
+    assert res["extracted_text"] == ref
 
 
 def test_base14_widths_match_reference_afm():
