@@ -569,8 +569,54 @@ def _emb_knn_ivf(sf_dir: str, n_probe: int = 4):
                                   ignore_errors=True)
         except OSError:
             pass
-    return knn_top_k_ivf(ds, qvec, k=10, n_probe=n_probe,
-                         index_dir=index_dir).select_columns(["vec_id"])
+    out = knn_top_k_ivf(ds, qvec, k=10, n_probe=n_probe,
+                        index_dir=index_dir).select_columns(["vec_id"])
+    if n_probe == 4:
+        # Stage the built index's own cell layout + this query's probe
+        # list for the SQL oracle (the k-means clustering itself is
+        # verified by emb_knn_ivf_full ≡ exact; this pins the PRUNED
+        # variant's partition-restricted top-k).  knn_top_k_ivf built
+        # the index eagerly above, so the partitions exist now.
+        _stage_ivf_oracle(index_dir, qvec, n_probe=n_probe)
+    return out
+
+
+_IVF_ASSIGN_STAGE = "/tmp/scribe_oracle_stage/ivf_assign.parquet"
+_IVF_PROBE_STAGE = "/tmp/scribe_oracle_stage/ivf_probe.parquet"
+
+
+def _stage_ivf_oracle(index_dir: str, qvec, n_probe: int,
+                      n_cells: int = 16, dim: int = 64) -> None:
+    """(vec_id, cell) from the index's physical partitions + the probe
+    cells chosen exactly as knn_top_k_ivf does (corpus.py:817-820:
+    argsort of the persisted centroids' similarity to the normalized
+    query) — staged to fixed paths the static oracle SQL reads."""
+    import glob as _glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scribe_js_ray.pipelines.corpus import load_ivf_centroids
+
+    ids, cells = [], []
+    for path in sorted(_glob.glob(os.path.join(index_dir, "cell=*",
+                                               "*.parquet"))):
+        cell = int(os.path.basename(os.path.dirname(path)).split("=")[1])
+        t = pq.read_table(path, columns=["vec_id"])
+        ids.extend(t["vec_id"].to_pylist())
+        cells.extend([cell] * t.num_rows)
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    planes = load_ivf_centroids(index_dir, n_cells, dim)
+    probe = np.argsort(-(planes @ qn))[:n_probe].tolist()
+    os.makedirs(os.path.dirname(_IVF_ASSIGN_STAGE), exist_ok=True)
+    pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                             "cell": pa.array(cells, pa.int32())}),
+                   _IVF_ASSIGN_STAGE)
+    pq.write_table(pa.table({"cell": pa.array(probe, pa.int32())}),
+                   _IVF_PROBE_STAGE)
 
 
 def _emb_knn_ivf_full(sf_dir: str):
@@ -592,8 +638,52 @@ def _emb_near_dup_lsh(sf_dir: str):
     # but NOTE: at cos=0.42 the sign-LSH collision probability is only
     # ~0.2, so this returns a deterministic SUBSET of emb_near_dup's
     # pairs — it demonstrates the sub-quadratic plumbing; production
-    # near-dup thresholds (≥0.9) get ≫0.99 recall (rows-only check).
+    # near-dup thresholds (≥0.9) get ≫0.99 recall.
+    _stage_lsh_buckets(sf_dir)
     return emb_near_dup_lsh(ds, threshold=0.42)
+
+
+_LSH_BUCKET_STAGE = "/tmp/scribe_oracle_stage/emb_lsh_buckets.parquet"
+
+
+def _stage_lsh_buckets(sf_dir: str, n_bands: int = 8, band_bits: int = 8,
+                       dim: int = 64, bucket_cap: int = 4096) -> None:
+    """Sequential twin of emb_near_dup_lsh's banding stage
+    (corpus.py:589-608: sign pattern under the RandomState(777)
+    hyperplanes, packed per band): one (band, bucket, vec_id) row per
+    band membership, staged for the SQL oracle's candidate join.  The
+    oracle's uncapped join is equivalent to the capped distributed
+    verify only while no bucket reaches bucket_cap — asserted here."""
+    import os
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mat = np.asarray([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+    planes = np.random.RandomState(777).randn(n_bands * band_bits, dim)
+    signs = (mat @ planes.T) > 0
+    signs = signs.reshape(len(mat), n_bands, band_bits)
+    keys = np.packbits(signs, axis=2)[:, :, 0].astype(np.int64)
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    counts = Counter()
+    for b in range(n_bands):
+        for k in keys[:, b]:
+            counts[(b, int(k))] += 1
+    assert max(counts.values()) < bucket_cap, \
+        "LSH hot-bucket cap binds on this fixture; oracle not equivalent"
+    n = len(ids)
+    os.makedirs(os.path.dirname(_LSH_BUCKET_STAGE), exist_ok=True)
+    pq.write_table(pa.table({
+        "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32)[None, :],
+                                   n, axis=0).ravel(), pa.int32()),
+        "bucket": pa.array(keys.ravel(), pa.int64()),
+        "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+    }), _LSH_BUCKET_STAGE)
 
 
 def _pdf_extract_images(sf_dir: str):
@@ -883,6 +973,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_top10": _emb_knn_top10,
         "emb_knn_ivf_full": _emb_knn_ivf_full,
         "emb_near_dup": _emb_near_dup,
+        # staged-twin oracles (r5): the query stages its index layout /
+        # band table at run time; the SQL joins against the stage
+        "emb_knn_ivf": _emb_knn_ivf,
+        "emb_near_dup_lsh": _emb_near_dup_lsh,
         # --- rows-only (not SQL-expressible; pytest goldens instead) ---
         # flagship extraction
         "extract_corpus": _extract_corpus,
@@ -897,8 +991,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
-        "emb_knn_ivf": _emb_knn_ivf,
-        "emb_near_dup_lsh": _emb_near_dup_lsh,
     }
 
 
@@ -1717,5 +1809,37 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
             ORDER BY vec_a, vec_b
+        """,
+        # Staged-twin oracles: the Ray query stages its band table /
+        # index cell layout at run time (see _stage_lsh_buckets /
+        # _stage_ivf_oracle); the SQL recomputes the candidate join,
+        # cosine verify and partition-restricted top-k declaratively.
+        "emb_near_dup_lsh": f"""
+            WITH b AS (SELECT * FROM read_parquet('{_LSH_BUCKET_STAGE}')),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+              FROM b x JOIN b y
+                ON x.band = y.band AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id
+            )
+            SELECT c.vec_a, c.vec_b
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+            WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.42
+            ORDER BY vec_a, vec_b
+        """,
+        "emb_knn_ivf": f"""
+            SELECT e.vec_id
+            FROM embeddings e
+            JOIN read_parquet('{_IVF_ASSIGN_STAGE}') a USING (vec_id)
+            WHERE a.cell IN
+                  (SELECT cell FROM read_parquet('{_IVF_PROBE_STAGE}'))
+            ORDER BY list_cosine_similarity(
+                       e.embedding,
+                       (SELECT embedding FROM embeddings
+                        WHERE vec_id = 0)) DESC,
+                     e.vec_id
+            LIMIT 10
         """,
     }
