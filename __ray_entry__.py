@@ -261,6 +261,17 @@ def _corpus_vocab_topk(sf_dir: str):
     return vocab_topk(ds, k=200)
 
 
+def _corpus_bigram_topk(sf_dir: str):
+    """Corpus-wide top adjacent token pairs (BPE first-merge candidates /
+    collocation seeds); exchange carries phrase-vocabulary mass only."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import bigram_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_topk(ds, k=200)
+
+
 def _doc_fingerprints(sf_dir: str):
     import ray.data as rd
 
@@ -936,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": rel.events_retention,
         "events_funnel": rel.events_funnel,
         "part_price_quantiles": rel.part_price_quantiles,
+        "customers_no_big_order": rel.customers_no_big_order,
         "nation_top_customers": rel.nation_top_customers,
         "regional_revenue": rel.regional_revenue,
         # documents corpus ops
@@ -943,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
         "corpus_vocab_topk": _corpus_vocab_topk,
+        "corpus_bigram_topk": _corpus_bigram_topk,
         "doc_fingerprints": _doc_fingerprints,
         "doc_clean_text": _doc_clean_text,
         "doc_quality": _doc_quality,
@@ -1519,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": rel.EVENTS_RETENTION_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,
         "part_price_quantiles": rel.PART_PRICE_QUANTILES_SQL,
+        "customers_no_big_order": rel.CUSTOMERS_NO_BIG_ORDER_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "regional_revenue": rel.REGIONAL_REVENUE_SQL,
         "doc_dup_spans": """
@@ -1670,6 +1684,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n
             FROM toks WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 200
+        """,
+        "corpus_bigram_topk": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE trim(text) <> ''
+            ), pos AS (
+              SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+              FROM toks WHERE len(arr) >= 2
+            )
+            SELECT arr[i] || ' ' || arr[i + 1] AS bigram,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pos
+            WHERE arr[i] <> '' AND arr[i + 1] <> ''
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 200
         """,
         "doc_top_bigram": """
             WITH toks AS (

@@ -1943,3 +1943,57 @@ def dup_span_profile(docs_ds, n: int = 8):
 
     return prof.map_batches(only_dups, batch_format="pyarrow") \
         .sort(["n_occurrences", "gram"], descending=[True, False])
+
+
+def bigram_topk(docs_ds, k: int = 200):
+    """Corpus-wide top-``k`` adjacent token pairs by frequency — the
+    first-merge-candidate step of BPE-style tokenizer training (and the
+    collocation seed for phrase mining), with the same deterministic
+    (n DESC, bigram ASC) tie-break as ``vocab_topk``.
+
+    Scale shape: bigrams never span documents; each batch pairs tokens
+    within rows via the list-offset buffers (no Python row loop) and
+    collapses to UNIQUE bigrams with partial counts, so the one
+    bigram-keyed exchange moves phrase-vocabulary mass, not corpus
+    mass; the final sort runs over the merged vocabulary only."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        lists = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = np.asarray(lists.offsets)
+        flat = lists.values.to_numpy(zero_copy_only=False)
+        base = offs[0]
+        n = len(flat)
+        grams = np.empty(0, dtype=object)
+        if n >= 2:
+            # a position starts a bigram unless it is some row's LAST
+            # token (offsets mark row ends); empty tokens (blank docs
+            # split to [""]) never pair because their row has length 1
+            can_start = np.ones(n, dtype=bool)
+            ends = offs[1:] - 1 - base
+            ends = ends[ends >= 0]
+            can_start[ends] = False
+            can_start[n - 1] = False
+            idx = np.nonzero(can_start)[0]
+            if len(idx):
+                lefts = flat[idx]
+                rights = flat[idx + 1]
+                ok = (lefts != "") & (rights != "")
+                grams = np.char.add(np.char.add(
+                    lefts[ok].astype(str), " "), rights[ok].astype(str))
+        if len(grams):
+            uniq, counts = np.unique(grams, return_counts=True)
+        else:
+            uniq = np.empty(0, dtype=object)
+            counts = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "bigram": pa.array(uniq.astype(object), pa.string()),
+            "n_part": pa.array(counts, pa.int64()),
+        })
+
+    counts = docs_ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n_part", alias_name="n"))
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)

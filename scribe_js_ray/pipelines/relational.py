@@ -1185,3 +1185,74 @@ SELECT p_brand, count(*) AS n_parts,
        quantile_disc(cents, 0.90) AS p90
 FROM c GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def customers_no_big_order(sf_dir: str, threshold: float = 300_000.0,
+                           broadcast_cap: int = 5_000_000):
+    """Distributed ANTI JOIN: customers with no order above ``threshold``.
+
+    Scale shape: the orders stream is filtered AND deduplicated map-side
+    (per-batch unique on o_custkey) before its one groupby exchange, so
+    the exchange carries at most |customers-with-a-big-order| rows, not
+    |orders|.  The distinct buyer keyset — bounded by |customer| — then
+    broadcasts via ray.put and anti-filters the customer stream with
+    vectorized ``pc.is_in``; above ``broadcast_cap`` buyers the same
+    hash-bucket left-join + null-filter fallback as
+    corpus.dedup_keep_list takes over (documented cap, no silent
+    driver blowup)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.joins import BroadcastTable, hash_bucket_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def big_buyers(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.greater(t["o_totalprice"], threshold))
+        keys = pc.unique(hit["o_custkey"])
+        return pa.table({"o_custkey": keys})
+
+    buyers = orders.map_batches(big_buyers, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Count(alias_name="n")) \
+        .select_columns(["o_custkey"]).materialize()
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    if buyers.count() <= broadcast_cap:
+        parts = list(buyers.iter_batches(batch_format="pyarrow"))
+        key_tbl = pa.concat_tables(parts) if parts else \
+            pa.table({"o_custkey": pa.array([], pa.int64())})
+        bc = BroadcastTable(key_tbl)
+
+        def anti(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                pc.cast(t["c_custkey"], pa.int64()),
+                value_set=pc.cast(bc.get()["o_custkey"].combine_chunks(),
+                                  pa.int64()))
+            return t.filter(pc.invert(mask))
+
+        out = cust.map_batches(anti, batch_format="pyarrow")
+        return out.sort("c_custkey")
+
+    tagged = buyers.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"],
+                            "__hit": pa.array([True] * t.num_rows)}),
+        batch_format="pyarrow")
+    joined = hash_bucket_join(cust, tagged, on="c_custkey", how="left")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"])
+
+    return joined.map_batches(strip, batch_format="pyarrow") \
+        .sort("c_custkey")
+
+
+CUSTOMERS_NO_BIG_ORDER_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey
+"""

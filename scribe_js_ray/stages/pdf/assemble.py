@@ -38,6 +38,7 @@ from __future__ import annotations
 import math
 import re
 
+from ...functions.stats import js_round, round3, round6
 from ...functions.textnorm import calc_lang, replace_ligatures
 from ...model import BBox, Char, Line, Page, Word
 from .colorfns import color_to_rgb, rgb_to_hex
@@ -150,7 +151,7 @@ def _dedup(glyphs: list[_G]) -> list[_G]:
     pos_index: dict[tuple, int] = {}
     LOOKBACK = 500
     for g in glyphs:
-        key = (g.text, g.font, round(g.x * 100), round(g.y * 100),
+        key = (g.text, g.font, js_round(g.x * 100), js_round(g.y * 100),
                g.orientation)
         hit = pos_index.get(key)
         dupe = hit if hit is not None and len(result) - hit <= LOOKBACK \
@@ -856,7 +857,8 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
     underline_rects: thin horizontal bars (top-down scaled space) matched
     against words as underlines; consumed rects get is_underline=True
     (parsePdfDoc.js:3142-3172)."""
-    page = Page(n, int(round(width * scale)), int(round(height * scale)))
+    page = Page(n, int(js_round(width * scale)),
+                int(js_round(height * scale)))
     if not chars:
         return page
 
@@ -909,17 +911,17 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
         # reference's OCR coordinate convention (parsePdfDoc.js:
         # 2976-2985).  Downstream layout thresholds (leading multiples,
         # gap regimes) are knife-edge sensitive to this quantization.
-        l_left = min(round(c.x * scale) for c in box_chars)
-        l_right = max(round((c.x + c.width) * scale) for c in box_chars)
-        l_top = min(round((c.y - ASC_FRAC * c.size) * scale)
+        l_left = min(js_round(c.x * scale) for c in box_chars)
+        l_right = max(js_round((c.x + c.width) * scale) for c in box_chars)
+        l_top = min(js_round((c.y - ASC_FRAC * c.size) * scale)
                     for c in box_chars)
-        l_bottom = max(round((c.y + DESC_FRAC * c.size) * scale)
+        l_bottom = max(js_round((c.y + DESC_FRAC * c.size) * scale)
                        for c in box_chars)
 
         normal_base = next((w.chars[0].y for w in words
                             if not w.sup and not w.dropcap and w.chars),
                            all_chars[0].y)
-        baseline_off = round(normal_base * scale - l_bottom)
+        baseline_off = js_round(normal_base * scale - l_bottom)
         anchor_char = box_chars[0]
 
         # Baseline slope from the averaged direction vector
@@ -939,7 +941,7 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
                 slope = ndx
             elif abs(ndx) > 0.01:
                 slope = ndy
-        slope = round(slope, 6)
+        slope = round6(slope)
 
         line = Line(page, BBox(l_left, l_top, l_right, l_bottom),
                     [slope, baseline_off],
@@ -954,11 +956,11 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             wc = w.chars
             # first/last char edges, per-char rounded tops/bottoms
             # (parsePdfDoc.js:3039-3042)
-            w_left = round(wc[0].x * scale)
-            w_right = round((wc[-1].x + wc[-1].width) * scale)
-            w_top = min(round((c.y - ASC_FRAC * c.size) * scale)
+            w_left = js_round(wc[0].x * scale)
+            w_right = js_round((wc[-1].x + wc[-1].width) * scale)
+            w_top = min(js_round((c.y - ASC_FRAC * c.size) * scale)
                         for c in wc)
-            w_bottom = max(round((c.y + DESC_FRAC * c.size) * scale)
+            w_bottom = max(js_round((c.y + DESC_FRAC * c.size) * scale)
                            for c in wc)
             # Reference id scheme (parsePdfDoc.js:3048): the word index is
             # the loop position INCLUDING whitespace-skipped specs, and the
@@ -993,13 +995,13 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             else:
                 word.style.opacity = first_alpha.alpha
             if w.sup:
-                word.style.size = round(wc[0].size * scale, 3)
+                word.style.size = round3(wc[0].size * scale)
                 word.style.sup = True
             elif w.dropcap:
-                word.style.size = round(wc[0].size * scale, 3)
+                word.style.size = round3(wc[0].size * scale)
                 word.style.dropcap = True
             else:
-                word.style.size = round(first_alpha.size * scale, 3)
+                word.style.size = round3(first_alpha.size * scale)
 
             if first_alpha.smallcaps:
                 word.style.small_caps = True
@@ -1007,19 +1009,22 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
                     and _CAPS_PAIR_RE.search(text):
                 word.style.small_caps = True
                 if w.sc_size > 0:
-                    word.style.size = round(w.sc_size * scale, 3)
+                    word.style.size = round3(w.sc_size * scale)
 
             # Char objects; sup char boxes normalize onto the body line.
+            # Math.round per component and a pre-rounded sup offset
+            # (parsePdfDoc.js:3179-3191).
             chars_out = []
             for c in wc:
-                c_top = (c.y - ASC_FRAC * c.size) * scale
-                c_bottom = (c.y + DESC_FRAC * c.size) * scale
+                c_top = js_round((c.y - ASC_FRAC * c.size) * scale)
+                c_bottom = js_round((c.y + DESC_FRAC * c.size) * scale)
                 if w.sup:
-                    off = (c.y - normal_base) * scale
+                    off = js_round((c.y - normal_base) * scale)
                     c_top -= off
                     c_bottom -= off
                 chars_out.append(Char(c.text, BBox(
-                    c.x * scale, c_top, (c.x + c.width) * scale, c_bottom)))
+                    js_round(c.x * scale), c_top,
+                    js_round((c.x + c.width) * scale), c_bottom)))
 
             # Fake-small-caps lowercase restoration
             # (parsePdfDoc.js:3202-3218).

@@ -61,6 +61,20 @@ def test_html_viewer_pdf_parity(seed, tmp_path):
            f"hvp{seed}")
 
 
+def test_html_viewer_sink_pdf_parity(tmp_path):
+    """Kitchen-sink PDFs (fractional sizes, superscripts, tables,
+    two-column): drove the Math.round (half-up) fixes in assemble —
+    banker's rounding had every knife-edge .5 coordinate off by one."""
+    import random as _r
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import test_ref_parity as T
+    _check(T._sink5_pdf(_r.Random(0)), "pdf", tmp_path, "hvs5")
+    _check(T._sink15_pdf(_r.Random(1)), "pdf", tmp_path, "hvs15")
+    for nm, payload in T._stress_pdfs(3).items():
+        _check(payload, "pdf", tmp_path, f"hvx_{nm}")
+
+
 @pytest.mark.parametrize("seed", [0, 3, 7, 11])
 def test_html_viewer_hocr_parity(seed, tmp_path):
     """hOCR imports: visualCoords=true bearing trimming, asc/x-height
