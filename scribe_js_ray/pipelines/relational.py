@@ -1256,3 +1256,57 @@ WHERE c_custkey NOT IN
       (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
 ORDER BY c_custkey
 """
+
+
+def events_user_mode(sf_dir: str):
+    """Distributed MODE: each user's most frequent event type, ties to
+    the lexicographically smallest type.
+
+    Shape: stage 1 pre-aggregates (user, type) counts map-side per batch
+    (the combiner rule — the exchange carries at most |users|×|types|
+    rows); stage 2 groups by (user_id, event_type) for exact counts;
+    stage 3 is a user-keyed argmax via ``map_groups`` with the
+    deterministic (n DESC, event_type ASC) tie-break.  No global sort of
+    events anywhere; event payload columns never leave the read."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+            "n_part": _pc.cast(g["event_type_count"], pa.int64()),
+        })
+
+    counts = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Sum("n_part", alias_name="n"))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"],
+                          ascending=[False, True]).head(1)
+        return g[["user_id", "event_type", "n"]]
+
+    return counts.groupby("user_id") \
+        .map_groups(argmax, batch_format="pandas") \
+        .sort("user_id")
+
+
+EVENTS_USER_MODE_SQL = """
+SELECT user_id, event_type, n
+FROM (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY count(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type
+)
+WHERE rn = 1
+ORDER BY user_id
+"""

@@ -38,7 +38,7 @@ from __future__ import annotations
 import math
 import re
 
-from ...functions.stats import js_round, round3, round6
+from ...functions.stats import js_hypot, js_round, round3, round6
 from ...functions.textnorm import calc_lang, replace_ligatures
 from ...model import BBox, Char, Line, Page, Word
 from .colorfns import color_to_rgb, rgb_to_hex
@@ -117,12 +117,16 @@ class _G:
                  "dir_x", "dir_y", "perp", "artifact", "mcid", "alpha",
                  "color")
 
-    def __init__(self, c, height):
+    def __init__(self, c, height, scale=1.0):
         self.text = c.text
-        self.x = c.x
-        self.y = height - c.y     # top-down
-        self.width = c.width
-        self.size = c.font_size
+        # px space at creation, exactly like the reference's chars
+        # (parsePdfDoc.js:1925-1929: x = pageX*scale,
+        # y = (pageHeightPts - pageY)*scale) — every downstream
+        # heuristic and Math.round then sees the same floats.
+        self.x = c.x * scale
+        self.y = (height - c.y) * scale   # top-down
+        self.width = c.width * scale
+        self.size = c.font_size * scale
         self.font = c.font
         self.family = getattr(c, "family", None) or c.font
         self.bold = c.bold
@@ -212,7 +216,7 @@ def _perp_distances(glyphs: list[_G]) -> None:
             sx += g.dir_x
             sy += g.dir_y
             k += 1
-    mag = math.hypot(sx, sy)
+    mag = js_hypot(sx, sy)
     if k == 0 or mag == 0:
         sx, sy = 1.0, 0.0
     else:
@@ -857,12 +861,13 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
     underline_rects: thin horizontal bars (top-down scaled space) matched
     against words as underlines; consumed rects get is_underline=True
     (parsePdfDoc.js:3142-3172)."""
-    page = Page(n, int(js_round(width * scale)),
-                int(js_round(height * scale)))
+    page_w_px = int(js_round(width * scale))
+    page_h_px = int(js_round(height * scale))
+    page = Page(n, page_w_px, page_h_px)
     if not chars:
         return page
 
-    glyphs = [_G(c, height) for c in chars]
+    glyphs = [_G(c, height, scale) for c in chars]
     for g in glyphs:
         if g.text.isspace():
             g.text = " "
@@ -875,7 +880,9 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
         return page
 
     has_math = _page_has_math(glyphs)
-    _virtualize(glyphs, width, height)
+    # virtual-horizontal frame uses the px page dims (the reference's
+    # groupCharsIntoPage receives pageWidth/pageHeight in px).
+    _virtualize(glyphs, page_w_px, page_h_px)
     _perp_distances(glyphs)
 
     raw_lines = _cut_lines(glyphs, has_math)
@@ -911,24 +918,25 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
         # reference's OCR coordinate convention (parsePdfDoc.js:
         # 2976-2985).  Downstream layout thresholds (leading multiples,
         # gap regimes) are knife-edge sensitive to this quantization.
-        l_left = min(js_round(c.x * scale) for c in box_chars)
-        l_right = max(js_round((c.x + c.width) * scale) for c in box_chars)
-        l_top = min(js_round((c.y - ASC_FRAC * c.size) * scale)
+        l_left = min(js_round(c.x) for c in box_chars)
+        l_right = max(js_round(c.x + c.width) for c in box_chars)
+        l_top = min(js_round(c.y - ASC_FRAC * c.size)
                     for c in box_chars)
-        l_bottom = max(js_round((c.y + DESC_FRAC * c.size) * scale)
+        l_bottom = max(js_round(c.y + DESC_FRAC * c.size)
                        for c in box_chars)
 
         normal_base = next((w.chars[0].y for w in words
                             if not w.sup and not w.dropcap and w.chars),
                            all_chars[0].y)
-        baseline_off = js_round(normal_base * scale - l_bottom)
+        baseline_off = js_round(normal_base - l_bottom)
         anchor_char = box_chars[0]
 
-        # Baseline slope from the averaged direction vector
-        # (parsePdfDoc.js:2999-3022).
+        # Baseline slope from the summed UNNORMALIZED per-char direction
+        # vectors, V8-hypot normalized at line level
+        # (parsePdfDoc.js:2996-3022; chars carry raw m0/−m1).
         sdx = sum(c.dir_x for c in box_chars)
         sdy = sum(c.dir_y for c in box_chars)
-        mag = math.hypot(sdx, sdy)
+        mag = js_hypot(sdx, sdy)
         slope = 0.0
         orientation = all_chars[0].orientation
         if mag > 0:
@@ -943,10 +951,12 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
                 slope = ndy
         slope = round6(slope)
 
+        # ascHeight = px fontSize × 0.6, x-height NOT inferred for PDF
+        # lines (parsePdfDoc.js:3020-3022 passes null).
         line = Line(page, BBox(l_left, l_top, l_right, l_bottom),
                     [slope, baseline_off],
-                    0.6 * anchor_char.size * scale,
-                    0.5 * anchor_char.size * scale)
+                    anchor_char.size * 0.6,
+                    None)
         line.orientation = orientation
 
         for wi, w in enumerate(words):
@@ -956,11 +966,11 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             wc = w.chars
             # first/last char edges, per-char rounded tops/bottoms
             # (parsePdfDoc.js:3039-3042)
-            w_left = js_round(wc[0].x * scale)
-            w_right = js_round((wc[-1].x + wc[-1].width) * scale)
-            w_top = min(js_round((c.y - ASC_FRAC * c.size) * scale)
+            w_left = js_round(wc[0].x)
+            w_right = js_round(wc[-1].x + wc[-1].width)
+            w_top = min(js_round(c.y - ASC_FRAC * c.size)
                         for c in wc)
-            w_bottom = max(js_round((c.y + DESC_FRAC * c.size) * scale)
+            w_bottom = max(js_round(c.y + DESC_FRAC * c.size)
                            for c in wc)
             # Reference id scheme (parsePdfDoc.js:3048): the word index is
             # the loop position INCLUDING whitespace-skipped specs, and the
@@ -995,13 +1005,13 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             else:
                 word.style.opacity = first_alpha.alpha
             if w.sup:
-                word.style.size = round3(wc[0].size * scale)
+                word.style.size = round3(wc[0].size)
                 word.style.sup = True
             elif w.dropcap:
-                word.style.size = round3(wc[0].size * scale)
+                word.style.size = round3(wc[0].size)
                 word.style.dropcap = True
             else:
-                word.style.size = round3(first_alpha.size * scale)
+                word.style.size = round3(first_alpha.size)
 
             if first_alpha.smallcaps:
                 word.style.small_caps = True
@@ -1009,22 +1019,22 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
                     and _CAPS_PAIR_RE.search(text):
                 word.style.small_caps = True
                 if w.sc_size > 0:
-                    word.style.size = round3(w.sc_size * scale)
+                    word.style.size = round3(w.sc_size)
 
             # Char objects; sup char boxes normalize onto the body line.
             # Math.round per component and a pre-rounded sup offset
             # (parsePdfDoc.js:3179-3191).
             chars_out = []
             for c in wc:
-                c_top = js_round((c.y - ASC_FRAC * c.size) * scale)
-                c_bottom = js_round((c.y + DESC_FRAC * c.size) * scale)
+                c_top = js_round(c.y - ASC_FRAC * c.size)
+                c_bottom = js_round(c.y + DESC_FRAC * c.size)
                 if w.sup:
-                    off = js_round((c.y - normal_base) * scale)
+                    off = js_round(c.y - normal_base)
                     c_top -= off
                     c_bottom -= off
                 chars_out.append(Char(c.text, BBox(
-                    js_round(c.x * scale), c_top,
-                    js_round((c.x + c.width) * scale), c_bottom)))
+                    js_round(c.x), c_top,
+                    js_round(c.x + c.width), c_bottom)))
 
             # Fake-small-caps lowercase restoration
             # (parsePdfDoc.js:3202-3218).
@@ -1046,8 +1056,8 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             # overhang) so a table-row divider passing under the word
             # does not read as an underline.
             if underline_rects and orientation == 0:
-                base_y = wc[0].y * scale
-                sz = wc[0].size * scale
+                base_y = wc[0].y
+                sz = wc[0].size
                 overhang = sz * 0.5
                 for rect in underline_rects:
                     if rect["right"] > w_left and rect["left"] < w_right \

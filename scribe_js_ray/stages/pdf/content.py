@@ -778,7 +778,7 @@ class TextInterpreter:
         char_spacing = 0.0
         word_spacing = 0.0
         leading = 0.0
-        h_scale = 1.0
+        tz = 100.0  # Tz horizontal scaling, raw percent
         rise = 0.0
         render_mode = 0
         # Fill (non-stroking) color state: raw components from g/rg/k,
@@ -805,50 +805,65 @@ class TextInterpreter:
                          for i in range(0, len(s) - 1, 2)]
             else:
                 codes = list(s)
-            # Per-RUN constants: the trm's linear part (scales, direction,
-            # orientation) is fixed within one show op; only the origin
-            # advances, and translate(adv)·tm·ctm == shift of tm·ctm by
-            # adv·(m0, m1).  This replaces two 6-term matrix products per
-            # GLYPH with two adds (the extraction hot path).
-            m0, m1, m2, m3, m4, m5 = _mat_mul(tm, ctm)
-            fsh = font_size * h_scale
-            t0, t1 = fsh * m0, fsh * m1          # trm[0], trm[1]
-            t2, t3 = font_size * m2, font_size * m3
-            scale_x = (t0 * t0 + t1 * t1) ** 0.5
-            eff_size = (t2 * t2 + t3 * t3) ** 0.5
-            mag = scale_x or 1.0
-            sdx, sdy = t0 / mag, -t1 / mag
-            if abs(sdx) >= abs(sdy):
-                orient = 0 if sdx >= 0 else 2
-            else:
-                orient = 1 if sdy > 0 else 3
-            rx = rise * m2 + m4
-            ry = rise * m3 + m5
+            # Per-RUN constants — the trm's linear part is fixed within
+            # one show op; positions/advances below reproduce the
+            # reference's per-glyph float operations IN ORDER
+            # (parsePdfDoc.js:1842-1955 showLiteralString), because the
+            # positioned exports round Math.round-adjacent values where
+            # a different association flips knife-edge .5 coordinates.
+            from ...functions.stats import js_hypot
+            c0, c1, c2, c3, c4, c5 = ctm
+            tm0, tm1, tm2, tm3, tm4, tm5 = tm
+            m0 = tm0 * c0 + tm1 * c2
+            m1 = tm0 * c1 + tm1 * c3
+            m2 = tm2 * c0 + tm3 * c2
+            m3 = tm2 * c1 + tm3 * c3
+            h_run = js_hypot(m0, m1)     # hScale
+            v_run = js_hypot(m2, m3)     # vScale
+            # abs((fs*v)*scale) == abs(fs*v)*scale for the positive DPI
+            # scale applied later in assembly.
+            eff_size = abs(font_size * v_run)
+            dir_x = m0
+            dir_y = -(m1)
+            dir_mag = js_hypot(dir_x, dir_y)
+            orient = 0
+            if dir_mag > 0.001:
+                ndx = dir_x / dir_mag
+                ndy = dir_y / dir_mag
+                if abs(ndx) < 0.5 and ndy >= 0.5:
+                    orient = 1
+                elif ndx <= -0.5 and abs(ndy) < 0.5:
+                    orient = 2
+                elif abs(ndx) < 0.5 and ndy <= -0.5:
+                    orient = 3
             artifact = any(t == "Artifact" for t, _ in mc_stack)
             mcid = next((m for _, m in reversed(mc_stack)
                          if m is not None), None)
             invisible = render_mode == 3
-            total_adv = 0.0
             for b in codes:
                 ch = font.decode_byte(b)
-                w_em = font.width_of(b, ch) / 1000.0
-                adv = (w_em * font_size + char_spacing
-                       + (word_spacing if (b == 0x20 and
-                                           not font.two_byte) else 0.0)
-                       ) * h_scale
+                glyph_width = font.width_of(b, ch) / 1000 * font_size
                 if ch:
+                    ox = tm2 * rise + tm4
+                    oy = tm3 * rise + tm5
+                    page_x = c0 * ox + c2 * oy + c4
+                    page_y = c1 * ox + c3 * oy + c5
                     self.chars.append(PositionedChar(
-                        ch, rx, ry, w_em * scale_x, eff_size,
+                        ch, page_x, page_y,
+                        abs(glyph_width * tz / 100) * h_run, eff_size,
                         font.name, font.bold, font.italic,
                         invisible, orientation=orient,
-                        dir_x=sdx, dir_y=sdy,
+                        dir_x=dir_x, dir_y=dir_y,
                         family=font.family, smallcaps=font.smallcaps,
                         artifact=artifact, mcid=mcid,
                         alpha=fill_alpha, color=text_color))
-                rx += adv * m0
-                ry += adv * m1
-                total_adv += adv
-            tm = _mat_mul((1, 0, 0, 1, total_adv, 0), tm)
+                adv = (glyph_width + char_spacing
+                       + (word_spacing if (b == 0x20 and
+                                           not font.two_byte) else 0.0)
+                       ) * tz / 100
+                tm4 += adv * tm0
+                tm5 += adv * tm1
+            tm = (tm0, tm1, tm2, tm3, tm4, tm5)
 
         for operands, op in (tokens if tokens is not None
                              else tokenize_content(content)):
@@ -858,14 +873,14 @@ class TextInterpreter:
                     # color/alpha are graphics-state parameters too
                     # (parsePdfDoc.js:1448-1479 q/Q push/pop set).
                     gs_stack.append((ctm, render_mode, char_spacing,
-                                     word_spacing, h_scale, leading, rise,
+                                     word_spacing, tz, leading, rise,
                                      font, font_size, text_color,
                                      fill_tint, fill_alpha))
                 elif op == "Q":
                     if gs_stack:
                         saved = gs_stack.pop()
                         (ctm, render_mode, char_spacing, word_spacing,
-                         h_scale, leading, rise, font, font_size,
+                         tz, leading, rise, font, font_size,
                          text_color, fill_tint, fill_alpha) = saved
                 elif op == "cm" and len(operands) == 6:
                     ctm = _mat_mul(tuple(float(v) for v in operands), ctm)
@@ -913,7 +928,7 @@ class TextInterpreter:
                 elif op == "Tw" and operands:
                     word_spacing = float(operands[0])
                 elif op == "Tz" and operands:
-                    h_scale = float(operands[0]) / 100.0
+                    tz = float(operands[0])
                 elif op == "Ts" and operands:
                     rise = float(operands[0])
                 elif op == "Tr" and operands:
@@ -968,8 +983,13 @@ class TextInterpreter:
                         if isinstance(item, bytes):
                             show_string(item)
                         elif isinstance(item, (int, float)):
-                            adv = -item / 1000.0 * font_size * h_scale
-                            tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
+                            # ref TJ kern: tm[4] -= adj*tm[0] etc., with
+                            # the exact (v/1000*fontSize*tz)/100 chain
+                            # (parsePdfDoc.js:1639-1642)
+                            adj = item / 1000 * font_size * tz / 100
+                            t0_, t1_, t2_, t3_, t4_, t5_ = tm
+                            tm = (t0_, t1_, t2_, t3_,
+                                  t4_ - adj * t0_, t5_ - adj * t1_)
                 elif op == "Do" and operands and xobjects and depth < 8:
                     # Form XObject recursion (parsePdfDoc.js:329-372 analog).
                     xo = pdf.resolve(xobjects.get(str(operands[0])))
