@@ -71,6 +71,12 @@ def test_html_viewer_sink_pdf_parity(tmp_path):
     import test_ref_parity as T
     _check(T._sink5_pdf(_r.Random(0)), "pdf", tmp_path, "hvs5")
     _check(T._sink15_pdf(_r.Random(1)), "pdf", tmp_path, "hvs15")
+    # sink8 seed 9 pinned the float-op-order port: the 'New' word's
+    # right edge lands on an exact .5 px boundary that only the
+    # reference-ordered product chain rounds up.
+    _check(T._sink8_pdf(_r.Random(9)), "pdf", tmp_path, "hvs8u")
+    # image-native PDF: the reference still emits the writeHtml skeleton
+    _check(T._sink2_pdf(_r.Random(2)), "pdf", tmp_path, "hvimg")
     for nm, payload in T._stress_pdfs(3).items():
         _check(payload, "pdf", tmp_path, f"hvx_{nm}")
 
