@@ -25,7 +25,7 @@ from __future__ import annotations
 import math
 import re
 
-from ..functions.stats import mean50, quantile, round6
+from ..functions.stats import js_round, mean50, quantile, round6
 from ..functions.textnorm import ASC_CHARS, X_CHARS, unescape_xml
 from ..model import BBox, Char, Line, Page, Par, Word, bbox_union
 from .shared import pass3
@@ -181,16 +181,16 @@ def parse_abbyy_page(ocr_str: str, n: int):
                 l0, t0 = int(lm.group(2)), int(lm.group(3))
                 r0, b0 = int(lm.group(4)), int(lm.group(5))
                 if text_orient_final == 1:
-                    bbox = BBox(round(t0), round(width - max(r0, l0)),
-                                round(b0), round(width - min(l0, l0)))
+                    bbox = BBox(js_round(t0), js_round(width - max(r0, l0)),
+                                js_round(b0), js_round(width - min(l0, l0)))
                 elif text_orient_final == 2:
-                    bbox = BBox(round(width - r0), round(height - b0),
-                                round(width - l0), round(height - t0))
+                    bbox = BBox(js_round(width - r0), js_round(height - b0),
+                                js_round(width - l0), js_round(height - t0))
                 elif text_orient_final == 3:
-                    bbox = BBox(round(height - b0), round(min(l0, l0)),
-                                round(height - t0), round(max(r0, r0)))
+                    bbox = BBox(js_round(height - b0), js_round(min(l0, l0)),
+                                js_round(height - t0), js_round(max(r0, r0)))
                 else:
-                    bbox = BBox(round(l0), round(t0), round(r0), round(b0))
+                    bbox = BBox(js_round(l0), js_round(t0), js_round(r0), js_round(b0))
                 bboxes[i].append(bbox)
 
                 letter_susp = lm.group(6) in ("1", "true")
@@ -238,7 +238,7 @@ def parse_abbyy_page(ocr_str: str, n: int):
         baseline_point = baseline_point or 0
 
         line = Line(page, BBox(*calc),
-                    [round6(baseline_slope), round(baseline_point)])
+                    [round6(baseline_slope), js_round(baseline_point)])
         line.orientation = text_orient_final
 
         letters_kept = 0

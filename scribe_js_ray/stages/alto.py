@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 from ..functions.textnorm import ASC_CHARS, X_CHARS, unescape_xml
+from ..functions.stats import js_round
 from ..model import BBox, Line, Page, Par, Word, bbox_union
 from .shared import pass2, pass3
 
@@ -80,7 +81,7 @@ def parse_alto_page(ocr_str: str, n: int):
             word = Word(line, wid, text, wbox)
             wc = _attr(content_match, "WC")
             if wc:
-                word.conf = round(float(wc) * 100)
+                word.conf = js_round(float(wc) * 100)
             style_attr = _attr(content_match, "STYLE")
             if style_attr:
                 sa = style_attr.lower()
@@ -113,7 +114,7 @@ def parse_alto_page(ocr_str: str, n: int):
             line.baseline[1] = median_bottom - line.bbox.bottom
         elif line.words:
             line_height = line.bbox.bottom - line.bbox.top
-            line.baseline[1] = -round(line_height * 0.25)
+            line.baseline[1] = -js_round(line_height * 0.25)
 
         # x-height from x-height-only words (convertPageAlto.js:180-206)
         xonly = [w for w in line.words
@@ -126,8 +127,8 @@ def parse_alto_page(ocr_str: str, n: int):
         else:
             baseline_y = line.bbox.bottom + line.baseline[1]
             top_to_baseline = baseline_y - line.bbox.top
-            line.x_height = round(top_to_baseline) if not has_asc \
-                else round(top_to_baseline * 0.67)
+            line.x_height = js_round(top_to_baseline) if not has_asc \
+                else js_round(top_to_baseline * 0.67)
 
         page.lines.append(line)
         return line

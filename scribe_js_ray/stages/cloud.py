@@ -604,13 +604,13 @@ def parse_azure_doc_intel(ocr_str: str, page_dims=None) -> list[Page]:
                 # (our standalone extension; the reference throws,
                 # convertDocAzureDocIntel.js:48-49).
                 mult_w = mult_h = 72.0 if pd.get("unit") == "inch" else 1.0
-                dims = (round(pw * mult_w), round(ph * mult_h))
+                dims = (js_round(pw * mult_w), js_round(ph * mult_h))
         else:
             # Pixel-unit coordinates stay unscaled, but the paired page
             # metrics still set the page size (js:37 uses pageDimsN
             # unconditionally).
             mult_w = mult_h = 1.0
-            dims = dims_n if dims_n else (round(pw), round(ph))
+            dims = dims_n if dims_n else (js_round(pw), js_round(ph))
         page = Page(n, dims[0], dims[1])
         page.text_source = "azure_doc_intel"
         words_pd = pd.get("words") or []

@@ -15,6 +15,7 @@ the writer loop itself stays byte-faithful.
 
 from __future__ import annotations
 
+from ..functions.stats import js_round
 from ..model import FURNITURE_TYPES
 from .reflow import assign_paragraphs
 
@@ -105,13 +106,13 @@ def write_text_spans(pages, reflow_text=False, line_numbers=False,
                         emit(f"{g}:{h}  ")
                     current_pos = prefix_len
                     if preserve_spacing and page_width > 0:
-                        target = prefix_len + round(
+                        target = prefix_len + js_round(
                             word.bbox.left / page_width * LINE_WIDTH)
                         pad = max(0, target - current_pos)
                         emit(" " * pad)
                         current_pos = target + len(word.text)
                 elif preserve_spacing and page_width > 0:
-                    target = prefix_len + round(
+                    target = prefix_len + js_round(
                         word.bbox.left / page_width * LINE_WIDTH)
                     pad = max(1, target - current_pos)
                     emit(" " * pad)

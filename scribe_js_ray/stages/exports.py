@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 
-from ..functions.stats import round6
+from ..functions.stats import js_round, round6
 from ..functions.textnorm import escape_xml
 from ..model import get_word_style_segments
 
@@ -105,7 +105,7 @@ def write_hocr(pages) -> str:
                 f"{line.bbox.left} {line.bbox.top} {line.bbox.right} "
                 f"{line.bbox.bottom}")
             out.append(f"; baseline {round6(line.baseline[0])} "
-                       f"{round(line.baseline[1])}")
+                       f"{js_round(line.baseline[1])}")
             if line.x_height:
                 out.append(f"; x_x_height {line.x_height}")
             if line.asc_height:
@@ -114,10 +114,10 @@ def write_hocr(pages) -> str:
             for word in line.words:
                 out.append(f"\n\t\t\t<span class='ocrx_word' "
                            f"id='{word.id}' title='")
-                out.append(f"bbox {round(word.bbox.left)} "
-                           f"{round(word.bbox.top)} "
-                           f"{round(word.bbox.right)} "
-                           f"{round(word.bbox.bottom)}")
+                out.append(f"bbox {js_round(word.bbox.left)} "
+                           f"{js_round(word.bbox.top)} "
+                           f"{js_round(word.bbox.right)} "
+                           f"{js_round(word.bbox.bottom)}")
                 out.append(f";x_wconf {word.conf}")
                 if word.style.font and word.style.font != "Default":
                     out.append(f";x_font {word.style.font}")
@@ -393,10 +393,10 @@ def write_alto(pages) -> str:
                 if block_index > 0:
                     out.append("</TextBlock>\n")
                 par_current = line.par
-                bl = round(line.bbox.left)
-                bt = round(line.bbox.top)
-                br = round(line.bbox.right)
-                bb = round(line.bbox.bottom)
+                bl = js_round(line.bbox.left)
+                bt = js_round(line.bbox.top)
+                br = js_round(line.bbox.right)
+                bb = js_round(line.bbox.bottom)
                 style_counts: dict[str, int] = {}
                 lang_counts: dict[str, int] = {}
                 for j in range(li, len(page.lines)):
@@ -406,10 +406,10 @@ def write_alto(pages) -> str:
                     if j > li and nxt.par is not par_current:
                         break
                     if j > li:
-                        bl = min(bl, round(nxt.bbox.left))
-                        bt = min(bt, round(nxt.bbox.top))
-                        br = max(br, round(nxt.bbox.right))
-                        bb = max(bb, round(nxt.bbox.bottom))
+                        bl = min(bl, js_round(nxt.bbox.left))
+                        bt = min(bt, js_round(nxt.bbox.top))
+                        br = max(br, js_round(nxt.bbox.right))
+                        bb = max(bb, js_round(nxt.bbox.bottom))
                     for w in nxt.words:
                         if w.style.font or w.style.size:
                             sid = style_id(w.style.font or "",
@@ -433,13 +433,13 @@ def write_alto(pages) -> str:
                 out.append(">\n")
                 block_index += 1
 
-            lt, ll = round(line.bbox.top), round(line.bbox.left)
-            lr, lb = round(line.bbox.right), round(line.bbox.bottom)
+            lt, ll = js_round(line.bbox.top), js_round(line.bbox.left)
+            lr, lb = js_round(line.bbox.right), js_round(line.bbox.bottom)
             out.append(f'<TextLine HEIGHT="{lb - lt}" WIDTH="{lr - ll}" '
                        f'VPOS="{lt}" HPOS="{ll}">')
             for wi, w in enumerate(line.words):
-                wl, wt = round(w.bbox.left), round(w.bbox.top)
-                wr, wb = round(w.bbox.right), round(w.bbox.bottom)
+                wl, wt = js_round(w.bbox.left), js_round(w.bbox.top)
+                wr, wb = js_round(w.bbox.right), js_round(w.bbox.bottom)
                 attrs = []
                 if w.style.bold:
                     attrs.append("bold")
@@ -469,7 +469,7 @@ def write_alto(pages) -> str:
                            f'VPOS="{wt}" HPOS="{wl}"/>')
                 if wi < len(line.words) - 1:
                     nxt_w = line.words[wi + 1]
-                    sp = round(nxt_w.bbox.left) - wr - 2
+                    sp = js_round(nxt_w.bbox.left) - wr - 2
                     if sp > 0:
                         out.append(f'<SP WIDTH="{sp}" VPOS="{wt}" '
                                    f'HPOS="{wr + 1}"/>')

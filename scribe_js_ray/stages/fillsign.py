@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 
 from ..functions.textnorm import calc_lang
+from ..functions.stats import js_round
 from ..model import BBox, Line, Page, Word
 from .pdf.widths import base14_widths, char_width
 
@@ -125,9 +126,9 @@ def sync_fill_text(page: Page, row: dict, prev_bbox: BBox | None = None):
         if not tokens:
             continue
         lift_idx += 1
-        line_obj = Line(page, BBox(left, round(line_top), left,
-                                   round(line_top + line_h)),
-                        [0, round(baseline_y) - round(line_top + line_h)],
+        line_obj = Line(page, BBox(left, js_round(line_top), left,
+                                   js_round(line_top + line_h)),
+                        [0, js_round(baseline_y) - js_round(line_top + line_h)],
                         asc_height=asc)
         x = float(left)
         space_adv = font_size * 0.278
@@ -135,25 +136,25 @@ def sync_fill_text(page: Page, row: dict, prev_bbox: BBox | None = None):
         x += lead_ws * space_adv
         for wi, tok in enumerate(tokens):
             w = Word(line_obj, f"word_{n + 1}_txt{seq}e{lift_idx}_{wi + 1}",
-                     tok, BBox(round(x), round(line_top), round(x) + 1,
-                               round(line_top + line_h)))
+                     tok, BBox(js_round(x), js_round(line_top), js_round(x) + 1,
+                               js_round(line_top + line_h)))
             w.conf = 100
             w.lang = calc_lang(tok)
             w.style.font = "Helvetica"
             w.visual_coords = False  # fillSign.js:83
-            w.style.size = round(font_size * 1000) / 1000
+            w.style.size = js_round(font_size * 1000) / 1000
             width = _helv_width(tok, font_size)
-            w.bbox = BBox(round(x), round(baseline_y - asc),
-                          round(x + width), round(baseline_y + desc))
+            w.bbox = BBox(js_round(x), js_round(baseline_y - asc),
+                          js_round(x + width), js_round(baseline_y + desc))
             line_obj.words.append(w)
             x += width + space_adv
-        line_obj.bbox.right = round(x - space_adv)
+        line_obj.bbox.right = js_round(x - space_adv)
         max_right = max(max_right, line_obj.bbox.right)
         new_lines.append(line_obj)
 
     row["bbox"] = BBox(left, top,
-                       max(max_right, left + round(font_size)),
-                       round(top + max(1, len(text_lines)) * line_h))
+                       max(max_right, left + js_round(font_size)),
+                       js_round(top + max(1, len(text_lines)) * line_h))
     for line_obj in new_lines:
         at = next((i for i, ln in enumerate(page.lines)
                    if ln.bbox.top > line_obj.bbox.top), None)
@@ -349,8 +350,8 @@ def detect_fill_targets(page: Page, page_size_pt: float | None = None,
                 return
             run, cur = cur, None
             run_w = run["right"] - run["left"]
-            bbox = BBox(round(run["left"]), run["top"],
-                        round(run["right"]), run["bottom"])
+            bbox = BBox(js_round(run["left"]), run["top"],
+                        js_round(run["right"]), run["bottom"])
             mid = (run["top"] + run["bottom"]) / 2
             occupied = any(
                 o.bbox.top < run["bottom"]
@@ -470,8 +471,8 @@ def detect_fill_targets(page: Page, page_size_pt: float | None = None,
                         for l, r in segments:
                             targets.append({
                                 "kind": "blank",
-                                "bbox": BBox(round(l), run["top"],
-                                             round(r), run["bottom"]),
+                                "bbox": BBox(js_round(l), run["top"],
+                                             js_round(r), run["bottom"]),
                                 "source": "underscore"})
                         return
             targets.append({"kind": "blank", "bbox": bbox,

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import re
 
-from ..functions.stats import quantile
+from ..functions.stats import js_round, quantile
 from ..model import Page, Par, bbox_union
 from .reflow import assign_paragraphs
 
@@ -1149,7 +1149,7 @@ def _heading_signature_model(feats, body_size, page_columns, col_width,
             + ("i" if f.italic > 0.6 else "") \
             + ("c" if f.all_caps else "")
         fam = _SUBSET_PREFIX_RE.sub("", f.family)
-        f.sig_key = f"{round(f.size * 2) / 2}|{flags}|{fam}|{f.color}"
+        f.sig_key = f"{js_round(f.size * 2) / 2}|{flags}|{fam}|{f.color}"
         if f.line_num or f.folio or f.in_table or f.endnote \
                 or f.footnote_block or f.artifact_frac > 0.6 \
                 or id(f) in furniture_ids:
@@ -2230,7 +2230,7 @@ def analyze_layout(pages: list, outline_titles=None,
             # silently disabled by an unrelated per-page error
             detected = []
         if detected:
-            existing = {(round(t["left"]), round(t["top"]))
+            existing = {(js_round(t["left"]), js_round(t["top"]))
                         for t in page.table_boxes}
             for bb in detected:
                 numeric = total = 0
@@ -2248,7 +2248,7 @@ def analyze_layout(pages: list, outline_titles=None,
                             numeric += 1
                 if total < 6 or numeric / total < 0.5:
                     continue
-                key = (round(bb.left), round(bb.top))
+                key = (js_round(bb.left), js_round(bb.top))
                 if key not in existing:
                     existing.add(key)
                     page.table_boxes.append({

@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 import re
 
-from ..functions.stats import quantile
+from ..functions.stats import js_round, quantile
 from .layout import _cluster_peaks, _column_for
 
 _INF = math.inf
@@ -304,7 +304,7 @@ def build_par_model(pages, feats, body_size, page_columns, schemes):
     if not indent_active and para_gap_thresh == _INF:
         bins: dict[int, int] = {}
         for x in pitches:
-            b = round(x / 5) * 5
+            b = js_round(x / 5) * 5
             bins[b] = bins.get(b, 0) + 1
         body_pitch = max(bins, key=bins.get) if bins else 0
         big_in_band = isolated_in_band = 0

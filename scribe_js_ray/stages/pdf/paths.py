@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 
+from ...functions.stats import js_round
 from .content import _mat_mul, tokenize_content
 from .objects import StreamObj
 
@@ -281,8 +282,8 @@ def harvest_page_graphics(paths: list[PaintedPath], height_pt: float,
     # Collapse white-fill + stroke twin squares (parsePdfDoc.js:986-996).
     by_key = {}
     for sq in fill_squares:
-        key = (round(sq["left"]), round(sq["top"]),
-               round(sq["right"]), round(sq["bottom"]))
+        key = (js_round(sq["left"]), js_round(sq["top"]),
+               js_round(sq["right"]), js_round(sq["bottom"]))
         prev = by_key.get(key)
         if prev:
             prev["stroke"] = prev["stroke"] or sq["stroke"]

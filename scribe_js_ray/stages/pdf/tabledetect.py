@@ -832,8 +832,8 @@ def detect_segmented_hline_tables(cluster, header_fills, page):
         if not segs or len(segs) < 2:
             continue
         s = sorted(segs, key=lambda x: x["left"])
-        # Math.round is half-UP; Python's round() is banker's — a .5
-        # break point must land like the JS (found by fuzz seed 28).
+        # Math.round is half-UP; Python's built-in round is banker's — a
+        # .5 break point must land like the JS (found by fuzz seed 28).
         from ...functions.stats import js_round
         breaks = [js_round(s[i]["right"]) for i in range(len(s) - 1)]
         row_breaks.append({"y": hl["y"], "breaks": breaks,

@@ -16,7 +16,7 @@ from __future__ import annotations
 import math
 import re
 
-from ..functions.stats import mean50, round6
+from ..functions.stats import js_round, mean50, round6
 from ..functions.textnorm import calc_lang, unescape_xml
 from ..model import BBox, Char, Line, Page, Par, Word, bbox_union, \
     update_line_bbox
@@ -307,27 +307,27 @@ def parse_stext_page(ocr_str: str, n: int):
                 q = ev.quad
                 ox, oy = ev.origin
                 if orientation == 1:
-                    bbox = BBox(round(oy),
-                                round(width - max(q["ur"][0], q["lr"][0])),
-                                round(oy + (q["lr"][1] - q["ur"][1])),
-                                round(width - min(q["ul"][0], q["ll"][0])))
+                    bbox = BBox(js_round(oy),
+                                js_round(width - max(q["ur"][0], q["lr"][0])),
+                                js_round(oy + (q["lr"][1] - q["ur"][1])),
+                                js_round(width - min(q["ul"][0], q["ll"][0])))
                 elif orientation == 2:
-                    bbox = BBox(round(width - ox),
-                                round(height - max(q["ll"][1], q["lr"][1])),
-                                round(width - (ox - (q["ur"][0] -
+                    bbox = BBox(js_round(width - ox),
+                                js_round(height - max(q["ll"][1], q["lr"][1])),
+                                js_round(width - (ox - (q["ur"][0] -
                                                      q["ul"][0]))),
-                                round(height - min(q["ul"][1], q["ur"][1])))
+                                js_round(height - min(q["ul"][1], q["ur"][1])))
                 elif orientation == 3:
-                    bbox = BBox(round(height - oy),
-                                round(min(q["ul"][0], q["ll"][0])),
-                                round(height - oy + (q["lr"][1] -
+                    bbox = BBox(js_round(height - oy),
+                                js_round(min(q["ul"][0], q["ll"][0])),
+                                js_round(height - oy + (q["lr"][1] -
                                                      q["ur"][1])),
-                                round(max(q["ur"][0], q["lr"][0])))
+                                js_round(max(q["ur"][0], q["lr"][0])))
                 else:
-                    bbox = BBox(round(ox),
-                                round(min(q["ul"][1], q["ur"][1])),
-                                round(ox + (q["ur"][0] - q["ul"][0])),
-                                round(max(q["ll"][1], q["lr"][1])))
+                    bbox = BBox(js_round(ox),
+                                js_round(min(q["ul"][1], q["ur"][1])),
+                                js_round(ox + (q["ur"][0] - q["ul"][0])),
+                                js_round(max(q["ll"][1], q["lr"][1])))
 
                 if not super_current and not baseline_first:
                     if orientation == 1:
@@ -391,7 +391,7 @@ def parse_stext_page(ocr_str: str, n: int):
         letter_height = font_size_line * 0.6
 
         line = Line(page, line_bbox,
-                    [round6(baseline_slope), round(baseline_point)],
+                    [round6(baseline_slope), js_round(baseline_point)],
                     letter_height, None)
         line.orientation = orientation
 

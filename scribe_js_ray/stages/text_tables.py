@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import re
 
+from ..functions.stats import js_round
 from ..model import BBox
 
 _NUM_TOKEN_RE = re.compile(r"^[\d,$%.()+-]+$")
@@ -321,8 +322,8 @@ def validate_candidate(cand, lines) -> bool:
     right_counts: dict[int, int] = {}
     for r in rows:
         for j in r["idx"]:
-            lx = round(lines[j].bbox.left / 5) * 5
-            rx = round(lines[j].bbox.right / 5) * 5
+            lx = js_round(lines[j].bbox.left / 5) * 5
+            rx = js_round(lines[j].bbox.right / 5) * 5
             left_counts[lx] = left_counts.get(lx, 0) + 1
             right_counts[rx] = right_counts.get(rx, 0) + 1
     align_min = max(2, len(rows) * 0.3)

@@ -341,7 +341,7 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
             if line.words:
                 # line bbox right = last word's ROUNDED right edge
                 # (convertDocDocx.js:888-894), unlike convertPageText's
-                # round(currentX) incl. trailing whitespace.
+                # Math.round(currentX) incl. trailing whitespace.
                 line.bbox = BBox(line.words[0].bbox.left, line_top,
                                  line.words[-1].bbox.right, line_bottom)
                 page.lines.append(line)
