@@ -267,3 +267,80 @@ def make_pdf_styles(r: random.Random) -> bytes:
     ts.flow(_paragraph_words(r, 2), font="F3")
     return _make_pdf([ts.stream()], {"F1": "Helvetica", "F2": "Helvetica-Bold",
                                      "F3": "Times-Roman"})
+
+
+def make_pdf_textstate(r: random.Random) -> bytes:
+    """Aggressive text-state fuzz: randomized Tz (horizontal scaling),
+    Ts (rise), Tc/Tw (char/word spacing), TL+T*, TD, Tm-with-scale and
+    mixed TJ arrays — the operator combinations whose per-glyph float-op
+    ORDER the interpreter reproduces bit-exactly (showLiteralString,
+    parseContent.js; see stages/pdf/content.py _show docstring).  Built
+    for the live-reference parity battery: every page stays a plain
+    WinAnsi base-14 document the reference's native-text path accepts."""
+    from .synth import _sentence
+    words = lambda n: " ".join(_sentence(r, n)[:-1])
+    ops = []
+    y = _PAGE_H - _MARGIN
+    fonts = ["F1", "F2", "F3"]
+
+    # 1. Tz chain: scale changes mid-line (raw-Tz factorization path).
+    y -= 24
+    tz_a, tz_b = r.choice([50, 75, 80, 120, 150]), r.choice([90, 110, 130])
+    ops.append(
+        f"BT /F1 12 Tf {tz_a} Tz {_MARGIN:.2f} {y:.2f} Td "
+        f"({_esc(words(3))}) Tj {tz_b} Tz ( {_esc(words(2))}) Tj "
+        f"100 Tz ET")
+
+    # 2. Ts rise markers: superscript/subscript runs inside a line.
+    y -= 22
+    rise = r.choice([2.5, 3.0, 3.5])
+    base = words(2)
+    ops.append(
+        f"BT /F1 12 Tf {_MARGIN:.2f} {y:.2f} Td ({_esc(base)}) Tj "
+        f"{rise} Ts /F1 8 Tf ({r.randint(1, 24)}) Tj 0 Ts /F1 12 Tf "
+        f"( {_esc(words(2))}) Tj "
+        f"{-rise} Ts /F1 8 Tf (n{r.randint(0, 9)}) Tj 0 Ts ET")
+
+    # 3. Tc/Tw spacing: tracked heading + word-spaced body line.
+    y -= 26
+    tc = round(r.uniform(0.4, 1.6), 2)
+    ops.append(
+        f"BT /F2 14 Tf {tc} Tc {_MARGIN:.2f} {y:.2f} Td "
+        f"({_esc(words(2).upper())}) Tj 0 Tc ET")
+    y -= 18
+    tw = round(r.uniform(1.0, 4.0), 2)
+    ops.append(
+        f"BT /F1 11 Tf {tw} Tw {_MARGIN:.2f} {y:.2f} Td "
+        f"({_esc(words(5))}) Tj 0 Tw ET")
+
+    # 4. TL + T* flow with a TD (negative-leading setter) interruption.
+    y -= 24
+    tl = r.choice([13.0, 14.5, 16.0])
+    body = [words(r.randint(3, 6)) for _ in range(3)]
+    ops.append(
+        f"BT /F1 11 Tf {tl} TL {_MARGIN:.2f} {y:.2f} Td "
+        f"({_esc(body[0])}) Tj T* ({_esc(body[1])}) Tj "
+        f"12 {-tl - 2:.1f} TD ({_esc(body[2])}) Tj ET")
+    y -= 3 * tl + 10
+
+    # 5. Tm with non-unit scale (font size inherited through the matrix)
+    #    + a TJ array mixing kern offsets and spacing.
+    sc = r.choice([0.75, 1.25, 1.5])
+    f = r.choice(fonts)
+    w1, w2 = _sentence(r, 2)[0], _sentence(r, 2)[0]
+    ops.append(
+        f"BT /{f} 10 Tf {sc} 0 0 {sc} {_MARGIN + 8:.2f} {y:.2f} Tm "
+        f"[({_esc(w1[:2])}) {r.randint(-30, -8)} ({_esc(w1[2:])}) "
+        f"-260 ({_esc(w2)}) {r.randint(40, 90)} ({_esc(words(1))})] TJ ET")
+    y -= 20 * sc + 6
+
+    # 6. ' and " show-with-newline operators.
+    ops.append(
+        f"BT /F1 11 Tf 14 TL {_MARGIN:.2f} {y:.2f} Td "
+        f"({_esc(words(3))}) Tj ({_esc(words(3))}) ' "
+        f"{round(r.uniform(0.5, 2.0), 2)} {round(r.uniform(0.05, 0.3), 2)} "
+        f"({_esc(words(3))}) \" ET")
+
+    return _make_pdf(["\n".join(ops)],
+                     {"F1": "Helvetica", "F2": "Helvetica-Bold",
+                      "F3": "Times-Roman"})

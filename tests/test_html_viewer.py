@@ -228,3 +228,13 @@ def test_update_line_bbox_adjusts_baseline():
     update_line_bbox(line)
     assert line.bbox.bottom == 200
     assert line.baseline[1] == 0
+
+
+@pytest.mark.parametrize("seed", [1, 9, 15])
+def test_html_viewer_textstate_parity(seed, tmp_path):
+    """Positioned-HTML parity under the sink23 text-state fuzz — the
+    coordinate surface catches per-glyph float divergence the reflowed
+    text cannot (16-seed html+md sweep clean at pin time)."""
+    from scribe_js_ray.sources.synth_pdf import make_pdf_textstate
+    _check(make_pdf_textstate(random.Random(seed)), "pdf", tmp_path,
+           f"hvts{seed}")

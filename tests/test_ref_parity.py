@@ -3477,3 +3477,20 @@ def test_gvision_scaled_dims_parity(tmp_path):
     js, n_pages = _gen_gvision(7)
     _check_gvision_pair(js, n_pages, tmp_path, "gvs",
                         fmts=("text",), page_wh=(842, 1191))
+
+
+@pytest.mark.parametrize("seed", [0, 7, 13, 21, 28])
+def test_textstate_fuzz_parity(seed, tmp_path):
+    """Aggressive text-state operator fuzz (sink23): Tz scale chains,
+    Ts rise runs, Tc/Tw spacing, TL+T*/TD flows, scaled Tm + mixed TJ
+    arrays, '/" show operators — text AND markdown byte-identical vs
+    the live reference (30-seed sweep clean at pin time)."""
+    from scribe_js_ray.sources.synth_pdf import make_pdf_textstate
+    import random as _random
+    data = make_pdf_textstate(_random.Random(seed))
+    p = tmp_path / f"ts{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"ts{seed} text"
+    ours = extract_document("u", data, "", "eng", emit_format="markdown")
+    assert ours["extracted_text"] == _ref_fmt(str(p), "md"), f"ts{seed} md"
