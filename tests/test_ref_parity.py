@@ -3494,3 +3494,39 @@ def test_textstate_fuzz_parity(seed, tmp_path):
         == _ref_extract(str(p)), f"ts{seed} text"
     ours = extract_document("u", data, "", "eng", emit_format="markdown")
     assert ours["extracted_text"] == _ref_fmt(str(p), "md"), f"ts{seed} md"
+
+
+@pytest.mark.parametrize("rot", [90, 180, 270])
+def test_page_rotate_parity(rot, tmp_path):
+    """/Rotate N pages: the base CTM un-rotates into the natural reading
+    frame (parsePdfDoc.js:476, doc.py base-CTM comment) — reflowed text
+    byte-identical vs the live reference (12-case sweep clean at pin
+    time: rot 0/90/180/270 x 3 seeds)."""
+    import random as _random
+
+    from scribe_js_ray.sources.synth import _paragraph_words
+    from scribe_js_ray.sources.synth_pdf import (_PAGE_H, _PAGE_W,
+                                                 PdfWriter, _Typesetter)
+    r = _random.Random(rot)
+    ts = _Typesetter()
+    ts.flow(_paragraph_words(r, 2))
+    ts.y -= 10
+    ts.flow(_paragraph_words(r, 1), font="F2", size=14)
+    data = ts.stream().encode("latin-1")
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+           f"{_PAGE_H}] /Rotate {rot} /Resources << /Font "
+           f"<< /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >>").encode())
+    w.add(f"<< /Length {len(data)} >>\nstream\n".encode() + data
+          + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold "
+          b"/Encoding /WinAnsiEncoding >>")
+    payload = w.build()
+    p = tmp_path / f"rot{rot}.pdf"
+    p.write_bytes(payload)
+    assert extract_document("u", payload, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"rot{rot}"
