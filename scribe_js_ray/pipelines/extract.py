@@ -234,7 +234,8 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                      reflow: bool = True, drop_furniture: bool = False,
                      emit_format: str = "text", edits: list | None = None,
                      emit_opts: dict | None = None,
-                     source_payload: bytes | None = None):
+                     source_payload: bytes | None = None,
+                     _retry: bool = True):
     """Pure per-document extraction; returns a flat result dict.
 
     ``emit_format``: "text" (byte-identical golden surface, default),
@@ -431,6 +432,21 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
         else:  # empty
             out.update(doc_type="image")
     except Exception as exc:  # poison documents must never kill the job
+        if _retry:
+            # Deterministic-output contract: a TRANSIENT fault (fd/
+            # memory pressure on a loaded host) must not turn into a
+            # per-row error and change downstream counts between two
+            # runs over identical input.  One recompute heals
+            # transients; genuinely poison documents fail identically
+            # twice (they're cheap — the parse aborts early) and land
+            # in the error column as before.
+            return extract_document(url, payload, text, lang,
+                                    reflow=reflow,
+                                    drop_furniture=drop_furniture,
+                                    emit_format=emit_format, edits=edits,
+                                    emit_opts=emit_opts,
+                                    source_payload=source_payload,
+                                    _retry=False)
         out["error"] = f"{type(exc).__name__}: {exc}"[:500]
         out["extracted_text"] = ""
         out["spans"] = []
