@@ -2359,7 +2359,7 @@ def _sink14_docx(r):
 
 
 @pytest.mark.parametrize("seed", [0, 2, 7, 31, 44])
-def test_kitchen_sink14_parity(seed, tmp_path):
+def test_kitchen_sink14_docx_parity(seed, tmp_path):
     data = _sink14_docx(random.Random(seed))
     p = tmp_path / f"sink14_{seed}.docx"
     p.write_bytes(data)
