@@ -432,6 +432,22 @@ def decode_stream(stream: StreamObj, resolve) -> bytes:
     return data
 
 
+# "/Encrypt" followed by a non-identifier char (rejects /Encryptable),
+# PDF whitespace, objnum, gen, 'R' — the raw-byte shape pdfCrypto.js
+# findEncryptRef (:843-874) accepts; the LAST occurrence wins.
+_ENCRYPT_REF_PAT = re.compile(
+    rb"/Encrypt(?![0-9A-Za-z_])[\x00\t\n\x0c\r ]+(\d+)"
+    rb"[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+R")
+
+
+def _find_encrypt_ref(data: bytes):
+    """Object number of the last raw ``/Encrypt N G R``, or None."""
+    num = None
+    for m in _ENCRYPT_REF_PAT.finditer(data):
+        num = int(m.group(1))
+    return num
+
+
 class PdfFile:
     """Parsed PDF: lazy object table with xref + scan fallback."""
 
@@ -452,21 +468,34 @@ class PdfFile:
         if "Root" not in self.trailer:
             self._find_root_by_scan()
         # Standard security handler (empty user password): decrypts stream
-        # bytes transparently in get_object (pdfCrypto.js analog).
+        # bytes transparently in get_object.  Discovery mirrors the
+        # reference (pdfCrypto.js findEncryptRef :843-874 +
+        # setupEncryption :960-): the /Encrypt entry is found by a RAW
+        # byte scan for the LAST "/Encrypt N G R" occurrence — only the
+        # indirect form counts; an inline trailer dict (`/Encrypt << >>`)
+        # is ignored, leaving streams undecrypted exactly as the
+        # reference does (the doc then classifies image-type and exports
+        # blank).  The raw scan also survives a trailer our xref walk
+        # failed to parse.
         self.crypt = None
         self._encrypt_num = None
-        enc_ref = self.trailer.get("Encrypt")
-        if enc_ref is not None:
+        enc_num = _find_encrypt_ref(data)
+        if enc_num is not None:
             from .crypto import StandardSecurityHandler
-            if isinstance(enc_ref, Ref):
-                self._encrypt_num = enc_ref.num
-            enc = self.resolve(enc_ref)
+            self._encrypt_num = enc_num
+            enc = self.resolve(Ref(enc_num, 0))
             ids = self.trailer.get("ID")
             first_id = ids[0] if isinstance(ids, list) and ids else b""
             if isinstance(first_id, str):
                 first_id = first_id.encode("latin-1")
-            if isinstance(enc, dict) and \
-                    str(enc.get("Filter")) == "Standard":
+            # setupEncryption gates on V ∈ {1,2,4,5} (never /Filter) and
+            # returns without decryption when required string entries are
+            # absent (warn-and-continue, not an error).
+            v = self.resolve(enc.get("V")) if isinstance(enc, dict) \
+                else None
+            required = ("U", "UE") if v == 5 else ("O",)
+            if isinstance(enc, dict) and v in (1, 2, 4, 5) and \
+                    all(enc.get(k) is not None for k in required):
                 self.crypt = StandardSecurityHandler(
                     enc, first_id, resolve=self.resolve)
                 # Objects parsed during init (scan fallback, xref walk)

@@ -65,9 +65,18 @@ def _unesc(raw: bytes) -> bytes:
 
 
 def _transform_pdf(data: bytes, enc_stream, enc_string,
-                   trailer_extra: bytes) -> bytes:
+                   enc_dict: bytes, id_part: bytes,
+                   indirect: bool = True) -> bytes:
     """Rebuild a synthetic PDF, transforming each object's stream payload
-    and literal strings with the provided per-object encryptors."""
+    and literal strings with the provided per-object encryptors.
+
+    The encryption dictionary is written as an INDIRECT object with a
+    trailer ``/Encrypt N 0 R`` reference — the only form the reference
+    honors (pdfCrypto.js findEncryptRef :843 requires the ``N G R``
+    suffix) and the form every real-world writer emits.  The Encrypt
+    dict's own strings stay plaintext per spec.  ``indirect=False``
+    keeps the dict inline in the trailer to exercise the
+    ignored-encryption path (both engines then export blank)."""
     out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for m in _OBJ_PAT.finditer(data):
@@ -88,17 +97,24 @@ def _transform_pdf(data: bytes, enc_stream, enc_string,
                     num, gen, _unesc(s.group(0))).hex().encode(), body)
         offsets[num] = len(out)
         out += b"%d %d obj\n" % (num, gen) + body + b"\nendobj\n"
+    if indirect:
+        enc_num = max(offsets) + 1
+        offsets[enc_num] = len(out)
+        out += b"%d 0 obj\n" % enc_num + enc_dict + b"\nendobj\n"
+        enc_entry = b"/Encrypt %d 0 R " % enc_num
+    else:
+        enc_entry = b"/Encrypt " + enc_dict + b" "
     xref_pos = len(out)
     maxn = max(offsets) + 1
     out += b"xref\n0 %d\n" % maxn + b"0000000000 65535 f \n"
     for i in range(1, maxn):
         out += b"%010d 00000 n \n" % offsets[i]
-    out += (b"trailer\n<< /Size %d /Root 1 0 R " % maxn + trailer_extra
-            + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos)
+    out += (b"trailer\n<< /Size %d /Root 1 0 R " % maxn + enc_entry
+            + id_part + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos)
     return bytes(out)
 
 
-def _encrypt_pdf_rc4(data: bytes) -> bytes:
+def _encrypt_pdf_rc4(data: bytes, indirect: bool = True) -> bytes:
     """RC4-encrypt (R3, 128-bit, empty passwords) streams AND strings."""
     doc_id = b"\x01\x23\x45\x67\x89\xab\xcd\xef" * 2
     p = -44
@@ -131,10 +147,12 @@ def _encrypt_pdf_rc4(data: bytes) -> bytes:
         return hashlib.md5(ext).digest()[:16]
 
     enc = lambda num, gen, b: rc4(obj_key(num, gen), b)
-    trailer = (f"/Encrypt << /Filter /Standard /V 2 /R 3 /Length 128 "
-               f"/P {p} /O <{o_val.hex()}> /U <{bytes(32).hex()}> >> "
-               f"/ID [<{doc_id.hex()}> <{doc_id.hex()}>]").encode()
-    return _transform_pdf(data, enc, enc, trailer)
+    enc_dict = (f"<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                f"/P {p} /O <{o_val.hex()}> /U <{bytes(32).hex()}> >>"
+                ).encode()
+    id_part = f"/ID [<{doc_id.hex()}> <{doc_id.hex()}>]".encode()
+    return _transform_pdf(data, enc, enc, enc_dict, id_part,
+                          indirect=indirect)
 
 
 def _encrypt_pdf_aes256(data: bytes, r: int = 6) -> bytes:
@@ -161,14 +179,58 @@ def _encrypt_pdf_aes256(data: bytes, r: int = 6) -> bytes:
         pad = 16 - len(b) % 16
         return iv + aes_cbc_encrypt_raw(file_key, iv, b + bytes([pad]) * pad)
 
-    trailer = (
-        f"/Encrypt << /Filter /Standard /V 5 /R {r} /Length 256 "
+    enc_dict = (
+        f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
         f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
         f"/StmF /StdCF /StrF /StdCF /P -44 "
         f"/O <{o_val.hex()}> /U <{u_val.hex()}> "
-        f"/OE <{oe_val.hex()}> /UE <{ue_val.hex()}> >> "
-        f"/ID [<{bytes(16).hex()}> <{bytes(16).hex()}>]").encode()
-    return _transform_pdf(data, enc, enc, trailer)
+        f"/OE <{oe_val.hex()}> /UE <{ue_val.hex()}> >>").encode()
+    id_part = f"/ID [<{bytes(16).hex()}> <{bytes(16).hex()}>]".encode()
+    return _transform_pdf(data, enc, enc, enc_dict, id_part)
+
+
+def _encrypt_pdf_aesv2(data: bytes) -> bytes:
+    """AES-128-CBC encrypt (V4 R4 /CFM /AESV2, empty passwords):
+    RC4-style Algorithm 2 file key + the AES 'sAlT' object-key suffix,
+    per-object deterministic IV prefix."""
+    doc_id = b"\x01\x23\x45\x67\x89\xab\xcd\xef" * 2
+    p = -44
+    h = hashlib.md5(_PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    okey = h[:16]
+    o_val = rc4(okey, _PAD)
+    for i in range(1, 20):
+        step = bytes(b ^ i for b in okey)
+        o_val = rc4(step, o_val)
+    md = hashlib.md5()
+    md.update(_PAD)
+    md.update(o_val[:32])
+    md.update(struct.pack("<i", p))
+    md.update(doc_id)
+    key = md.digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:16]).digest()
+    file_key = key[:16]
+
+    def obj_key(num, gen):
+        ext = file_key + bytes([num & 0xFF, (num >> 8) & 0xFF,
+                                (num >> 16) & 0xFF, gen & 0xFF,
+                                (gen >> 8) & 0xFF]) + b"sAlT"
+        return hashlib.md5(ext).digest()[:16]
+
+    def enc(num, gen, b):
+        iv = hashlib.md5(b"iv%d:%d" % (num, gen)).digest()
+        pad = 16 - len(b) % 16
+        return iv + aes_cbc_encrypt_raw(obj_key(num, gen), iv,
+                                        b + bytes([pad]) * pad)
+
+    enc_dict = (f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                f"/StmF /StdCF /StrF /StdCF /P {p} "
+                f"/O <{o_val.hex()}> /U <{bytes(32).hex()}> >>").encode()
+    id_part = f"/ID [<{doc_id.hex()}> <{doc_id.hex()}>]".encode()
+    return _transform_pdf(data, enc, enc, enc_dict, id_part)
 
 
 def _sample_pdf() -> bytes:

@@ -3530,3 +3530,42 @@ def test_page_rotate_parity(rot, tmp_path):
     p.write_bytes(payload)
     assert extract_document("u", payload, "", "eng")["extracted_text"] \
         == _ref_extract(str(p)), f"rot{rot}"
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_encrypted_pdf_parity(seed, tmp_path):
+    """Encrypted PDFs (sink24): RC4 R3, AES-128 V4/AESV2 and AES-256
+    R5/R6 with the real-world indirect trailer ``/Encrypt N 0 R`` must
+    extract byte-identically to their plaintext twin through BOTH
+    engines; an INLINE trailer /Encrypt dict is ignored by the
+    reference (pdfCrypto.js findEncryptRef :843 requires the N G R
+    suffix), the streams stay ciphertext, and both engines export
+    blank."""
+    from test_pdf_crypto import (_encrypt_pdf_aes256, _encrypt_pdf_aesv2,
+                                 _encrypt_pdf_rc4)
+
+    from scribe_js_ray.sources.synth_pdf import make_pdf_styles
+    plain = make_pdf_styles(random.Random(seed))
+    pp = tmp_path / f"enc{seed}_plain.pdf"
+    pp.write_bytes(plain)
+    want = _ref_extract(str(pp))
+    assert want, "plaintext twin must extract non-blank"
+    variants = {
+        "rc4": _encrypt_pdf_rc4(plain),
+        "aesv2": _encrypt_pdf_aesv2(plain),
+        "a5": _encrypt_pdf_aes256(plain, r=5),
+        "a6": _encrypt_pdf_aes256(plain, r=6),
+    }
+    for name, enc in variants.items():
+        p = tmp_path / f"enc{seed}_{name}.pdf"
+        p.write_bytes(enc)
+        assert _ref_extract(str(p)) == want, f"{name}: ref != plain ref"
+        ours = extract_document("u", enc, "", "eng")
+        assert ours["extracted_text"] == want, f"{name}: ours != ref"
+        assert not ours.get("error"), f"{name}: {ours.get('error')}"
+    inline = _encrypt_pdf_rc4(plain, indirect=False)
+    p = tmp_path / f"enc{seed}_inline.pdf"
+    p.write_bytes(inline)
+    assert _ref_extract(str(p)) == ""
+    assert extract_document("u", inline, "", "eng")["extracted_text"] \
+        == ""
