@@ -344,3 +344,140 @@ def make_pdf_textstate(r: random.Random) -> bytes:
     return _make_pdf(["\n".join(ops)],
                      {"F1": "Helvetica", "F2": "Helvetica-Bold",
                       "F3": "Times-Roman"})
+
+
+# AGL names for the character classes the Type3 zoo page emits.
+_AGL_NAME = {**{c: c for c in "abcdefghijklmnopqrstuvwxyz"},
+             ".": "period", ",": "comma"}
+
+
+def _wrap_words(text: str, width: int) -> list[str]:
+    """Greedy word-boundary wrap into lines of at most ``width`` chars."""
+    lines, cur = [], ""
+    for w in text.split():
+        cand = f"{cur} {w}" if cur else w
+        if len(cand) > width and cur:
+            lines.append(cur)
+            cur = w
+        else:
+            cur = cand
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+def make_pdf_fontzoo(r: random.Random) -> bytes:
+    """Font-zoo fuzz document for the live-parity battery: one page per
+    exotic font family the decision surface must route identically —
+    (1) a Type3 font (CharProcs + FontMatrix + /Differences AGL names,
+    d0 advances; parsePdfFonts Type3 path), (2) a Type0/Identity-H CID
+    font decoded via /ToUnicode with /W widths, and (3) a base-14 face
+    whose /Encoding dict remaps high codes via /Differences.  Every
+    page carries >=100 letters so determinePdfType reaches the 'text'
+    verdict through both engines."""
+    from .synth import _paragraph_words
+
+    def para(n):
+        return " ".join(_paragraph_words(r, n)).lower()
+
+    wrap_w = r.choice([40, 44, 48])
+    size = r.choice([10, 11, 12])
+    pitch = size + r.choice([3, 4, 5])
+
+    def line_ops(lines, fmt=None):
+        ops, y = [], _PAGE_H - _MARGIN
+        for ln in lines:
+            body = fmt(ln) if fmt else f"({_esc(ln)})"
+            ops.append(f"BT /F1 {size} Tf {_MARGIN} {y} Td {body} Tj ET")
+            y -= pitch
+        return "\n".join(ops).encode("latin-1")
+
+    w = PdfWriter()
+    # fixed skeleton: 1 catalog, 2 pages, (3,4) (5,6) (7,8) page+content
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>")
+
+    def page(font_obj, content):
+        w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+               f"{_PAGE_H}] /Resources << /Font << /F1 {font_obj} 0 R >> "
+               f">> /Contents {len(w.objects) + 2} 0 R >>").encode())
+        w.add(f"<< /Length {len(content)} >>\nstream\n".encode()
+              + content + b"\nendstream")
+
+    # --- page 1: Type3 ---------------------------------------------------
+    t3_text = para(r.randint(3, 4))
+    t3_text = "".join(c for c in t3_text if c in _AGL_NAME or c == " ")
+    t3_chars = sorted(set(t3_text) - {" "})
+    t3_font = 9
+    n_glyphs = len(t3_chars)
+    # obj t3_font: font, +1 charprocs, +2.. glyph streams, last = space
+    page(t3_font, line_ops(_wrap_words(t3_text, wrap_w)))
+
+    # --- page 2: Type0 / Identity-H --------------------------------------
+    t0_text = para(r.randint(3, 4))
+    t0_uniq = sorted(set(t0_text))
+    cid = {c: i + 1 for i, c in enumerate(t0_uniq)}
+    t0_font = t3_font + 2 + n_glyphs + 1
+
+    def hexline(ln):
+        return "<" + "".join(f"{cid[c]:04x}" for c in ln) + ">"
+
+    page(t0_font, line_ops(_wrap_words(t0_text, wrap_w), fmt=hexline))
+
+    # --- page 3: /Differences remap over a base-14 face ------------------
+    d_font = t0_font + 3
+    d_text = para(r.randint(3, 4))
+    remap = r.sample("ABCDEFGHIJKLMNOPQRSTUVWXYZ", r.randint(3, 6))
+    base_code = r.choice([180, 200, 220])
+    run = "".join(chr(base_code + i) for i in range(len(remap)))
+    d_lines = _wrap_words(d_text, wrap_w)
+    d_lines.insert(r.randrange(len(d_lines) + 1), f"{run} marker zone")
+    page(d_font, line_ops(d_lines))
+
+    # --- font objects -----------------------------------------------------
+    scale = r.choice(["0.01", "0.008", "0.012"])
+    adv = r.choice([45, 50, 55])
+    names = [(ord(c), f"/{_AGL_NAME[c]}") for c in t3_chars]
+    difftxt = "32 /space " + " ".join(f"{cp} {nm}" for cp, nm in names)
+    last = max(cp for cp, _ in names)
+    assert w.add((
+        f"<< /Type /Font /Subtype /Type3 /FontMatrix [{scale} 0 0 {scale} "
+        f"0 0] /FontBBox [0 0 60 60] /FirstChar 32 /LastChar {last} "
+        f"/Encoding << /Differences [{difftxt}] >> "
+        f"/CharProcs {t3_font + 1} 0 R >>").encode()) == t3_font
+    glyph_base = t3_font + 2
+    w.add(("<< " + " ".join(f"{nm} {glyph_base + i} 0 R"
+                            for i, (_, nm) in enumerate(names))
+           + f" /space {glyph_base + n_glyphs} 0 R >>").encode())
+    glyph = f"{adv} 0 d0 5 5 m 40 55 l S".encode()
+    for _ in range(n_glyphs):
+        w.add(f"<< /Length {len(glyph)} >>\nstream\n".encode()
+              + glyph + b"\nendstream")
+    blank = b"30 0 d0"
+    w.add(f"<< /Length {len(blank)} >>\nstream\n".encode()
+          + blank + b"\nendstream")
+
+    dw = r.choice([550, 600, 650])
+    wlist = " ".join(str(300 if c == " " else r.choice([440, 500, 520]))
+                     for c in t0_uniq)
+    bf = "\n".join(f"<{cid[c]:04x}> <{ord(c):04x}>" for c in t0_uniq)
+    cmap = (f"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            f"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(t0_uniq)} beginbfchar\n{bf}\nendbfchar\nendcmap\nend"
+            ).encode()
+    assert w.add((
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /ZooSans "
+        f"/Encoding /Identity-H /DescendantFonts [{t0_font + 1} 0 R] "
+        f"/ToUnicode {t0_font + 2} 0 R >>").encode()) == t0_font
+    w.add((f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /ZooSans "
+           f"/DW {dw} /W [1 [{wlist}]] >>").encode())
+    w.add(f"<< /Length {len(cmap)} >>\nstream\n".encode() + cmap
+          + b"\nendstream")
+
+    diff_names = " ".join(f"/{c}" for c in remap)
+    assert w.add((
+        f"<< /Type /Font /Subtype /Type1 /BaseFont /"
+        f"{r.choice(['Helvetica', 'Times-Roman'])} "
+        f"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences "
+        f"[{base_code} {diff_names}] >> >>").encode()) == d_font
+    return w.build()

@@ -3569,3 +3569,22 @@ def test_encrypted_pdf_parity(seed, tmp_path):
     assert _ref_extract(str(p)) == ""
     assert extract_document("u", inline, "", "eng")["extracted_text"] \
         == ""
+
+
+@pytest.mark.parametrize("seed", [0, 4, 9, 13])
+def test_fontzoo_parity(seed, tmp_path):
+    """Font-zoo battery (sink25): one page each of Type3 (CharProcs +
+    FontMatrix + AGL /Differences), Type0/Identity-H via /ToUnicode,
+    and a base-14 face with high-code /Differences remaps — text AND
+    markdown byte-identical vs the live reference (16-seed sweep clean
+    at pin time).  Previously these font families had only unit
+    coverage (test_pdf.py)."""
+    from scribe_js_ray.sources.synth_pdf import make_pdf_fontzoo
+    data = make_pdf_fontzoo(random.Random(seed))
+    p = tmp_path / f"zoo{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"zoo{seed} text"
+    ours = extract_document("u", data, "", "eng", emit_format="markdown")
+    assert ours["extracted_text"] == _ref_fmt(str(p), "md"), \
+        f"zoo{seed} md"
