@@ -481,3 +481,85 @@ def make_pdf_fontzoo(r: random.Random) -> bytes:
         f"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences "
         f"[{base_code} {diff_names}] >> >>").encode()) == d_font
     return w.build()
+
+
+def make_pdf_xobjects(r: random.Random) -> bytes:
+    """Form-XObject + inline-image fuzz document for the live-parity
+    battery (M7 routing): page text around q/cm-placed Do invocations of
+    a form (own font resources, optional nested form), a REPEATED Do of
+    the same form (executes once per page — extractFormXObjectText's
+    visited set), text state set before a Do (the form inherits
+    tc/tw/tz per findDoOperators), an inline BI/ID/EI image between
+    text runs, and an Image XObject Do."""
+    from .synth import _paragraph_words
+
+    def para(n):
+        return " ".join(_paragraph_words(r, n))
+
+    size = r.choice([10, 11, 12])
+    pitch = size + 4
+
+    def flow(text, x, y, font="F1", fsize=None):
+        ops, fs = [], fsize or size
+        for ln in _wrap_words(text, r.choice([40, 44, 48])):
+            ops.append(f"BT /{font} {fs} Tf {x} {y} Td ({_esc(ln)}) Tj ET")
+            y -= pitch
+        return "\n".join(ops), y
+
+    # form 2 (innermost): plain text with the page font
+    f2_ops, _ = flow(para(1), _MARGIN, 640, font="F1")
+    form2 = f2_ops.encode("latin-1")
+
+    # form 1: own bold font + optional nested Do of form 2
+    f1_ops, f1_y = flow(para(r.randint(1, 2)), _MARGIN, 690, font="F2")
+    nest = r.random() < 0.8
+    if nest:
+        dx, dy = r.randint(-20, 20), -r.randint(10, 40)
+        f1_ops += f"\nq 1 0 0 1 {dx} {dy} cm /Fm2 Do Q"
+    form1 = f1_ops.encode("latin-1")
+
+    img = bytes(range(16)) * 4  # EI-free payload
+
+    parts = []
+    top, y = flow(para(2), _MARGIN, _PAGE_H - _MARGIN)
+    parts.append(top)
+    sx = r.choice(["1", "0.9", "0.75"])
+    ty = -r.randint(30, 90)
+    # text state before the Do: the form inherits it
+    pre_tz = r.choice(["", f"BT {r.choice([110, 120, 80])} Tz ET\n"])
+    parts.append(f"{pre_tz}q {sx} 0 0 {sx} 0 {ty} cm /Fm1 Do Q")
+    if r.random() < 0.7:
+        parts.append(f"BI /W 8 /H 8 /CS /G /BPC 8 ID {img.decode('latin-1')} EI")
+    if r.random() < 0.8:  # repeat Do: must NOT re-emit form text
+        parts.append(f"q 0.8 0 0 0.8 {r.randint(0, 60)} {ty - 180} cm /Fm1 Do Q")
+    parts.append(f"q 2 0 0 2 {r.randint(60, 120)} {r.randint(200, 260)} cm /Im1 Do Q")
+    bot, _ = flow(para(2), _MARGIN, y - 320)
+    parts.append(bot)
+    page = "\n".join(parts).encode("latin-1")
+
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    w.add((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+           f"{_PAGE_H}] /Resources << /Font << /F1 5 0 R >> "
+           f"/XObject << /Fm1 6 0 R /Im1 8 0 R >> >> "
+           f"/Contents 4 0 R >>").encode())
+    w.add(f"<< /Length {len(page)} >>\nstream\n".encode() + page
+          + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+          b"/Encoding /WinAnsiEncoding >>")
+    w.add((f"<< /Type /XObject /Subtype /Form /BBox [0 0 {_PAGE_W} "
+           f"{_PAGE_H}] /Resources << /Font << /F1 5 0 R /F2 7 0 R >> "
+           f"/XObject << /Fm2 9 0 R >> >> /Length {len(form1)} "
+           f">>\nstream\n").encode() + form1 + b"\nendstream")
+    w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold "
+          b"/Encoding /WinAnsiEncoding >>")
+    imgdata = bytes(64)
+    w.add((f"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+           f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+           f"/Length {len(imgdata)} >>\nstream\n").encode()
+          + imgdata + b"\nendstream")
+    w.add((f"<< /Type /XObject /Subtype /Form /BBox [0 0 {_PAGE_W} "
+           f"{_PAGE_H}] /Length {len(form2)} >>\nstream\n").encode()
+          + form2 + b"\nendstream")
+    return w.build()

@@ -755,7 +755,8 @@ class TextInterpreter:
     """Executes one page's content stream(s), emitting PositionedChars."""
 
     def __init__(self, pdf, fonts: dict, base_ctm,
-                 ext_gstates=None, color_spaces=None):
+                 ext_gstates=None, color_spaces=None,
+                 init_text_state=None):
         self.pdf = pdf
         self.fonts = fonts
         self.base_ctm = base_ctm
@@ -765,6 +766,16 @@ class TextInterpreter:
         # Image placements as |CTM|-derived areas (parsePdfDoc.js:664-780
         # image-placement merge → largestImageFrac page stat).
         self.image_areas: list[float] = []
+        # Form-XObject Do events captured during run(), executed later by
+        # run_form_pass() — the reference extracts form text as a
+        # SEPARATE pass whose chars append AFTER the container's
+        # (parsePdfDoc.js:580 extractFormXObjectText), not inline at the
+        # Do position.  Each entry: (objnum, StreamObj, ctm-at-Do,
+        # text-state-at-Do) per findDoOperators (:169-196).
+        self.form_dos: list = []
+        # Inherited text state for a form sub-run (doOp.textState:
+        # tc/tw/tl/tz/trise + the /Artifact flag at the Do point).
+        self.init_text_state = init_text_state or {}
 
     def run(self, content: bytes, xobjects=None, depth=0, tokens=None):
         """``tokens``: pre-tokenized (operands, op) list for this stream —
@@ -775,11 +786,13 @@ class TextInterpreter:
         gs_stack = []
         font = None
         font_size = 0.0
-        char_spacing = 0.0
-        word_spacing = 0.0
-        leading = 0.0
-        tz = 100.0  # Tz horizontal scaling, raw percent
-        rise = 0.0
+        its = self.init_text_state
+        char_spacing = float(its.get("tc", 0.0))
+        word_spacing = float(its.get("tw", 0.0))
+        leading = float(its.get("tl", 0.0))
+        tz = float(its.get("tz", 100.0))  # Tz horizontal scaling, raw %
+        rise = float(its.get("trise", 0.0))
+        inherited_artifact = bool(its.get("artifact"))
         render_mode = 0
         # Fill (non-stroking) color state: raw components from g/rg/k,
         # or tint-resolved 0-1 RGB from cs+scn; fill_alpha from
@@ -836,7 +849,8 @@ class TextInterpreter:
                     orient = 2
                 elif abs(ndx) < 0.5 and ndy <= -0.5:
                     orient = 3
-            artifact = any(t == "Artifact" for t, _ in mc_stack)
+            artifact = inherited_artifact or \
+                any(t == "Artifact" for t, _ in mc_stack)
             mcid = next((m for _, m in reversed(mc_stack)
                          if m is not None), None)
             invisible = render_mode == 3
@@ -990,14 +1004,27 @@ class TextInterpreter:
                             t0_, t1_, t2_, t3_, t4_, t5_ = tm
                             tm = (t0_, t1_, t2_, t3_,
                                   t4_ - adj * t0_, t5_ - adj * t1_)
-                elif op == "Do" and operands and xobjects and depth < 8:
-                    # Form XObject recursion (parsePdfDoc.js:329-372 analog).
-                    xo = pdf.resolve(xobjects.get(str(operands[0])))
+                elif op == "Do" and operands and xobjects:
+                    # Form XObjects are NOT executed inline: the
+                    # reference collects Do events (findDoOperators
+                    # parsePdfDoc.js:169-196 — ctm + tc/tw/tl/tz/trise +
+                    # /Artifact flag at the Do) and extracts each form's
+                    # text in a separate pass appended AFTER the page's
+                    # own chars (:580) — see run_form_pass().
+                    ref = xobjects.get(str(operands[0]))
+                    xo = pdf.resolve(ref)
                     if isinstance(xo, StreamObj):
                         subtype = str(pdf.resolve(
                             xo.dict.get("Subtype", "")))
                         if subtype == "Form":
-                            inner = self._run_form(xo, ctm, depth)
+                            num = ref.num if isinstance(ref, Ref) \
+                                else id(xo)
+                            self.form_dos.append((num, xo, ctm, {
+                                "tc": char_spacing, "tw": word_spacing,
+                                "tl": leading, "tz": tz, "trise": rise,
+                                "artifact": inherited_artifact or any(
+                                    t == "Artifact"
+                                    for t, _ in mc_stack)}))
                         elif subtype == "Image":
                             # Unit square × CTM → placed area (pts²).
                             self.image_areas.append(
@@ -1010,30 +1037,58 @@ class TextInterpreter:
             except Exception:
                 continue
 
-    def _run_form(self, xo, ctm, depth):
+    def run_form_pass(self, visited=None, depth=0):
+        """Execute the Form XObject Do events captured by run(), in Do
+        order, appending each form's chars AFTER the container's
+        (extractFormXObjectText parsePdfDoc.js:329-372): each form
+        OBJECT runs at most once per page (the shared ``visited`` set —
+        the first Do's ctm/text-state win, later Dos of the same form
+        are skipped), fonts/ExtGStates/ColorSpaces merge parent-then-
+        form, the form seeds the Do-point text state, and nesting
+        recurses depth-first after the form's own chars.  A Do of an
+        already-visited form records a unit-square image placement
+        instead, matching the surviving-Do rule of the paths walk
+        (parsePdfPaths.js:305-309)."""
         pdf = self.pdf
-        d = xo.dict
-        matrix = pdf.resolve(d.get("Matrix")) or [1, 0, 0, 1, 0, 0]
-        res = pdf.resolve(d.get("Resources")) or {}
-        fdict = pdf.resolve(res.get("Font")) or {}
-        fonts = dict(self.fonts)
-        for k, v in fdict.items():
-            fonts[str(k)] = build_font(pdf, v)
-        xobjs = pdf.resolve(res.get("XObject")) or {}
-        # Form-local /ExtGState and /ColorSpace entries shadow the
-        # parent's; fill alpha itself resets to 1 inside the form
-        # (parsePdfDoc.js:348-366 merged maps + executeTextOperators'
-        # fillAlpha init).
-        gstates = dict(self.ext_gstates)
-        gstates.update(parse_ext_gstates(pdf, res))
-        cspaces = dict(self.color_spaces)
-        cspaces.update(parse_text_color_spaces(pdf, res))
-        sub = TextInterpreter(pdf, fonts,
-                              _mat_mul(tuple(float(v) for v in matrix), ctm),
-                              ext_gstates=gstates, color_spaces=cspaces)
-        try:
-            sub.run(pdf.stream_bytes(xo), xobjects=xobjs, depth=depth + 1)
-        except Exception:
-            pass
-        self.chars.extend(sub.chars)
-        self.image_areas.extend(sub.image_areas)
+        if visited is None:
+            visited = set()
+        pending, self.form_dos = self.form_dos, []
+        for num, xo, ctm, tstate in pending:
+            if num in visited:
+                self.image_areas.append(
+                    abs(ctm[0] * ctm[3] - ctm[1] * ctm[2]))
+                continue
+            visited.add(num)
+            d = xo.dict
+            matrix = pdf.resolve(d.get("Matrix")) or [1, 0, 0, 1, 0, 0]
+            res = pdf.resolve(d.get("Resources")) or {}
+            fdict = pdf.resolve(res.get("Font")) or {}
+            fonts = dict(self.fonts)
+            for k, v in fdict.items():
+                try:
+                    fonts[str(k)] = build_font(pdf, v)
+                except Exception:
+                    continue
+            xobjs = pdf.resolve(res.get("XObject")) or {}
+            # Form-local /ExtGState and /ColorSpace entries shadow the
+            # parent's; fill alpha itself resets to 1 inside the form
+            # (parsePdfDoc.js:348-366 merged maps + executeTextOperators'
+            # fillAlpha init).
+            gstates = dict(self.ext_gstates)
+            gstates.update(parse_ext_gstates(pdf, res))
+            cspaces = dict(self.color_spaces)
+            cspaces.update(parse_text_color_spaces(pdf, res))
+            sub = TextInterpreter(
+                pdf, fonts,
+                _mat_mul(tuple(float(v) for v in matrix), ctm),
+                ext_gstates=gstates, color_spaces=cspaces,
+                init_text_state=tstate)
+            try:
+                sub.run(pdf.stream_bytes(xo), xobjects=xobjs,
+                        depth=depth + 1)
+            except Exception:
+                pass
+            if depth < 32:
+                sub.run_form_pass(visited, depth + 1)
+            self.chars.extend(sub.chars)
+            self.image_areas.extend(sub.image_areas)

@@ -110,6 +110,9 @@ def parse_pdf_page(pdf: PdfFile, page_info: dict, n: int,
                              ext_gstates=ext_gstates,
                              color_spaces=color_spaces)
     interp.run(content, xobjects=xobjects, tokens=shared_tokens)
+    # Form-XObject text: separate appended pass, once per form object
+    # per page (extractFormXObjectText parsePdfDoc.js:580).
+    interp.run_form_pass()
 
     scale = min(DEFAULT_DPI_SCALE,
                 MAX_RASTER_W / width_pt if width_pt else DEFAULT_DPI_SCALE)

@@ -24,7 +24,7 @@ import re
 
 from ...functions.stats import js_round
 from .content import _mat_mul, tokenize_content
-from .objects import StreamObj
+from .objects import Ref, StreamObj
 
 GRAPHICS_HEAVY_STREAM_BYTES = 2_000_000
 
@@ -56,9 +56,14 @@ _PAINT_OPS = {
 def execute_path_operators(pdf, content: bytes, xobjects=None,
                            base_ctm=(1, 0, 0, 1, 0, 0),
                            depth: int = 0,
-                           tokens=None) -> list[PaintedPath]:
+                           tokens=None,
+                           form_visited=None) -> list[PaintedPath]:
     """Painted paths of one content stream, coordinates in device space.
-    ``tokens``: pre-tokenized stream shared with the text pass."""
+    ``tokens``: pre-tokenized stream shared with the text pass.
+    ``form_visited``: per-page set of form object numbers — the
+    reference inlines each Form XObject's paths at most ONCE per page
+    (inlineFormXObjects parsePdfPaths.js:83-132 visited set); a repeat
+    Do survives as an opaque placement, contributing no paths."""
     if len(content) > GRAPHICS_HEAVY_STREAM_BYTES:
         return []
     out: list[PaintedPath] = []
@@ -172,10 +177,17 @@ def execute_path_operators(pdf, content: bytes, xobjects=None,
                     stroke_space = {1: "gray", 3: "rgb", 4: "cmyk"}.get(
                         len(nums), "other")
             elif op == "Do" and operands and xobjects and depth < 8:
-                xo = pdf.resolve(xobjects.get(str(operands[0])))
+                ref = xobjects.get(str(operands[0]))
+                xo = pdf.resolve(ref)
                 if isinstance(xo, StreamObj) and \
                         str(pdf.resolve(xo.dict.get("Subtype", ""))) == \
                         "Form":
+                    if form_visited is None:
+                        form_visited = set()
+                    num = ref.num if isinstance(ref, Ref) else id(xo)
+                    if num in form_visited:
+                        continue
+                    form_visited.add(num)
                     matrix = pdf.resolve(xo.dict.get("Matrix")) \
                         or [1, 0, 0, 1, 0, 0]
                     res = pdf.resolve(xo.dict.get("Resources")) or {}
@@ -185,7 +197,8 @@ def execute_path_operators(pdf, content: bytes, xobjects=None,
                     try:
                         out.extend(execute_path_operators(
                             pdf, pdf.stream_bytes(xo), sub_xobjs,
-                            sub_ctm, depth + 1))
+                            sub_ctm, depth + 1,
+                            form_visited=form_visited))
                     except Exception:
                         pass
         except Exception:

@@ -3588,3 +3588,24 @@ def test_fontzoo_parity(seed, tmp_path):
     ours = extract_document("u", data, "", "eng", emit_format="markdown")
     assert ours["extracted_text"] == _ref_fmt(str(p), "md"), \
         f"zoo{seed} md"
+
+
+@pytest.mark.parametrize("seed", [1, 3, 8, 17])
+def test_xobject_parity(seed, tmp_path):
+    """Form-XObject battery (sink26): q/cm-placed Do forms with own
+    font resources, nested forms, a REPEATED Do (form executes once per
+    page, chars append AFTER the page's own — extractFormXObjectText
+    parsePdfDoc.js:329-372), Do-point text-state inheritance, inline
+    BI/ID/EI images and an Image XObject — text AND markdown
+    byte-identical vs the live reference (20-seed sweep clean at pin
+    time).  Pinned with the r5 rewrite that replaced inline-at-Do
+    recursion with the reference's separate appended form pass."""
+    from scribe_js_ray.sources.synth_pdf import make_pdf_xobjects
+    data = make_pdf_xobjects(random.Random(seed))
+    p = tmp_path / f"xo{seed}.pdf"
+    p.write_bytes(data)
+    assert extract_document("u", data, "", "eng")["extracted_text"] \
+        == _ref_extract(str(p)), f"xo{seed} text"
+    ours = extract_document("u", data, "", "eng", emit_format="markdown")
+    assert ours["extracted_text"] == _ref_fmt(str(p), "md"), \
+        f"xo{seed} md"
