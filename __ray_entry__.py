@@ -444,6 +444,21 @@ def _doc_dup_spans(sf_dir: str):
     return dup_span_profile(ds, n=8)
 
 
+def _doc_dedup_spans_apply(sf_dir: str):
+    """Apply pass of exact-substring dedup (Lee et al. 2022): kill every
+    duplicated-8-gram occurrence except the globally first, drop covered
+    tokens, re-join.  Bit-exact SQL oracle: the same canon-key min over
+    exploded grams, a kill-position set via generate_series, and a
+    string_agg rebuild of the surviving tokens."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dedup_spans_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dedup_spans_apply(ds, n=8).sort("doc_id")
+
+
 def _doc_pack_sequences(sf_dir: str):
     """Greedy next-fit sequence packing into 2048-token budgets within
     deterministic doc_id-mod shards.  Bit-exact oracle (r5): the greedy
@@ -847,7 +862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER CONTRACT (VERDICT r4 #3): every oracle-backed query (a key in
     # oracle_sql()) precedes every rows-only one, so a driver check that
     # truncates the dict (r4 stopped at 50/60) never silently drops a
-    # hash-verified surface.  tests/test_entry.py pins this invariant.
+    # hash-verified surface.  tests/test_oracle_parity.py pins this
+    # invariant (test_oracle_backed_queries_precede_rows_only).
     return {
         # --- oracle-backed (bit-exact SQL twin in oracle_sql()) ---
         # relational operators
@@ -891,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_stats": _doc_domain_stats,
         "doc_pack_sequences": _doc_pack_sequences,
         "doc_dup_spans": _doc_dup_spans,
+        "doc_dedup_spans_apply": _doc_dedup_spans_apply,
         # image extraction / dedup / near-dup over the image stream
         "pdf_extract_images": _pdf_extract_images,
         "pdf_image_dedup": _pdf_image_dedup,
@@ -1518,6 +1535,45 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM grams GROUP BY gram HAVING count(*) > 1
             ORDER BY n_occurrences DESC, gram
+        """,
+        # apply pass of exact-substring dedup: 1-based positions here vs
+        # 0-based in the Ray pipeline — the canon key min is
+        # order-isomorphic either way, and keys never cross systems
+        "doc_dedup_spans_apply": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text, ' '), ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(w[i:i+7], ' ') AS gram
+              FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+            ), dup AS (
+              SELECT gram, min(doc_id * 1048576 + pos) AS canon_key
+              FROM grams GROUP BY gram HAVING count(*) > 1
+            ), kill AS (
+              SELECT DISTINCT g.doc_id, g.pos + j AS kpos
+              FROM grams g JOIN dup d USING (gram),
+                   UNNEST(generate_series(0, 7)) AS s(j)
+              WHERE g.doc_id * 1048576 + g.pos <> d.canon_key
+            ), kept AS (
+              SELECT t.doc_id, s.pos, t.w[s.pos] AS tok
+              FROM toks t,
+                   UNNEST(generate_series(1, len(t.w))) AS s(pos)
+              WHERE NOT EXISTS (SELECT 1 FROM kill k
+                                WHERE k.doc_id = t.doc_id
+                                  AND k.kpos = s.pos)
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(r.text_dedup, '') AS text_dedup,
+                   CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "doc_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,

@@ -1945,6 +1945,208 @@ def dup_span_profile(docs_ds, n: int = 8):
         .sort(["n_occurrences", "gram"], descending=[True, False])
 
 
+# Canon-key layout for exact-substring dedup: key = doc_id * BASE + pos.
+# 20 bits of position ⇒ docs up to 1,048,575 whitespace tokens; a longer
+# doc raises (at 100 TB widen to a 128-bit (doc, pos) pair — the shape
+# is unchanged, only the key width).
+_SPAN_POS_BASE = 1 << 20
+
+
+def dedup_spans_apply(docs_ds, n: int = 8,
+                      broadcast_cap: int = 2_000_000):
+    """Apply pass of exact-substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    whitespace ``n``-gram occurrence that duplicates an occurrence seen
+    earlier in the corpus loses its tokens; only the canonical
+    occurrence — the globally FIRST, i.e. minimal (doc_id, position) —
+    keeps them.  A token covered by ANY removed span is dropped;
+    surviving tokens re-join with single spaces.  This is the
+    remove-the-copies half whose discovery half is
+    :func:`dup_span_profile`; together they are the n-gram re-expression
+    of the reference suffix-array method.
+
+    Output: one row per input doc — (doc_id, text_dedup, n_removed).
+
+    Distributed shape: discovery reuses dup_span_profile's exchange —
+    map-side per-(gram, doc) partials carrying (count, min-pos canon
+    key), ONE gram-keyed groupby with Sum/Min finalize.  The duplicated
+    grams (a corpus's dup-phrase vocabulary, typically ≪ corpus mass)
+    broadcast as a {gram: canon_key} map via ray.put — ~2M entries ≈
+    200 MB heap cap — and the apply runs as ONE map_batches over the
+    untouched docs stream: zero extra exchanges, the text never moves.
+    Above the cap the scale path runs instead: occurrence explode →
+    gram-keyed map_groups emits non-canon (doc_id, kill_pos) pairs →
+    doc-keyed collect of kill starts → hash-bucket LEFT join back to
+    the docs (text crosses exactly one partitioned exchange; no driver
+    materialization of anything corpus-sized)."""
+    import ray as _ray
+    from ray.data.aggregate import Min, Sum
+
+    from scribe_js_ray.functions.joins import hash_bucket_join
+
+    def _tokens(txt):
+        return (txt or "").strip(" ").split(" ")
+
+    def explode_partials(t: pa.Table) -> pa.Table:
+        """Per-batch (gram, n_occ, min canon key) partials: group_by
+        collapses repeated (gram, doc) occurrences before the shuffle
+        (each doc is one row, so the batch group fully dedups)."""
+        grams: list[str] = []
+        keys: list[int] = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            w = _tokens(txt)
+            m = len(w) - n + 1
+            if m <= 0:
+                continue
+            if len(w) >= _SPAN_POS_BASE:
+                raise ValueError(
+                    f"doc {did}: {len(w)} tokens exceeds the "
+                    f"{_SPAN_POS_BASE - 1}-token canon-key width")
+            base = did * _SPAN_POS_BASE
+            grams.extend(" ".join(w[i:i + n]) for i in range(m))
+            keys.extend(base + i for i in range(m))
+        occ = pa.table({
+            "gram": pa.array(grams, pa.string()),
+            "key": pa.array(keys, pa.int64()),
+        })
+        agg = occ.group_by(["gram"]).aggregate(
+            [("key", "count"), ("key", "min")])
+        return pa.table({
+            "gram": agg["gram"],
+            "n_occ": pc.cast(agg["key_count"], pa.int64()),
+            "min_key": agg["key_min"],
+        })
+
+    dup = docs_ds.map_batches(explode_partials, batch_format="pyarrow") \
+        .groupby("gram") \
+        .aggregate(Sum("n_occ", alias_name="n_total"),
+                   Min("min_key", alias_name="canon_key"))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_total"], 1))
+        return pa.table({
+            "gram": t["gram"],
+            "canon_key": pc.cast(t["canon_key"], pa.int64()),
+        })
+
+    dup = dup.map_batches(only_dups, batch_format="pyarrow").materialize()
+    n_dup = dup.count()
+
+    def _apply_doc(w: list[str], kill: np.ndarray):
+        n_rm = int(kill.sum())
+        if n_rm == 0:
+            return " ".join(w), 0
+        return " ".join(tok for tok, k in zip(w, kill) if not k), n_rm
+
+    if n_dup <= broadcast_cap:
+        # Common case: the dup-phrase vocabulary fits a broadcast map.
+        dup_pd = dup.to_pandas()
+        dup_map = dict(zip(dup_pd["gram"], dup_pd["canon_key"]))
+        dup_ref = _ray.put(dup_map)
+
+        def apply_batch(t: pa.Table) -> pa.Table:
+            dm = _ray.get(dup_ref)
+            ids = t["doc_id"].to_pylist()
+            out_txt: list[str] = []
+            out_rm: list[int] = []
+            for did, txt in zip(ids, t["text"].to_pylist()):
+                w = _tokens(txt)
+                m = len(w) - n + 1
+                kill = np.zeros(len(w), dtype=bool)
+                base = did * _SPAN_POS_BASE
+                for i in range(max(m, 0)):
+                    ck = dm.get(" ".join(w[i:i + n]))
+                    if ck is not None and ck != base + i:
+                        kill[i:i + n] = True
+                txt2, n_rm = _apply_doc(w, kill)
+                out_txt.append(txt2)
+                out_rm.append(n_rm)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text_dedup": pa.array(out_txt, pa.string()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+            })
+
+        return docs_ds.map_batches(apply_batch, batch_format="pyarrow")
+
+    # Scale path: dup vocabulary too large to broadcast.  Re-explode
+    # RAW occurrences (no collapse — every position is needed to kill
+    # in-doc repeats) and let the gram-keyed groups decide canon
+    # locally; only (doc_id, pos) kill pairs leave that exchange.
+    def explode_occ(t: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        keys: list[int] = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            w = _tokens(txt)
+            m = len(w) - n + 1
+            if m <= 0:
+                continue
+            if len(w) >= _SPAN_POS_BASE:
+                raise ValueError(
+                    f"doc {did}: {len(w)} tokens exceeds the "
+                    f"{_SPAN_POS_BASE - 1}-token canon-key width")
+            base = did * _SPAN_POS_BASE
+            grams.extend(" ".join(w[i:i + n]) for i in range(m))
+            keys.extend(base + i for i in range(m))
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            "key": pa.array(keys, pa.int64()),
+        })
+
+    def emit_kills(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g["key"], dtype=np.int64)
+        if keys.size < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        canon = keys.min()
+        kill = keys[keys != canon]
+        return pa.table({
+            "doc_id": pa.array(kill // _SPAN_POS_BASE),
+            "pos": pa.array(kill % _SPAN_POS_BASE),
+        })
+
+    kills = docs_ds.map_batches(explode_occ, batch_format="pyarrow") \
+        .groupby("gram").map_groups(emit_kills, batch_format="pyarrow")
+
+    def collect_starts(g: pa.Table) -> pa.Table:
+        did = g["doc_id"][0].as_py()
+        starts = sorted(g["pos"].to_pylist())
+        return pa.table({
+            "doc_id": pa.array([did], pa.int64()),
+            "kill_starts": pa.array([starts], pa.list_(pa.int64())),
+        })
+
+    per_doc = kills.groupby("doc_id") \
+        .map_groups(collect_starts, batch_format="pyarrow")
+
+    docs_slim = docs_ds.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+    joined = hash_bucket_join(docs_slim, per_doc, on="doc_id", how="left")
+
+    def apply_joined(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_txt: list[str] = []
+        out_rm: list[int] = []
+        for txt, starts in zip(t["text"].to_pylist(),
+                               t["kill_starts"].to_pylist()):
+            w = _tokens(txt)
+            kill = np.zeros(len(w), dtype=bool)
+            for s in (starts or ()):
+                kill[s:s + n] = True
+            txt2, n_rm = _apply_doc(w, kill)
+            out_txt.append(txt2)
+            out_rm.append(n_rm)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text_dedup": pa.array(out_txt, pa.string()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+        })
+
+    return joined.map_batches(apply_joined, batch_format="pyarrow")
+
+
 def bigram_topk(docs_ds, k: int = 200):
     """Corpus-wide top-``k`` adjacent token pairs by frequency — the
     first-merge-candidate step of BPE-style tokenizer training (and the

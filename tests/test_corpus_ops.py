@@ -487,3 +487,61 @@ def test_dup_span_profile_counts(ray_session):
     assert (out.n_occurrences > 1).all()
     # profile is sorted by n_occurrences desc then gram asc
     assert out.n_occurrences.is_monotonic_decreasing or len(out) <= 1
+
+
+def test_dedup_spans_apply_semantics(ray_session):
+    """Canonical (globally first) occurrence keeps its tokens; every
+    other occurrence — cross-doc AND in-doc repeats — is removed; a
+    token covered by any killed span drops; short docs pass through."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dedup_spans_apply
+
+    shared = "a b c d e f g h"
+    docs = rd.from_items([
+        {"doc_id": 0, "text": shared + " tail0 x y z"},
+        {"doc_id": 1, "text": "head1 " + shared},
+        {"doc_id": 2, "text": shared + " " + shared},
+        {"doc_id": 3, "text": "too short"},
+    ])
+    out = dedup_spans_apply(docs, n=8).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # doc 0 holds the canonical occurrence — untouched
+    assert out.loc[0, "text_dedup"] == shared + " tail0 x y z"
+    assert out.loc[0, "n_removed"] == 0
+    # doc 1: the shared 8 tokens vanish, the unique head survives
+    assert out.loc[1, "text_dedup"] == "head1"
+    assert out.loc[1, "n_removed"] == 8
+    # doc 2: both in-doc occurrences are non-canonical; the bridging
+    # grams around the midpoint are unique (count 1) so only the two
+    # aligned occurrences kill — but their spans cover ALL 16 tokens
+    assert out.loc[2, "text_dedup"] == ""
+    assert out.loc[2, "n_removed"] == 16
+    # doc 3: fewer than n tokens — unchanged
+    assert out.loc[3, "text_dedup"] == "too short"
+    assert out.loc[3, "n_removed"] == 0
+
+
+def test_dedup_spans_apply_scale_path_agrees(ray_session):
+    """broadcast_cap=0 forces the map_groups + hash-bucket-join scale
+    path; output must equal the broadcast path row for row."""
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import dedup_spans_apply
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(24)]
+    # plant duplicates: doc 20 repeats doc 0's middle, doc 21 = doc 1
+    texts[20] = texts[20][:50].rsplit(" ", 1)[0] + " " + \
+        " ".join(texts[0].split(" ")[10:22])
+    texts[21] = texts[1]
+    docs = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+    fast = dedup_spans_apply(docs, n=8).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    slow = dedup_spans_apply(docs, n=8, broadcast_cap=0).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert fast.equals(slow)
+    assert (fast.loc[fast.doc_id == 21, "n_removed"] > 0).all()

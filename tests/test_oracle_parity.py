@@ -128,3 +128,20 @@ def test_entry_smoke(ray_session):
     assert len(df) == 20
     assert "extracted_text" in df.columns
     assert (df["extracted_text"].str.len() > 0).all()
+
+
+def test_oracle_backed_queries_precede_rows_only():
+    """ORDER CONTRACT (VERDICT r4 #3): a driver correctness check that
+    truncates the queries() dict must never drop an oracle-backed query
+    in favor of a rows-only one."""
+    import __ray_entry__ as e
+    order = list(e.queries())
+    oracled = set(e.oracle_sql())
+    assert oracled <= set(order)
+    seen_rows_only = False
+    for name in order:
+        if name in oracled:
+            assert not seen_rows_only, \
+                f"oracle-backed {name!r} follows a rows-only query"
+        else:
+            seen_rows_only = True
