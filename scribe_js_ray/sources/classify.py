@@ -96,6 +96,15 @@ def classify_payload(payload: bytes, text: str = "") -> str:
         return "hocr"
     if _HTML_RE.search(head):
         return "html"
+    if b"%PDF-" in payload[:1024]:
+        # Junk before the header: every real reader tolerates a %PDF
+        # within the first 1024 bytes, and the reference — which routes
+        # by .pdf extension (import.js:108) — header-adjusts all xref
+        # offsets for exactly this case (parsePdfUtils.js parseXref
+        # :127-129).  Checked LAST so a structured sniff above always
+        # wins; without an extension column this deep scan is the only
+        # way such corpus payloads reach the PDF engine at all.
+        return "pdf"
     if payload.strip() == b"":
         return "empty"
     return "text"

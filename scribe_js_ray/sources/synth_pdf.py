@@ -563,3 +563,138 @@ def make_pdf_xobjects(r: random.Random) -> bytes:
            f"{_PAGE_H}] /Length {len(form2)} >>\nstream\n").encode()
           + form2 + b"\nendstream")
     return w.build()
+
+
+def repack_modern(data: bytes, *, compress: bool = True,
+                  predictor: bool = True, split_index: bool = False,
+                  junk_prefix: bytes = b"") -> bytes:
+    """Repack a classic-xref synthetic PDF into PDF 1.5 "modern" file
+    structure: every non-stream object moves into ONE FlateDecode
+    ``/ObjStm`` container, stream objects stay direct (their payloads
+    optionally Flate-compressed), and the cross-reference becomes an
+    ``/XRef`` stream (optionally PNG Up-predictor-coded, optionally
+    with a split ``/Index``).  Content is untouched, so extraction must
+    be byte-identical to the classic twin.  ``junk_prefix`` prepends
+    bytes before ``%PDF`` (offsets stay relative to the header — the
+    parser must header-adjust).  Only safe on the deterministic
+    fixtures this module generates (raw byte-scan segmentation)."""
+    import re as _re
+    import zlib
+
+    root_m = _re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
+    if not root_m:
+        raise ValueError("no /Root in source")
+    root = int(root_m.group(1))
+
+    # Sequential object segmentation (skips stream payloads so binary
+    # bytes can never masquerade as object headers).
+    objs: dict[int, bytes] = {}
+    pat = _re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+    pos = 0
+    while True:
+        m = pat.search(data, pos)
+        if not m:
+            break
+        start = m.end()
+        s_idx = data.find(b"stream", start)
+        e_idx = data.find(b"endobj", start)
+        if e_idx == -1:
+            break
+        if s_idx != -1 and s_idx < e_idx:
+            es = data.find(b"endstream", s_idx)
+            e_idx = data.find(b"endobj", es)
+        objs[int(m.group(1))] = data[start:e_idx].strip()
+        pos = e_idx + 6
+
+    def is_stream(body: bytes) -> bool:
+        return _re.search(rb">>\s*stream\r?\n", body) is not None
+
+    def recompress(body: bytes) -> bytes:
+        if not compress or b"/Filter" in body:
+            return body
+        m2 = _re.search(rb"stream\r?\n", body)
+        lm = _re.search(rb"/Length\s+(\d+)", body)
+        if not m2 or not lm:
+            return body
+        payload = body[m2.end():m2.end() + int(lm.group(1))]
+        z = zlib.compress(payload)
+        head = body[:m2.start()]
+        head = head.replace(
+            b"/Length " + lm.group(1),
+            b"/Length %d /Filter /FlateDecode" % len(z), 1)
+        return head + b"stream\n" + z + b"\nendstream"
+
+    plain = sorted(n for n, b in objs.items() if not is_stream(b))
+    streams = sorted(n for n, b in objs.items() if is_stream(b))
+    objstm_num = max(objs) + 1
+    xref_num = objstm_num + 1
+
+    # ObjStm container: "<num> <offset> ..." header then the bodies.
+    offs, parts, cur = [], [], 0
+    for n in plain:
+        body = objs[n]
+        offs.append(f"{n} {cur}")
+        parts.append(body + b"\n")
+        cur += len(body) + 1
+    header = (" ".join(offs) + "\n").encode()
+    stm_payload = zlib.compress(header + b"".join(parts))
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(plain)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(stm_payload)} >>\n"
+        f"stream\n").encode() + stm_payload + b"\nendstream"
+
+    out = bytearray(junk_prefix + b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    base = len(junk_prefix)  # stored offsets are header-relative
+    positions: dict[int, int] = {}
+    for n in streams:
+        positions[n] = len(out) - base
+        out += f"{n} 0 obj\n".encode() + recompress(objs[n]) + b"\nendobj\n"
+    positions[objstm_num] = len(out) - base
+    out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
+    xref_pos = len(out) - base
+
+    size = xref_num + 1
+    wo = 3 if max(positions.values(), default=0) > 0xFFFF or \
+        xref_pos > 0xFFFF else 2
+    stm_index = {n: i for i, n in enumerate(plain)}
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 0xFFFF
+        elif num in stm_index:
+            t, f2, f3 = 2, objstm_num, stm_index[num]
+        elif num in positions:
+            t, f2, f3 = 1, positions[num], 0
+        elif num == xref_num:
+            t, f2, f3 = 1, xref_pos, 0
+        else:
+            t, f2, f3 = 0, 0, 0
+        rows.append(t)
+        rows += f2.to_bytes(wo, "big") + f3.to_bytes(2, "big")
+    colw = 1 + wo + 2
+    if predictor:
+        # PNG Up filter: 0x02 tag + (row - previous row) per row.
+        prev = bytes(colw)
+        enc = bytearray()
+        for i in range(0, len(rows), colw):
+            row = bytes(rows[i:i + colw])
+            enc.append(2)
+            enc += bytes((row[j] - prev[j]) & 0xFF for j in range(colw))
+            prev = row
+        xref_payload = zlib.compress(bytes(enc))
+        parms = (f" /DecodeParms << /Predictor 12 /Colors 1 "
+                 f"/BitsPerComponent 8 /Columns {colw} >>")
+    else:
+        xref_payload = zlib.compress(bytes(rows))
+        parms = ""
+    if split_index:
+        k = max(1, size // 2)
+        index = f" /Index [0 {k} {k} {size - k}]"
+    else:
+        index = ""
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
+            f"/W [1 {wo} 2] /Root {root} 0 R /Filter /FlateDecode"
+            f"{parms}{index} /Length {len(xref_payload)} >>\n"
+            f"stream\n").encode() + xref_payload + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)

@@ -20,11 +20,40 @@ MAX_RASTER_W = 3500
 DEFAULT_DPI_SCALE = 300.0 / 72.0
 
 
+def _catalog_and_pages(pdf: PdfFile):
+    """Catalog discovery for the page walk (findCatalogAndPages,
+    parsePdfUtils.js:1044-1069): the /Root number comes from the RAW
+    byte scan only — no startxref keyword means the document errors
+    even when the xref itself is recoverable (findRootObjNum
+    :925-926).  A named Catalog without a top-level /Pages forces the
+    xref repair, then any other /Type /Catalog object with /Pages
+    serves instead."""
+    from .objects import _find_root_obj_num
+    root_num = _find_root_obj_num(pdf.data)
+    if not root_num:
+        raise ValueError("Could not find PDF Catalog")
+    root = pdf.resolve(Ref(root_num, 0))
+    if isinstance(root, StreamObj):
+        root = root.dict
+    if isinstance(root, dict) and isinstance(root.get("Pages"), Ref):
+        return root["Pages"]
+    pdf._ensure_repaired()
+    for num in list(pdf.offsets) + list(pdf.compressed):
+        if num == root_num:
+            continue
+        try:
+            obj = pdf.get_object(num)
+        except Exception:
+            continue
+        d = obj.dict if isinstance(obj, StreamObj) else obj
+        if isinstance(d, dict) and str(d.get("Type", "")) == "Catalog" \
+                and isinstance(d.get("Pages"), Ref):
+            return d["Pages"]
+    raise ValueError("Could not find /Pages reference in Catalog")
+
+
 def _walk_pages(pdf: PdfFile):
-    root = pdf.resolve(pdf.trailer.get("Root"))
-    if not isinstance(root, dict):
-        raise ValueError("no document catalog")
-    pages_ref = root.get("Pages")
+    pages_ref = _catalog_and_pages(pdf)
     out = []
 
     def walk(node_ref, inherited):

@@ -448,6 +448,182 @@ def _find_encrypt_ref(data: bytes):
     return num
 
 
+# PDF whitespace (ISO 32000-1 Table 1; reference isPdfWhitespace).
+_PDF_WS = b"\x00\t\n\x0c\r "
+
+
+def _matches_obj_header(data: bytes, pos: int) -> bool:
+    """True when ``pos`` starts ``<digits> <digits> obj`` with SINGLE
+    0x20 separators — the strict form xref offsets must point at
+    (reference matchesObjHeader, pdfPrimitives.js:269)."""
+    n = len(data)
+    p = pos
+    if p >= n or not (48 <= data[p] <= 57):
+        return False
+    while p < n and 48 <= data[p] <= 57:
+        p += 1
+    if p >= n or data[p] != 0x20:
+        return False
+    p += 1
+    if p >= n or not (48 <= data[p] <= 57):
+        return False
+    while p < n and 48 <= data[p] <= 57:
+        p += 1
+    if p >= n or data[p] != 0x20:
+        return False
+    return data[p + 1:p + 4] == b"obj"
+
+
+def _matches_bare_entry(data: bytes, pos: int) -> bool:
+    """True when ``pos`` starts ``NNNNNNNNNN NNNNN [fn]`` — an xref
+    entry line with no surrounding table syntax (reference
+    matchesBareXrefEntry, pdfPrimitives.js:316)."""
+    if pos + 18 >= len(data):
+        return False
+    if not data[pos:pos + 10].isdigit():
+        return False
+    if data[pos + 10] != 0x20:
+        return False
+    if not data[pos + 11:pos + 16].isdigit():
+        return False
+    if data[pos + 16] != 0x20:
+        return False
+    return data[pos + 17] in b"fn"
+
+
+def _matches_obj_marker(data: bytes, pos: int, num: int) -> bool:
+    """True when ``pos`` starts ``<num> <gen> obj\\b`` for THIS object
+    number, any PDF whitespace between fields (reference
+    matchesObjMarker, pdfPrimitives.js:290) — the validation gate that
+    keeps a stale xref offset from reading a different object."""
+    s = str(num).encode()
+    n = len(data)
+    if data[pos:pos + len(s)] != s:
+        return False
+    p = pos + len(s)
+    if p >= n or data[p] not in _PDF_WS:
+        return False
+    while p < n and data[p] in _PDF_WS:
+        p += 1
+    if p >= n or not (48 <= data[p] <= 57):
+        return False
+    while p < n and 48 <= data[p] <= 57:
+        p += 1
+    if p >= n or data[p] not in _PDF_WS:
+        return False
+    while p < n and data[p] in _PDF_WS:
+        p += 1
+    if data[p:p + 3] != b"obj":
+        return False
+    after = p + 3
+    if after < n:
+        c = data[after]
+        if 48 <= c <= 57 or 65 <= c <= 90 or 97 <= c <= 122 or c == 95:
+            return False
+    return True
+
+
+def _extract_dict_bytes(data: bytes, start: int) -> bytes:
+    """Balanced ``<< .. >>`` slice starting at ``start``; literal
+    strings are skipped so a raw ``>>`` inside e.g. an /ID binary
+    string can't truncate the dict (reference extractDictFromBytes,
+    pdfPrimitives.js:230-262)."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x28:  # literal string
+            i += 1
+            sd = 1
+            while i < n and sd > 0:
+                c2 = data[i]
+                if c2 == 0x5C:
+                    i += 2
+                    continue
+                if c2 == 0x28:
+                    sd += 1
+                elif c2 == 0x29:
+                    sd -= 1
+                i += 1
+        elif c == 0x3C and data[i + 1:i + 2] == b"<":
+            depth += 1
+            i += 2
+        elif c == 0x3E and data[i + 1:i + 2] == b">":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:]
+
+
+_ROOT_REF_PAT = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+
+
+def _find_root_obj_num(data: bytes):
+    """/Root object number by RAW byte scan — the reference's ONLY
+    Catalog discovery (findRootObjNum, parsePdfUtils.js:923-973):
+    requires a ``startxref`` keyword (none → None → the document
+    errors with "Could not find PDF Catalog" regardless of how
+    recoverable the xref is); then (1) /Root in the last ``trailer``
+    before the last ``startxref``, (2) /Root in the xref-stream dict
+    at the header-adjusted startxref offset, (3) first ``trailer``
+    anywhere with /Root in a 500-byte window."""
+    n = len(data)
+    sx = data.rfind(b"startxref")
+    if sx == -1:
+        return None
+    tidx = data.rfind(b"trailer", 0, sx)
+    if tidx != -1:
+        m = _ROOT_REF_PAT.search(data[tidx:sx])
+        if m:
+            return int(m.group(1))
+    p = sx + 9
+    while p < n and data[p] in _PDF_WS:
+        p += 1
+    if p < n and 48 <= data[p] <= 57:
+        off = 0
+        while p < n and 48 <= data[p] <= 57:
+            off = off * 10 + (data[p] - 48)
+            p += 1
+        if off < n:
+            hdr = data.find(b"%PDF")
+            adj = off + (hdr if hdr > 0 else 0)
+            ds = data.find(b"<<", adj, min(adj + 200, n - 1))
+            if ds != -1:
+                m = _ROOT_REF_PAT.search(_extract_dict_bytes(data, ds))
+                if m:
+                    return int(m.group(1))
+    search = 0
+    while True:
+        t = data.find(b"trailer", search)
+        if t == -1:
+            break
+        m = _ROOT_REF_PAT.search(data[t:min(t + 500, n)])
+        if m:
+            return int(m.group(1))
+        search = t + 7
+    return None
+
+
+def _scan_object_headers(data: bytes) -> dict[int, int]:
+    """Every ``<num> <gen> obj\\b`` header in the file, LAST occurrence
+    per object number (an incremental save's newer body shadows the
+    old), with the non-digit-prefix guard so ``12 0 obj`` never also
+    registers as object 2 (reference objectCache.js _repairXref
+    :179-226, the byte-state-machine port of
+    ``/(?:^|[^\\d])(\\d+)\\s+(\\d+)\\s+obj\\b/g``)."""
+    out: dict[int, int] = {}
+    pat = re.compile(
+        rb"(?:^|[^0-9])(\d+)[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+obj"
+        rb"(?![0-9A-Za-z_])")
+    for m in pat.finditer(data):
+        out[int(m.group(1))] = m.start(1)
+    return out
+
+
 class PdfFile:
     """Parsed PDF: lazy object table with xref + scan fallback."""
 
@@ -455,6 +631,13 @@ class PdfFile:
         self.data = data
         self.offsets: dict[int, int] = {}
         self.compressed: dict[int, tuple[int, int]] = {}  # num -> (container, idx)
+        # Every object number an xref section has spoken for — in-use,
+        # compressed, or a classic-table FREE tombstone (an incremental
+        # update that deletes an object must shadow the object's older
+        # in-use entry; reference parseXrefTable "free entries take
+        # precedence too").  Newer sections walk first, first claim wins.
+        self._claimed: set[int] = set()
+        self._repaired = False
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
@@ -506,99 +689,241 @@ class PdfFile:
 
     # -- xref -------------------------------------------------------------
     def _parse_xref_chain(self):
-        m = re.search(rb"startxref\s+(\d+)\s*%%EOF\s*$", self.data[-256:], re.S)
-        if not m:
-            m = re.search(rb"startxref\s+(\d+)", self.data[-1024:])
-        if not m:
-            raise ValueError("no startxref")
-        pos = int(m.group(1))
+        data = self.data
+        # Junk before the %PDF header shifts every stored offset:
+        # startxref, /Prev, /XRefStm and type-1 entries are all relative
+        # to the header position (parsePdfUtils.js parseXref:127-129).
+        hdr = data.find(b"%PDF")
+        adjust = hdr if hdr > 0 else 0
+        pos = self._find_xref_offset(adjust)
         seen = set()
-        while pos and pos not in seen and 0 <= pos < len(self.data):
+        while pos is not None and pos not in seen and 0 <= pos < len(data):
             seen.add(pos)
-            pos = self._parse_xref_section(pos)
+            pos = self._parse_xref_section(pos, adjust)
         # /Prev chain length: >1 means the file retains prior
         # incremental-save revisions that still carry old metadata
         # (metadataInspect.js countXrefRevisions).
         self.n_revisions = len(seen)
 
-    def _parse_xref_section(self, pos: int):
+    def _find_xref_offset(self, adjust: int) -> int:
+        """Locate the newest xref section (reference findXrefOffset,
+        parsePdfUtils.js:20-76): the LAST ``startxref`` in the file
+        (linearized PDFs carry two), header-adjusted; a ±16-byte snap
+        window when the stored value is off by a few bytes; and a
+        last-standalone-``xref``-keyword scan when all else fails."""
         data = self.data
+        n = len(data)
+        idx = data.rfind(b"startxref")
+        if idx != -1:
+            p = idx + 9
+            while p < n and data[p] in _PDF_WS:
+                p += 1
+            num = 0
+            has_digit = False
+            while p < n and 48 <= data[p] <= 57:
+                num = num * 10 + (data[p] - 48)
+                p += 1
+                has_digit = True
+            if has_digit:
+                off = num + adjust
+                if off < n:
+                    chk = off
+                    while chk < n and data[chk] in _PDF_WS:
+                        chk += 1
+                    if data[chk:chk + 4] == b"xref" or \
+                            _matches_obj_header(data, chk) or \
+                            _matches_bare_entry(data, chk):
+                        return off
+                    # Off-by-a-few startxref: snap to a nearby `xref`
+                    # keyword or object header before the whole-file
+                    # fallback (which on a linearized PDF would land on
+                    # the incomplete end-of-file xref).
+                    lo = max(0, off - 16)
+                    hi = min(n, off + 16)
+
+                    def ws_before(p0: int) -> bool:
+                        return p0 == 0 or data[p0 - 1] in _PDF_WS
+
+                    for q in range(off, lo - 1, -1):
+                        if data[q:q + 4] == b"xref" and ws_before(q):
+                            return q
+                    for q in range(off + 1, hi):
+                        if data[q:q + 4] == b"xref" and ws_before(q):
+                            return q
+                    for q in range(off, lo - 1, -1):
+                        if _matches_obj_header(data, q) and ws_before(q):
+                            return q
+        # Fallback: last standalone `xref` keyword (preceded by a
+        # newline or at file start — never the tail of `startxref`).
+        search = n - 1
+        while search >= 0:
+            i = data.rfind(b"xref", 0, search + 4)
+            if i == -1:
+                break
+            if i == 0 or data[i - 1] in b"\r\n":
+                return i
+            search = i - 1
+        raise ValueError("no startxref")
+
+    def _parse_xref_section(self, pos: int, adjust: int):
+        """Dispatch one xref section (parseXref walk body,
+        parsePdfUtils.js:131-163): skip linearized padding, then a
+        classic table, an xref stream, or a bare entry list."""
+        data = self.data
+        n = len(data)
+        while pos < n and data[pos] in _PDF_WS:
+            pos += 1
+        if _matches_obj_header(data, pos):
+            return self._parse_xref_stream_at(pos, adjust)
         if data[pos:pos + 4] == b"xref":
-            lex = Lexer(data, pos + 4)
-            while True:
-                lex._skip_ws()
-                if data[lex.pos:lex.pos + 7] == b"trailer":
-                    lex.pos += 7
-                    trailer = lex.parse_object()
-                    for k, v in trailer.items():
-                        self.trailer.setdefault(k, v)
-                    prev = trailer.get("Prev")
-                    return int(prev) if isinstance(prev, (int, float)) else None
-                m = re.match(rb"(\d+)\s+(\d+)\s*", data[lex.pos:])
-                if not m:
-                    return None
-                start, count = int(m.group(1)), int(m.group(2))
-                lex.pos += m.end()
-                for i in range(count):
-                    entry = data[lex.pos:lex.pos + 20]
-                    em = re.match(rb"(\d{10})\s(\d{5})\s([nf])", entry)
-                    if em:
-                        if em.group(3) == b"n":
-                            self.offsets.setdefault(start + i, int(em.group(1)))
-                        lex.pos += 20 if entry[18:19] in b"\r\n " else 19
-                    else:
-                        em2 = re.match(rb"\s*(\d+)\s+(\d+)\s+([nf])\s*", entry)
-                        if not em2:
-                            return None
-                        if em2.group(3) == b"n":
-                            self.offsets.setdefault(start + i, int(em2.group(1)))
-                        lex.pos += em2.end()
-        else:
-            # xref stream
-            lex = Lexer(data, pos)
-            m = re.match(rb"(\d+)\s+(\d+)\s+obj", data[pos:pos + 32])
-            if not m:
-                raise ValueError("bad xref stream header")
-            lex.pos = pos + m.end()
-            obj = lex.parse_object()
-            if not isinstance(obj, StreamObj):
-                raise ValueError("xref stream not a stream")
-            d = obj.dict
-            for k, v in d.items():
-                self.trailer.setdefault(k, v)
-            payload = decode_stream(obj, self._resolve_shallow)
-            w = [int(x) for x in d.get("W", [1, 1, 1])]
-            size = int(d.get("Size", 0))
-            index = d.get("Index", [0, size])
-            row = sum(w)
-            p = 0
-            for ii in range(0, len(index), 2):
-                start, count = int(index[ii]), int(index[ii + 1])
-                for j in range(count):
-                    if p + row > len(payload):
-                        break
-                    fields = []
-                    q = p
-                    for width in w:
-                        val = 0
-                        for _ in range(width):
-                            val = (val << 8) | payload[q]
-                            q += 1
-                        fields.append(val)
-                    p += row
-                    ftype = fields[0] if w[0] else 1
-                    num = start + j
-                    if ftype == 1:
-                        self.offsets.setdefault(num, fields[1])
-                    elif ftype == 2:
-                        self.compressed.setdefault(num, (fields[1], fields[2]))
-            prev = d.get("Prev")
-            return int(prev) if isinstance(prev, (int, float)) else None
+            return self._parse_xref_table(pos, adjust, bare=False)
+        if _matches_bare_entry(data, pos):
+            return self._parse_xref_table(pos, adjust, bare=True)
         return None
 
+    def _parse_xref_table(self, pos: int, adjust: int, bare: bool):
+        """Classic (or bare) xref table, line-based with first-seen
+        precedence; classic FREE entries claim their slot as tombstones
+        (parseXrefTable/parseBareXrefTable, parsePdfUtils.js:196-262).
+        Returns the header-adjusted /Prev offset, harvesting a hybrid
+        trailer's /XRefStm companion stream along the way."""
+        data = self.data
+        cap = min(len(data), pos + 256 * 1024)
+        tidx = data.find(b"trailer", pos)
+        end = tidx + 7 if (tidx != -1 and tidx < cap) else cap
+        lines = re.split(rb"\r\n|\n|\r", data[pos:end])
+        claimed = self._claimed
+        if bare:
+            # Entries start directly at the offset, from object 0.
+            num = 0
+            for raw in lines:
+                line = raw.strip()
+                if line in (b"trailer", b""):
+                    break
+                em = re.match(rb"(\d{10})\s+(\d{5})\s+(n|f)$", line)
+                if not em:
+                    continue
+                if num not in claimed:
+                    claimed.add(num)
+                    if em.group(3) == b"n":
+                        self.offsets[num] = int(em.group(1)) + adjust
+                num += 1
+        else:
+            i = 1  # skip the "xref" line
+            while i < len(lines):
+                line = lines[i].strip()
+                if line in (b"trailer", b""):
+                    break
+                sm = re.match(rb"(\d+)\s+(\d+)$", line)
+                if sm:
+                    start, count = int(sm.group(1)), int(sm.group(2))
+                    for j in range(count):
+                        i += 1
+                        if i >= len(lines):
+                            break
+                        em = re.match(rb"(\d+)\s+(\d+)\s+(n|f)$",
+                                      lines[i].strip())
+                        if not em:
+                            continue
+                        onum = start + j
+                        if onum in claimed:
+                            continue
+                        claimed.add(onum)
+                        if em.group(3) == b"n":
+                            self.offsets[onum] = int(em.group(1)) + adjust
+                i += 1
+        prev = None
+        if tidx != -1:
+            window = data[tidx:tidx + 1000]
+            pm = re.search(rb"/Prev\s+(\d+)", window)
+            if pm:
+                prev = int(pm.group(1)) + adjust
+            if not bare:
+                xm = re.search(rb"/XRefStm\s+(\d+)", window)
+                if xm:
+                    # Hybrid-reference file: harvest the companion
+                    # stream's entries (its own /Prev is ignored —
+                    # parsePdfUtils.js:151-155).
+                    try:
+                        self._parse_xref_stream_at(
+                            int(xm.group(1)) + adjust, adjust)
+                    except Exception:
+                        pass
+            # Keep the full trailer dict values (Root/ID/Encrypt/Size).
+            try:
+                lex = Lexer(data, tidx + 7)
+                t = lex.parse_object()
+                if isinstance(t, dict):
+                    for k, v in t.items():
+                        self.trailer.setdefault(k, v)
+            except Exception:
+                pass
+        return prev
+
+    def _parse_xref_stream_at(self, pos: int, adjust: int):
+        """PDF 1.5 cross-reference stream.  A malformed dict or an
+        undecodable payload still follows /Prev (parseXrefStream,
+        parsePdfUtils.js:267-334); stream FREE entries do NOT claim
+        (unlike classic tables — :328 "type 0 = free entry, skip")."""
+        data = self.data
+        m = re.match(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj",
+                     data[pos:pos + 32])
+        if not m:
+            return None
+        lex = Lexer(data, pos + m.end())
+        obj = lex.parse_object()
+        if not isinstance(obj, StreamObj):
+            return None
+        d = obj.dict
+        for k, v in d.items():
+            self.trailer.setdefault(k, v)
+        prev = d.get("Prev")
+        prev = int(prev) + adjust if isinstance(prev, (int, float)) else None
+        w = d.get("W")
+        size = d.get("Size")
+        if not isinstance(w, list) or len(w) != 3 or size is None:
+            return prev
+        try:
+            payload = decode_stream(obj, self._resolve_shallow)
+        except Exception:
+            return prev
+        w = [int(x) for x in w]
+        index = d.get("Index", [0, int(size)])
+        row = sum(w)
+        claimed = self._claimed
+        p = 0
+        for ii in range(0, len(index), 2):
+            start, count = int(index[ii]), int(index[ii + 1])
+            for j in range(count):
+                if p + row > len(payload):
+                    break
+                fields = []
+                q = p
+                for width in w:
+                    val = 0
+                    for _ in range(width):
+                        val = (val << 8) | payload[q]
+                        q += 1
+                    fields.append(val)
+                p += row
+                ftype = fields[0] if w[0] else 1
+                num = start + j
+                if num in claimed:
+                    continue
+                if ftype == 1:
+                    claimed.add(num)
+                    self.offsets[num] = fields[1] + adjust
+                elif ftype == 2:
+                    claimed.add(num)
+                    self.compressed[num] = (fields[1], fields[2])
+        return prev
+
     def _scan_objects(self):
-        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.data):
-            self.offsets.setdefault(int(m.group(1)), m.start())
+        """Init-time fallback when no xref section parsed at all: the
+        same whole-file header scan the lazy repair uses (LAST
+        occurrence per number — an incremental save's newer body wins)."""
+        self._repaired = True
+        self.offsets.update(_scan_object_headers(self.data))
         tm = re.search(rb"trailer", self.data)
         if tm:
             lex = Lexer(self.data, tm.end())
@@ -606,6 +931,35 @@ class PdfFile:
             if isinstance(t, dict):
                 for k, v in t.items():
                     self.trailer.setdefault(k, v)
+
+    def _ensure_repaired(self):
+        """One-time whole-file xref repair (objectCache.js
+        ensureXrefRepaired/_repairXref:179-270): scan every object
+        header, then (a) install scanned offsets for numbers with no
+        entry or only a FREE tombstone — pages frequently reference
+        such "free" objects, so trust the file; (b) replace type-1
+        offsets that don't point at this object's header; (c) drop
+        type-1 entries that validate nowhere.  A broken xref pays the
+        scan once; a valid xref never reaches here."""
+        if self._repaired:
+            return
+        self._repaired = True
+        data = self.data
+        scan = _scan_object_headers(data)
+        for num, off in scan.items():
+            if num in self.offsets:
+                if not _matches_obj_marker(data, self.offsets[num], num):
+                    self.offsets[num] = off
+            elif num in self.compressed:
+                continue
+            else:
+                self.offsets[num] = off
+        for num in [k for k, v in self.offsets.items() if k not in scan]:
+            if not _matches_obj_marker(data, self.offsets[num], num):
+                del self.offsets[num]
+        # Objects that failed to resolve pre-repair may resolve now.
+        for k in [k for k, v in self._cache.items() if v is None]:
+            del self._cache[k]
 
     def _find_root_by_scan(self):
         for num in list(self.offsets):
@@ -625,9 +979,27 @@ class PdfFile:
     def get_object(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        obj = self._read_object_direct(num)
+        if obj is None and not self._repaired:
+            # Stale or missing xref entry: repair once by scanning the
+            # whole file, then retry (objectCache.js getObjectText
+            # :283-291).
+            self._ensure_repaired()
+            obj = self._read_object_direct(num)
+        self._cache[num] = obj
+        return obj
+
+    def _read_object_direct(self, num: int):
         if num in self.offsets:
             pos = self.offsets[num]
-            m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[pos:pos + 32])
+            # A stale offset (an xref not updated by an incremental
+            # save) would read a DIFFERENT object verbatim — the header
+            # must name THIS object (_readObjectTextDirect:315-321).
+            if not _matches_obj_marker(self.data, pos, num):
+                return None
+            m = re.match(
+                rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj",
+                self.data[pos:pos + 48])
             lex = Lexer(self.data, pos + (m.end() if m else 0))
             obj = lex.parse_object()
             gen = int(m.group(2)) if m else 0
@@ -646,14 +1018,12 @@ class PdfFile:
                 # streams are NOT re-encrypted — this branch only runs for
                 # directly-stored objects.
                 obj = self._decrypt_strings(obj, num, gen)
-        elif num in self.compressed:
+            return obj
+        if num in self.compressed:
             container, idx = self.compressed[num]
             objs = self._load_objstm(container)
-            obj = objs[idx] if idx < len(objs) else None
-        else:
-            obj = None
-        self._cache[num] = obj
-        return obj
+            return objs[idx] if idx < len(objs) else None
+        return None
 
     def _decrypt_strings(self, obj, num: int, gen: int):
         """Recursively decrypt every PDF string (parsed to ``bytes``)

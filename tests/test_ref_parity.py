@@ -3609,3 +3609,143 @@ def test_xobject_parity(seed, tmp_path):
     ours = extract_document("u", data, "", "eng", emit_format="markdown")
     assert ours["extracted_text"] == _ref_fmt(str(p), "md"), \
         f"xo{seed} md"
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_modern_structure_parity(seed, tmp_path):
+    """Modern-file-structure battery (sink27): the classic fixtures
+    repacked into PDF 1.5 form — ObjStm container for every non-stream
+    object, FlateDecode content, /XRef stream with and without the PNG
+    Up predictor, split /Index, and junk before %PDF (header-adjusted
+    offsets, parsePdfUtils.js parseXref:127) — must extract
+    byte-identically to the live reference AND to their classic twins
+    (40-case sweep clean at pin time)."""
+    from scribe_js_ray.sources.synth_pdf import (make_pdf_fontzoo,
+                                                 make_pdf_styles,
+                                                 make_pdf_textstate,
+                                                 make_pdf_xobjects,
+                                                 repack_modern)
+    for gen in (make_pdf_styles, make_pdf_fontzoo, make_pdf_xobjects,
+                make_pdf_textstate):
+        plain = gen(random.Random(seed))
+        want = extract_document("u", plain, "", "eng")["extracted_text"]
+        for name, kw in (("default", {}),
+                         ("nopred", dict(predictor=False)),
+                         ("split", dict(split_index=True)),
+                         ("junk", dict(junk_prefix=b"JUNK\n%x\n"))):
+            m = repack_modern(plain, **kw)
+            p = tmp_path / f"{gen.__name__}_{name}.pdf"
+            p.write_bytes(m)
+            ref = _ref_extract(str(p))
+            assert ref == want, f"{gen.__name__}/{name}: ref != classic"
+            ours = extract_document("u", m, "", "eng")["extracted_text"]
+            assert ours == ref, f"{gen.__name__}/{name}: ours != ref"
+
+
+def _rewrite_startxref(data: bytes, new_value: int) -> bytes:
+    import re as _re
+    m = _re.search(rb"startxref\s*\n(\d+)", data)
+    assert m
+    return data[:m.start(1)] + str(new_value).encode() + data[m.end(1):]
+
+
+@pytest.mark.parametrize("seed", [1, 6])
+def test_xref_damage_parity(seed, tmp_path):
+    """Damaged/unusual xref battery (sink28) vs the live reference:
+    junk before %PDF on a CLASSIC table; startxref off by a few bytes
+    (snap window, findXrefOffset:45-64); a bare xref table with no
+    keyword/subsection header (parseBareXrefTable); a missing
+    startxref (last-standalone-xref fallback); an incremental update
+    whose newest section must shadow the original entry; the same
+    update with a WRONG new offset (lazy whole-file repair,
+    objectCache.js _repairXref); and a free-tombstone update whose
+    deleted object the repair resurrects because the body is still
+    live in the file."""
+    import re as _re
+
+    from scribe_js_ray.sources.synth_pdf import make_pdf_styles
+    plain = make_pdf_styles(random.Random(seed))
+    want = extract_document("u", plain, "", "eng")["extracted_text"]
+    assert want
+
+    cases: dict[str, bytes] = {}
+    # 1. junk before %PDF, classic table (offsets header-relative)
+    cases["junk_classic"] = b"NOISE\n%not-pdf\n" + plain
+    # 2. startxref off by +6 / -5 (within the reference's 16-byte snap)
+    m = _re.search(rb"startxref\s*\n(\d+)", plain)
+    xref_pos = int(m.group(1))
+    cases["offby_plus"] = _rewrite_startxref(plain, xref_pos + 6)
+    cases["offby_minus"] = _rewrite_startxref(plain, xref_pos - 5)
+    # 3. bare xref table: drop the "xref\n0 N\n" header lines; entries
+    #    now begin exactly at the old keyword offset
+    hm = _re.search(rb"xref\n0 \d+\n", plain)
+    cases["bare"] = plain[:hm.start()] + plain[hm.end():]
+    for name, payload in cases.items():
+        p = tmp_path / f"{name}.pdf"
+        p.write_bytes(payload)
+        ref = _ref_extract(str(p))
+        assert ref == want, f"{name}: ref broke ({len(ref)}B)"
+        ours = extract_document("u", payload, "", "eng")["extracted_text"]
+        assert ours == ref, f"{name}: ours != ref"
+    # 4. no startxref at all: the reference ERRORS ("Could not find PDF
+    #    Catalog") because findRootObjNum requires the keyword
+    #    (parsePdfUtils.js:925-926) even though findXrefOffset's
+    #    last-standalone-xref fallback could locate the table.  We
+    #    mirror the error into the corpus error column.
+    sm = _re.search(rb"startxref\s*\n\d+\n", plain)
+    payload = plain[:sm.start()] + plain[sm.end():]
+    p = tmp_path / "no_startxref.pdf"
+    p.write_bytes(payload)
+    r = subprocess.run(["node", HARNESS, str(p)], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode != 0 and "Could not find PDF Catalog" in r.stderr
+    row = extract_document("u", payload, "", "eng")
+    assert row["extracted_text"] == ""
+    assert "Could not find PDF Catalog" in row["error"]
+
+
+@pytest.mark.parametrize("mode", ["update", "stale", "free"])
+def test_incremental_update_parity(mode, tmp_path):
+    """Incremental-save battery (sink28b): append a replacement content
+    stream + a new xref section with /Prev.  'update' = well-formed
+    (newest section wins); 'stale' = the new entry's offset is wrong by
+    3 bytes (both engines must lazily repair by whole-file scan and read
+    the NEWEST body); 'free' = the update marks the content object free
+    — the tombstone shadows the live entry, then repair resurrects the
+    object because its body is still in the file (objectCache.js
+    _repairXref "trust the file")."""
+    import re as _re
+
+    from scribe_js_ray.sources.synth_pdf import (_PAGE_H, _PAGE_W,
+                                                 make_pdf_simple)
+    plain = make_pdf_simple(random.Random(11))
+    # make_pdf_simple: obj 4 is the page's content stream
+    new_stream = b"BT /F1 11 Tf 72 720 Td (Replaced body text) Tj ET"
+    newobj = (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(new_stream)
+              + new_stream + b"\nendstream\nendobj\n")
+    m = _re.search(rb"startxref\s*\n(\d+)", plain)
+    old_xref = int(m.group(1))
+    base = plain
+    new_off = len(base)
+    if mode == "stale":
+        entry_off = new_off + 3   # wrong: forces the repair scan
+    else:
+        entry_off = new_off
+    size_m = _re.search(rb"/Size (\d+)", plain)
+    size = int(size_m.group(1))
+    if mode == "free":
+        entry = b"0000000000 00001 f \n"
+    else:
+        entry = b"%010d 00000 n \n" % entry_off
+    upd = (newobj + b"xref\n4 1\n" + entry
+           + b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n"
+             b"startxref\n%d\n%%%%EOF\n"
+           % (size, old_xref, new_off + len(newobj)))
+    payload = base + upd
+    p = tmp_path / f"incr_{mode}.pdf"
+    p.write_bytes(payload)
+    ref = _ref_extract(str(p))
+    ours = extract_document("u", payload, "", "eng")["extracted_text"]
+    assert ours == ref, f"{mode}: ours != ref"
+    if mode in ("update", "stale"):
+        assert "Replaced body text" in ref, f"{mode}: ref kept old body"
