@@ -565,29 +565,11 @@ def make_pdf_xobjects(r: random.Random) -> bytes:
     return w.build()
 
 
-def repack_modern(data: bytes, *, compress: bool = True,
-                  predictor: bool = True, split_index: bool = False,
-                  junk_prefix: bytes = b"") -> bytes:
-    """Repack a classic-xref synthetic PDF into PDF 1.5 "modern" file
-    structure: every non-stream object moves into ONE FlateDecode
-    ``/ObjStm`` container, stream objects stay direct (their payloads
-    optionally Flate-compressed), and the cross-reference becomes an
-    ``/XRef`` stream (optionally PNG Up-predictor-coded, optionally
-    with a split ``/Index``).  Content is untouched, so extraction must
-    be byte-identical to the classic twin.  ``junk_prefix`` prepends
-    bytes before ``%PDF`` (offsets stay relative to the header — the
-    parser must header-adjust).  Only safe on the deterministic
-    fixtures this module generates (raw byte-scan segmentation)."""
+def _segment_objects(data: bytes) -> dict[int, bytes]:
+    """Raw byte-scan object segmentation for the deterministic fixtures
+    this module generates: ``{num: body}`` with stream payloads skipped
+    so binary bytes can never masquerade as object headers."""
     import re as _re
-    import zlib
-
-    root_m = _re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
-    if not root_m:
-        raise ValueError("no /Root in source")
-    root = int(root_m.group(1))
-
-    # Sequential object segmentation (skips stream payloads so binary
-    # bytes can never masquerade as object headers).
     objs: dict[int, bytes] = {}
     pat = _re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
     pos = 0
@@ -605,29 +587,80 @@ def repack_modern(data: bytes, *, compress: bool = True,
             e_idx = data.find(b"endobj", es)
         objs[int(m.group(1))] = data[start:e_idx].strip()
         pos = e_idx + 6
+    return objs
 
-    def is_stream(body: bytes) -> bool:
-        return _re.search(rb">>\s*stream\r?\n", body) is not None
 
-    def recompress(body: bytes) -> bytes:
-        if not compress or b"/Filter" in body:
-            return body
+def _is_stream_body(body: bytes) -> bool:
+    import re as _re
+    return _re.search(rb">>\s*stream\r?\n", body) is not None
+
+
+def repack_modern(data: bytes, *, compress: bool = True,
+                  predictor: bool = True, split_index: bool = False,
+                  junk_prefix: bytes = b"", hybrid: bool = False,
+                  encrypt=None) -> bytes:
+    """Repack a classic-xref synthetic PDF into PDF 1.5 "modern" file
+    structure: every non-stream object moves into ONE FlateDecode
+    ``/ObjStm`` container, stream objects stay direct (their payloads
+    optionally Flate-compressed), and the cross-reference becomes an
+    ``/XRef`` stream (optionally PNG Up-predictor-coded, optionally
+    with a split ``/Index``).  Content is untouched, so extraction must
+    be byte-identical to the classic twin.  ``junk_prefix`` prepends
+    bytes before ``%PDF`` (offsets stay relative to the header — the
+    parser must header-adjust).  ``hybrid`` emits a hybrid-reference
+    file (ISO 32000-1 §7.5.8.4): a classic xref table at the end lists
+    only the direct stream objects, its trailer's ``/XRefStm`` points
+    at the companion stream carrying the type-2 entries — legacy-reader
+    layout, Acrobat 6 style.  ``encrypt`` = ``(enc_fn, enc_dict,
+    id_part)`` (the test_pdf_crypto material shape): every direct
+    stream payload AND the ObjStm container are encrypted AFTER
+    compression with the per-object key, the /XRef stream is never
+    encrypted (§7.5.8.2), strings inside the ObjStm are NOT separately
+    encrypted (§7.6.2 — container decryption covers them), and the
+    /Encrypt dict is stored as a direct plain object."""
+    import re as _re
+    import zlib
+
+    root_m = _re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
+    if not root_m:
+        raise ValueError("no /Root in source")
+    root = int(root_m.group(1))
+
+    objs = _segment_objects(data)
+    is_stream = _is_stream_body
+
+    enc_fn, enc_dict, id_part = encrypt if encrypt else (None, None, None)
+
+    def _set_length(body: bytes, new_payload: bytes) -> bytes:
+        m2 = _re.search(rb"stream\r?\n", body)
+        lm = _re.search(rb"/Length\s+(\d+)", body)
+        head = body[:m2.start()].replace(
+            b"/Length " + lm.group(1),
+            b"/Length %d" % len(new_payload), 1)
+        return head + b"stream\n" + new_payload + b"\nendstream"
+
+    def prep_stream(num: int, body: bytes) -> bytes:
         m2 = _re.search(rb"stream\r?\n", body)
         lm = _re.search(rb"/Length\s+(\d+)", body)
         if not m2 or not lm:
             return body
         payload = body[m2.end():m2.end() + int(lm.group(1))]
-        z = zlib.compress(payload)
-        head = body[:m2.start()]
-        head = head.replace(
-            b"/Length " + lm.group(1),
-            b"/Length %d /Filter /FlateDecode" % len(z), 1)
-        return head + b"stream\n" + z + b"\nendstream"
+        if compress and b"/Filter" not in body:
+            payload = zlib.compress(payload)
+            body = body[:m2.start()].replace(
+                b"/Length " + lm.group(1),
+                b"/Length %d /Filter /FlateDecode" % len(payload), 1
+            ) + b"stream\n" + payload + b"\nendstream"
+        if enc_fn is not None:
+            payload = enc_fn(num, 0, payload)
+            body = _set_length(body, payload)
+        return body
 
     plain = sorted(n for n, b in objs.items() if not is_stream(b))
     streams = sorted(n for n, b in objs.items() if is_stream(b))
     objstm_num = max(objs) + 1
-    xref_num = objstm_num + 1
+    enc_num = objstm_num + 1 if enc_fn is not None else None
+    xref_num = objstm_num + (2 if enc_fn is not None else 1)
 
     # ObjStm container: "<num> <offset> ..." header then the bodies.
     offs, parts, cur = [], [], 0
@@ -638,6 +671,8 @@ def repack_modern(data: bytes, *, compress: bool = True,
         cur += len(body) + 1
     header = (" ".join(offs) + "\n").encode()
     stm_payload = zlib.compress(header + b"".join(parts))
+    if enc_fn is not None:
+        stm_payload = enc_fn(objstm_num, 0, stm_payload)
     objstm_body = (
         f"<< /Type /ObjStm /N {len(plain)} /First {len(header)} "
         f"/Filter /FlateDecode /Length {len(stm_payload)} >>\n"
@@ -648,9 +683,13 @@ def repack_modern(data: bytes, *, compress: bool = True,
     positions: dict[int, int] = {}
     for n in streams:
         positions[n] = len(out) - base
-        out += f"{n} 0 obj\n".encode() + recompress(objs[n]) + b"\nendobj\n"
+        out += f"{n} 0 obj\n".encode() + prep_stream(n, objs[n]) \
+            + b"\nendobj\n"
     positions[objstm_num] = len(out) - base
     out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
+    if enc_num is not None:
+        positions[enc_num] = len(out) - base
+        out += f"{enc_num} 0 obj\n".encode() + enc_dict + b"\nendobj\n"
     xref_pos = len(out) - base
 
     size = xref_num + 1
@@ -692,9 +731,118 @@ def repack_modern(data: bytes, *, compress: bool = True,
         index = f" /Index [0 {k} {k} {size - k}]"
     else:
         index = ""
+    extra = ""
+    if enc_num is not None:
+        extra = (f" /Encrypt {enc_num} 0 R "
+                 + id_part.decode("latin-1"))
     out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
-            f"/W [1 {wo} 2] /Root {root} 0 R /Filter /FlateDecode"
+            f"/W [1 {wo} 2] /Root {root} 0 R{extra} /Filter /FlateDecode"
             f"{parms}{index} /Length {len(xref_payload)} >>\n"
             f"stream\n").encode() + xref_payload + b"\nendstream\nendobj\n"
-    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    if hybrid:
+        # Classic table at the end: obj 0 free + the DIRECT objects
+        # only; compressed objects are absent (legacy readers skip
+        # them), the trailer's /XRefStm supplies their type-2 entries.
+        classic_pos = len(out) - base
+        direct = {0: None}
+        for n in positions:
+            direct[n] = positions[n]
+        direct[xref_num] = xref_pos
+        table = bytearray(b"xref\n")
+        nums = sorted(direct)
+        i = 0
+        while i < len(nums):
+            j = i
+            while j + 1 < len(nums) and nums[j + 1] == nums[j] + 1:
+                j += 1
+            table += b"%d %d\n" % (nums[i], j - i + 1)
+            for k in range(i, j + 1):
+                n = nums[k]
+                if n == 0:
+                    table += b"0000000000 65535 f \n"
+                else:
+                    table += b"%010d 00000 n \n" % direct[n]
+            i = j + 1
+        out += bytes(table)
+        out += (f"trailer\n<< /Size {size} /Root {root} 0 R "
+                f"/XRefStm {xref_pos} >>\n"
+                f"startxref\n{classic_pos}\n%%EOF\n").encode()
+    else:
+        out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
+
+
+def linearize(data: bytes) -> bytes:
+    """Rearrange a classic-xref synthetic PDF into the linearized
+    ("fast web view") file TOPOLOGY of ISO 32000-1 Annex F: a
+    /Linearized parameter dict right after the header, a first-page
+    xref table near the front whose trailer /Prev points to the main
+    xref table at the end, a dummy ``startxref 0`` terminating the
+    front section, and the file-end ``startxref`` pointing BACK at the
+    front table.  A parser that grabs the FIRST startxref reads
+    garbage; the reference uses the LAST (findXrefOffset,
+    parsePdfUtils.js:22 byteLastIndexOf).  Hint streams are not
+    emitted — neither engine reads them.  Content untouched, so
+    extraction must be byte-identical to the source."""
+    import re as _re
+
+    root_m = _re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
+    if not root_m:
+        raise ValueError("no /Root in source")
+    root = int(root_m.group(1))
+
+    objs = _segment_objects(data)
+    lin_num = max(objs) + 1
+    size = lin_num + 1
+    # Front group = odd object numbers (stands in for "first-page
+    # objects"), tail group = even; both xref sections carry real
+    # entries so the /Prev chain is genuinely exercised.
+    front = sorted(n for n in objs if n % 2 == 1)
+    tail = sorted(n for n in objs if n % 2 == 0)
+
+    def table_for(nums: list[int], pos_of: dict[int, int],
+                  free0: bool) -> bytes:
+        t = bytearray(b"xref\n")
+        ns = ([0] if free0 else []) + nums
+        i = 0
+        while i < len(ns):
+            j = i
+            while j + 1 < len(ns) and ns[j + 1] == ns[j] + 1:
+                j += 1
+            t += b"%d %d\n" % (ns[i], j - i + 1)
+            for k in range(i, j + 1):
+                if ns[k] == 0:
+                    t += b"0000000000 65535 f \n"
+                else:
+                    t += b"%010d 00000 n \n" % pos_of[ns[k]]
+            i = j + 1
+        return bytes(t)
+
+    # Two-pass fixpoint: offsets feed the tables whose width is
+    # offset-dependent only through the startxref digits and /Prev
+    # digits, so a second pass always stabilizes on these fixtures.
+    prev_guess = 0
+    for _ in range(4):
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        pos: dict[int, int] = {}
+        pos[lin_num] = len(out)
+        out += (f"{lin_num} 0 obj\n<< /Linearized 1 /L 0 /O {root} "
+                f"/E 0 /N 1 /T {prev_guess} >>\nendobj\n").encode()
+        for n in front:
+            pos[n] = len(out)
+            out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        front_xref = len(out)
+        out += table_for(front + [lin_num], pos, free0=False)
+        out += (f"trailer\n<< /Size {size} /Root {root} 0 R "
+                f"/Prev {prev_guess} >>\nstartxref\n0\n%%EOF\n").encode()
+        for n in tail:
+            pos[n] = len(out)
+            out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        main_xref = len(out)
+        if main_xref == prev_guess:
+            out += table_for(tail, pos, free0=True)
+            out += (f"trailer\n<< /Size {size} >>\n"
+                    f"startxref\n{front_xref}\n%%EOF\n").encode()
+            return bytes(out)
+        prev_guess = main_xref
+    raise RuntimeError("linearize layout did not stabilize")

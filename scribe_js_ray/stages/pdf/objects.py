@@ -861,16 +861,18 @@ class PdfFile:
         return prev
 
     def _parse_xref_stream_at(self, pos: int, adjust: int):
-        """PDF 1.5 cross-reference stream.  A malformed dict or an
-        undecodable payload still follows /Prev (parseXrefStream,
-        parsePdfUtils.js:267-334); stream FREE entries do NOT claim
-        (unlike classic tables — :328 "type 0 = free entry, skip")."""
+        """PDF 1.5 cross-reference stream.  The dict is located as the
+        first ``<<`` within 200 bytes — no object header is required
+        (parseXrefStream, parsePdfUtils.js:267-275, so an /XRefStm
+        offset pointing straight at the dict still parses).  A
+        malformed dict or an undecodable payload still follows /Prev
+        (:278-303); stream FREE entries do NOT claim (unlike classic
+        tables — :328 "type 0 = free entry, skip")."""
         data = self.data
-        m = re.match(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj",
-                     data[pos:pos + 32])
-        if not m:
+        ds = data.find(b"<<", pos, min(pos + 200, len(data) - 1))
+        if ds == -1:
             return None
-        lex = Lexer(data, pos + m.end())
+        lex = Lexer(data, ds)
         obj = lex.parse_object()
         if not isinstance(obj, StreamObj):
             return None

@@ -114,8 +114,10 @@ def _transform_pdf(data: bytes, enc_stream, enc_string,
     return bytes(out)
 
 
-def _encrypt_pdf_rc4(data: bytes, indirect: bool = True) -> bytes:
-    """RC4-encrypt (R3, 128-bit, empty passwords) streams AND strings."""
+def rc4_material():
+    """(enc_fn, enc_dict, id_part) for R3 128-bit RC4 with empty
+    passwords — shared by the classic fixture encryptor below and the
+    modern-structure repacker (synth_pdf.repack_modern encrypt=)."""
     doc_id = b"\x01\x23\x45\x67\x89\xab\xcd\xef" * 2
     p = -44
 
@@ -151,6 +153,12 @@ def _encrypt_pdf_rc4(data: bytes, indirect: bool = True) -> bytes:
                 f"/P {p} /O <{o_val.hex()}> /U <{bytes(32).hex()}> >>"
                 ).encode()
     id_part = f"/ID [<{doc_id.hex()}> <{doc_id.hex()}>]".encode()
+    return enc, enc_dict, id_part
+
+
+def _encrypt_pdf_rc4(data: bytes, indirect: bool = True) -> bytes:
+    """RC4-encrypt (R3, 128-bit, empty passwords) streams AND strings."""
+    enc, enc_dict, id_part = rc4_material()
     return _transform_pdf(data, enc, enc, enc_dict, id_part,
                           indirect=indirect)
 
@@ -189,10 +197,10 @@ def _encrypt_pdf_aes256(data: bytes, r: int = 6) -> bytes:
     return _transform_pdf(data, enc, enc, enc_dict, id_part)
 
 
-def _encrypt_pdf_aesv2(data: bytes) -> bytes:
-    """AES-128-CBC encrypt (V4 R4 /CFM /AESV2, empty passwords):
-    RC4-style Algorithm 2 file key + the AES 'sAlT' object-key suffix,
-    per-object deterministic IV prefix."""
+def aesv2_material():
+    """(enc_fn, enc_dict, id_part) for V4 R4 /AESV2 with empty
+    passwords — RC4-style Algorithm 2 file key + the AES 'sAlT'
+    object-key suffix, per-object deterministic IV prefix."""
     doc_id = b"\x01\x23\x45\x67\x89\xab\xcd\xef" * 2
     p = -44
     h = hashlib.md5(_PAD).digest()
@@ -230,6 +238,12 @@ def _encrypt_pdf_aesv2(data: bytes) -> bytes:
                 f"/StmF /StdCF /StrF /StdCF /P {p} "
                 f"/O <{o_val.hex()}> /U <{bytes(32).hex()}> >>").encode()
     id_part = f"/ID [<{doc_id.hex()}> <{doc_id.hex()}>]".encode()
+    return enc, enc_dict, id_part
+
+
+def _encrypt_pdf_aesv2(data: bytes) -> bytes:
+    """AES-128-CBC encrypt (V4 R4 /CFM /AESV2, empty passwords)."""
+    enc, enc_dict, id_part = aesv2_material()
     return _transform_pdf(data, enc, enc, enc_dict, id_part)
 
 

@@ -3704,6 +3704,46 @@ def test_xref_damage_parity(seed, tmp_path):
     assert "Could not find PDF Catalog" in row["error"]
 
 
+@pytest.mark.parametrize("seed", [0, 5])
+def test_file_topology_parity(seed, tmp_path):
+    """File-topology battery (sink29) vs the live reference: the same
+    document bytes routed through five real-world file layouts —
+    linearized (two startxrefs, dummy ``startxref 0`` in the front
+    section, /Prev chain from the front table to the end table),
+    hybrid-reference (classic table whose trailer /XRefStm supplies the
+    type-2 entries, ISO 32000-1 §7.5.8.4), RC4- and AESV2-encrypted
+    modern structure (encrypted ObjStm container + direct streams,
+    unencrypted /XRef stream per §7.5.8.2, /Encrypt ref in the xref
+    stream dict), and encrypted hybrid.  All must extract
+    byte-identically to the classic plaintext twin through BOTH
+    engines (10-seed × styles/fontzoo sweep clean at pin time)."""
+    from test_pdf_crypto import aesv2_material, rc4_material
+
+    from scribe_js_ray.sources.synth_pdf import (linearize,
+                                                 make_pdf_fontzoo,
+                                                 make_pdf_styles,
+                                                 repack_modern)
+    for gen in (make_pdf_styles, make_pdf_fontzoo):
+        plain = gen(random.Random(seed))
+        want = extract_document("u", plain, "", "eng")["extracted_text"]
+        assert want
+        for name, payload in (
+                ("linearized", linearize(plain)),
+                ("hybrid", repack_modern(plain, hybrid=True)),
+                ("enc_rc4", repack_modern(plain, encrypt=rc4_material())),
+                ("enc_aesv2",
+                 repack_modern(plain, encrypt=aesv2_material())),
+                ("hybrid_enc", repack_modern(plain, hybrid=True,
+                                             encrypt=rc4_material()))):
+            p = tmp_path / f"{gen.__name__}_{name}.pdf"
+            p.write_bytes(payload)
+            ref = _ref_extract(str(p))
+            assert ref == want, f"{gen.__name__}/{name}: ref != classic"
+            ours = extract_document("u", payload, "", "eng")
+            assert ours["extracted_text"] == ref, \
+                f"{gen.__name__}/{name}: ours != ref ({ours['error']!r})"
+
+
 @pytest.mark.parametrize("mode", ["update", "stale", "free"])
 def test_incremental_update_parity(mode, tmp_path):
     """Incremental-save battery (sink28b): append a replacement content
