@@ -3744,6 +3744,72 @@ def test_file_topology_parity(seed, tmp_path):
                 f"{gen.__name__}/{name}: ours != ref ({ours['error']!r})"
 
 
+@pytest.mark.parametrize("seed", [4, 9])
+def test_torture_mutation_parity(seed, tmp_path):
+    """Byte-level torture battery (sink30) vs the live reference:
+    \\r-only EOLs in the xref/trailer tail; %-comments between objects
+    and inside an (uncompressed) content stream; /Length short and
+    long by 10 (both engines re-find ``endstream``); a generation-
+    bumped shadowing update (both engines emit the SAME product);
+    binary garbage appended after %%EOF; and a tail truncation that
+    cuts ``startxref`` mid-trailer — an ERROR through both engines
+    ("Could not find PDF Catalog")."""
+    import re as _re
+
+    from scribe_js_ray.sources.synth_pdf import make_pdf_styles
+    plain = make_pdf_styles(random.Random(seed))
+    want = extract_document("u", plain, "", "eng")["extracted_text"]
+    assert want
+
+    cases: dict[str, bytes] = {}
+    m = _re.search(rb"xref\n", plain)
+    cases["cr_xref"] = plain[:m.start()] + \
+        plain[m.start():].replace(b"\n", b"\r")
+    cases["comments"] = plain.replace(
+        b"endobj\n", b"endobj\n% interstitial comment\n", 3)
+    lm = _re.search(rb"/Length (\d+) >>\nstream\n", plain)
+    for name, delta in (("len_short", -10), ("len_long", 10)):
+        cases[name] = (plain[:lm.start(1)]
+                       + str(int(lm.group(1)) + delta).encode()
+                       + plain[lm.end(1):])
+    start, ln = lm.end(), int(lm.group(1))
+    body = plain[start:start + ln]
+    newbody = body.replace(b"BT", b"% op comment\nBT", 1)
+    cases["stream_comment"] = (
+        plain[:lm.start(1)] + str(len(newbody)).encode()
+        + plain[lm.end(1):start] + newbody + plain[start + ln:])
+    cases["trailing_garbage"] = plain + \
+        b"\x00\xff\xfe garbage after EOF \x80" * 4
+    sx = _re.search(rb"startxref\s*\n(\d+)", plain)
+    ns = b"BT /F1 11 Tf 72 700 Td (GenTwo body) Tj ET"
+    newobj = (b"4 1 obj\n<< /Length %d >>\nstream\n" % len(ns)
+              + ns + b"\nendstream\nendobj\n")
+    sz = int(_re.search(rb"/Size (\d+)", plain).group(1))
+    cases["gen_shadow"] = plain + newobj + (
+        b"xref\n4 1\n" + b"%010d 00001 n \n" % len(plain)
+        + b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n"
+          b"startxref\n%d\n%%%%EOF\n"
+        % (sz, int(sx.group(1)), len(plain) + len(newobj)))
+
+    for name, payload in cases.items():
+        p = tmp_path / f"{name}.pdf"
+        p.write_bytes(payload)
+        ref = _ref_extract(str(p))
+        ours = extract_document("u", payload, "", "eng")
+        assert ours["extracted_text"] == ref, \
+            f"{name}: ours != ref ({ours['error']!r})"
+
+    # tail truncation: error through BOTH engines
+    payload = plain[:-40]
+    p = tmp_path / "truncated_tail.pdf"
+    p.write_bytes(payload)
+    r = subprocess.run(["node", HARNESS, str(p)], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode != 0
+    row = extract_document("u", payload, "", "eng")
+    assert row["extracted_text"] == "" and row["error"]
+
+
 @pytest.mark.parametrize("mode", ["update", "stale", "free"])
 def test_incremental_update_parity(mode, tmp_path):
     """Incremental-save battery (sink28b): append a replacement content
