@@ -285,11 +285,22 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 # image-native PDF's sparse text is never used, the
                 # reference emits an empty export (its CLI writes an
                 # empty file; --skip-image-based exists for this).
-                # writeHtml still emits the document SKELETON (doctype,
-                # style block, empty body — writeHtml.js runs its page
-                # loop over no active pages); mirrored live.
+                # The structural exporters still emit a document
+                # SKELETON over the page metrics: writeHtml's doctype +
+                # style block with an empty body (page loop over no
+                # active pages), writeHocr's per-page empty ocr_page
+                # divs sized from pageMetrics (writeHocr.js:67-71
+                # !pageObj branch), writeAlto's empty <Page> elements,
+                # and a valid .scribe session with empty pages — all
+                # verified against the live reference.  text/markdown
+                # stay empty.
                 if emit_format == "html_viewer":
                     txt, spans = _emit([], emit_format, reflow,
+                                       drop_furniture, edits, emit_opts)
+                elif emit_format in ("hocr", "alto", "scribe"):
+                    from ..model import Page as _Page
+                    stubs = [_Page(p.n, p.width, p.height) for p in pages]
+                    txt, spans = _emit(stubs, emit_format, reflow,
                                        drop_furniture, edits, emit_opts)
                 else:
                     txt, spans = "", []

@@ -4,8 +4,8 @@ References:
 * ``write_hocr`` — /root/reference/js/export/writeHocr.js:17-152 (line/word
   spans with bbox+baseline+x_wconf titles, x_font/x_fsize extensions,
   style attr for bold/italic/small-caps, <sup>/ocr_dropcap nesting).
-  Document-level font metadata and layout tables are omitted (we carry no
-  learned font state).
+  The font-state meta block is emitted with the fontContainer.js:468-478
+  defaults (our flows never run font optimization/recognition).
 * ``write_markdown`` — /root/reference/js/export/writeMarkdown.js:12-257
   (markdown escaping, consecutive same-style word grouping with
   **bold**/*italic* wrappers, <sup> for superscripts, ``---`` page
@@ -21,10 +21,36 @@ from __future__ import annotations
 import re
 
 from ..functions.stats import js_round, round6
+from .fontregistry import js_num as _jsn
 from ..functions.textnorm import escape_xml
 from ..model import get_word_style_segments
 
 _MD_ESCAPE_RE = re.compile(r"([\\`*_\[\]])")
+
+
+def _js_json(v) -> str:
+    """JSON.stringify parity: compact separators, ECMA number
+    formatting (12 not 12.0), insertion-ordered keys."""
+    import json
+    from .fontregistry import js_num
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, (int, float)):
+        return js_num(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_js_json(x) for x in v) + "]"
+    if isinstance(v, dict):
+        import json as _j
+        return "{" + ",".join(
+            _j.dumps(str(k), ensure_ascii=False) + ":" + _js_json(x)
+            for k, x in v.items()) + "}"
+    raise TypeError(f"not JSON-serializable: {type(v)}")
 
 
 def _layout_meta_json(pages) -> tuple[str, str]:
@@ -63,7 +89,7 @@ def _layout_meta_json(pages) -> tuple[str, str]:
                            "title": None})
         table_pages.append({"n": page.n, "default": not tables,
                             "tables": tables})
-    return json.dumps(layout_pages), json.dumps(table_pages)
+    return _js_json(layout_pages), _js_json(table_pages)
 
 
 def write_hocr(pages) -> str:
@@ -83,6 +109,17 @@ def write_hocr(pages) -> str:
                'xml:lang="en" lang="en">')
     out.append("<head>")
     out.append("\n\t<title></title>")
+    # Font-state meta block (writeHocr.js:32-40,52-55): our supported
+    # flows never run font optimization/recognition, so charMetrics is
+    # empty and the fontContainer.js:468-478 state defaults hold
+    # (setDefaultAuto only runs with recognition char metrics).
+    out.append("\n\t<meta name='font-metrics' content='{}'></meta>")
+    out.append("\n\t<meta name='default-font' content='SerifDefault'>"
+               "</meta>")
+    out.append("\n\t<meta name='sans-font' content='NimbusSans'></meta>")
+    out.append("\n\t<meta name='serif-font' content='NimbusRoman'>"
+               "</meta>")
+    out.append("\n\t<meta name='enable-opt' content='false'></meta>")
     out.append(f"\n\t<meta name='layout' content='{layout_json}'>"
                f"</meta>")
     out.append(f"\n\t<meta name='layout-data-table' content='"
@@ -98,18 +135,18 @@ def write_hocr(pages) -> str:
 
     for page in pages:
         out.append(f"\n\t<div class='ocr_page' title='bbox 0 0 "
-                   f"{page.width} {page.height}'>")
+                   f"{_jsn(page.width)} {_jsn(page.height)}'>")
         for line in page.lines:
             out.append(
                 f"\n\t\t<span class='ocr_line' title=\"bbox "
-                f"{line.bbox.left} {line.bbox.top} {line.bbox.right} "
-                f"{line.bbox.bottom}")
-            out.append(f"; baseline {round6(line.baseline[0])} "
-                       f"{js_round(line.baseline[1])}")
+                f"{_jsn(line.bbox.left)} {_jsn(line.bbox.top)} "
+                f"{_jsn(line.bbox.right)} {_jsn(line.bbox.bottom)}")
+            out.append(f"; baseline {_jsn(round6(line.baseline[0]))} "
+                       f"{_jsn(js_round(line.baseline[1]))}")
             if line.x_height:
-                out.append(f"; x_x_height {line.x_height}")
+                out.append(f"; x_x_height {_jsn(line.x_height)}")
             if line.asc_height:
-                out.append(f"; x_asc_height {line.asc_height}")
+                out.append(f"; x_asc_height {_jsn(line.asc_height)}")
             out.append('">')
             for word in line.words:
                 out.append(f"\n\t\t\t<span class='ocrx_word' "
@@ -118,11 +155,11 @@ def write_hocr(pages) -> str:
                            f"{js_round(word.bbox.top)} "
                            f"{js_round(word.bbox.right)} "
                            f"{js_round(word.bbox.bottom)}")
-                out.append(f";x_wconf {word.conf}")
+                out.append(f";x_wconf {_jsn(word.conf)}")
                 if word.style.font and word.style.font != "Default":
                     out.append(f";x_font {word.style.font}")
                 if word.style.size:
-                    out.append(f";x_fsize {word.style.size}")
+                    out.append(f";x_fsize {_jsn(word.style.size)}")
                 out.append("'")
                 if word.lang:
                     out.append(f" lang='{word.lang}'")
@@ -327,14 +364,24 @@ _TESS_TO_ISO = {
 }  # writeAlto.js:7-45
 
 
+def _utc_date() -> str:
+    """Today as YYYY-MM-DD in UTC (writeAlto.js:110
+    ``new Date().toISOString().split('T')[0]``)."""
+    import datetime
+    return datetime.datetime.now(datetime.timezone.utc) \
+        .strftime("%Y-%m-%d")
+
+
 def write_alto(pages) -> str:
     """Page trees → ALTO XML v2.0 (writeAlto.js:61-322): shared <Styles>
     section keyed by font+size; TextBlock per paragraph with dominant
     style/language refs; TextLine/String geometry; explicit <SP> spacing
     elements; word STYLE attrs (bold/italic/underline/superscript/
-    smallCaps); WC confidence.  processingDateTime omitted (the reference
-    stamps the current date — nondeterministic, excluded from our golden
-    surfaces)."""
+    smallCaps); WC confidence.  processingDateTime stamps the current
+    UTC date exactly as the reference does (writeAlto.js:110
+    ``new Date().toISOString().split('T')[0]``) and the
+    softwareCreator/softwareName identity strings match writeAlto.js
+    :113-114 so downstream consumers keyed on them keep working."""
     styles_map: dict[str, dict] = {}
 
     def style_id(font, size):
@@ -359,9 +406,10 @@ def write_alto(pages) -> str:
            'http://www.loc.gov/standards/alto/alto-v2.0.xsd">\n'
            '<Description>\n<MeasurementUnit>pixel</MeasurementUnit>\n'
            '<OCRProcessing ID="IdOcr"><ocrProcessingStep>'
+           f'<processingDateTime>{_utc_date()}</processingDateTime>'
            '<processingSoftware>'
-           '<softwareCreator>scribe_js_ray</softwareCreator>'
-           '<softwareName>scribe_js_ray</softwareName>'
+           '<softwareCreator>scribeocr</softwareCreator>'
+           '<softwareName>scribe.js</softwareName>'
            '</processingSoftware>'
            '</ocrProcessingStep></OCRProcessing>\n</Description>\n']
     if styles_map:
@@ -369,18 +417,18 @@ def write_alto(pages) -> str:
         for st in styles_map.values():
             out.append(f'<TextStyle ID="{st["id"]}" '
                        f'FONTFAMILY="{escape_xml(st["font"])}" '
-                       f'FONTSIZE="{st["size"]}"/>')
+                       f'FONTSIZE="{_jsn(st["size"])}"/>')
         out.append("\n</Styles>\n")
     out.append("<Layout>\n")
 
     for pi, page in enumerate(pages):
         out.append(f'<Page ID="Page{pi + 1}" PHYSICAL_IMG_NR="{pi + 1}" '
-                   f'HEIGHT="{page.height}" WIDTH="{page.width}">\n')
+                   f'HEIGHT="{_jsn(page.height)}" WIDTH="{_jsn(page.width)}">\n')
         if not page.lines:
             out.append("</Page>\n")
             continue
-        out.append(f'<PrintSpace HEIGHT="{page.height}" '
-                   f'WIDTH="{page.width}" VPOS="0" HPOS="0">\n')
+        out.append(f'<PrintSpace HEIGHT="{_jsn(page.height)}" '
+                   f'WIDTH="{_jsn(page.width)}" VPOS="0" HPOS="0">\n')
 
         par_current = None
         block_index = 0

@@ -43,12 +43,12 @@ from ...functions.textnorm import calc_lang, replace_ligatures
 from ...model import BBox, Char, Line, Page, Word
 from .colorfns import color_to_rgb, rgb_to_hex
 
-# Glyph box above/below the baseline — the reference's font-registry
-# defaults (parsePdfFonts.js:1444-1445 ascent=800/descent=-200); a
-# FontDescriptor /Ascent//Descent override is not tracked per char here
-# (our fixtures and typical base-14 products use the defaults).
-ASC_FRAC = 0.8
-DESC_FRAC = 0.2
+# Glyph box above/below the baseline comes from each char's OWN font
+# metrics (parsePdfDoc char bbox: y - fontInfo.ascent/1000*size,
+# y - fontInfo.descent/1000*size) — the registry defaults 800/-200
+# (parsePdfFonts.js:1444-1445) with FontDescriptor /Ascent//Descent and
+# Type3 FontBBox overrides applied in build_font; _G.asc/_G.desc carry
+# the em-fractions (desc positive).
 
 _SYMBOL_FONT_RE = re.compile(
     r"^(?:Webdings|Wingdings|ZapfDingbats|Dingbats|Symbol|SymbolMT|Quivira)"
@@ -115,7 +115,7 @@ class _G:
     __slots__ = ("text", "x", "y", "width", "size", "font", "family",
                  "bold", "italic", "smallcaps", "invisible", "orientation",
                  "dir_x", "dir_y", "perp", "artifact", "mcid", "alpha",
-                 "color")
+                 "color", "asc", "desc")
 
     def __init__(self, c, height, scale=1.0):
         self.text = c.text
@@ -141,6 +141,8 @@ class _G:
         self.mcid = getattr(c, "mcid", None)
         self.alpha = getattr(c, "alpha", 1.0)
         self.color = getattr(c, "color", None)
+        self.asc = getattr(c, "asc", 0.8)
+        self.desc = getattr(c, "desc", 0.2)
 
     @property
     def py(self):
@@ -409,7 +411,7 @@ def _merge_orphans(lines: list[list[_G]]) -> None:
             continue
         o = lines[li][0]
         o_right = o.x + o.width
-        o_top = o.y - ASC_FRAC * o.size
+        o_top = o.y - o.asc * o.size
         merged = False
         for lj in range(len(lines)):
             if lj == li or merged:
@@ -431,7 +433,7 @@ def _merge_orphans(lines: list[list[_G]]) -> None:
                     ok = True
                 elif not same_size and o.size > ch.size * 2 \
                         and _UPPER_RE.search(o.text) and x_adj:
-                    ch_top = ch.y - ASC_FRAC * ch.size
+                    ch_top = ch.y - ch.asc * ch.size
                     if abs(o_top - ch_top) < min_f * 0.25:
                         ok = True
                 if ok:
@@ -872,6 +874,14 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
         if g.text.isspace():
             g.text = " "
 
+    # Remove chars outside the visible page bounds (printer slug
+    # metadata above the CropBox, rows running off the page edge) with
+    # a 1-fontSize margin so slight overhangs survive — runs BEFORE
+    # dedup, exactly like the reference (parsePdfDoc.js:585-595).
+    glyphs = [g for g in glyphs
+              if not (g.x + g.size < 0 or g.x > page_w_px + g.size
+                      or g.y + g.size < 0 or g.y > page_h_px + g.size)]
+
     glyphs = _dedup(glyphs)
     # Invisible (Tr 3) glyphs are KEPT: a scanned PDF's OCR overlay is
     # entirely invisible text and is exactly what extraction must read
@@ -920,9 +930,9 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
         # gap regimes) are knife-edge sensitive to this quantization.
         l_left = min(js_round(c.x) for c in box_chars)
         l_right = max(js_round(c.x + c.width) for c in box_chars)
-        l_top = min(js_round(c.y - ASC_FRAC * c.size)
+        l_top = min(js_round(c.y - c.asc * c.size)
                     for c in box_chars)
-        l_bottom = max(js_round(c.y + DESC_FRAC * c.size)
+        l_bottom = max(js_round(c.y + c.desc * c.size)
                        for c in box_chars)
 
         normal_base = next((w.chars[0].y for w in words
@@ -968,9 +978,9 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             # (parsePdfDoc.js:3039-3042)
             w_left = js_round(wc[0].x)
             w_right = js_round(wc[-1].x + wc[-1].width)
-            w_top = min(js_round(c.y - ASC_FRAC * c.size)
+            w_top = min(js_round(c.y - c.asc * c.size)
                         for c in wc)
-            w_bottom = max(js_round(c.y + DESC_FRAC * c.size)
+            w_bottom = max(js_round(c.y + c.desc * c.size)
                            for c in wc)
             # Reference id scheme (parsePdfDoc.js:3048): the word index is
             # the loop position INCLUDING whitespace-skipped specs, and the
@@ -1026,8 +1036,8 @@ def group_chars_into_page(chars, n: int, width: float, height: float,
             # (parsePdfDoc.js:3179-3191).
             chars_out = []
             for c in wc:
-                c_top = js_round(c.y - ASC_FRAC * c.size)
-                c_bottom = js_round(c.y + DESC_FRAC * c.size)
+                c_top = js_round(c.y - c.asc * c.size)
+                c_bottom = js_round(c.y + c.desc * c.size)
                 if w.sup:
                     off = js_round(c.y - normal_base)
                     c_top -= off

@@ -14,6 +14,7 @@ the line-cutting rules depend on — SURVEY §2.9).
 
 from __future__ import annotations
 
+import math
 import re
 
 from .objects import Lexer, Name, Ref, StreamObj
@@ -31,12 +32,12 @@ class PositionedChar:
     __slots__ = ("text", "x", "y", "width", "font_size", "font", "bold",
                  "italic", "invisible", "orientation", "dir_x", "dir_y",
                  "family", "smallcaps", "artifact", "mcid", "alpha",
-                 "color")
+                 "color", "asc", "desc")
 
     def __init__(self, text, x, y, width, font_size, font, bold, italic,
                  invisible, orientation=0, dir_x=1.0, dir_y=0.0,
                  family=None, smallcaps=False, artifact=False, mcid=None,
-                 alpha=1.0, color=None):
+                 alpha=1.0, color=None, asc=0.8, desc=0.2):
         self.text = text
         self.x = x
         self.y = y
@@ -60,6 +61,12 @@ class PositionedChar:
         # style.opacity; color feeds style.color + underline matching.
         self.alpha = alpha
         self.color = color
+        # Em-fractions above/below the baseline from the FONT's metrics
+        # (parsePdfDoc char bbox: y - fontInfo.ascent/1000*size,
+        # y - fontInfo.descent/1000*size; defaults 800/-200,
+        # parsePdfFonts.js:1444-1445).  desc is stored POSITIVE.
+        self.asc = asc
+        self.desc = desc
 
 
 def _mat_mul(a, b):
@@ -178,7 +185,7 @@ class SimpleFont:
                  "two_byte", "cid_widths", "default_width",
                  "family", "smallcaps", "base_encoding",
                  "embedded_encoding", "to_unicode_broken", "is_type3",
-                 "embedded_bytes", "widths_map")
+                 "embedded_bytes", "widths_map", "ascent", "descent")
 
     def __init__(self, name, widths_table, first_char=None, widths_arr=None,
                  to_unicode=None, differences=None, two_byte=False,
@@ -216,6 +223,10 @@ class SimpleFont:
         from .fonts_embedded import to_unicode_is_broken
         self.to_unicode_broken = to_unicode_is_broken(to_unicode)
         self.is_type3 = False
+        # Registry defaults (parsePdfFonts.js:1444-1445); build_font
+        # overrides from the FontDescriptor / Type3 FontBBox.
+        self.ascent = 800.0
+        self.descent = -200.0
         # charCode -> advance map for simple fonts without a /Widths
         # array: the standard-font fill + remaps of parsePdfFonts.js
         # 1468-1540 (built by build_font; None keeps the legacy
@@ -425,7 +436,7 @@ def _build_type3_font(pdf, d) -> SimpleFont:
             if isinstance(first_char, (int, float)) else None
 
     name = str(pdf.resolve(d.get("BaseFont"))
-               or pdf.resolve(d.get("Name")) or "Type3")
+               or pdf.resolve(d.get("Name")) or "Unknown")
     from .widths import base14_widths
     font = SimpleFont(
         name, base14_widths("Helvetica"),
@@ -433,6 +444,37 @@ def _build_type3_font(pdf, d) -> SimpleFont:
         to_unicode=to_unicode or None, differences=differences or None,
         default_width=0.0)
     font.is_type3 = True
+    # FontDescriptor override first (nonzero rule, :1962-1963 — Type3
+    # only skips the FontFile extraction, not the metrics), then the
+    # FontBBox×FontMatrix[3] override when the em-height is sane
+    # ("some Type3 fonts carry a placeholder FontBBox",
+    # parsePdfFonts.js:2211-2219).
+    fdesc = pdf.resolve(d.get("FontDescriptor"))
+    if isinstance(fdesc, dict):
+        av = pdf.resolve(fdesc.get("Ascent"))
+        if isinstance(av, (int, float)) and av != 0:
+            font.ascent = float(av)
+        dv = pdf.resolve(fdesc.get("Descent"))
+        if isinstance(dv, (int, float)) and dv != 0:
+            font.descent = float(dv)
+    fb = pdf.resolve(d.get("FontBBox"))
+    fm3 = None
+    if isinstance(fm, list) and len(fm) >= 4:
+        try:
+            fm3 = float(pdf.resolve(fm[3]))
+        except (TypeError, ValueError):
+            fm3 = None
+    if isinstance(fb, list) and len(fb) >= 4 and fm3 is not None \
+            and fm3 == fm3 and not math.isinf(fm3):
+        try:
+            fb1 = float(pdf.resolve(fb[1]))
+            fb3 = float(pdf.resolve(fb[3]))
+            em_h = abs((fb3 - fb1) * fm3)
+            if em_h == em_h and 0.2 < em_h < 3:
+                font.ascent = fb3 * fm3 * 1000.0
+                font.descent = fb1 * fm3 * 1000.0
+        except (TypeError, ValueError):
+            pass
     # The PUA placeholders above are INTENTIONAL (one per unresolvable
     # CharProc), not a producer-garbage ToUnicode: without this a
     # Symbol-/Dingbats-named Type3 font would trip to_unicode_is_broken
@@ -508,12 +550,22 @@ def build_font(pdf, font_dict) -> SimpleFont:
             cidfont = pdf.resolve(desc[0])
             if isinstance(cidfont, dict):
                 fd = pdf.resolve(cidfont.get("FontDescriptor"))
-                if isinstance(fd, dict) and "FontFile2" in fd:
-                    try:
-                        font.embedded_bytes = pdf.stream_bytes(
-                            fd["FontFile2"])
-                    except Exception:
-                        pass
+                if isinstance(fd, dict):
+                    if "FontFile2" in fd:
+                        try:
+                            font.embedded_bytes = pdf.stream_bytes(
+                                fd["FontFile2"])
+                        except Exception:
+                            pass
+                    # CID rule: a PRESENT /Ascent //Descent key applies
+                    # even when 0 (parsePdfFonts.js:1639-1640
+                    # `if (ascentVal || /\/Ascent\s/.test(fdText))`).
+                    for key, attr in (("Ascent", "ascent"),
+                                      ("Descent", "descent")):
+                        v = pdf.resolve(fd.get(key))
+                        v = float(v) if isinstance(v, (int, float)) else 0.0
+                        if v or key in fd:
+                            setattr(font, attr, v)
         return font
     first_char = pdf.resolve(d.get("FirstChar"))
     widths = pdf.resolve(d.get("Widths"))
@@ -706,6 +758,16 @@ def build_font(pdf, font_dict) -> SimpleFont:
         default_width=default_width)
     font.widths_map = widths_map
     font.embedded_bytes = embedded_bytes
+    # FontDescriptor /Ascent //Descent override the 800/-200 registry
+    # defaults — simple-font rule: nonzero only (parsePdfFonts.js
+    # :1962-1963 `if (ascentVal !== 0)`).
+    if isinstance(desc, dict):
+        av = pdf.resolve(desc.get("Ascent"))
+        if isinstance(av, (int, float)) and av != 0:
+            font.ascent = float(av)
+        dv = pdf.resolve(desc.get("Descent"))
+        if isinstance(dv, (int, float)) and dv != 0:
+            font.descent = float(dv)
     return font
 
 
@@ -870,7 +932,9 @@ class TextInterpreter:
                         dir_x=dir_x, dir_y=dir_y,
                         family=font.family, smallcaps=font.smallcaps,
                         artifact=artifact, mcid=mcid,
-                        alpha=fill_alpha, color=text_color))
+                        alpha=fill_alpha, color=text_color,
+                        asc=font.ascent / 1000.0,
+                        desc=-font.descent / 1000.0))
                 adv = (glyph_width + char_spacing
                        + (word_spacing if (b == 0x20 and
                                            not font.two_byte) else 0.0)

@@ -87,8 +87,11 @@ def test_overlay_invisible_text_on_blank_pdf():
 
     payload = hocr_from_text("recognized words from the scan layer", 7)
     page, _ = parse_hocr_page(payload.decode(), 0)
-    out = overlay_pdf_text(_blank_pdf(), [page], text_mode="invis",
-                           scale=1.0)
+    # default scale: px → pt via the parse-time raster scale.  (An
+    # explicit scale=1.0 would place the 2480px-wide OCR coords off the
+    # 612pt page, and off-page chars are clipped on re-extraction
+    # exactly like the reference, parsePdfDoc.js:585-595.)
+    out = overlay_pdf_text(_blank_pdf(), [page], text_mode="invis")
     assert out.startswith(b"%PDF-")
     re_pages, doc_type = parse_pdf_document(out)
     text = page_text(re_pages[0])

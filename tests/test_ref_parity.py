@@ -3744,6 +3744,117 @@ def test_file_topology_parity(seed, tmp_path):
                 f"{gen.__name__}/{name}: ours != ref ({ours['error']!r})"
 
 
+def _ref_fmt_file(path: str, fmt: str) -> str:
+    harness = HARNESS.replace("extract_text.mjs", "export_fmt.mjs")
+    r = subprocess.run(["node", harness, path, fmt], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-400:]
+    return r.stdout
+
+
+@pytest.mark.parametrize("seed", [0, 1, 5])
+def test_hocr_alto_export_parity(seed, tmp_path):
+    """Structural-export battery (sink31a): hOCR and ALTO exports are
+    byte-identical to the live reference — full writeHocr head (font-
+    state metas with the fontContainer.js:468-478 defaults, compact
+    JSON.stringify layout metas), ECMA number formatting throughout,
+    writeAlto processingDateTime/software identity — across the
+    styles, fontzoo (Type3/Type0 with FontBBox-derived metrics) and
+    textstate generators."""
+    from scribe_js_ray.sources.synth_pdf import (make_pdf_fontzoo,
+                                                 make_pdf_styles,
+                                                 make_pdf_textstate)
+    for gen in (make_pdf_styles, make_pdf_fontzoo, make_pdf_textstate):
+        plain = gen(random.Random(seed))
+        p = tmp_path / f"{gen.__name__}.pdf"
+        p.write_bytes(plain)
+        for fmt in ("hocr", "alto"):
+            ref = _ref_fmt_file(str(p), fmt)
+            ours = extract_document("u", plain, "", "eng",
+                                    emit_format=fmt)["extracted_text"]
+            assert ours == ref, f"{gen.__name__}/{fmt}"
+
+
+def _fd_metrics_pdf(asc: int, desc: int, with_fd: bool = True,
+                    n_words: int = 40) -> bytes:
+    """Simple TrueType font with a FontDescriptor /Ascent //Descent —
+    exercises the per-font metrics override (parsePdfFonts.js
+    :1962-1963 nonzero rule) against the 800/-200 registry defaults."""
+    from scribe_js_ray.sources.synth_pdf import (_PAGE_H, _PAGE_W,
+                                                 PdfWriter)
+    w = PdfWriter()
+    w.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    w.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    words = " ".join(f"word{i}" for i in range(n_words))
+    ops = []
+    y = 700
+    for i in range(0, n_words, 8):
+        chunk = " ".join(f"word{j}" for j in range(i, min(i + 8, n_words)))
+        ops.append(f"BT /F1 24 Tf 72 {y} Td ({chunk}) Tj ET")
+        y -= 40
+    stream = "\n".join(ops).encode()
+    w.add(f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_PAGE_W} "
+          f"{_PAGE_H}] /Resources << /Font << /F1 5 0 R >> >> "
+          f"/Contents 4 0 R >>".encode())
+    w.add(b"<< /Length %d >>\nstream\n" % len(stream) + stream
+          + b"\nendstream")
+    wid = " ".join(["500"] * 95)
+    fdref = " /FontDescriptor 6 0 R" if with_fd else ""
+    w.add((f"<< /Type /Font /Subtype /TrueType /BaseFont /TestSans "
+           f"/FirstChar 32 /LastChar 126 /Widths [{wid}]{fdref} "
+           f">>").encode())
+    if with_fd:
+        w.add(f"<< /Type /FontDescriptor /FontName /TestSans /Flags 32 "
+              f"/Ascent {asc} /Descent {desc} /ItalicAngle 0 /StemV 80 "
+              f"/FontBBox [0 {desc} 600 {asc}] >>".encode())
+    return w.build()
+
+
+@pytest.mark.parametrize("asc,desc,with_fd", [
+    (600, -300, True),   # explicit override
+    (0, 0, True),        # zero values: nonzero rule keeps 800/-200
+    (0, 0, False),       # no descriptor: registry defaults
+])
+def test_font_descriptor_metrics_parity(asc, desc, with_fd, tmp_path):
+    """sink31b: FontDescriptor /Ascent //Descent drive every char/word/
+    line bbox — text AND hOCR byte-identical to the live reference for
+    override, zero-value and missing-descriptor cases."""
+    payload = _fd_metrics_pdf(asc, desc, with_fd)
+    p = tmp_path / "fd.pdf"
+    p.write_bytes(payload)
+    ref_txt = _ref_extract(str(p))
+    row = extract_document("u", payload, "", "eng")
+    assert row["extracted_text"] == ref_txt
+    ref_hocr = _ref_fmt_file(str(p), "hocr")
+    ours = extract_document("u", payload, "", "eng",
+                            emit_format="hocr")["extracted_text"]
+    assert ours == ref_hocr
+
+
+def test_image_doc_skeleton_parity(tmp_path):
+    """sink31c: an image-classified PDF (too little text for the
+    native-text route) still exports the hOCR/ALTO page SKELETON —
+    per-page empty containers sized from pageMetrics (writeHocr.js
+    :67-71 !pageObj branch) — byte-identical to the live reference,
+    and a VALID .scribe session with empty pages instead of an empty
+    file."""
+    payload = _fd_metrics_pdf(600, -300, True, n_words=5)
+    p = tmp_path / "img.pdf"
+    p.write_bytes(payload)
+    row = extract_document("u", payload, "", "eng")
+    assert row["doc_type"] == "image"
+    for fmt in ("hocr", "alto"):
+        ref = _ref_fmt_file(str(p), fmt)
+        ours = extract_document("u", payload, "", "eng",
+                                emit_format=fmt)["extracted_text"]
+        assert ours == ref, fmt
+    sc = extract_document("u", payload, "", "eng",
+                          emit_format="scribe")["extracted_text"]
+    from scribe_js_ray.stages.scribe_fmt import parse_scribe
+    pages = parse_scribe(sc.encode("latin-1"))
+    assert len(pages) == 1 and not pages[0].lines
+
+
 @pytest.mark.parametrize("seed", [4, 9])
 def test_torture_mutation_parity(seed, tmp_path):
     """Byte-level torture battery (sink30) vs the live reference:
