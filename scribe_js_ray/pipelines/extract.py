@@ -53,7 +53,13 @@ def _split_hocr_pages(s: str):
     import re
     if _HOCR_SPLIT is None:
         _HOCR_SPLIT = re.compile(r"(?=<div\s+class=[\"']ocr_page)", re.I)
-    parts = [p for p in _HOCR_SPLIT.split(s) if "ocr_page" in p[:200]]
+    # The lookahead split leaves the document head as parts[0]; every
+    # real page part STARTS with the ocr_page div.  (A containment test
+    # over the first 200 chars would false-keep a short head whose
+    # ocr-capabilities meta mentions "ocr_page", shifting page indices
+    # by one vs the reference's page array.)
+    parts = [p for p in _HOCR_SPLIT.split(s)
+             if re.match(r"<div\s+class=[\"']ocr_page", p, re.I)]
     return parts if parts else [s]
 
 
@@ -140,7 +146,10 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
         return write_markdown(pages, reflow_text=reflow), []
     if emit_format == "hocr":
         from ..stages.exports import write_hocr
-        return write_hocr(pages), []
+        opts = emit_opts or {}
+        return write_hocr(
+            pages, char_metrics=opts.get("_char_metrics"),
+            default_font=opts.get("_default_font", "SerifDefault")), []
     if emit_format == "alto":
         from ..stages.exports import write_alto
         return write_alto(pages), []
@@ -349,6 +358,18 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 # boilerplate strip): roles are needed to drop, so the
                 # doc-level layout pass runs only when asked
                 analyze_layout(pages, pdf_type="ocr")
+            if emit_format == "hocr" and kind != "stext":
+                # Import-time char metrics: every visually-accurate XML
+                # OCR format (import.js:716-727 — stext and the cloud
+                # formats are excluded); they ride the hOCR export's
+                # font-metrics meta and pick the auto default font.
+                from ..stages.fontstats import (calc_char_metrics_from_pages,
+                                                default_font_auto)
+                cm = calc_char_metrics_from_pages(pages)
+                if cm:
+                    emit_opts = dict(emit_opts or {})
+                    emit_opts["_char_metrics"] = cm
+                    emit_opts["_default_font"] = default_font_auto(cm)
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,

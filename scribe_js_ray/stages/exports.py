@@ -40,6 +40,9 @@ def _js_json(v) -> str:
     if v is False:
         return "false"
     if isinstance(v, (int, float)):
+        if isinstance(v, float) and (v != v or v in (float("inf"),
+                                                     float("-inf"))):
+            return "null"  # JSON.stringify(NaN/Infinity) === 'null'
         return js_num(v)
     if isinstance(v, str):
         return json.dumps(v, ensure_ascii=False)
@@ -92,7 +95,8 @@ def _layout_meta_json(pages) -> tuple[str, str]:
     return _js_json(layout_pages), _js_json(table_pages)
 
 
-def write_hocr(pages) -> str:
+def write_hocr(pages, char_metrics: dict | None = None,
+               default_font: str = "SerifDefault") -> str:
     """Page trees → one hOCR document string (writeHocr.js:42-151),
     including the scribeocr-dialect layout/layout-data-table meta and
     the 'ocr-system scribeocr' marker that gates the reference's
@@ -113,9 +117,11 @@ def write_hocr(pages) -> str:
     # flows never run font optimization/recognition, so charMetrics is
     # empty and the fontContainer.js:468-478 state defaults hold
     # (setDefaultAuto only runs with recognition char metrics).
-    out.append("\n\t<meta name='font-metrics' content='{}'></meta>")
-    out.append("\n\t<meta name='default-font' content='SerifDefault'>"
-               "</meta>")
+    cm_json = _js_json(char_metrics) if char_metrics else "{}"
+    out.append(f"\n\t<meta name='font-metrics' content='{cm_json}'>"
+               f"</meta>")
+    out.append(f"\n\t<meta name='default-font' content='{default_font}'>"
+               f"</meta>")
     out.append("\n\t<meta name='sans-font' content='NimbusSans'></meta>")
     out.append("\n\t<meta name='serif-font' content='NimbusRoman'>"
                "</meta>")

@@ -3855,6 +3855,32 @@ def test_image_doc_skeleton_parity(tmp_path):
     assert len(pages) == 1 and not pages[0].lines
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_char_metrics_meta_parity(seed, tmp_path):
+    """sink31d: the hOCR export's ``font-metrics`` meta — the T5 char-
+    metrics surface (fontStatistics.js calcCharMetricsFromPages) —
+    byte-identical to the live reference for char-box-bearing imports:
+    char-level hOCR ("Default" family) and Abbyy (named families with
+    italic/bold splits).  Covers the per-(family,style) width/height/
+    kerning medians, x-height vs ascender normalization, heightCaps
+    renormalization of digits, kerning2 width subtraction, and the
+    auto default-font pick."""
+    import test_ref_parity  # noqa: F401  (harness path shared)
+
+    from scribe_js_ray.sources.synth import make_hocr_charlevel
+    for name, payload in (
+            ("hocrchar", make_hocr_charlevel(random.Random(seed)).encode()),
+            ("abbyy", _sink14_abbyy(random.Random(seed)))):
+        data = payload if isinstance(payload, bytes) else payload.encode()
+        p = tmp_path / f"{name}{'.hocr' if name == 'hocrchar' else '.xml'}"
+        p.write_bytes(data)
+        ref = _ref_fmt_file(str(p), "hocr")
+        ours = extract_document("u", data, "", "eng",
+                                emit_format="hocr")["extracted_text"]
+        assert ours == ref, name
+        assert "font-metrics" in ours and '"width"' in ours
+
+
 @pytest.mark.parametrize("seed", [4, 9])
 def test_torture_mutation_parity(seed, tmp_path):
     """Byte-level torture battery (sink30) vs the live reference:
