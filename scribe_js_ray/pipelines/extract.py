@@ -219,6 +219,7 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
             char_boxes=bool((emit_opts or {}).get("char_boxes", True)),
             include_text=bool(
                 (emit_opts or {}).get("include_extra_text")),
+            font_state=(emit_opts or {}).get("_font_state"),
         ).decode("utf-8"), []
     if emit_format == "pdf":
         from ..stages.pdf_export import write_pdf
@@ -320,9 +321,29 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                        n_pages=len(pages), doc_type=doc_type)
         elif kind == "scribe":
             # Reference .scribe session restore (S10): pages come in
-            # already parsed/laid out — straight to emit.
-            from ..stages.scribe_fmt import parse_scribe
-            pages = parse_scribe(payload)
+            # already parsed/laid out — straight to emit.  A restored
+            # fontState (charMetrics + defaultFontName) re-emits through
+            # the hOCR metas and persists through scribe re-export
+            # (import.js:288-289 objectAssignDefined, :383-389).
+            from ..stages.scribe_fmt import parse_scribe_session
+            pages, extras = parse_scribe_session(payload)
+            fs = extras.get("fontState")
+            if isinstance(fs, dict) and fs.get("charMetrics"):
+                from ..stages.fontstats import default_font_auto
+                cm = fs["charMetrics"]
+                emit_opts = dict(emit_opts or {})
+                emit_opts["_char_metrics"] = cm
+                # setDefaultAuto re-runs over the restored metrics; in
+                # single-font mode it returns early and the RESTORED
+                # name stands (fontContainerMain.js:425-431).
+                default_obs = (cm.get("Default") or {}).get("obs") or 0
+                named_obs = \
+                    ((cm.get("SerifDefault") or {}).get("obs") or 0) + \
+                    ((cm.get("SansDefault") or {}).get("obs") or 0)
+                emit_opts["_default_font"] = \
+                    default_font_auto(cm) if named_obs > default_obs \
+                    else (fs.get("defaultFontName") or "SerifDefault")
+                emit_opts["_font_state"] = fs
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,
@@ -358,11 +379,12 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                 # boilerplate strip): roles are needed to drop, so the
                 # doc-level layout pass runs only when asked
                 analyze_layout(pages, pdf_type="ocr")
-            if emit_format == "hocr" and kind != "stext":
+            if emit_format in ("hocr", "scribe") and kind != "stext":
                 # Import-time char metrics: every visually-accurate XML
                 # OCR format (import.js:716-727 — stext and the cloud
                 # formats are excluded); they ride the hOCR export's
-                # font-metrics meta and pick the auto default font.
+                # font-metrics meta, pick the auto default font, and
+                # persist through .scribe's fontState header.
                 from ..stages.fontstats import (calc_char_metrics_from_pages,
                                                 default_font_auto)
                 cm = calc_char_metrics_from_pages(pages)
@@ -370,6 +392,12 @@ def extract_document(url: str, payload: bytes, text: str, lang: str,
                     emit_opts = dict(emit_opts or {})
                     emit_opts["_char_metrics"] = cm
                     emit_opts["_default_font"] = default_font_auto(cm)
+                    emit_opts["_font_state"] = {
+                        "enableOpt": False, "forceOpt": False,
+                        "defaultFontName": emit_opts["_default_font"],
+                        "serifDefaultName": "NimbusRoman",
+                        "sansDefaultName": "NimbusSans",
+                        "glyphSet": None, "charMetrics": cm}
             txt, spans = _emit(pages, emit_format, reflow, drop_furniture, edits,
                                emit_opts)
             out.update(extracted_text=txt, spans=spans,

@@ -169,7 +169,8 @@ def write_scribe(pages: list[Page], segmented: bool = True,
                  gzip_out: bool = False, outline: list | None = None,
                  text_edits: list | None = None,
                  char_boxes: bool = True,
-                 include_text: bool = False) -> bytes:
+                 include_text: bool = False,
+                 font_state: dict | None = None) -> bytes:
     """Page trees → reference-format ``.scribe`` bytes.  Carried marks
     ride as ``annotations`` (header field in the segmented layout,
     import.js:220-227); ``text_edits`` (per-page edit-record lists from
@@ -185,6 +186,12 @@ def write_scribe(pages: list[Page], segmented: bool = True,
     has_annots = any(annots)
     if segmented:
         header: dict = {"scribeSegments": 1, "pageCount": len(pages)}
+        if font_state is not None:
+            # Doc font state rides the header (export.js:196
+            # scribeSegmentChunks); the reference restore applies it via
+            # objectAssignDefined and re-derives the default font +
+            # optimization from charMetrics (import.js:288-289,380-389).
+            header["fontState"] = font_state
         if has_annots:
             header["annotations"] = annots
         if outline is not None:
@@ -203,6 +210,8 @@ def write_scribe(pages: list[Page], segmented: bool = True,
     else:
         obj: dict = {"ocr": [_page_json(p, char_boxes, include_text) if p else None
                              for p in pages]}
+        if font_state is not None:
+            obj["fontState"] = font_state
         if has_annots:
             obj["annotations"] = annots
         if outline is not None:
@@ -334,7 +343,8 @@ def parse_scribe_session(data: bytes):
         extras = {"annotations": obj.get("annotations"),
                   "textEdits": session.get("textEdits"),
                   "outline": (obj.get("outline") or [])
-                  if "outline" in obj else None}
+                  if "outline" in obj else None,
+                  "fontState": obj.get("fontState")}
         return pages, extras
     lines = data.split(b"\n")
     header = json.loads(lines[0].decode("utf-8"))
@@ -360,7 +370,8 @@ def parse_scribe_session(data: bytes):
     extras = {"annotations": header.get("annotations"),
               "textEdits": text_edits if saw_edits else None,
               "outline": (header.get("outline") or [])
-              if "outline" in header else None}
+              if "outline" in header else None,
+              "fontState": header.get("fontState")}
     return pages, extras
 
 

@@ -3881,6 +3881,40 @@ def test_char_metrics_meta_parity(seed, tmp_path):
         assert "font-metrics" in ours and '"width"' in ours
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scribe_fontstate_interop(seed, tmp_path):
+    """sink31e: fontState (charMetrics + defaultFontName) persists
+    through the .scribe session in BOTH directions, live: (a) our
+    .scribe of an Abbyy import is read by the reference and its hOCR
+    export byte-equals our scribe-restore → hOCR; (b) a reference-
+    written .scribe restored by us re-emits the same hOCR as the
+    reference restoring its own file (import.js:288-289,380-389)."""
+    import base64
+
+    abbyy = _sink14_abbyy(random.Random(seed))
+    p = tmp_path / "in.xml"
+    p.write_bytes(abbyy)
+
+    sc = extract_document("u", abbyy, "", "eng",
+                          emit_format="scribe")["extracted_text"]
+    assert '"fontState"' in sc[:400]
+    p2 = tmp_path / "ours.scribe"
+    p2.write_bytes(sc.encode())
+    ref_hocr = _ref_fmt_file(str(p2), "hocr")
+    ours_hocr = extract_document("u", sc.encode(), "", "eng",
+                                 emit_format="hocr")["extracted_text"]
+    assert ours_hocr == ref_hocr
+    assert '"width"' in ours_hocr  # metrics actually survived
+
+    ref_scribe = base64.b64decode(_ref_fmt_file(str(p), "scribe"))
+    p3 = tmp_path / "ref.scribe"
+    p3.write_bytes(ref_scribe)
+    ref_hocr2 = _ref_fmt_file(str(p3), "hocr")
+    ours_hocr2 = extract_document("u", ref_scribe, "", "eng",
+                                  emit_format="hocr")["extracted_text"]
+    assert ours_hocr2 == ref_hocr2
+
+
 @pytest.mark.parametrize("seed", [4, 9])
 def test_torture_mutation_parity(seed, tmp_path):
     """Byte-level torture battery (sink30) vs the live reference:
