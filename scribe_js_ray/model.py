@@ -85,7 +85,7 @@ class Char:
 class Word:
     __slots__ = ("text", "bbox", "style", "lang", "conf", "chars", "line",
                  "line_num", "id", "mcid", "artifact", "text_alt",
-                 "style_runs", "visual_coords")
+                 "style_runs", "visual_coords", "footnote_par")
 
     def __init__(self, line: "Line", wid: str, text: str, bbox: BBox):
         self.line = line
@@ -116,6 +116,11 @@ class Word:
         # convertPageStext.js:544/575, convertDocDocx.js:862,
         # fillSign.js:83, formFields.js:74 clear it).
         self.visual_coords = True
+        # Linked footnote/endnote paragraph for an in-text reference
+        # marker (ocrObjects.js:217 word.footnoteParId; set by the
+        # layout footnote-linking pass and the DOCX import) — we link
+        # by object, the reference by random par id.
+        self.footnote_par = None
 
 
 def get_word_style_segments(word: "Word"):
@@ -169,7 +174,8 @@ FURNITURE_TYPES = frozenset(("pagenum", "header", "footer", "linenum"))
 
 
 class Par:
-    __slots__ = ("bbox", "lines", "type", "reason", "page")
+    __slots__ = ("bbox", "lines", "type", "reason", "page", "par_num",
+                 "footnote_ref")
 
     def __init__(self, page: "Page", bbox: BBox):
         self.page = page
@@ -177,6 +183,11 @@ class Par:
         self.lines: list[Line] = []
         self.type = "body"
         self.reason = ""
+        # Paragraph/list enumerator raw text (reference par.parNum,
+        # analyzeLayout.js:2183) and the linked in-text reference word
+        # id for footnote/endnote pars (par.footnoteRefId, :2278).
+        self.par_num = None
+        self.footnote_ref = None
 
 
 def par_is_furniture(par: Optional[Par]) -> bool:

@@ -192,7 +192,7 @@ def parse_docx(data: bytes, line_split_mode: str = "width") -> list[Page]:
                 runs.append((str(idx), {
                     "bold": False, "italic": False, "small_caps": False,
                     "underline": False, "sup": True,
-                    "font": None, "size": None}))
+                    "font": None, "size": None, "footnote_id": fid}))
                 continue
             text = _run_text(run)
             if text:
@@ -216,17 +216,36 @@ def parse_docx(data: bytes, line_split_mode: str = "width") -> list[Page]:
     fn_style = styles_map.get("FootnoteText")
     fn_size = (fn_style["size"] if fn_style
                and fn_style["size"] is not None else default_size)
-    for fid in footnote_order:
+    for fi, fid in enumerate(footnote_order):
         fruns = []
         for text, st in footnotes[fid]:
             if st.get("size") is None and fn_size is not None:
                 st = dict(st, size=fn_size)
             fruns.append((text, st))
-        paragraphs.append(("footnote", fruns))
+        paragraphs.append(("footnote", fruns, fid, fi + 1))
 
     from .textlayout import typeset_styled_paragraphs
-    return typeset_styled_paragraphs(paragraphs, text_source="docx",
-                                     line_split_mode=line_split_mode)
+    pages = typeset_styled_paragraphs(paragraphs, text_source="docx",
+                                      line_split_mode=line_split_mode)
+    # Resolve footnote-reference links to the typeset objects — the
+    # bidirectional par.footnoteRefId <-> word.footnoteParId pairing of
+    # convertDocDocx.js:924-929 (ids became object refs in our model).
+    par_by_fid = {}
+    for page in pages:
+        for par in page.pars:
+            if par.type == "footnote" and \
+                    isinstance(par.footnote_ref, str):
+                par_by_fid[par.footnote_ref] = par
+                par.footnote_ref = None
+    for page in pages:
+        for line in page.lines:
+            for w in line.words:
+                if isinstance(w.footnote_par, str):
+                    par = par_by_fid.get(w.footnote_par)
+                    w.footnote_par = par
+                    if par is not None and par.footnote_ref is None:
+                        par.footnote_ref = w.id
+    return pages
 
 
 _DOC_START = (
@@ -254,78 +273,171 @@ _RELS = (
     'officeDocument" Target="word/document.xml"/></Relationships>')
 
 
-def _run_xml(word) -> str:
-    props = []
-    if word.style.bold:
-        props.append("<w:b/>")
-    if word.style.italic:
-        props.append("<w:i/>")
-    if word.style.sup:
-        props.append('<w:vertAlign w:val="superscript"/>')
-    rpr = f"<w:rPr>{''.join(props)}</w:rPr>" if props else ""
-    return (f"<w:r>{rpr}<w:t xml:space=\"preserve\">"
-            f"{escape_xml(word.text)}</w:t></w:r>")
+_REF_PARTS = None
 
 
-def write_docx(pages, reflow_text: bool = True) -> bytes:
-    """Page trees → DOCX bytes (writeDocx.js:122-200 analog)."""
-    body = []
+def _ref_parts() -> dict:
+    """Static Word-package parts + document/footnotes envelopes,
+    captured from the live reference's own .docx output (the same
+    artifact-derivation approach as data/ref_font_metrics.json.gz) —
+    writeDocx.js packages documentStart+body+documentEnd,
+    footnotesStart+footnotesXml+footnotesEnd, and the fixed
+    resources/docxFiles.js parts."""
+    global _REF_PARTS
+    if _REF_PARTS is None:
+        import gzip
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "docx_ref_parts.json.gz")
+        with gzip.open(path, "rt") as f:
+            _REF_PARTS = json.load(f)
+    return _REF_PARTS
+
+
+def _style_xml(style) -> str:
+    """writeDocx.js:60-69 styleXml — property order is part of the
+    byte-stable surface."""
+    s = ""
+    if style.bold:
+        s += "<w:b/>"
+    if style.italic:
+        s += "<w:i/>"
+    if style.small_caps:
+        s += "<w:smallCaps/>"
+    if style.underline:
+        s += '<w:u w:val="single"/>'
+    if style.sup:
+        s += '<w:vertAlign w:val="superscript"/>'
+    if style.font:
+        fn = escape_xml(style.font)
+        s += f'<w:rFonts w:ascii="{fn}" w:hAnsi="{fn}"/>'
+    return s
+
+
+def _text_run(word, lead: str) -> str:
+    """writeDocx.js:73-84 textRun: one <w:r> per style segment, the
+    inter-word lead INSIDE the first segment's <w:t>."""
+    from ..model import get_word_style_segments
+    segments = get_word_style_segments(word) or \
+        [(0, len(word.text), word.style)]
+    runs = []
+    for idx, (start, end, style) in enumerate(segments):
+        sx = _style_xml(style)
+        rpr = f"<w:rPr>{sx}</w:rPr>" if sx else ""
+        lead_seg = lead if idx == 0 else ""
+        runs.append(
+            f'<w:r>{rpr}<w:t xml:space="preserve">{lead_seg}'
+            f"{escape_xml(word.text[start:end])}</w:t></w:r>")
+    return "".join(runs)
+
+
+_FN_LEADER_RE = re.compile(r"^[\d*†‡]{1,3}[.)\]]?$")
+
+
+def write_docx_content(pages, reflow_text: bool = True) -> tuple[str, str]:
+    """(body, footnotesXml) — writeDocxContent (writeDocx.js:24-160):
+    footnote paragraphs numbered in in-text reference order move to
+    word/footnotes.xml with their leading marker stripped; body
+    paragraphs open lazily per par (reflow) or per line, a linked
+    reference marker becomes a real <w:footnoteReference>."""
+    # Footnote ids in in-text reference order (:36-57).
+    footnote_id: dict[int, str] = {}   # id(par) -> "1"...
+    footnote_pars: list = []
     for page in pages:
-        # OCR imports skip the PDF-only analyzeLayout pass and arrive
-        # with no pars; the reference assigns reflow paragraphs at
-        # export when reflowText is on (writeDocx.js:113).
         if reflow_text and not page.pars:
             from .reflow import assign_paragraphs
             assign_paragraphs(page, page.angle or 0)
-        pars = page.pars or []
-        emitted = set()
-        for par in pars:
-            if par.type == "title":
-                ppr = '<w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
-            elif par.type == "blockquote":
-                ppr = '<w:pPr><w:pStyle w:val="Quote"/></w:pPr>'
-            else:
-                ppr = ""
-            if reflow_text:
-                runs = []
-                first = True
-                for line in par.lines:
-                    for w in line.words:
-                        if not first:
-                            runs.append('<w:r><w:t xml:space="preserve">'
-                                        " </w:t></w:r>")
-                        runs.append(_run_xml(w))
-                        first = False
-                if runs:
-                    body.append(f"<w:p>{ppr}{''.join(runs)}</w:p>")
-            else:
-                for line in par.lines:
-                    runs = []
-                    for wi, w in enumerate(line.words):
-                        if wi:
-                            runs.append('<w:r><w:t xml:space="preserve">'
-                                        " </w:t></w:r>")
-                        runs.append(_run_xml(w))
-                    if runs:
-                        body.append(f"<w:p>{ppr}{''.join(runs)}</w:p>")
-            emitted.update(id(ln) for ln in par.lines)
-        orphans = [ln for ln in page.lines
-                   if id(ln) not in emitted and ln.words]
-        for line in orphans:
-            runs = []
-            for wi, w in enumerate(line.words):
-                if wi:
-                    runs.append('<w:r><w:t xml:space="preserve"> '
-                                "</w:t></w:r>")
-                runs.append(_run_xml(w))
-            body.append(f"<w:p>{''.join(runs)}</w:p>")
+        for line in page.lines:
+            for w in line.words:
+                fn_par = w.footnote_par
+                if fn_par is None or id(fn_par) in footnote_id \
+                        or fn_par.type not in ("footnote", "endnote"):
+                    continue
+                footnote_id[id(fn_par)] = str(len(footnote_pars) + 1)
+                footnote_pars.append(fn_par)
 
+    footnotes_xml = []
+    for par in footnote_pars:
+        runs = []
+        first = True
+        stripping = True
+        for line in par.lines:
+            for w in line.words:
+                # Drop the note's own leading marker — Word renders the
+                # number from <w:footnoteRef/> (:94-99).
+                if stripping and w.style.sup and \
+                        _FN_LEADER_RE.match((w.text or "").strip()):
+                    continue
+                stripping = False
+                runs.append(_text_run(
+                    w, " " if first else ("" if w.style.sup else " ")))
+                first = False
+        footnotes_xml.append(
+            f'<w:footnote w:id="{footnote_id[id(par)]}"><w:p><w:pPr>'
+            f'<w:pStyle w:val="FootnoteText"/></w:pPr><w:r><w:rPr>'
+            f'<w:rStyle w:val="FootnoteReference"/></w:rPr>'
+            f"<w:footnoteRef/></w:r>{''.join(runs)}</w:p></w:footnote>")
+
+    body = []
+    open_key = None
+    first_in_par = True
+    for page in pages:
+        if not page.lines:
+            continue
+        for line in page.lines:
+            par = line.par
+            if par is not None and id(par) in footnote_id:
+                continue
+            key = id(par) if (reflow_text and par is not None) else id(line)
+            for w in line.words:
+                if key != open_key:
+                    if open_key is not None:
+                        body.append("</w:p>")
+                    if par is not None and par.type == "title":
+                        ppr = '<w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+                    elif par is not None and par.type == "blockquote":
+                        ppr = '<w:pPr><w:pStyle w:val="Quote"/></w:pPr>'
+                    else:
+                        ppr = ""
+                    body.append(f"<w:p>{ppr}")
+                    open_key = key
+                    first_in_par = True
+                fn_par = w.footnote_par
+                if fn_par is not None and id(fn_par) in footnote_id:
+                    body.append(
+                        '<w:r><w:rPr><w:rStyle w:val="FootnoteReference"/>'
+                        '<w:vertAlign w:val="superscript"/></w:rPr>'
+                        f'<w:footnoteReference w:id='
+                        f'"{footnote_id[id(fn_par)]}"/></w:r>')
+                    first_in_par = False
+                    continue
+                body.append(_text_run(
+                    w, "" if first_in_par
+                    else ("" if w.style.sup else " ")))
+                first_in_par = False
+    if open_key is not None:
+        body.append("</w:p>")
+    return "".join(body), "".join(footnotes_xml)
+
+
+def write_docx(pages, reflow_text: bool = True) -> bytes:
+    """Page trees → the reference's full Word package (writeDocx.js
+    :162-209): document.xml and footnotes.xml between the captured
+    envelopes plus the fixed resource parts — every part's bytes equal
+    the reference's (the zip CONTAINER differs: zip.js vs zipfile)."""
+    parts = _ref_parts()
+    body, footnotes_xml = write_docx_content(pages, reflow_text)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
-        z.writestr("_rels/.rels", _RELS)
         z.writestr("word/document.xml",
-                   _DOC_START + "".join(body) + _DOC_END)
+                   parts["document_start"] + body + parts["document_end"])
+        z.writestr("word/footnotes.xml",
+                   parts["footnotes_start"] + footnotes_xml
+                   + parts["footnotes_end"])
+        for name, content in parts["static_parts"].items():
+            if name != "word/footnotes.xml":
+                z.writestr(name, content)
     return buf.getvalue()
 
 

@@ -2413,6 +2413,67 @@ def analyze_layout(pages: list, outline_titles=None,
             if id(par) in quote_pars or geo:
                 par.type = "blockquote"
 
+    _link_footnotes(pages)
+
+
+_FN_MARKER_LINK_RE = re.compile(r"^[\d*†‡]{1,3}$")
+
+
+def _fn_label(t: str) -> str:
+    return re.sub(r"[.)\]]+$", "", (t or "").strip())
+
+
+def _link_footnotes(pages):
+    """Footnote linking (analyzeLayout.js:2239-2281): pair each
+    footnote/endnote paragraph with the nearest PRECEDING unlinked
+    in-text superscript marker carrying the same label, in reading
+    order — the same par.footnoteRefId <-> word.footnoteParId link the
+    .docx importer produces, so exporters emit real Word footnotes."""
+    body_markers = []  # (order, word, label) ascending by reading order
+    for p, page in enumerate(pages):
+        for li, line in enumerate(page.lines):
+            if line.par is not None and \
+                    line.par.type in ("footnote", "endnote"):
+                continue  # a marker inside a note is not a body ref
+            for word in line.words:
+                if not word.style.sup:
+                    continue
+                label = _fn_label(word.text)
+                if _FN_MARKER_LINK_RE.match(label):
+                    body_markers.append((p * 100000 + li, word, label))
+    for p, page in enumerate(pages):
+        for par in page.pars:
+            if par.type not in ("footnote", "endnote") \
+                    or par.footnote_ref is not None:
+                continue
+            label = None
+            if par.par_num and _FN_MARKER_LINK_RE.match(
+                    _fn_label(par.par_num)):
+                label = _fn_label(par.par_num)
+            if not label:
+                w0 = par.lines[0].words[0] \
+                    if par.lines and par.lines[0].words else None
+                if w0 is not None and w0.style.sup and \
+                        _FN_MARKER_LINK_RE.match(_fn_label(w0.text)):
+                    label = _fn_label(w0.text)
+            if not label:
+                continue
+            try:
+                fn_line_idx = page.lines.index(par.lines[0])
+            except (ValueError, IndexError):
+                fn_line_idx = 99999
+            fn_order = p * 100000 + fn_line_idx
+            best = None
+            for order, word, mlabel in body_markers:
+                if order >= fn_order:
+                    break
+                if word.footnote_par is not None or mlabel != label:
+                    continue
+                best = word
+            if best is not None:
+                par.footnote_ref = best.id
+                best.footnote_par = par
+
 
 def _split_fused_line_numbers(pages, feats):
     """Split a fused case-B margin number off its body line into a

@@ -1076,6 +1076,11 @@ def rebuild_pars(pages, feats, model, role_to_type):
                 par = Par(page, bbox_union([f.line.bbox]))
                 par.reason = reason
                 par.type = role_to_type.get(f.role, "body")
+                # The paragraph/list enumerator rides the par
+                # (analyzeLayout.js:2183) — footnote linking matches
+                # note labels against it.
+                if f.enumerator:
+                    par.par_num = f.enumerator["raw"]
                 par.lines = []
                 par_arr.append(par)
             else:

@@ -149,7 +149,10 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
         current_y = MARGIN_VERTICAL + LINE_HEIGHT / 2
 
     any_content = False
-    for par_type, runs in paragraphs:
+    for entry in paragraphs:
+        par_type, runs = entry[0], entry[1]
+        par_footnote_id = entry[2] if len(entry) > 2 else None
+        par_footnote_index = entry[3] if len(entry) > 3 else None
         # Page-break check happens once per PARAGRAPH — the reference's
         # docx flow has no mid-paragraph page breaks; long paragraphs
         # spill past the bottom margin (convertDocDocx.js:711-722).
@@ -186,6 +189,11 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
                     par_right, par_lines[-1].bbox.bottom))
                 par.lines = list(par_lines)
                 par.type = par_type
+                if par_footnote_id is not None:
+                    # the footnote index IS the parNum for docx-sourced
+                    # notes (convertDocDocx.js:915-919)
+                    par.par_num = str(par_footnote_index)
+                    par.footnote_ref = par_footnote_id  # resolved later
                 for ln in par_lines:
                     ln.par = par
                 page.pars.append(par)
@@ -209,6 +217,11 @@ def typeset_styled_paragraphs(paragraphs, page_dims=None,
             word.style.italic = st["italic"]
             word.style.small_caps = st["small_caps"]
             word.style.underline = st["underline"]
+            if st.get("footnote_id"):
+                # Stash the source footnote id; the DOCX importer
+                # resolves it to the footnote Par after typesetting
+                # (convertDocDocx.js:924-929 link).
+                word.footnote_par = st["footnote_id"]
             # style.size carries the RAW nullable run fontSize, exactly
             # like the reference (convertDocDocx.js:861 wordObj.style.size
             # = run.styles.fontSize) — null when no w:sz anywhere.

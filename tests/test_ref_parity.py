@@ -3915,6 +3915,88 @@ def test_scribe_fontstate_interop(seed, tmp_path):
     assert ours_hocr2 == ref_hocr2
 
 
+def _docx_parts_equal(payload: bytes, suf: str, tmp_path) -> None:
+    import base64
+    import io
+    import zipfile
+    p = tmp_path / f"in{suf}"
+    p.write_bytes(payload)
+    ref = zipfile.ZipFile(io.BytesIO(
+        base64.b64decode(_ref_fmt_file(str(p), "docx"))))
+    ours = zipfile.ZipFile(io.BytesIO(
+        extract_document("u", payload, "", "eng", emit_format="docx")
+        ["extracted_text"].encode("latin-1")))
+    assert set(ref.namelist()) == set(ours.namelist())
+    for n in ref.namelist():
+        assert ref.read(n) == ours.read(n), n
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_docx_export_parity(seed, tmp_path):
+    """sink32a: the DOCX export is the reference's full Word package —
+    every part's bytes equal the reference's (document.xml between the
+    captured envelopes, footnotes.xml, the 10 fixed resource parts;
+    only the zip container differs).  21-case sweep over 7 generators
+    clean at pin time."""
+    from scribe_js_ray.sources.synth_pdf import (make_pdf_styles,
+                                                 make_pdf_textstate)
+    _docx_parts_equal(make_pdf_styles(random.Random(seed)), ".pdf",
+                      tmp_path)
+    _docx_parts_equal(make_pdf_textstate(random.Random(seed)), ".pdf",
+                      tmp_path)
+    _docx_parts_equal(_sink14_abbyy(random.Random(seed)), ".xml",
+                      tmp_path)
+
+
+def test_docx_footnote_roundtrip_parity(tmp_path):
+    """sink32b: a Word document with REAL footnotes imports with the
+    bidirectional marker<->note link (convertDocDocx.js:924-929) and
+    re-exports byte-identical through both engines — the
+    footnoteReference run, the renumbered word/footnotes.xml entry,
+    and the reflowed text/markdown all match the live reference."""
+    import gzip as _gzip
+    import json as _json
+    import zipfile
+    import io
+    parts = _json.load(_gzip.open(
+        "/root/repo/scribe_js_ray/data/docx_ref_parts.json.gz", "rt"))
+    body = (
+        '<w:p><w:r><w:t xml:space="preserve">Body text with a note'
+        '</w:t></w:r><w:r><w:rPr><w:rStyle w:val="FootnoteReference"/>'
+        '<w:vertAlign w:val="superscript"/></w:rPr>'
+        '<w:footnoteReference w:id="1"/></w:r>'
+        '<w:r><w:t xml:space="preserve"> and more text after.</w:t>'
+        '</w:r></w:p><w:p><w:r><w:t xml:space="preserve">Second '
+        'paragraph of body.</w:t></w:r></w:p>')
+    fn = ('<w:footnote w:id="1"><w:p><w:pPr><w:pStyle '
+          'w:val="FootnoteText"/></w:pPr><w:r><w:rPr><w:rStyle '
+          'w:val="FootnoteReference"/></w:rPr><w:footnoteRef/></w:r>'
+          '<w:r><w:t xml:space="preserve"> The footnote body text here.'
+          '</w:t></w:r></w:p></w:footnote>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("word/document.xml",
+                   parts["document_start"] + body + parts["document_end"])
+        z.writestr("word/footnotes.xml",
+                   parts["footnotes_start"] + fn + parts["footnotes_end"])
+        for n, c in parts["static_parts"].items():
+            if n != "word/footnotes.xml":
+                z.writestr(n, c)
+    docx_in = buf.getvalue()
+    _docx_parts_equal(docx_in, ".docx", tmp_path)
+    # the re-export really carries a linked footnote
+    ours = extract_document("u", docx_in, "", "eng",
+                            emit_format="docx")["extracted_text"]
+    oz = zipfile.ZipFile(io.BytesIO(ours.encode("latin-1")))
+    assert "footnoteReference" in oz.read("word/document.xml").decode()
+    p = tmp_path / "in.docx"
+    for fmt, ours_fmt in (("text", "text"), ("md", "markdown")):
+        ref = _ref_fmt_file(str(p), fmt)
+        got = extract_document("u", docx_in, "", "eng",
+                               emit_format=ours_fmt)["extracted_text"]
+        assert got == ref, fmt
+
+
 @pytest.mark.parametrize("seed", [4, 9])
 def test_torture_mutation_parity(seed, tmp_path):
     """Byte-level torture battery (sink30) vs the live reference:
