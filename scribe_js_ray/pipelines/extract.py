@@ -180,21 +180,22 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
         # scribeDocDefaults.js xlsxFilenameColumn/xlsxPageNumberColumn
         # both default true)
         from ..model import BBox
-        from ..stages.docx import write_xlsx
+        from ..stages.docx import write_xlsx_tabular
         from ..stages.tables import (detect_tables_in_page,
-                                     extract_table_content)
+                                     extract_table_words)
         opts = emit_opts or {}
         fname = (str(opts.get("xlsx_filename", ""))
                  if opts.get("xlsx_filename_column", True) else None)
         page_col = bool(opts.get("xlsx_page_number_column", True))
-        rows: list = []
+        page_tables: list = []
+        extra_cols: list = []
         for i, page in enumerate(pages):
-            extra = ([fname] if fname is not None else []) \
-                + ([str(i + 1)] if page_col else [])
-            prows: list = []
+            extra_cols.append(([fname] if fname is not None else [])
+                              + ([str(i + 1)] if page_col else []))
+            tables: list = []
             boxes = getattr(page, "table_boxes", None) or []
             for tb in boxes:
-                prows.extend(extract_table_content(
+                tables.append(extract_table_words(
                     page,
                     BBox(tb["left"], tb["top"], tb["right"],
                          tb["bottom"]),
@@ -204,9 +205,10 @@ def _emit(pages, emit_format, reflow, drop_furniture, edits=None,
                 # (text/docx branches) fall back to the OCR detector;
                 # stamped pages already carry every qualifying region
                 for bb in detect_tables_in_page(page):
-                    prows.extend(extract_table_content(page, bb))
-            rows.extend([extra + r for r in prows] if extra else prows)
-        return write_xlsx(rows).decode("latin-1"), []
+                    tables.append(extract_table_words(page, bb))
+            page_tables.append(tables)
+        return write_xlsx_tabular(page_tables, extra_cols) \
+            .decode("latin-1"), []
     if emit_format == "scribe":
         # Emits the reference's UNCOMPRESSED segmented form (the CLI's
         # 'scribe.json', extract.js:56-58 compressScribe:false): the

@@ -441,6 +441,106 @@ def write_docx(pages, reflow_text: bool = True) -> bytes:
     return buf.getvalue()
 
 
+_XLSX_REF_PARTS = None
+
+
+def _xlsx_ref_parts() -> dict:
+    global _XLSX_REF_PARTS
+    if _XLSX_REF_PARTS is None:
+        import gzip
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "xlsx_ref_parts.json.gz")
+        with gzip.open(path, "rt") as f:
+            _XLSX_REF_PARTS = json.load(f)
+    return _XLSX_REF_PARTS
+
+
+def _col_ref(index: int) -> str:
+    """0-based column index → Excel column letters (writeTabular.js
+    :10-18 colIndexToRef)."""
+    ref = ""
+    n = index
+    while True:
+        ref = chr(65 + (n % 26)) + ref
+        n = n // 26 - 1
+        if n < 0:
+            return ref
+
+
+def _xlsx_cells_single(row_words, extra_cols, start_row) -> str:
+    """One table's rows → <row>/<c> XML (writeTabular.js:58-155
+    createCellsSingle, xlsxMode): empty cells omitted, cell words
+    re-sorted by bbox.left, style runs split per the reference's exact
+    rule — ``fontStylePrev`` is never updated, so every STYLED word
+    opens a new run while an unstyled word after the first rides the
+    previous run with a plain leading space."""
+    out = []
+    for i, row in enumerate(row_words):
+        rnum = str(start_row + i + 1)
+        out.append(f'<row r="{rnum}">')
+        for j, col_txt in enumerate(extra_cols):
+            out.append(f'<c r="{_col_ref(j)}{rnum}" t="inlineStr"><is>'
+                       f'<r><t xml:space="preserve">'
+                       f"{escape_xml(col_txt)}</t></r></is></c>")
+        for j, words in enumerate(row):
+            if not words:
+                continue
+            words = sorted(words, key=lambda w: w.bbox.left)
+            out.append(f'<c r="{_col_ref(j + len(extra_cols))}{rnum}" '
+                       f't="inlineStr"><is>')
+            for k, w in enumerate(words):
+                font_style = ""
+                if w.style.bold:
+                    font_style += "<b/>"
+                if w.style.italic:
+                    font_style += "<i/>"
+                if w.style.small_caps:
+                    font_style += "<smallCaps/>"
+                if font_style != "" or k == 0:
+                    style_str = f"<rPr>{font_style}</rPr>" \
+                        if font_style else ""
+                    if k == 0:
+                        out.append(f'<r>{style_str}'
+                                   f'<t xml:space="preserve">')
+                    else:
+                        out.append(f' </t></r><r>{style_str}'
+                                   f'<t xml:space="preserve">')
+                else:
+                    out.append(" ")
+                out.append(escape_xml(w.text))
+            out.append("</t></r></is></c>")
+        out.append("</row>")
+    return "".join(out)
+
+
+def write_xlsx_tabular(page_tables, extra_cols_per_page) -> bytes:
+    """Detected tables → the reference's full xlsx package (writeXlsx,
+    writeTabular.js:188-224): sheet1.xml between the captured
+    preamble/close envelopes plus the fixed resource parts, row numbers
+    continuous across pages and tables.
+
+    ``page_tables``: per page, a list of tables, each rows×cols of
+    word lists (extract_table_words).  ``extra_cols_per_page``: lead
+    column texts per page (filename / 1-based page number)."""
+    parts = _xlsx_ref_parts()
+    cells = []
+    row_count = 0
+    for tables, extra in zip(page_tables, extra_cols_per_page):
+        for rows in tables:
+            cells.append(_xlsx_cells_single(rows, extra, row_count))
+            row_count += len(rows)
+    sheet = (parts["sheet_preamble"] + "<sheetData>" + "".join(cells)
+             + "</sheetData>" + parts["sheet_close"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        for name, content in parts["static_parts"].items():
+            z.writestr(name, content)
+    return buf.getvalue()
+
+
 def write_xlsx(rows: list[list[str]], sheet_name: str = "Sheet1") -> bytes:
     """Cell-text rows → minimal XLSX (writeTabular analog, inline strings)."""
     def col_name(i):

@@ -225,7 +225,18 @@ def _overlap_frac(a: BBox, b) -> float:
 
 def extract_table_content(page: Page, table_bbox: BBox,
                           col_separators=None):
-    """Table bbox → rows of column-ordered cell texts — the reference's
+    """Table bbox → rows of column-ordered cell TEXTS (consumption
+    order — the markdown/text surfaces join here).  The word-level view
+    is :func:`extract_table_words` (the xlsx writer re-sorts each cell
+    by bbox.left exactly like writeTabular.js:97)."""
+    return [[" ".join(w.text for w in cell) for cell in row]
+            for row in extract_table_words(page, table_bbox,
+                                           col_separators)]
+
+
+def extract_table_words(page: Page, table_bbox: BBox,
+                        col_separators=None):
+    """Table bbox → rows of per-cell WORD lists — the reference's
     word-level extraction (extractTables.js:26-222
     extractSingleTableContent, inclusionLevel='word' /
     inclusionRule='majority' as detection-created columns carry): each
@@ -283,17 +294,17 @@ def extract_table_content(page: Page, table_bbox: BBox,
         cells = []
         consumed = 0
         for i in range(len(cols)):
-            texts = []
+            words = []
             j = idx[i]
             while j < len(cols[i]):
                 if _overlap_frac(cols[i][j].bbox, row_box) > 0.5:
-                    texts.append(cols[i][j].text)
+                    words.append(cols[i][j])
                     idx[i] += 1
                     j += 1
                     consumed += 1
                 else:
                     break
-            cells.append(" ".join(texts))
+            cells.append(words)
         if consumed == 0:
             # Progress guard: a word whose box lies outside the 5000px
             # row band (e.g. a >5000px-wide 600-dpi page) can never
@@ -303,7 +314,7 @@ def extract_table_content(page: Page, table_bbox: BBox,
             for i in range(len(cols)):
                 if idx[i] < len(cols[i]) \
                         and cols[i][idx[i]].bbox.bottom == comp_bottom:
-                    cells[i] = cols[i][idx[i]].text
+                    cells[i] = [cols[i][idx[i]]]
                     idx[i] += 1
                     break
         out.append(cells)

@@ -3997,6 +3997,35 @@ def test_docx_footnote_roundtrip_parity(tmp_path):
         assert got == ref, fmt
 
 
+@pytest.mark.parametrize("genname,seed", [("_sink15_pdf", 0),
+                                          ("_sink16_pdf", 1),
+                                          ("_sink22_pdf", 0)])
+def test_xlsx_export_parity(genname, seed, tmp_path):
+    """sink32c: the XLSX export is the reference's full package —
+    sheet1.xml between the captured writeTabular envelopes with the
+    exact cell/run semantics (empty cells omitted, per-cell left sort,
+    the never-updated fontStylePrev run-splitting rule, continuous row
+    numbers across pages and tables) plus the 8 fixed parts, every
+    part byte-identical (8-case sweep clean at pin time)."""
+    import base64
+    import io
+    import zipfile
+    payload = globals()[genname](random.Random(seed))
+    if isinstance(payload, tuple):
+        payload = payload[0]
+    p = tmp_path / "in.pdf"
+    p.write_bytes(payload)
+    ref = zipfile.ZipFile(io.BytesIO(
+        base64.b64decode(_ref_fmt_file(str(p), "xlsx"))))
+    ours = zipfile.ZipFile(io.BytesIO(extract_document(
+        "u", payload, "", "eng", emit_format="xlsx",
+        emit_opts={"xlsx_filename_column": False})
+        ["extracted_text"].encode("latin-1")))
+    assert set(ref.namelist()) == set(ours.namelist())
+    for n in ref.namelist():
+        assert ref.read(n) == ours.read(n), n
+
+
 @pytest.mark.parametrize("seed", [4, 9])
 def test_torture_mutation_parity(seed, tmp_path):
     """Byte-level torture battery (sink30) vs the live reference:
