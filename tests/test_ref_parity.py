@@ -4026,6 +4026,43 @@ def test_xlsx_export_parity(genname, seed, tmp_path):
         assert ref.read(n) == ours.read(n), n
 
 
+@pytest.mark.parametrize("seed", [1, 3])
+def test_pdf_export_cross_engine(seed, tmp_path):
+    """sink33: cross-engine PDF-export interop — the reference reading
+    OUR exported PDF extracts exactly what it extracts from ITS OWN
+    export of the same source, and we read the reference's export to
+    the same text (the shared invariant; both exports quantize
+    geometry, so the roundtrip text is compared engine-to-engine, not
+    to the source)."""
+    import base64
+
+    from scribe_js_ray.sources.synth_pdf import make_pdf_styles
+    # Abbyy pinned at seed 1 only: other seeds draw smallCaps words,
+    # which the reference's own pdf export mangles in this sandbox
+    # (writePdf measures smallCaps against loaded font programs, absent
+    # here — its own roundtrip yields "T S T S T T" for such words
+    # while ours keeps the text; an environment artifact, not parity).
+    gens = [(make_pdf_styles, ".pdf", seed)] + \
+        ([(_sink14_abbyy, ".xml", 1)] if seed == 1 else [])
+    for gen, suf, gseed in gens:
+        src = gen(random.Random(gseed))
+        ours_pdf = extract_document(
+            "u", src, "", "eng",
+            emit_format="pdf")["extracted_text"].encode("latin-1")
+        p1 = tmp_path / f"ours_{gen.__name__}.pdf"
+        p1.write_bytes(ours_pdf)
+        p2 = tmp_path / f"src_{gen.__name__}{suf}"
+        p2.write_bytes(src)
+        ref_pdf = base64.b64decode(_ref_fmt_file(str(p2), "pdf"))
+        p3 = tmp_path / f"ref_{gen.__name__}.pdf"
+        p3.write_bytes(ref_pdf)
+        ref_rt = _ref_extract(str(p3))
+        assert _ref_extract(str(p1)) == ref_rt, \
+            f"{gen.__name__}: ref reads ours != ref reads its own"
+        got = extract_document("u", ref_pdf, "", "eng")["extracted_text"]
+        assert got == ref_rt, f"{gen.__name__}: we read ref-export"
+
+
 @pytest.mark.parametrize("seed", [4, 9])
 def test_torture_mutation_parity(seed, tmp_path):
     """Byte-level torture battery (sink30) vs the live reference:
