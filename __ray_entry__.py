@@ -227,6 +227,18 @@ def _doc_clean_text(sf_dir: str):
         .sort("doc_id")
 
 
+def _doc_pii_scrub(sf_dir: str):
+    import ray.data as rd
+
+    from scribe_js_ray.pipelines.corpus import add_pii_scrub
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_pii_scrub, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_email", "n_ipv4", "n_ssn",
+                         "scrub_md5"]).sort("doc_id")
+
+
 def _doc_quality(sf_dir: str):
     import ray.data as rd
 
@@ -935,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _doc_token_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_clean_text": _doc_clean_text,
+        "doc_pii_scrub": _doc_pii_scrub,
         "doc_repetition": _doc_repetition,
         "doc_top_bigram": _doc_top_bigram,
         "doc_bpe_tokens": _doc_bpe_tokens,
@@ -1814,6 +1827,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clean_text,
                    CAST(length(clean_text) AS BIGINT) AS n_clean_chars
             FROM c ORDER BY doc_id
+        """,
+        "doc_pii_scrub": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN ' user'
+                          || CAST(doc_id AS VARCHAR) || '@example.org'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN ' host 10.0.0.'
+                          || CAST(doc_id % 200 + 1 AS VARCHAR)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' ssn '
+                          || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                          || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+                          || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                        ELSE '' END AS text
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t FROM seeded),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(length(regexp_extract_all(t,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                       AS BIGINT) AS n_ipv4,
+                     regexp_replace(t,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g') AS t FROM s1),
+            s3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     CAST(length(regexp_extract_all(t,
+                       '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b'))
+                       AS BIGINT) AS n_ssn,
+                     regexp_replace(t,
+                       '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+                       '<SSN>', 'g') AS t FROM s2)
+            SELECT doc_id, n_email, n_ipv4, n_ssn, md5(t) AS scrub_md5
+            FROM s3 ORDER BY doc_id
         """,
         "doc_quality": """
             SELECT doc_id,

@@ -66,6 +66,84 @@ def add_clean_text(batch: pa.Table) -> pa.Table:
                              pc.cast(pc.utf8_length(t), pa.int64()))
 
 
+# PII patterns in ASCII-explicit RE2 (same engine in Arrow and DuckDB,
+# so the SQL oracle is bit-exact by construction — never \s/\w whose
+# Python semantics differ).  The sentinel replacement runs email →
+# ipv4 → ssn in that order; the ipv4 pattern would otherwise also
+# consume the dotted quad inside a scrubbed email domain.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def _pii_seeded_text(batch: pa.Table) -> pa.Array:
+    """The synthetic corpus carries no PII, so the query SEEDS
+    deterministic doc_id-derived spans (email on doc_id%3==0, IPv4 on
+    %4==0, SSN on %5==0) before scrubbing — the SQL oracle applies the
+    identical seeding, so the detection/redaction logic is verified on
+    non-trivial data.  All construction is Arrow-vectorized."""
+    did = batch["doc_id"]
+    text = pc.cast(batch["text"], pa.string())
+    ds = pc.cast(did, pa.string())
+    empty = pa.nulls(len(batch), pa.string())
+    empty = pc.fill_null(empty, "")
+
+    def gate(mod, parts):
+        joined = pc.binary_join_element_wise(*parts, "")
+        return pc.if_else(
+            pc.equal(_mod_arr(did, mod), pa.scalar(0, pa.int64())),
+            joined, empty)
+
+    lit = (lambda s: pa.array([s] * len(batch), pa.string()))
+    email = gate(3, [lit(" user"), ds, lit("@example.org")])
+    oct4 = pc.cast(pc.add(_mod_arr(did, 200), pa.scalar(1, pa.int64())),
+                   pa.string())
+    ip = gate(4, [lit(" host 10.0.0."), oct4, lit("")])
+    ssn = gate(5, [
+        lit(" ssn "),
+        pc.cast(pc.add(_mod_arr(did, 900), pa.scalar(100, pa.int64())),
+                pa.string()),
+        lit("-"),
+        pc.cast(pc.add(_mod_arr(did, 90), pa.scalar(10, pa.int64())),
+                pa.string()),
+        lit("-"),
+        pc.cast(pc.add(_mod_arr(did, 9000),
+                       pa.scalar(1000, pa.int64())), pa.string()),
+    ])
+    return pc.binary_join_element_wise(text, email, ip, ssn, "")
+
+
+def _mod_arr(a, m: int):
+    a = pc.cast(a, pa.int64())
+    return pc.subtract(a, pc.multiply(
+        pc.divide(a, pa.scalar(m, pa.int64())),
+        pa.scalar(m, pa.int64())))
+
+
+def add_pii_scrub(batch: pa.Table) -> pa.Table:
+    """PII detection + redaction — the pre-training scrub stage every
+    large text corpus runs before the tokenizer: per-document match
+    counts for email / IPv4 / SSN-shaped spans and the redacted text
+    (sentinel tokens), plus its md5 so the oracle hash covers the full
+    scrubbed surface without shipping long strings twice."""
+    text = _pii_seeded_text(batch)
+    n_email = pc.cast(pc.count_substring_regex(text, _PII_EMAIL),
+                      pa.int64())
+    scrubbed = pc.replace_substring_regex(text, _PII_EMAIL, "<EMAIL>")
+    n_ipv4 = pc.cast(pc.count_substring_regex(scrubbed, _PII_IPV4),
+                     pa.int64())
+    scrubbed = pc.replace_substring_regex(scrubbed, _PII_IPV4, "<IP>")
+    n_ssn = pc.cast(pc.count_substring_regex(scrubbed, _PII_SSN),
+                    pa.int64())
+    scrubbed = pc.replace_substring_regex(scrubbed, _PII_SSN, "<SSN>")
+    md5s = [hashlib.md5((t or "").encode()).hexdigest()
+            for t in scrubbed.to_pylist()]
+    out = batch.append_column("n_email", n_email)
+    out = out.append_column("n_ipv4", n_ipv4)
+    out = out.append_column("n_ssn", n_ssn)
+    return out.append_column("scrub_md5", pa.array(md5s, pa.string()))
+
+
 def add_quality_features(batch: pa.Table) -> pa.Table:
     """Integer quality counters (floats avoided for stable value hashing)."""
     text = batch["text"]
