@@ -85,7 +85,8 @@ class Char:
 class Word:
     __slots__ = ("text", "bbox", "style", "lang", "conf", "chars", "line",
                  "line_num", "id", "mcid", "artifact", "text_alt",
-                 "style_runs", "visual_coords", "footnote_par")
+                 "style_runs", "visual_coords", "footnote_par",
+                 "raw_src")
 
     def __init__(self, line: "Line", wid: str, text: str, bbox: BBox):
         self.line = line
@@ -121,6 +122,10 @@ class Word:
         # layout footnote-linking pass and the DOCX import) — we link
         # by object, the reference by random par id.
         self.footnote_par = None
+        # Raw source markup for char-level hOCR words (the reference's
+        # word.debug.raw, convertPageHocr.js:251 under debugMode=true);
+        # surfaces in the debug-CSV export.
+        self.raw_src = None
 
 
 def get_word_style_segments(word: "Word"):

@@ -623,48 +623,91 @@ def write_html(pages, reflow_text: bool = True) -> str:
 # the data-table exports.
 
 
+_CSV_UNDEFINED = object()  # JS `undefined`: bare empty field in the CSV
+
+
 def _csv_field(v) -> str:
-    """escapeCsvField: strings and objects are quoted with doubled
-    quotes, objects JSON-encoded first; numbers/booleans bare (JS
-    string-concat renders booleans as true/false)."""
-    import json
+    """escapeCsvField (exportDebugCsv.js:13-22): objects (including
+    null) JSON-stringified then quoted with doubled quotes, strings
+    quoted, numbers/booleans bare, ``undefined`` empty."""
+    if v is _CSV_UNDEFINED:
+        return ""
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (int, float)):
-        return repr(v)
+        from .fontregistry import js_num
+        return js_num(v)
     if isinstance(v, str):
         return '"' + v.replace('"', '""') + '"'
-    enc = json.dumps(v, separators=(",", ":"), ensure_ascii=False)
-    return '"' + enc.replace('"', '""') + '"'
+    return '"' + _js_json(v).replace('"', '""') + '"'
+
+
+def _style_record(style) -> dict:
+    """The OcrWord style shape in declaration order
+    (ocrObjects.js:167-178); a parse-attached link rides after, like a
+    dynamic JS property would."""
+    out = {"font": style.font, "size": style.size,
+           "bold": bool(style.bold), "italic": bool(style.italic),
+           "underline": bool(style.underline),
+           "smallCaps": bool(style.small_caps), "sup": bool(style.sup),
+           "dropcap": bool(style.dropcap),
+           # OcrWord initializes color '#000000' (ocrObjects.js:176);
+           # our model keeps None for "default black".
+           "color": style.color if style.color is not None
+           else "#000000",
+           "opacity": style.opacity}
+    if getattr(style, "link", None) is not None:
+        out["link"] = style.link
+    return out
 
 
 def _word_record(w) -> dict:
+    """One CSV row in the OcrWord field order minus ``line``
+    (cloneWord + delete, exportDebugCsv.js:51-56)."""
+    from ..model import get_word_style_segments
     box = {"left": w.bbox.left, "top": w.bbox.top,
            "right": w.bbox.right, "bottom": w.bbox.bottom}
-    style = {k: getattr(w.style, k) for k in w.style.__slots__}
     chars = ([{"text": c.text,
                "bbox": {"left": c.bbox.left, "top": c.bbox.top,
                         "right": c.bbox.right, "bottom": c.bbox.bottom}}
               for c in w.chars] if w.chars else None)
-    return {"id": w.id, "text": w.text, "bbox": box, "style": style,
-            "lang": w.lang, "conf": w.conf, "chars": chars,
-            "line_num": w.line_num, "text_alt": w.text_alt}
+    runs = _CSV_UNDEFINED
+    if w.style_runs:
+        runs = [{"i": r["i"],
+                 "style": {_SNAKE_TO_REF.get(k, k): v
+                           for k, v in r["style"].items()}}
+                for r in w.style_runs]
+    return {"text": w.text, "textAlt": w.text_alt,
+            "style": _style_record(w.style), "styleRuns": runs,
+            "lang": w.lang, "conf": w.conf, "bbox": box,
+            "compTruth": False, "matchTruth": False,
+            "lineNum": bool(w.line_num), "id": w.id, "chars": chars,
+            "visualCoords": bool(w.visual_coords),
+            "debug": {"raw": w.raw_src},
+            "footnoteParId": None if w.footnote_par is None
+            else "linked"}
+
+
+_SNAKE_TO_REF = {"small_caps": "smallCaps"}
 
 
 def write_debug_csv(pages) -> str:
-    """Pages → one CSV string; the header row appears once, pages are
-    separated by the leading newline of each page block
-    (exportDebugCsv.js:47-71)."""
+    """Pages → one CSV string, byte-identical to the reference's
+    writeDebugCsv (exportDebugCsv.js:47-71): per-page convertToCsv
+    blocks concatenated, with each non-first page's header row replaced
+    by the retained leading newline.  A wordless page contributes
+    nothing (convertToCsv returns ''), so a wordless FIRST page means
+    the header never appears — the reference's quirk, kept.
+    footnoteParId is a random id in the reference, so a LINKED word
+    serializes as the stable sentinel "linked" instead."""
     out = []
-    headers = None
-    for page in pages:
+    for i, page in enumerate(pages):
         records = [_word_record(w) for ln in page.lines
                    for w in ln.words]
         if not records:
             continue
-        if headers is None:
-            headers = list(records[0].keys())
-            out.append(",".join(headers))
-        out.extend(",".join(_csv_field(r[h]) for h in headers)
-                   for r in records)
-    return "\n".join(out)
+        block = [",".join(records[0].keys())] if i == 0 else [""]
+        block += [",".join(_csv_field(v) for v in r.values())
+                  for r in records]
+        out.append("\n".join(block))
+    return "".join(out)

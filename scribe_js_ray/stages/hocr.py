@@ -217,6 +217,9 @@ def parse_hocr_page(ocr_str: str, n: int, page_dims=None, scribe_mode=False):
         word = Word(line, wid, text, wbox)
         word.lang = lang
         word.chars = chars
+        # word.debug.raw carries the matched span markup for char-level
+        # words (convertPageHocr.js:250-252, debugMode hardcoded true).
+        word.raw_src = match
         if italic:
             word.style.italic = True
         if font:

@@ -124,19 +124,22 @@ def test_debug_csv_export():
     pages = parse_text_pages('He said "hi" there.\n\nSecond page-ish.')
     out = write_debug_csv(pages)
     rows = list(csv.reader(io.StringIO(out)))
-    assert rows[0][:4] == ["id", "text", "bbox", "style"]
+    # the reference's OcrWord field order (byte-parity pinned live in
+    # tests/test_ref_parity.py::test_debug_csv_parity)
+    assert rows[0][:4] == ["text", "textAlt", "style", "styleRuns"]
     assert len(rows) == 1 + sum(len(ln.words) for p in pages
                                 for ln in p.lines)
-    texts = [r[1] for r in rows[1:]]
+    texts = [r[0] for r in rows[1:]]
     assert '"hi"' in texts          # embedded quotes survive the escaping
     import json
-    box = json.loads(rows[1][2])
+    bbox_col = rows[0].index("bbox")
+    box = json.loads(rows[1][bbox_col])
     assert set(box) == {"left", "top", "right", "bottom"}
 
     res = extract_document("u://csv", b"", "plain words here", "eng",
                            emit_format="debug_csv")
     assert res["error"] == ""
-    assert res["extracted_text"].startswith("id,text,bbox")
+    assert res["extracted_text"].startswith("text,textAlt,style")
 
 
 def test_line_numbers_prefix_matches_reference_format():

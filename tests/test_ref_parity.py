@@ -4063,6 +4063,32 @@ def test_pdf_export_cross_engine(seed, tmp_path):
         assert got == ref_rt, f"{gen.__name__}: we read ref-export"
 
 
+def test_debug_csv_parity(tmp_path):
+    """sink34: the debug-CSV export byte-equals the reference's
+    writeDebugCsv — the full OcrWord field surface serialized per row
+    (field order, escapeCsvField semantics incl. quoted JSON objects
+    and bare undefined styleRuns, ECMA numbers, '#000000' default
+    color, char-level hOCR words carrying their raw span markup in
+    debug.raw).  Harness: tests/refharness/export_debug_csv.mjs
+    (8-input sweep clean at pin time)."""
+    from scribe_js_ray.sources.synth import make_hocr_charlevel
+    from scribe_js_ray.sources.synth_pdf import make_pdf_styles
+    harness = HARNESS.replace("extract_text.mjs", "export_debug_csv.mjs")
+    for name, payload, suf in (
+            ("pdf", make_pdf_styles(random.Random(1)), ".pdf"),
+            ("abbyy", _sink14_abbyy(random.Random(0)), ".xml"),
+            ("hocrchar",
+             make_hocr_charlevel(random.Random(0)).encode(), ".hocr")):
+        p = tmp_path / f"{name}{suf}"
+        p.write_bytes(payload)
+        r = subprocess.run(["node", harness, str(p)],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr[-300:]
+        ours = extract_document("u", payload, "", "eng",
+                                emit_format="debug_csv")["extracted_text"]
+        assert ours == r.stdout, name
+
+
 @pytest.mark.parametrize("seed", [4, 9])
 def test_torture_mutation_parity(seed, tmp_path):
     """Byte-level torture battery (sink30) vs the live reference:
