@@ -204,7 +204,7 @@ class Page:
     __slots__ = ("n", "width", "height", "angle", "lines", "pars",
                  "text_source", "rules", "table_boxes", "mcid_roles",
                  "mcid_elems", "marks", "font_programs", "annots",
-                 "layout_regions")
+                 "layout_regions", "layout_meta")
 
     def __init__(self, n: int, width: int, height: int):
         self.n = n
@@ -238,6 +238,10 @@ class Page:
         # only by the opt-in reorder stage, matching the reference's
         # enableLayout default-off.
         self.layout_regions: dict = {}
+        # Raw restored layout/table meta page dicts from a scribeocr
+        # hOCR reimport (importOCR getMeta) — re-serialized VERBATIM on
+        # export so restored ids/defaults survive the round trip.
+        self.layout_meta = None
 
     @property
     def dims(self):

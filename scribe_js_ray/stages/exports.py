@@ -62,13 +62,22 @@ def _layout_meta_json(pages) -> tuple[str, str]:
     scribeDoc.js:956-968 serializeLayoutDataTables) so a scribeocr
     reimport restores our detected tables (importOCR.js:212-219,
     import.js:407-418)."""
-    import json
     layout_pages = []
     table_pages = []
     for page in pages:
-        regions = getattr(page, "layout_regions", None) or {}
-        layout_pages.append({"n": page.n, "default": not regions,
-                             "boxes": regions})
+        restored = getattr(page, "layout_meta", None) or {}
+        if restored.get("layout") is not None:
+            # scribeocr reimport: re-serialize the restored page dict
+            # VERBATIM (ids, default flags) like the reference, which
+            # exports the same deserialized objects.
+            layout_pages.append(restored["layout"])
+        else:
+            regions = getattr(page, "layout_regions", None) or {}
+            layout_pages.append({"n": page.n, "default": not regions,
+                                 "boxes": regions})
+        if restored.get("tables") is not None:
+            table_pages.append(restored["tables"])
+            continue
         tables = []
         for ti, tb in enumerate(getattr(page, "table_boxes", None) or []):
             seps = sorted(tb.get("col_separators") or [])
@@ -90,7 +99,13 @@ def _layout_meta_json(pages) -> tuple[str, str]:
                            "boxes": boxes, "rowBounds": None,
                            "detectionMethod": tb.get("method") or "text",
                            "title": None})
-        table_pages.append({"n": page.n, "default": not tables,
+        # LayoutDataTablePage.default stays TRUE even with detected
+        # tables — nothing in the reference ever clears it
+        # (layoutObjects.js:59,102; only a restored meta can carry
+        # false).  Our table/column ids are deterministic where the
+        # reference's are getRandomAlphanum — an adjudicated
+        # divergence (theirs are unreproducible run to run).
+        table_pages.append({"n": page.n, "default": True,
                             "tables": tables})
     return _js_json(layout_pages), _js_json(table_pages)
 

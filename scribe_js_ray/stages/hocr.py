@@ -339,7 +339,17 @@ def apply_hocr_layout_meta(pages, meta) -> None:
     by_n_regions = {p.get("n"): p.get("boxes") or {}
                     for p in (meta.get("layout") or [])
                     if isinstance(p, dict)}
+    raw_tables = {p.get("n"): p for p in (meta.get("tables") or [])
+                  if isinstance(p, dict)}
+    raw_layout = {p.get("n"): p for p in (meta.get("layout") or [])
+                  if isinstance(p, dict)}
     for i, page in enumerate(pages):
+        # Keep the raw page dicts so the hOCR re-export serializes the
+        # RESTORED objects verbatim (ids, default flags) — the
+        # reference re-serializes the same deserialized objects.
+        if i in raw_tables or i in raw_layout:
+            page.layout_meta = {"layout": raw_layout.get(i),
+                                "tables": raw_tables.get(i)}
         for t in by_n_tables.get(i) or []:
             boxes = [b for b in (t.get("boxes") or [])
                      if isinstance(b, dict) and isinstance(
